@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the bench-tagged workload queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall seconds.
+
+Each query is fully materialized via collect() (results are small by
+construction — aggregates or limited top-k).  A warm-up run of q6 is
+excluded so JVM/codegen startup doesn't pollute the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataclass_array_spark.session import get_spark
+from dataclass_array_spark.workload import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # warm-up: JVM JIT + codegen + parquet footer reads
+    QUERIES["q6_forecast_revenue"].fn(spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, q in QUERIES.items():
+        if not q.bench:
+            continue
+        t0 = time.time()
+        rows = q.fn(spark, SF_DIR).collect()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        _ = len(rows)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
