@@ -34,8 +34,25 @@ _DEC = "decimal(25,6)"
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> Dict[str, DataFrame]:
     """Parquet scans, one per table.  Filters/projections stay pushable —
-    no caching or materialization here, so Catalyst prunes at the source."""
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    no caching or materialization here, so Catalyst prunes at the source.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    reader rejects; we read it as a long (legacy conf) and expose both
+    ``ts_us`` (exact integer micros — use this for arithmetic/outputs so
+    the ns-truncation matches DuckDB's ``epoch_us``) and ``ts`` (micros
+    timestamp)."""
+    out: Dict[str, DataFrame] = {}
+    for n in names:
+        if n == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            e = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            e = e.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+                "ts", F.timestamp_micros(F.col("ts_us"))
+            )
+            out[n] = e
+        else:
+            out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+    return out
 
 
 def dsum(expr, alias: str) -> Column:
