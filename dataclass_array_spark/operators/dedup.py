@@ -1,0 +1,265 @@
+"""Deduplication family for training-data pipelines:
+
+- exact dedup (content-hash groupBy)
+- n-gram Jaccard near-dup (shingle inverted index)
+- MinHash + LSH banding (the 100 TB scale path)
+- SimHash fingerprints
+
+Design for scale:
+- Shingling, minhash signatures, and simhash are pure column expressions
+  computed inside the scan stage (no explode for signatures — a
+  ``transform``/``aggregate`` fold over the token array per row).
+- The only shuffles are the band-bucket self-join (MinHash-LSH) or the
+  shingle inverted-index join (exact Jaccard), both on well-distributed
+  hash keys; hot shingles are capped by document frequency to bound
+  fan-out (identically in the oracle).
+- All hashes derive from md5 so the DuckDB oracle reproduces them
+  bit-for-bit (no engine-private hash functions).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataclass_array_spark.operators.text import md5_fingerprint, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group by content hash; keep the smallest id as canonical.
+    One shuffle on the 128-bit hash — uniformly distributed, skew-free."""
+    return (
+        df.select(md5_fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (1-based element_at; empty array when the
+    doc has fewer than k tokens).  The token array is let-bound so the
+    regex split runs once per row, not once per shingle reference."""
+    from dataclass_array_spark.operators.text import let
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        mk = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+        return F.when(n >= k, F.array_distinct(mk)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(tokens(text), build)
+
+
+def _hash60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 → BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# Universal-hash mixing constants (fixed LCG, seed 1): ONE md5 per shingle
+# feeds all n minhash functions as (A_s*h + B_s) mod P — 16× fewer md5
+# calls than per-seed hashing, identical scheme inlined in the oracle SQL.
+_MINHASH_P = (1 << 61) - 1
+
+
+def _lcg_constants(n: int) -> tuple[list[int], list[int]]:
+    a, out_a, out_b = 1, [], []
+    for _ in range(n):
+        a = (a * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out_a.append((a % ((1 << 29) - 1)) | 1)  # odd, < 2^29 (no bigint overflow)
+        a = (a * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out_b.append(a % _MINHASH_P)
+    return out_a, out_b
+
+
+MINHASH_A, MINHASH_B = _lcg_constants(64)
+
+
+def _hash32(col: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5 → BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(shingles: Column, n_hashes: int) -> list[Column]:
+    """n minhashes as separate columns — computed by array folds in the
+    scan stage, no explode, no shuffle.  One md5 per shingle; the n hash
+    functions are universal-hash mixes of that base value."""
+    base = F.transform(shingles, _hash32)
+
+    def mixer(s: int):
+        # single-param lambda: a second param would make Spark pass the
+        # array index into it
+        return lambda h: (h * MINHASH_A[s] + MINHASH_B[s]) % _MINHASH_P
+
+    return [
+        F.array_min(F.transform(base, mixer(s))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Plan shape (the part that must survive 100 TB):
+    1. signatures: narrow, in-scan.
+    2. band explode: rows × ``bands`` (small constant).
+    3. self-join on (band, signature): shuffle on a uniform hash key —
+       this is the ONLY quadratic-risk step and banding keeps buckets
+       tiny by construction.
+    4. verify on the candidate set only (array_intersect of the two
+       shingle sets, carried through the join — no second shuffle of the
+       corpus).
+    """
+    rows_per_band = n_hashes // bands
+    # md5 signatures are CPU-bound: spread the corpus across all cores
+    # before the narrow compute (a single small parquet file would
+    # otherwise pin the whole signature stage to one task)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = base.select("doc_id", "shingles", *minhash_signature(F.col("shingles"), n_hashes))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ":", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", "shingles", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", "shingles", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.2,
+    shingle_k: int = 3,
+    max_doc_freq: Optional[int] = 1000,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via shingle inverted index.
+
+    ``max_doc_freq`` drops ubiquitous shingles before the self-join —
+    the standard fan-out cap (a shingle in f docs creates f² candidate
+    rows); applied identically in the oracle so results still match."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+        )
+    )
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "sh").drop("df_")
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("id_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("id_b") == F.col("cb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash(text: Column, n_bits: int = 32) -> Column:
+    """SimHash fingerprint over whitespace tokens (with multiplicity).
+
+    Element-wise ±1 vote fold over the token array — one expression, no
+    explode: bit j of token hash votes +1/−1; fingerprint bit j set iff
+    the vote sum is positive."""
+    # hash each token ONCE (md5 is the expensive part), then fold ±1
+    # bit-votes over the hash array; shift amounts are Python ints
+    hashes = F.transform(tokens(text), _hash60)
+
+    def bit_votes(h):
+        return F.array(
+            *[
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for j in range(n_bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda x, y: x + y),
+    )
+
+    def assemble(v: Column) -> Column:
+        # v is let-bound: the whole vote fold runs once, not n_bits times
+        out = F.lit(0).cast("long")
+        for j in range(n_bits):
+            out = out + F.when(
+                F.element_at(v, j + 1) > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    from dataclass_array_spark.operators.text import let
+
+    return let(votes, assemble)

@@ -1,0 +1,106 @@
+"""Multimodal column support: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The container has no image/audio codecs, so the actual decode is a
+clearly-marked deterministic STUB (`fake_decode_batch`) — but all the
+Spark-side plumbing is real and tested: BinaryType columns, metadata
+structs, mapInPandas batch iteration, explicit output schemas, and
+partition-preserving flow.  Swap ``_decode_payload`` for PIL/ffmpeg on a
+real cluster and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("media_type", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("content_md5", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def attach_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a multimodal table: payload = utf-8 bytes of the text (the
+    deterministic stand-in for real image bytes), plus a typed metadata
+    struct.  Pure column expressions — the metadata never requires
+    decoding the payload."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    media_type = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            media_type.alias("media_type"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("content_md5"),
+        ).alias("meta"),
+    )
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int]:
+    """STUB decoder.  A real implementation would be e.g.::
+
+        from PIL import Image; Image.open(io.BytesIO(payload)).size
+
+    Here: deterministic fake dimensions derived from the content hash so
+    the pipeline (and its oracle) is reproducible."""
+    h = hashlib.md5(payload).hexdigest()
+    width = 1 + int(h[:2], 16) % 512
+    height = 1 + int(h[2:4], 16) % 512
+    return width, height
+
+
+def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batches in, decoded metadata out.  This
+    is the exact shape a real decoder runs in (vectorized I/O at the
+    batch level, per-row codec calls inside)."""
+    for pdf in batches:
+        dims = [_decode_payload(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": [w for w, _ in dims],
+                "height": [h for _, h in dims],
+                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+            }
+        )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Run the (stub) decoder over a multimodal table.  Column pruning
+    matters at scale: select only payload+id into the Python worker."""
+    return media.select("doc_id", "payload").mapInPandas(
+        fake_decode_batch, schema=DECODED_SCHEMA
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine``: exact cross-engine-deterministic cosine via per-element
+  double products folded through an exact DECIMAL accumulator (decimal
+  addition is associative → summation order cannot matter, so Spark and
+  the DuckDB oracle agree bit-for-bit).
+- ``brute_force_topk``: broadcast the (small) query set against the full
+  corpus — the exact baseline.  At 100 TB the corpus side stays
+  partitioned; the only data movement is the broadcast of queries and
+  the per-partition top-k combine (WindowGroupLimit / partial top-k).
+- ``srp_lsh_topk``: signed-random-projection LSH — hyperplanes derived
+  deterministically from md5 so results are reproducible.  Bucketing
+  turns the cross join into an equi-join on the signature; the scale
+  path when the query set is itself huge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,25)"
+
+
+def _exact_dot(a: Column, b: Column) -> Column:
+    """Σ a[i]*b[i] with per-product double → decimal-exact sum → double."""
+    prods = F.zip_with(
+        a.cast("array<double>"),
+        b.cast("array<double>"),
+        lambda x, y: (x * y).cast(_DEC),
+    )
+    # the merge re-casts to keep Spark's decimal-promotion from drifting
+    # the accumulator type; sub-1e-22 rounding is far below double ulp
+    return F.aggregate(
+        prods, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
+    ).cast("double")
+
+
+def norm2(v: Column) -> Column:
+    return _exact_dot(v, v)
+
+
+def cosine(a: Column, b: Column, na2: Column, nb2: Column) -> Column:
+    """cos(a,b) given precomputed squared norms."""
+    return _exact_dot(a, b) / (F.sqrt(na2) * F.sqrt(nb2))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × partitioned corpus.
+
+    Norms are computed once per side before the join (column pruning
+    keeps the corpus scan at two columns)."""
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm2(F.col(vec_col)).alias("qn2"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("nid"),
+        F.col(vec_col).alias("cv"),
+        norm2(F.col(vec_col)).alias("cn2"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            cosine(F.col("qv"), F.col("cv"), F.col("qn2"), F.col("cn2")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cosine")
+        .orderBy("qid", "rank")
+    )
+
+
+def srp_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Signed-random-projection signature: plane p's component for
+    dimension d is ±1 from the parity of a md5-derived digit — fully
+    deterministic and engine-portable."""
+
+    def plane_dot(p: int) -> Column:
+        signs = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (F.ascii(F.substring(F.md5(F.concat_ws(":", F.lit(p), d)), 1, 1)) % 2 * 2 - 1).cast(
+                "double"
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(vec.cast("array<double>"), signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = [
+        F.when(plane_dot(p) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        for p in range(n_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def srp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates share the SRP bucket (equi-join on
+    the signature — a plain hash shuffle instead of a cross join)."""
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm2(F.col(vec_col)).alias("qn2"),
+        srp_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("nid"),
+        F.col(vec_col).alias("cv"),
+        norm2(F.col(vec_col)).alias("cn2"),
+        srp_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            cosine(F.col("qv"), F.col("cv"), F.col("qn2"), F.col("cn2")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cosine")
+        .orderBy("qid", "rank")
+    )

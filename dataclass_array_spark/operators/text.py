@@ -1,0 +1,190 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, token counting (whitespace + BPE-ish regex), quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Everything is pure Catalyst column expressions (JVM codegen, no UDFs) —
+at 100 TB these run embarrassingly parallel inside the scan stage with
+zero shuffles.  All primitives are engine-portable (verified to produce
+bit-identical results in DuckDB for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whole-token stopword markers per language for the lang-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "los", "las", "una"),
+    "de": ("der", "die", "und", "das", "ein", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est"),
+}
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+PUNCT_CLASS = "[.,!?;:]"
+
+_POLY_MOD = 2147483647  # 2^31 - 1
+
+
+def let(bound: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``bound`` ONCE and
+    reference it many times in ``body``.
+
+    Catalyst inlines sub-expressions at every reference site — a token
+    array referenced inside a per-element lambda would otherwise re-run
+    its regex split once per element (observed 30× slowdowns).  Wrapping
+    the value as the single element of an array and binding it as a
+    higher-order-function lambda variable forces one evaluation per row.
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text, empties removed.  Matches
+    DuckDB ``list_filter(string_split_regex(lower(trim(x)),'\\s+'), ...)``."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (regex over lowercased text)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0)).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return (F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))).cast("long")
+
+
+def marker_count(toks: Column, words) -> Column:
+    """How many tokens are in the given word set (whole-token match)."""
+
+    def is_in(t):
+        cond = t == F.lit(words[0])
+        for w in words[1:]:
+            cond = cond | (t == F.lit(w))
+        return cond
+    return F.size(F.filter(toks, is_in)).cast("long")
+
+
+def cjk_count(text: Column) -> Column:
+    return (F.length(text) - F.length(F.regexp_replace(text, "[一-鿿]", ""))).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word argmax heuristic → 'zh'/'en'/'es'/'de'/'fr'/'und'.
+    Deterministic precedence on ties: en > es > de > fr."""
+    zh = cjk_count(text)
+
+    def decide(toks: Column) -> Column:
+        cnt = {k: marker_count(toks, v) for k, v in LANG_MARKERS.items()}
+        en, es, de, fr = cnt["en"], cnt["es"], cnt["de"], cnt["fr"]
+        return (
+            F.when(zh > 0, F.lit("zh"))
+            .when((en > 0) & (en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+            .when((es > 0) & (es >= de) & (es >= fr), F.lit("es"))
+            .when((de > 0) & (de >= fr), F.lit("de"))
+            .when(fr > 0, F.lit("fr"))
+            .otherwise(F.lit("und"))
+        )
+
+    return let(tokens(text), decide)
+
+
+def quality_score(text: Column) -> Column:
+    """Length/punctuation/stopword-ratio quality heuristic in [0, 3].
+    Integer counts + double division — bit-identical cross-engine."""
+    n_chars = F.length(text).cast("long")
+
+    def score(toks: Column) -> Column:
+        n_tok = F.size(toks).cast("long")
+        stop = marker_count(toks, STOPWORDS_EN)
+        len_score = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+        stop_score = F.least(
+            (stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")) * 5.0,
+            F.lit(1.0),
+        )
+        punct_score = F.least(
+            punct_count(text).cast("double")
+            / F.greatest(n_chars, F.lit(1)).cast("double")
+            * 20.0,
+            F.lit(1.0),
+        )
+        return len_score + stop_score + punct_score
+
+    return let(tokens(text), score).alias("quality")
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash (base 31 mod 2^31-1) over the characters of
+    whitespace-normalized lowercased text — an order-sensitive document
+    fingerprint (unlike md5, prefix-incremental)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    codes = F.filter(
+        F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("long")),
+        lambda x: x > 0,
+    )
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % _POLY_MOD
+    )
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Content-hash fingerprint of normalized text (exact-dedup key)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+# ---- SQL (DuckDB) mirrors, kept adjacent so they cannot drift ----
+
+SQL_TOKENS = "list_filter(string_split_regex(lower(trim({t})), '\\s+'), t -> t != '')"
+
+
+def sql_marker_count(toks_sql: str, words) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks_sql}, t -> t IN ({lst})))"
+
+
+def sql_lang_id(t: str) -> str:
+    toks = SQL_TOKENS.format(t=t)
+    zh = f"(length({t}) - length(regexp_replace({t}, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')))"
+    c = {k: sql_marker_count(toks, v) for k, v in LANG_MARKERS.items()}
+    return f"""CASE WHEN {zh} > 0 THEN 'zh'
+      WHEN {c['en']} > 0 AND {c['en']} >= {c['es']} AND {c['en']} >= {c['de']} AND {c['en']} >= {c['fr']} THEN 'en'
+      WHEN {c['es']} > 0 AND {c['es']} >= {c['de']} AND {c['es']} >= {c['fr']} THEN 'es'
+      WHEN {c['de']} > 0 AND {c['de']} >= {c['fr']} THEN 'de'
+      WHEN {c['fr']} > 0 THEN 'fr' ELSE 'und' END"""
+
+
+def sql_quality(t: str) -> str:
+    toks = SQL_TOKENS.format(t=t)
+    n_tok = f"len({toks})"
+    stop = sql_marker_count(toks, STOPWORDS_EN)
+    punct = f"(length({t}) - length(regexp_replace({t}, '[.,!?;:]', '', 'g')))"
+    return (
+        f"LEAST(CAST({n_tok} AS DOUBLE)/100.0, 1.0)"
+        f" + LEAST(CAST({stop} AS DOUBLE)/GREATEST({n_tok},1)*5.0, 1.0)"
+        f" + LEAST(CAST({punct} AS DOUBLE)/GREATEST(length({t}),1)*20.0, 1.0)"
+    )
+
+
+def sql_rolling_fingerprint(t: str) -> str:
+    norm = f"regexp_replace(lower(trim({t})), '\\s+', ' ', 'g')"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_filter(list_transform(string_split({norm}, ''), ch -> CAST(ascii(ch) AS BIGINT)), x -> x > 0)), "
+        f"(acc, x) -> (acc*31 + x) % {_POLY_MOD})"
+    )
+
+
+def sql_md5_fingerprint(t: str) -> str:
+    return f"md5(regexp_replace(lower(trim({t})), '\\s+', ' ', 'g'))"

@@ -55,6 +55,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES)
     return out
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to all cores — use before CPU-heavy narrow
+    transforms when the source may be a single small file (locally) or a
+    few dense row-groups (at scale).  One cheap shuffle of the input
+    buys full-width parallelism for the expensive stage."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dsum(expr, alias: str) -> Column:
     """Order-independent exact sum of a double expression → DOUBLE."""
     c = F.expr(expr) if isinstance(expr, str) else expr

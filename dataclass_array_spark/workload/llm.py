@@ -1,0 +1,351 @@
+"""LLM training-data pipeline queries: dedup family, similarity search,
+text analysis, multimodal columns.  Operators live in
+``dataclass_array_spark.operators``; this module binds them to the
+driver's ``documents``/``embeddings`` tables with DuckDB oracles.
+
+All hashes are md5-derived (engine-portable); all float reductions go
+through exact decimal accumulators — see operators.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataclass_array_spark.operators import text as tx
+from dataclass_array_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    _MINHASH_P,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+# inline the universal-hash minhash scheme for the oracle: per seed s,
+# mh_s = MIN over shingles of (A_s*h32(sh) + B_s) mod P
+_MH_EXPR = ", ".join(
+    f"MIN((CAST(('0x'||substr(md5(sh),1,8)) AS BIGINT) * {MINHASH_A[s]} + {MINHASH_B[s]}) % {_MINHASH_P}) AS mh{s}"
+    for s in range(16)
+)
+from dataclass_array_spark.operators.multimodal import attach_media, decode_media
+from dataclass_array_spark.operators.similarity import brute_force_topk, srp_lsh_topk
+from dataclass_array_spark.workload.base import load_tables, spread
+from dataclass_array_spark.workload.catalog import Query
+
+_SQL_TOKS = tx.SQL_TOKENS.format(t="text")
+
+
+# ------------------------------------------------ exact dedup
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return exact_dedup(d, "text", "doc_id").orderBy("fingerprint")
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT {tx.sql_md5_fingerprint('text')} AS fingerprint,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------ minhash LSH near-dup
+_MH_THRESH = 0.3
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", n_hashes=16, bands=4, threshold=_MH_THRESH
+    )
+
+
+MINHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+        list_transform(generate_series(1, len(toks)-2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [] END) AS sh
+    FROM toks)
+), sig AS (
+  SELECT doc_id, {_MH_EXPR}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, band,
+         CASE band
+           WHEN 0 THEN mh0||':'||mh1||':'||mh2||':'||mh3
+           WHEN 1 THEN mh4||':'||mh5||':'||mh6||':'||mh7
+           WHEN 2 THEN mh8||':'||mh9||':'||mh10||':'||mh11
+           ELSE mh12||':'||mh13||':'||mh14||':'||mh15 END AS sig
+  FROM sig, generate_series(0,3) AS g(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS ni FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.ni AS DOUBLE)/(ca.n + cb.n - i.ni) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.id_a
+JOIN counts cb ON cb.doc_id = i.id_b
+WHERE CAST(i.ni AS DOUBLE)/(ca.n + cb.n - i.ni) >= {_MH_THRESH}
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------ n-gram jaccard near-dup
+_JC_THRESH = 0.2
+_MAX_DF = 1000
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline — inherently quadratic in shingle doc
+    frequency, so it runs on a bounded 1000-doc slice (the scale path is
+    dedup_minhash_lsh); the oracle mirrors the slice."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = d.filter(F.col("doc_id") < 1000)
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=_JC_THRESH, max_doc_freq=_MAX_DF
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 1000
+), sh0 AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+        list_transform(generate_series(1, len(toks)-2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [] END) AS sh
+    FROM toks)
+), freq AS (
+  SELECT sh, COUNT(*) AS df_ FROM sh0 GROUP BY sh
+), sh AS (
+  SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN freq USING (sh) WHERE df_ <= {_MAX_DF}
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_inter,
+       CAST(n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - n_inter) >= {_JC_THRESH}
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------ simhash fingerprints
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return d.select("doc_id", simhash(F.col("text"), 32).alias("simhash")).orderBy("doc_id")
+
+
+SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS hv FROM tok
+), votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, generate_series(0,31) AS g(j) GROUP BY doc_id, j
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(fp.simhash, 0) AS simhash
+FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ------------------------------------------------ text analysis
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        tx.token_count(t).alias("n_tokens"),
+        tx.bpe_token_count(t).alias("n_bpe_tokens"),
+        tx.punct_count(t).alias("n_punct"),
+        tx.quality_score(t).alias("quality"),
+    ).orderBy("doc_id")
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{tx.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       {tx.sql_quality('text')} AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        d.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id, {tx.sql_lang_id('text')} AS lang_pred
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.md5_fingerprint(t).alias("md5_fp"),
+        tx.rolling_fingerprint(t).alias("rolling_fp"),
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       {tx.sql_md5_fingerprint('text')} AS md5_fp,
+       {tx.sql_rolling_fingerprint('text')} AS rolling_fp
+FROM documents ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------ similarity search
+_DEC = "DECIMAL(38,25)"
+_N_QUERIES = 10
+
+
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine reported as integer nanos (floor(cos*1e9)) — Spark's
+    double→decimal cast goes through the shortest string repr, so raw
+    cosines can differ from the oracle by 1 ulp; the integer scaling
+    absorbs that while keeping 9 significant digits."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    out = brute_force_topk(q, e, "vec_id", "vec_id", "embedding", k=5)
+    return out.select(
+        "qid",
+        F.col("rank").alias("rnk"),
+        "nid",
+        F.floor(F.col("cosine") * 1e9).cast("long").alias("cos_e9"),
+    )
+
+
+COSINE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(list_zip(v, v),
+              p -> CAST(p[1]*p[2] AS {_DEC}))) AS DOUBLE) AS n2
+  FROM e
+), q AS (
+  SELECT e.vec_id AS qid, v AS qv, n2 AS qn2 FROM e JOIN n USING (vec_id)
+  WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT qid, e.vec_id AS nid,
+         CAST(list_sum(list_transform(list_zip(qv, v),
+              p -> CAST(p[1]*p[2] AS {_DEC}))) AS DOUBLE)
+           / (sqrt(qn2) * sqrt(n2)) AS cosine
+  FROM q, e JOIN n USING (vec_id)
+  WHERE e.vec_id != qid
+), r AS (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+  FROM scored
+)
+SELECT qid, rnk, nid, CAST(FLOOR(cosine * 1e9) AS BIGINT) AS cos_e9
+FROM r WHERE rnk <= 5 ORDER BY qid, rnk
+"""
+
+
+def embedding_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via SRP-LSH buckets — the scale path; checked
+    rows-only (deterministic but the bucketing is engine-side)."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    out = srp_lsh_topk(q, e, "vec_id", "vec_id", "embedding", dim=64, k=5, n_planes=8)
+    return out.select(
+        "qid",
+        F.col("rank").alias("rnk"),
+        "nid",
+        F.floor(F.col("cosine") * 1e9).cast("long").alias("cos_e9"),
+    )
+
+
+# ------------------------------------------------ multimodal
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    m = attach_media(d, "doc_id", "text")
+    return m.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub decoder over Arrow batches (mapInPandas) — the oracle
+    recomputes the same md5-derived fake dimensions in SQL, which
+    cross-checks the whole Python-worker plumbing."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    m = attach_media(d, "doc_id", "text")
+    return decode_media(m).orderBy("doc_id")
+
+
+MULTIMODAL_DECODE_SQL = """
+SELECT doc_id,
+       CAST(1 + CAST(('0x'||substr(md5(text),1,2)) AS INT) % 512 AS INT) AS width,
+       CAST(1 + CAST(('0x'||substr(md5(text),3,2)) AS INT) % 512 AS INT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact_docs": Query(dedup_exact_docs, DEDUP_EXACT_SQL, tags=("dedup",)),
+    "dedup_minhash_lsh": Query(dedup_minhash_lsh, MINHASH_SQL, tags=("dedup", "lsh")),
+    "dedup_ngram_jaccard": Query(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, tags=("dedup",)),
+    "simhash_fingerprints": Query(simhash_fingerprints, SIMHASH_SQL, tags=("dedup",)),
+    "text_stats": Query(text_stats, TEXT_STATS_SQL, tags=("text",)),
+    "lang_id_docs": Query(lang_id_docs, LANG_ID_SQL, tags=("text",)),
+    "doc_fingerprints": Query(doc_fingerprints, FINGERPRINT_SQL, tags=("text",)),
+    "embedding_topk_cosine": Query(embedding_topk_cosine, COSINE_SQL, tags=("similarity",)),
+    "embedding_ann_srp": Query(embedding_ann_srp, None, tags=("similarity", "lsh")),
+    "multimodal_metadata": Query(multimodal_metadata, MULTIMODAL_META_SQL, tags=("multimodal",)),
+    "multimodal_decode": Query(multimodal_decode, MULTIMODAL_DECODE_SQL, tags=("multimodal",)),
+}
