@@ -44,7 +44,7 @@ def parse_shape(spec: str) -> Tuple[Optional[int], ...]:
     if not tokens:
         raise ShapeError(f"empty shape spec {spec!r}")
     first = tokens[0]
-    if not (first.startswith("*") or first == "..."):
+    if not ((first.startswith("*") and first[1:].isidentifier()) or first == "..."):
         raise ShapeError(
             f"shape spec {spec!r} must start with a variadic batch dim (*name or ...)"
         )

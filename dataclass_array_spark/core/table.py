@@ -751,7 +751,7 @@ class DcaTable(metaclass=_DcaMeta):
         out: Dict[str, np.ndarray] = {}
         for name, spec in type(self)._array_fields().items():
             if isinstance(spec, ArraySpec):
-                vals = pdf[name].tolist()
+                vals = [_deep_tolist(v) for v in pdf[name].tolist()]
                 arr = np.array(vals, dtype=spec.np_dtype)
                 out[name] = arr.reshape(self._shape + arr.shape[1:])
             else:
@@ -771,6 +771,16 @@ class DcaTable(metaclass=_DcaMeta):
 
 
 # ---------------- module helpers ----------------
+
+
+def _deep_tolist(v):
+    """Arrow hands nested arrays back as object-dtype ndarrays of
+    ndarrays; normalize to plain nested python lists."""
+    if isinstance(v, np.ndarray):
+        return [_deep_tolist(x) for x in v] if v.dtype == object else v.tolist()
+    if isinstance(v, (list, tuple)):
+        return [_deep_tolist(x) for x in v]
+    return v
 
 
 def _parse_einops_side(side: str) -> List[List[str]]:

@@ -1,0 +1,121 @@
+"""Operator unit tests on small in-memory frames: as-of join vs pandas
+merge_asof, sessionize, top-k, dedup, similarity."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from dataclass_array_spark.operators.asof import asof_join
+from dataclass_array_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, simhash
+from dataclass_array_spark.operators.sessionize import sessionize
+from dataclass_array_spark.operators.similarity import brute_force_topk
+from dataclass_array_spark.operators.topk import topk_per_group
+
+
+def test_asof_matches_pandas(spark):
+    left = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2, 3], "lt": [10, 20, 30, 15, 5, 7], "lv": [1, 2, 3, 4, 5, 6]}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 1, 2, 2, 4], "rt": [5, 25, 10, 15, 1], "rv": [100, 200, 300, 400, 500]}
+    )
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    out = (
+        asof_join(ldf, rdf, on="k", left_ts="lt", right_ts="rt", right_payload=["rv"])
+        .toPandas()
+        .sort_values(["k", "lt"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("lt"), right.sort_values("rt"),
+        left_on="lt", right_on="rt", by="k",
+    ).sort_values(["k", "lt"]).reset_index(drop=True)
+    assert out["asof_rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    ldf = spark.createDataFrame(pd.DataFrame({"k": [1], "lt": [10], "lv": [1]}))
+    rdf = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "rt": [10, 4], "rv": [99, 7]}))
+    strict = asof_join(ldf, rdf, "k", "lt", "rt", ["rv"], strict=True).collect()[0]
+    loose = asof_join(ldf, rdf, "k", "lt", "rt", ["rv"], strict=False).collect()[0]
+    assert strict["asof_rv"] == 7
+    assert loose["asof_rv"] == 99
+
+
+def test_sessionize_gaps(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"u": [1] * 5 + [2] * 2, "t": [0, 10, 200, 205, 500, 3, 4], "i": range(7)})
+    )
+    out = sessionize(df, key="u", ts="t", gap=50, order_tiebreak="i").toPandas()
+    out = out.sort_values(["u", "t"])
+    assert out[out.u == 1]["session_id"].tolist() == [1, 1, 2, 2, 3]
+    assert out[out.u == 2]["session_id"].tolist() == [1, 1]
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 4 + ["b"] * 2, "v": [3, 1, 4, 1, 5, 9], "id": range(6)})
+    )
+    out = topk_per_group(df, ["g"], [F.desc("v"), F.asc("id")], k=2).toPandas()
+    got = sorted(zip(out.g, out.v, out.rn))
+    assert got == [("a", 3, 2), ("a", 4, 1), ("b", 5, 2), ("b", 9, 1)]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3, 4], "txt": ["Hello  World", "hello world", "x", "x"]})
+    )
+    out = exact_dedup(df, "txt", "id").toPandas()
+    # normalization collapses case+whitespace → two groups of two
+    assert sorted(out.n_docs.tolist()) == [2, 2]
+    assert sorted(out.keep_id.tolist()) == [1, 3]
+
+
+def test_minhash_finds_planted_neardup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words about spark engines and parquet files here"
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "txt": [base, near, other]})
+    )
+    pairs = minhash_lsh_pairs(df, "txt", "id", threshold=0.3).toPandas()
+    assert (1, 2) in set(zip(pairs.id_a, pairs.id_b))
+    assert all(b != 3 and a != 3 for a, b in zip(pairs.id_a, pairs.id_b))
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "txt": [
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    "alpha beta gamma delta epsilon zeta eta iota",
+                    "one two three four five six seven eight",
+                ],
+            }
+        )
+    )
+    out = {r["id"]: r["sh"] for r in df.select("id", simhash(F.col("txt")).alias("sh")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype(np.float32)
+    pdf = pd.DataFrame({"id": range(20), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select("id", F.col("v").cast("array<float>").alias("v"))
+    q = df.filter(F.col("id") < 2)
+    out = brute_force_topk(q, df, "id", "id", "v", k=3).toPandas()
+    sims = vecs @ vecs.T / (
+        np.linalg.norm(vecs, axis=1)[:, None] * np.linalg.norm(vecs, axis=1)[None, :]
+    )
+    for qid in (0, 1):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        exp = np.argsort(-s)[:3].tolist()
+        got = out[out.qid == qid].sort_values("rank")["nid"].tolist()
+        assert got == exp

@@ -1,0 +1,44 @@
+"""Schema-compiler unit tests (reference shape_parsing_test.py /
+type_parsing_test.py analogs)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from dataclass_array_spark.core.schema import (
+    ArraySpec,
+    ShapeError,
+    f32,
+    f64,
+    i32,
+    parse_shape,
+    resolve_annotation,
+)
+
+
+def test_parse_shape_variants():
+    assert parse_shape("*b") == ()
+    assert parse_shape("... 3") == (3,)
+    assert parse_shape("*batch 3 3") == (3, 3)
+    assert parse_shape("*b _ 2") == (None, 2)
+    assert parse_shape("*b h w") == (None, None)  # named dims → dynamic
+
+
+@pytest.mark.parametrize("bad", ["3", "h w", "*a *b", "* 3", "*b 3x", "*b -1"])
+def test_parse_shape_errors(bad):
+    with pytest.raises(ShapeError):
+        parse_shape(bad)
+
+
+def test_dtype_alias_spark_types():
+    assert f32["*b 3"].spark_type == T.ArrayType(T.FloatType(), False)
+    assert f64["*b 3 3"].spark_type == T.ArrayType(T.ArrayType(T.DoubleType(), False), False)
+    assert i32.as_spec().spark_type == T.IntegerType()
+
+
+def test_resolve_annotation():
+    assert resolve_annotation(f32["*b 2"]) == ArraySpec(np.dtype("float32"), (2,))
+    assert resolve_annotation(f32).inner_shape == ()
+    assert resolve_annotation((np.int64, "*b 4")).spark_type == T.ArrayType(T.LongType(), False)
+    assert resolve_annotation("not a field") is None
+    assert resolve_annotation(int) is None
