@@ -1,0 +1,27 @@
+"""Structured Streaming layer: incremental versions of the event
+workload — tumbling/sliding windows with watermarks, session windows,
+and custom stateful operators via applyInPandasWithState.
+
+The batch queries in ``workload.events`` are the oracle-checkable
+equivalents; the streaming forms here run the same logic incrementally
+and are driven to completion over the file source in tests and in the
+two oracle-checked streaming workload queries (``workload.streaming``).
+"""
+
+from dataclass_array_spark.streaming.core import (
+    events_stream,
+    run_stream_to_memory,
+    tumbling_counts,
+    session_window_stats,
+    sliding_counts,
+    running_user_totals_stateful,
+)
+
+__all__ = [
+    "events_stream",
+    "run_stream_to_memory",
+    "tumbling_counts",
+    "session_window_stats",
+    "sliding_counts",
+    "running_user_totals_stateful",
+]

@@ -1,0 +1,161 @@
+"""Streaming primitives over the events table.
+
+Scale notes: streaming aggregations shuffle on the group key exactly like
+batch; state lives in the state store keyed by (group, window).  The
+watermark bounds state size — without it a 100 TB/day stream would
+accumulate state forever.  Session windows use Spark's native
+``session_window`` (state-store merged), and custom state uses
+``applyInPandasWithState`` (Arrow-batched per group).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events parquet physical schema (ts is TIMESTAMP(NANOS) → read as long
+# via the legacy conf, converted to micros downstream, same as batch)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of the events table with the same ts
+    normalization as the batch loader (ts_us long + micros timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path.endswith(".parquet"):
+        # file source needs a directory; point at the parent with a glob
+        import os
+
+        d, fname = os.path.split(path)
+        reader = reader.option("pathGlobFilter", fname)
+        path = d
+    e = reader.parquet(path)
+    return e.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
+def run_stream_to_memory(
+    out: DataFrame, mode: str = "complete", name: str | None = None
+) -> Tuple[DataFrame, str]:
+    """Drive a (finite file-source) streaming frame to completion through
+    a memory sink; returns the result table.  This is how the streaming
+    workload queries produce oracle-comparable batch output."""
+    name = name or f"stream_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return out.sparkSession.table(name), name
+
+
+_DEC = "decimal(25,6)"
+
+
+def tumbling_counts(stream: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts per event type (watermarked: state for a
+    window is dropped once the watermark passes its end)."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(stream: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding windows — each event lands in width/slide windows."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_window_stats(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native state-store session windows per user (gap-merged)."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---- custom stateful operator: running per-user totals ----
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("total", T.DoubleType()), T.StructField("n", T.LongType())]
+)
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_totals(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        total += float(pdf["value"].sum())
+        n += len(pdf)
+    state.update((total, n))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+
+
+def running_user_totals_stateful(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState: arbitrary per-key state (running totals)
+    — the escape hatch for operators windowed aggs can't express."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

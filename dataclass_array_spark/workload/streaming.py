@@ -1,0 +1,77 @@
+"""Oracle-checked STREAMING queries: each runs a real Structured
+Streaming job (file source → memory sink, driven to completion) and
+returns the result as a batch DataFrame the driver can compare against
+the DuckDB oracle.  Complete output mode so every window is emitted
+(append mode's watermark-finalization semantics are exercised in
+tests/test_streaming.py instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataclass_array_spark.streaming import (
+    events_stream,
+    run_stream_to_memory,
+    session_window_stats,
+    tumbling_counts,
+)
+from dataclass_array_spark.workload.base import sql_dsum
+from dataclass_array_spark.workload.catalog import Query
+
+_HOUR_US = 3600 * 1_000_000
+_GAP_US = 1800 * 1_000_000
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, f"{sf_dir}/events.parquet")
+    out, _ = run_stream_to_memory(tumbling_counts(s, "1 hour"), mode="complete")
+    return out.orderBy("window_start_us", "event_type")
+
+
+STREAM_TUMBLING_SQL = f"""
+SELECT epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS window_start_us, event_type,
+       COUNT(*) AS n, {sql_dsum('value', 'sum_value')}
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window semantics: an event at exactly
+    last_ts + gap starts a NEW session (half-open [start, last+gap)),
+    and the reported end is last_ts + gap — mirrored in the oracle."""
+    s = events_stream(spark, f"{sf_dir}/events.parquet")
+    out, _ = run_stream_to_memory(session_window_stats(s, "30 minutes"), mode="complete")
+    return out.orderBy("user_id", "start_us")
+
+
+STREAM_SESSION_SQL = f"""
+WITH base AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                   OR ts_us - LAG(ts_us) OVER w >= {_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), numbered AS (
+  SELECT user_id, ts_us, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) + {_GAP_US} AS end_us,
+       COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')}
+FROM numbered GROUP BY user_id, sid ORDER BY user_id, start_us
+"""
+
+
+QUERIES = {
+    "streaming_tumbling_hourly": Query(
+        streaming_tumbling_hourly, STREAM_TUMBLING_SQL, tags=("streaming", "window")
+    ),
+    "streaming_session_windows": Query(
+        streaming_session_windows, STREAM_SESSION_SQL, tags=("streaming", "session")
+    ),
+}

@@ -1,0 +1,120 @@
+"""Structured Streaming semantics tests: incremental equivalence with
+batch, watermark late-data finalization (append mode over two
+micro-batches), and the custom stateful operator."""
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataclass_array_spark.streaming import (
+    events_stream,
+    run_stream_to_memory,
+    running_user_totals_stateful,
+    session_window_stats,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def test_tumbling_matches_batch(spark, sf_dir):
+    s = events_stream(spark, f"{sf_dir}/events.parquet")
+    out, _ = run_stream_to_memory(tumbling_counts(s), mode="complete")
+    got = out.agg(F.sum("n")).collect()[0][0]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got == n_events
+
+
+def test_sliding_double_counts(spark, sf_dir):
+    s = events_stream(spark, f"{sf_dir}/events.parquet")
+    out, _ = run_stream_to_memory(sliding_counts(s, "1 hour", "30 minutes"), mode="complete")
+    total = out.agg(F.sum("n")).collect()[0][0]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == 2 * n_events  # each event in exactly 2 sliding windows
+
+
+def test_session_windows_positive_and_bounded(spark, sf_dir):
+    s = events_stream(spark, f"{sf_dir}/events.parquet")
+    out, _ = run_stream_to_memory(session_window_stats(s), mode="complete")
+    pdf = out.toPandas()
+    assert (pdf.end_us > pdf.start_us).all()
+    assert (pdf.n_events >= 1).all()
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    s = events_stream(spark, f"{sf_dir}/events.parquet")
+    out, _ = run_stream_to_memory(running_user_totals_stateful(s), mode="update")
+    pdf = out.toPandas().sort_values("user_id")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .toPandas()
+        .sort_values("user_id")
+    )
+    # last update per user must equal the batch totals
+    last = pdf.groupby("user_id").last().reset_index()
+    assert last.n_events.tolist() == batch.n.tolist()
+    import numpy as np
+
+    np.testing.assert_allclose(last.total_value.values, batch.tv.values, rtol=1e-9)
+
+
+def test_watermark_append_two_batches(spark, tmp_path):
+    """Append mode + watermark: after batch 1 (late data far in the
+    future arrives in batch 2), windows older than the watermark are
+    finalized and emitted; a too-late row is dropped."""
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+    sch = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    us = 1_000_000_000  # ns per second... (ts stored in ns like events)
+    base = 1_700_000_000 * us
+
+    def write(n, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        spark.createDataFrame(pdf, schema=sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        time.sleep(0.1)
+
+    # batch 1: two events in window [0h, 1h)
+    write(1, [(1, base, 1, "click", 1.0, "{}"), (2, base + 60 * us, 1, "click", 1.0, "{}")])
+
+    stream = events_stream(spark, d, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("ws"), "n")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("wm_test").start()
+    q.processAllAvailable()
+    # nothing finalized yet (watermark at max_ts - 1h)
+    assert spark.table("wm_test").count() == 0
+
+    # batch 2: an event 5 hours later → watermark advances past window 0,
+    # which gets finalized and emitted
+    write(2, [(3, base + 5 * 3600 * us, 1, "click", 1.0, "{}")])
+    q.processAllAvailable()
+    # batch 3: a too-late straggler back in window 0 — dropped (state for
+    # that window was already evicted past the watermark)
+    write(3, [(4, base + 120 * us, 1, "click", 1.0, "{}")])
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["ws"]: r["n"] for r in spark.table("wm_test").collect()}
+    first_window = [n for ws, n in rows.items() if ws < base // 1000 + 3600 * 1_000_000]
+    assert first_window == [2]  # finalized with the on-time rows only
