@@ -128,11 +128,21 @@ class DcaTable(metaclass=_DcaMeta):
         cached = cls.__dict__.get("_dca_compiled")
         if cached is not None:
             return cached
+        import sys
+
         out: Dict[str, Any] = {}
         for klass in reversed(cls.__mro__):
+            mod_globals = getattr(sys.modules.get(klass.__module__), "__dict__", {})
             for name, ann in getattr(klass, "__annotations__", {}).items():
                 if name.startswith("_"):
                     continue
+                if isinstance(ann, str):
+                    # `from __future__ import annotations` stringifies
+                    # annotations; evaluate in the defining namespace
+                    try:
+                        ann = eval(ann, mod_globals, dict(vars(klass)))  # noqa: S307
+                    except Exception:
+                        pass
                 spec = dsch.resolve_annotation(ann)
                 if spec is not None:
                     out[name] = spec
@@ -306,7 +316,7 @@ class DcaTable(metaclass=_DcaMeta):
             for name, spec in cls._array_fields().items():
                 if name not in df.columns:
                     raise ShapeError(f"{cls.__name__}.from_df: missing column {name!r}")
-                exprs.append(F.col(name).cast(spec.spark_type).alias(name))
+                exprs.append(F.col(name).cast(_nullable_variant(spec.spark_type)).alias(name))
             if not cls._array_fields():
                 exprs.append(F.lit(0.0).cast("float").alias("__dummy"))
             df = df.select(*exprs)
@@ -759,18 +769,74 @@ class DcaTable(metaclass=_DcaMeta):
         return out
 
     def write_parquet(self, path: str, mode: str = "overwrite") -> None:
-        """Persistence: parquet + logical shape/statics survive via a JSON
-        sidecar-in-metadata pattern (here: a `_dca_meta` column-less write;
-        statics re-supplied at read).  Pickle analog: reference
-        `array_dataclass.py:863-878`."""
         self._df.write.mode(mode).parquet(path)
+
+    # ---- tree protocol (reference pytree registration,
+    # `array_dataclass.py:772-861`): decompose into (DataFrame, metadata)
+    # and rebuild — the basis for persistence and interop.
+
+    def tree_flatten(self) -> Tuple[DataFrame, Dict[str, Any]]:
+        meta = {
+            "class": type(self).__name__,
+            "shape": list(self._shape),
+            "statics": dict(self._statics),
+        }
+        return self._df, meta
+
+    @classmethod
+    def tree_unflatten(cls, df: DataFrame, meta: Dict[str, Any]) -> "DcaTable":
+        return cls._wrap(
+            df, tuple(meta["shape"]), dict(meta.get("statics", {})), df.sparkSession
+        )
+
+    # ---- persistence (pickle analog, reference `array_dataclass.py:863-878`):
+    # parquet + JSON sidecar carrying logical shape and static fields.
+
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        import json
+        import os
+
+        self._df.write.mode(mode).parquet(path)
+        _, meta = self.tree_flatten()
+        with open(os.path.join(path, "_dca_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "DcaTable":
+        import json
+        import os
+
+        df = spark.read.parquet(path)
+        with open(os.path.join(path, "_dca_meta.json")) as f:
+            meta = json.load(f)
+        return cls.tree_unflatten(df, meta)
 
     def cache(self) -> "DcaTable":
         self._df = self._df.cache()
         return self
 
 
+def assert_same_session(*tables: "DcaTable") -> None:
+    """Cross-input engine guard (reference ``assert_same_xnp``,
+    `array_dataclass.py:884-891`)."""
+    sessions = {id(t.spark) for t in tables}
+    if len(sessions) > 1:
+        raise ValueError("inputs belong to different SparkSessions")
+
+
 # ---------------- module helpers ----------------
+
+
+def _nullable_variant(t: T.DataType) -> T.DataType:
+    """Structurally-equal type with nullable containers — Spark refuses
+    to cast nullable-element arrays to containsNull=False ones."""
+    if isinstance(t, T.ArrayType):
+        return T.ArrayType(_nullable_variant(t.elementType), containsNull=True)
+    if isinstance(t, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _nullable_variant(f.dataType), True) for f in t.fields]
+        )
+    return t
 
 
 def _deep_tolist(v):

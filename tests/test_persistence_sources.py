@@ -1,0 +1,70 @@
+"""Persistence (save/load with shape+statics sidecar), tree protocol,
+tree_map, session guard, and multi-format source roundtrips."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import dataclass_array_spark as das
+from dataclass_array_spark import sources
+from dataclass_array_spark.core.schema import f32
+from dataclass_array_spark.core.table import assert_same_session
+from dataclass_array_spark.core.tree import tree_map
+from tests.conftest import assert_np_equal
+
+
+@das.dataclass_array(broadcast=True, cast_dtype=True)
+class WS(das.DcaTable):
+    x: f32["*b 3"]
+    tag: str
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    x = np.arange(12, dtype=np.float32).reshape(2, 2, 3)
+    w = WS(spark, x=x, tag="hello")
+    p = str(tmp_path / "ws")
+    w.save(p)
+    back = WS.load(spark, p)
+    assert back.shape == (2, 2)
+    assert back.tag == "hello"
+    assert_np_equal(back, {"x": x})
+
+
+def test_tree_protocol(spark):
+    w = WS(spark, x=np.zeros((3, 3), np.float32), tag="t")
+    df, meta = w.tree_flatten()
+    assert meta["shape"] == [3]
+    again = WS.tree_unflatten(df, meta)
+    assert again.shape == (3,) and again.tag == "t"
+
+
+def test_tree_map(spark):
+    w = WS(spark, x=np.ones((2, 3), np.float32), tag="t")
+    tree = {"a": w, "b": [w, w]}
+    out = tree_map(lambda t: t.map_leaves(lambda c: c * 2), tree)
+    assert_np_equal(out["b"][1], {"x": np.full((2, 3), 2, np.float32)})
+
+
+def test_assert_same_session(spark):
+    w = WS(spark, x=np.ones((2, 3), np.float32), tag="t")
+    assert_same_session(w, w)  # no raise
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_source_roundtrips(spark, sf_dir, tmp_path, fmt):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    ).limit(100)
+    p = str(tmp_path / f"rt_{fmt}")
+    sources.write(li, p, fmt=fmt)
+    kw = {} if fmt in ("parquet", "orc") else {"schema": li.schema}
+    back = sources.read_table(spark, p, fmt=fmt, **kw)
+    assert back.count() == 100
+    a = li.agg(F.sum("l_quantity")).collect()[0][0]
+    b = back.agg(F.sum("l_quantity")).collect()[0][0]
+    assert abs(a - b) < 1e-9
+
+
+def test_lakehouse_formats_gated(spark):
+    with pytest.raises(NotImplementedError, match="delta"):
+        sources.read_table(spark, "/tmp/x", fmt="delta")
