@@ -659,7 +659,7 @@ class DcaTable(metaclass=_DcaMeta):
         stays inside whole-stage codegen."""
         exprs = [F.col(ROWID)]
         for name, spec in type(self)._array_fields().items():
-            exprs.append(_map_field_expr(F.col(name), spec, fn).alias(name))
+            exprs.append(_map_field_expr(F.col(name), spec, lambda c, s: fn(c)).alias(name))
         if not type(self)._array_fields():
             exprs.append(F.col("__dummy"))
         out = self._df.select(*exprs)
@@ -667,21 +667,20 @@ class DcaTable(metaclass=_DcaMeta):
 
     def map_leaves(self, fn: Callable[[Column], Column]) -> "DcaTable":
         """Elementwise variant of ``map_field``: descends through the
-        inner-shape ArrayType nesting with ``F.transform`` so ``fn`` sees
-        scalar elements.  Still a single codegen'd select."""
+        inner-shape ArrayType nesting (including inside nested struct
+        fields) with ``F.transform`` so ``fn`` sees scalar elements.
+        Still a single codegen'd select."""
 
-        def per_field(col: Column, spec) -> Column:
-            if isinstance(spec, ArraySpec):
-                apply = fn
-                for _ in spec.inner_shape:
-                    prev = apply
-                    apply = (lambda p: (lambda c: F.transform(c, p)))(prev)
-                return apply(col)
-            return _map_field_expr(col, spec, fn)
+        def leafwise(col: Column, spec: ArraySpec) -> Column:
+            apply = fn
+            for _ in spec.inner_shape:
+                prev = apply
+                apply = (lambda p: (lambda c: F.transform(c, p)))(prev)
+            return apply(col)
 
         exprs = [F.col(ROWID)]
         for name, spec in type(self)._array_fields().items():
-            exprs.append(per_field(F.col(name), spec).alias(name))
+            exprs.append(_map_field_expr(F.col(name), spec, leafwise).alias(name))
         out = self._df.select(*exprs)
         return type(self)._wrap(out, self._shape, self._statics, self._spark)
 
@@ -877,11 +876,12 @@ def _parse_einops_side(side: str) -> List[List[str]]:
     return groups
 
 
-def _map_field_expr(col: Column, spec, fn: Callable[[Column], Column]) -> Column:
+def _map_field_expr(col: Column, spec, fn: Callable[[Column, ArraySpec], Column]) -> Column:
+    """Apply ``fn(col, leaf_spec)`` at every ArraySpec leaf, rebuilding
+    nested structs and descending extra inner-shape array nesting."""
     if isinstance(spec, ArraySpec):
-        return fn(col)
-    # NestedSpec: rebuild the struct, applying fn to each leaf; descend
-    # through extra inner-shape array nesting with F.transform
+        return fn(col, spec)
+
     def rebuild(c: Column, depth: int) -> Column:
         if depth:
             return F.transform(c, lambda x: rebuild(x, depth - 1))

@@ -1,0 +1,192 @@
+"""Second TPC-H wave: EXISTS-driven aggregation (q4), conditional CASE
+aggregation (q12), promo revenue ratio (q14), large-order HAVING (q18),
+and a correlated-average filter (q17 analog) — deeper §2.B coverage:
+subqueries, HAVING, conditional aggregates, scalar-vs-aggregate joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataclass_array_spark.workload.base import dsum, load_tables, sql_dsum
+from dataclass_array_spark.workload.catalog import Query
+
+_TS = lambda s: F.lit(s).cast("timestamp")
+
+
+# ---------------------------------------------------------------- q4
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS (left_semi) + count by priority."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    late = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _TS("1996-01-01"))
+            & (F.col("o_orderdate") < _TS("1996-07-01"))
+        )
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------- q12
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional CASE aggregation by linestatus."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("l_shipdate") >= _TS("1997-01-01"))
+            & (F.col("l_shipdate") < _TS("1998-01-01"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- q14
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share — two decimal-exact sums, double division."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (F.col("l_shipdate") >= _TS("1997-01-01"))
+            & (F.col("l_shipdate") < _TS("1997-07-01"))
+        )
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(25,6)")).cast("double")
+                / F.sum(rev.cast("decimal(25,6)")).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT 100.0
+       * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-07-01'
+"""
+
+
+# ---------------------------------------------------------------- q18
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over an aggregated subquery + join back to detail."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+FROM (SELECT l_orderkey, {sql_dsum('l_quantity', 'total_qty')}
+      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------- q17 analog
+def q17_below_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate: items ordered below 50% of their
+    part's average quantity — decorrelated as agg + join (what Catalyst
+    does to the correlated subquery anyway, stated explicitly)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"]
+    avg_q = (
+        li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+                / F.count("l_quantity")
+            ).alias("avg_qty")
+        )
+    )
+    return (
+        li.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("n_small"),
+            dsum(F.col("l_extendedprice"), "small_revenue"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH avg_q AS (
+  SELECT l_partkey AS ap_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_small, {sql_dsum('l_extendedprice', 'small_revenue')}
+FROM lineitem JOIN avg_q ON l_partkey = ap_partkey
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+QUERIES = {
+    "q4_order_priority": Query(q4_order_priority, Q4_SQL, tags=("join", "exists")),
+    "q12_shipmode_priority": Query(q12_shipmode_priority, Q12_SQL, tags=("agg",)),
+    "q14_promo_revenue": Query(q14_promo_revenue, Q14_SQL, tags=("join", "agg")),
+    "q18_large_orders": Query(q18_large_orders, Q18_SQL, tags=("join", "having")),
+    "q17_below_avg_parts": Query(q17_below_avg_parts, Q17_SQL, tags=("join", "subquery")),
+}
