@@ -25,7 +25,7 @@ def _collect() -> Dict[str, Query]:
     from dataclass_array_spark.workload import tpch
 
     modules = [tpch]
-    for modname in ("tpch2", "relational", "events", "llm", "streaming", "shapes"):
+    for modname in ("tpch2", "relational", "relational2", "events", "llm", "streaming", "shapes"):
         try:
             mod = __import__(
                 f"dataclass_array_spark.workload.{modname}", fromlist=["QUERIES"]

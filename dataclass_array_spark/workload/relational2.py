@@ -1,0 +1,188 @@
+"""Third coverage wave: embedding-cosine near-dup dedup, Python UDTF
+(lateral table function), explicit GROUPING SETS, unpivot/melt, and
+approximate sketches (rows-only — approximation is engine-private).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataclass_array_spark.operators.similarity import cosine, norm2
+from dataclass_array_spark.workload.base import dsum, load_tables, spread, sql_dsum
+from dataclass_array_spark.workload.catalog import Query
+
+
+# ------------------------------------------ embedding cosine near-dup
+_ND_THRESH = 0.45
+_ND_SLICE = 400
+
+
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, bounded slice).
+
+    The demonstrated plan is all-pairs on a bounded block (the oracle
+    mirrors the slice); the 100 TB path swaps the pair generator for the
+    SRP-LSH buckets of operators.similarity and keeps the identical
+    exact-cosine verify."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    e = spread(e.filter(F.col("vec_id") < _ND_SLICE)).select(
+        "vec_id", "embedding", norm2(F.col("embedding")).alias("n2")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        cosine(
+            F.col("a.embedding"), F.col("b.embedding"), F.col("a.n2"), F.col("b.n2")
+        ).alias("cos"),
+    )
+    return (
+        pairs.filter(F.col("cos") >= _ND_THRESH)
+        .select("id_a", "id_b", F.floor(F.col("cos") * 1e9).cast("long").alias("cos_e9"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+NEARDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id < {_ND_SLICE}
+), n AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(list_zip(v, v),
+              p -> CAST(p[1]*p[2] AS DECIMAL(38,25)))) AS DOUBLE) AS n2
+  FROM e
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(list_zip(a.v, b.v),
+              p -> CAST(p[1]*p[2] AS DECIMAL(38,25)))) AS DOUBLE)
+           / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+)
+SELECT id_a, id_b, CAST(FLOOR(cos * 1e9) AS BIGINT) AS cos_e9
+FROM pairs WHERE cos >= {_ND_THRESH} ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------ Python UDTF (lateral)
+def udtf_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF exploding word bigrams, consumed via LATERAL join —
+    the UDTF surface of §2.B.  (Row-at-a-time python: demo of the API,
+    not the hot path — the equivalent column-expression form is what the
+    dedup operators use.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = [t for t in text.lower().strip().split() if t]
+            for i in range(len(toks) - 1):
+                yield (toks[i] + " " + toks[i + 1],)
+
+    spark.udtf.register("bigrams", Bigrams)
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d.createOrReplaceTempView("docs_udtf_in")
+    return spark.sql(
+        """
+        SELECT source, COUNT(DISTINCT bigram) AS n_distinct_bigrams,
+               COUNT(*) AS n_bigrams
+        FROM docs_udtf_in, LATERAL bigrams(text)
+        GROUP BY source ORDER BY source
+        """
+    )
+
+
+UDTF_SQL = """
+WITH b AS (
+  SELECT source, unnest(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM (SELECT source,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 2
+)
+SELECT source, COUNT(DISTINCT bigram) AS n_distinct_bigrams, COUNT(*) AS n_bigrams
+FROM b GROUP BY source ORDER BY source
+"""
+
+
+# ------------------------------------------ GROUPING SETS
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets (not just rollup/cube prefixes)."""
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    j = t["orders"].join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+    j.createOrReplaceTempView("ord_cust_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM ord_cust_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        ORDER BY segment, priority
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+ORDER BY segment, priority
+"""
+
+
+# ------------------------------------------ unpivot / melt
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir, ["part"])["part"]
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+ORDER BY p_partkey, metric
+"""
+
+
+# ------------------------------------------ approximate sketches (rows-only)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct + t-digest quantiles — approximations are
+    engine-private, so this is a rows-only check by design; exact
+    counterparts are oracle-checked in distinct_parts_per_supplier."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES = {
+    "dedup_embedding_neardup": Query(dedup_embedding_neardup, NEARDUP_SQL, tags=("dedup", "similarity")),
+    "udtf_bigram_counts": Query(udtf_bigram_counts, UDTF_SQL, tags=("udtf",)),
+    "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL, tags=("agg",)),
+    "unpivot_part_metrics": Query(unpivot_part_metrics, UNPIVOT_SQL, tags=("reshape",)),
+    "approx_sketches": Query(approx_sketches, None, tags=("agg", "approx")),
+}
