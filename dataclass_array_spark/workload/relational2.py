@@ -50,13 +50,13 @@ WITH e AS (
   WHERE vec_id < {_ND_SLICE}
 ), n AS (
   SELECT vec_id,
-         CAST(list_sum(list_transform(list_zip(v, v),
-              p -> CAST(p[1]*p[2] AS DECIMAL(38,25)))) AS DOUBLE) AS n2
+         list_reduce(list_prepend(0.0, list_transform(list_zip(v, v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x) AS n2
   FROM e
 ), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         CAST(list_sum(list_transform(list_zip(a.v, b.v),
-              p -> CAST(p[1]*p[2] AS DECIMAL(38,25)))) AS DOUBLE)
+         list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x)
            / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
   FROM e a JOIN e b ON a.vec_id < b.vec_id
   JOIN n na ON na.vec_id = a.vec_id
