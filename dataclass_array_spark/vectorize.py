@@ -17,9 +17,13 @@ Spark-first compilation tiers (SURVEY.md §4.3):
   mirroring the reference's tf signature inference
   (`vectorization.py:437-450`), or declared via ``returns=``.
 
+Argument batching (reference `_broadcast_and_flatten_args`,
+`vectorization.py:201-232`): a DcaTable argument with the same batch
+shape is row-aligned by an equi-join on ``__rowid`` (the positional zip
+the reference does in memory); a scalar (shape ``()``) argument is a
+broadcast cross join.  Plain Python scalars pass through untouched.
 ``static_args`` are passed through un-batched (closure capture — the
-Spark analog of the reference's static-arg routing,
-`vectorization.py:488-503`).
+Spark analog of `vectorization.py:488-503`).
 """
 
 from __future__ import annotations
@@ -32,8 +36,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dataclass_array_spark.core.schema import ArraySpec, spark_type_for_np
-from dataclass_array_spark.core.table import DcaTable, NestedSpec, ROWID
+from dataclass_array_spark.core.schema import ArraySpec, ShapeError
+from dataclass_array_spark.core.table import DcaTable, ROWID, _nullable_variant
 
 _RESULT_CLS_CACHE: Dict[Tuple, type] = {}
 
@@ -49,19 +53,18 @@ def make_table_cls(name: str, fields: Dict[str, ArraySpec]) -> type:
 
 
 class _ColumnView:
-    """``self`` proxy whose array fields are Column expressions."""
+    """Proxy whose array fields are Column expressions (optionally
+    prefix-renamed for joined-in argument tables)."""
 
-    def __init__(self, table: DcaTable):
-        object.__setattr__(self, "_fields", {})
-        for fname, spec in type(table)._array_fields().items():
-            self._fields[fname] = F.col(fname)
-            object.__setattr__(self, fname, F.col(fname))
+    def __init__(self, table: DcaTable, prefix: str = ""):
+        for fname in type(table)._array_fields():
+            object.__setattr__(self, fname, F.col(prefix + fname))
         for k, v in table._statics.items():
             object.__setattr__(self, k, v)
 
 
 class _ScalarView:
-    """``self`` proxy for the per-row tier-2 path: numpy values."""
+    """Per-row proxy for the tier-2 path: numpy values."""
 
     def __init__(self, fields: Dict[str, Any], statics: Dict[str, Any]):
         for k, v in fields.items():
@@ -76,7 +79,12 @@ def _normalize_out(out: Any) -> Dict[str, Any]:
     return {"value": out}
 
 
-def vectorize_method(fn: Optional[Callable] = None, *, static_args: FrozenSet[str] = frozenset(), returns: Optional[Dict[str, ArraySpec]] = None):
+def vectorize_method(
+    fn: Optional[Callable] = None,
+    *,
+    static_args: FrozenSet[str] = frozenset(),
+    returns: Optional[Dict[str, ArraySpec]] = None,
+):
     """Decorator; see module docstring.  ``returns`` optionally declares
     the output field specs (skips the inference probe)."""
 
@@ -85,24 +93,84 @@ def vectorize_method(fn: Optional[Callable] = None, *, static_args: FrozenSet[st
         def wrapper(self: DcaTable, *args, **kwargs):
             statics = {k: kwargs.pop(k) for k in list(kwargs) if k in static_args}
 
-            # scalar fast-path (reference `vectorization.py:162-163`)
-            # — still executed through Spark for engine uniformity.
+            # ---- bind DcaTable arguments: rowid zip-join / broadcast ----
+            work_df = self.df
+            bound: list[tuple[str, DcaTable]] = []  # (prefix, table) per arg
+
+            def bind(table: DcaTable, key: str) -> str:
+                nonlocal work_df
+                prefix = f"__arg_{key}__"
+                fields = [
+                    n for n, s in type(table)._array_fields().items()
+                    if isinstance(s, ArraySpec)
+                ]
+                renamed = [F.col(n).alias(prefix + n) for n in fields]
+                if table.shape == self.shape:
+                    work_df = work_df.join(
+                        table.df.select(F.col(ROWID), *renamed), on=ROWID
+                    )
+                elif table.shape == ():
+                    work_df = work_df.crossJoin(
+                        F.broadcast(table.df.select(*renamed))
+                    )
+                else:
+                    raise ShapeError(
+                        f"vectorized arg shape {table.shape} incompatible with "
+                        f"self shape {self.shape} (same shape or scalar only)"
+                    )
+                return prefix
+
+            new_args = []
+            for i, a in enumerate(args):
+                if isinstance(a, DcaTable):
+                    prefix = bind(a, f"p{i}")
+                    bound.append((prefix, a))
+                    new_args.append(("__table__", prefix, a))
+                else:
+                    new_args.append(("__plain__", a))
+            new_kwargs = {}
+            for k, a in kwargs.items():
+                if isinstance(a, DcaTable):
+                    prefix = bind(a, f"k{k}")
+                    bound.append((prefix, a))
+                    new_kwargs[k] = ("__table__", prefix, a)
+                else:
+                    new_kwargs[k] = ("__plain__", a)
+
+            def materialize(make_view):
+                """Rebuild (args, kwargs) with views for table args."""
+                m_args = [
+                    make_view(t[1], t[2]) if t[0] == "__table__" else t[1]
+                    for t in new_args
+                ]
+                m_kwargs = {
+                    k: make_view(t[1], t[2]) if t[0] == "__table__" else t[1]
+                    for k, t in new_kwargs.items()
+                }
+                return m_args, m_kwargs
 
             # ---- Tier 1: Column tracing ----
             try:
                 view = _ColumnView(self)
-                out = method(view, *args, **{**kwargs, **statics})
+                m_args, m_kwargs = materialize(
+                    lambda prefix, tbl: _ColumnView(tbl, prefix)
+                )
+                out = method(view, *m_args, **{**m_kwargs, **statics})
                 out_d = _normalize_out(out)
                 if all(isinstance(v, Column) for v in out_d.values()):
                     sel = [F.col(ROWID)] + [v.alias(k) for k, v in out_d.items()]
-                    res_df = self.df.select(*sel)
+                    res_df = work_df.select(*sel)
                     specs = returns or {
                         k: _spec_from_spark_type(res_df.schema[k].dataType) for k in out_d
                     }
                     cls = make_table_cls(f"{type(self).__name__}_{method.__name__}_out", specs)
                     return cls._wrap(
                         res_df.select(
-                            ROWID, *[F.col(k).cast(specs[k].spark_type).alias(k) for k in out_d]
+                            ROWID,
+                            *[
+                                F.col(k).cast(_nullable_variant(specs[k].spark_type)).alias(k)
+                                for k in out_d
+                            ],
                         ),
                         self.shape,
                         {},
@@ -112,24 +180,68 @@ def vectorize_method(fn: Optional[Callable] = None, *, static_args: FrozenSet[st
                 pass  # fall through to tier 2
 
             # ---- Tier 2: Arrow batch + per-row scalar loop ----
-            in_specs = {
+            self_specs = {
                 k: v for k, v in type(self)._array_fields().items() if isinstance(v, ArraySpec)
             }
-            statics_b = dict(self._statics, **statics)
+            arg_specs: Dict[str, Tuple[str, ArraySpec]] = {}  # col -> (field, spec)
+            for prefix, tbl in bound:
+                for n, s in type(tbl)._array_fields().items():
+                    if isinstance(s, ArraySpec):
+                        arg_specs[prefix + n] = (n, s)
+            statics_b = dict(self._statics)
+            arg_statics = {prefix: dict(tbl._statics) for prefix, tbl in bound}
 
-            # output-schema inference probe on the first row
+            # worker-safe argument templates: prefixes and plain values
+            # only — no DcaTable (→ SparkContext) references may be
+            # captured by closures shipped to executors (SPARK-5063)
+            ship_args = [
+                ("__table__", t[1]) if t[0] == "__table__" else t for t in new_args
+            ]
+            ship_kwargs = {
+                k: (("__table__", t[1]) if t[0] == "__table__" else t)
+                for k, t in new_kwargs.items()
+            }
+            prefixes = [prefix for prefix, _ in bound]
+
+            def row_views(getter):
+                """self-view + per-table-arg views for one row; getter(col)
+                returns the raw cell for a work_df column name."""
+                self_fields = {
+                    k: _to_np(getter(k), spec) for k, spec in self_specs.items()
+                }
+                views = {}
+                for prefix in prefixes:
+                    flds = {
+                        f: _to_np(getter(c), s)
+                        for c, (f, s) in arg_specs.items()
+                        if c.startswith(prefix)
+                    }
+                    views[prefix] = _ScalarView(flds, arg_statics[prefix])
+                return _ScalarView(self_fields, statics_b), views
+
+            def call_method(self_view, views):
+                m_args = [
+                    views[t[1]] if t[0] == "__table__" else t[1] for t in ship_args
+                ]
+                m_kwargs = {
+                    k: (views[t[1]] if t[0] == "__table__" else t[1])
+                    for k, t in ship_kwargs.items()
+                }
+                # static args pass through un-batched, as call kwargs
+                # (reference `_map_non_static`, vectorization.py:488-503)
+                return _normalize_out(method(self_view, *m_args, **m_kwargs, **statics))
+
+            in_cols = list(self_specs) + list(arg_specs)
+            all_specs = {**self_specs, **{c: s for c, (_, s) in arg_specs.items()}}
+
             if returns is not None:
                 out_specs = returns
             else:
-                probe = self.df.orderBy(ROWID).limit(1).toPandas()
+                probe = work_df.orderBy(ROWID).limit(1).toPandas()
                 if len(probe) == 0:
                     raise ValueError("cannot infer vectorized output schema from empty table")
-                row_fields = {
-                    k: _to_np(probe[k].iloc[0], spec) for k, spec in in_specs.items()
-                }
-                probe_out = _normalize_out(
-                    method(_ScalarView(row_fields, statics_b), *args, **kwargs)
-                )
+                sv, vs = row_views(lambda c: probe[c].iloc[0])
+                probe_out = call_method(sv, vs)
                 out_specs = {
                     k: ArraySpec(np.asarray(v).dtype, tuple(np.asarray(v).shape))
                     for k, v in probe_out.items()
@@ -139,9 +251,6 @@ def vectorize_method(fn: Optional[Callable] = None, *, static_args: FrozenSet[st
                 [T.StructField(ROWID, T.LongType(), False)]
                 + [T.StructField(k, s.spark_type, True) for k, s in out_specs.items()]
             )
-            in_names = list(in_specs)
-            spec_items = list(in_specs.items())
-            meth = method
 
             def run(batches):
                 import pandas as pd
@@ -149,12 +258,8 @@ def vectorize_method(fn: Optional[Callable] = None, *, static_args: FrozenSet[st
                 for pdf in batches:
                     out_cols: Dict[str, list] = {k: [] for k in out_specs}
                     for i in range(len(pdf)):
-                        row_fields = {
-                            k: _to_np(pdf[k].iloc[i], spec) for k, spec in spec_items
-                        }
-                        r = _normalize_out(
-                            meth(_ScalarView(row_fields, statics_b), *args, **kwargs)
-                        )
+                        sv, vs = row_views(lambda c: pdf[c].iloc[i])
+                        r = call_method(sv, vs)
                         for k in out_specs:
                             v = np.asarray(r[k])
                             out_cols[k].append(v.tolist() if v.ndim else v.item())
@@ -163,7 +268,7 @@ def vectorize_method(fn: Optional[Callable] = None, *, static_args: FrozenSet[st
                         res[k] = out_cols[k]
                     yield res
 
-            res_df = self.df.select(ROWID, *in_names).mapInPandas(run, schema=out_schema)
+            res_df = work_df.select(ROWID, *in_cols).mapInPandas(run, schema=out_schema)
             cls = make_table_cls(f"{type(self).__name__}_{method.__name__}_out", out_specs)
             return cls._wrap(res_df, self.shape, {}, self.spark)
 

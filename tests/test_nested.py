@@ -88,3 +88,25 @@ def test_only_static_dummy_shape(spark):
     b = o.broadcast_to((3,))
     assert b.shape == (3,)
     assert b.x == 0
+
+
+@das.dataclass_array(broadcast=True, cast_dtype=True)
+class NestedBatched(das.DcaTable):
+    iso_batched: Iso["*b 2 2"]  # per row: 2x2 grid of isometries
+
+
+def test_nested_extra_inner_dims(spark):
+    """Reference iso_batched (Isometrie['*batch 3 7'] analog): nested
+    dca with extra inner batch dims → array-of-array-of-struct column."""
+    tree = {
+        "r": np.arange(3 * 2 * 2 * 9, dtype=np.float32).reshape(3, 2, 2, 3, 3),
+        "t": np.arange(3 * 2 * 2 * 2, dtype=np.int32).reshape(3, 2, 2, 2),
+    }
+    n = NestedBatched(spark, iso_batched=tree)
+    assert n.shape == (3,)
+    cell = n.to_pandas().iloc[1]["iso_batched"]
+    assert len(cell) == 2 and len(cell[0]) == 2
+    assert list(cell[0][1]["t"]) == [10, 11]
+    m = n.map_leaves(lambda c: c * 2)
+    cell2 = m.to_pandas().iloc[0]["iso_batched"]
+    assert list(cell2[0][0]["t"]) == [0, 2]

@@ -58,3 +58,60 @@ def test_tier2_array_output_and_args(spark):
     out = r.scaled_t2(3.0)
     got = out.to_numpy_fields()["v"]
     np.testing.assert_allclose(got, pos * 3.0)
+
+
+@das.dataclass_array(broadcast=True, cast_dtype=True)
+class Offset(das.DcaTable):
+    delta: f32["*b 3"]
+
+
+@das.dataclass_array(broadcast=True, cast_dtype=True)
+class Ray2(das.DcaTable):
+    pos: f32["*b 3"]
+
+    @das.vectorize_method
+    def shift_t1(self, other):
+        # Column-traceable with a table arg (rowid zip-join)
+        return {"p": F.zip_with(self.pos, other.delta, lambda a, b: a + b)}
+
+    @das.vectorize_method
+    def shift_t2(self, other):
+        return {"p": (np.asarray(self.pos) + np.asarray(other.delta)).astype(np.float32)}
+
+    @das.vectorize_method(static_args=frozenset({"scale"}))
+    def scaled_static(self, scale):
+        return {"p": (np.asarray(self.pos) * scale).astype(np.float32)}
+
+
+def test_table_arg_same_shape_both_tiers(spark):
+    pos = np.arange(12, dtype=np.float32).reshape(4, 3)
+    delta = np.ones((4, 3), dtype=np.float32) * 10
+    r = Ray2(spark, pos=pos)
+    o = Offset(spark, delta=delta)
+    for m in (r.shift_t1, r.shift_t2):
+        got = m(o).to_numpy_fields()["p"]
+        np.testing.assert_allclose(got, pos + delta)
+
+
+def test_table_arg_scalar_broadcast(spark):
+    pos = np.arange(12, dtype=np.float32).reshape(4, 3)
+    r = Ray2(spark, pos=pos)
+    o = Offset(spark, delta=np.array([1, 2, 3], np.float32))  # shape ()
+    got = r.shift_t2(o).to_numpy_fields()["p"]
+    np.testing.assert_allclose(got, pos + np.array([1, 2, 3], np.float32))
+
+
+def test_table_arg_shape_mismatch(spark):
+    from dataclass_array_spark.core.schema import ShapeError
+    r = Ray2(spark, pos=np.zeros((4, 3), np.float32))
+    o = Offset(spark, delta=np.zeros((3, 3), np.float32))
+    import pytest as _pytest
+    with _pytest.raises(ShapeError):
+        r.shift_t2(o)
+
+
+def test_static_args_routing(spark):
+    pos = np.arange(6, dtype=np.float32).reshape(2, 3)
+    r = Ray2(spark, pos=pos)
+    got = r.scaled_static(scale=4.0).to_numpy_fields()["p"]
+    np.testing.assert_allclose(got, pos * 4.0)
