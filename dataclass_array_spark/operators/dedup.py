@@ -263,3 +263,19 @@ def simhash(text: Column, n_bits: int = 32) -> Column:
     from dataclass_array_spark.operators.text import let
 
     return let(votes, assemble)
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Apply near-dup pairs: keep the lower id of every pair (the
+    standard keep-first policy — drop every doc that appears as the
+    higher side).  One left_anti join against the (small) drop set;
+    no transitive closure needed under keep-lowest since any doc paired
+    with a lower-id doc is dropped regardless of chains."""
+    drops = pairs.select(F.col(id_b).alias(id_col)).distinct()
+    return df.join(drops, on=id_col, how="left_anti")

@@ -154,3 +154,79 @@ def srp_lsh_topk(
         .select("qid", "rank", "nid", "cosine")
         .orderBy("qid", "rank")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (the first ``n_centroids``
+    corpus vectors — a real deployment would k-means them), every vector
+    assigned to its nearest centroid, and each query probes its
+    ``nprobe`` nearest cells.  The cross join is only corpus×centroids
+    (centroids broadcast); search becomes an equi-join on cell id —
+    the classic way to keep a billion-vector corpus shuffle-free."""
+    cents = (
+        corpus.orderBy(corpus_id)
+        .limit(n_centroids)
+        .select(
+            F.col(corpus_id).alias("cent_id"),
+            F.col(vec_col).alias("cent_v"),
+            norm2(F.col(vec_col)).alias("cent_n2"),
+        )
+    )
+
+    def assign(df, id_alias, vec_alias, probes):
+        scored = (
+            df.select(
+                F.col(id_alias).alias("__id"),
+                F.col(vec_alias).alias("__v"),
+                norm2(F.col(vec_alias)).alias("__n2"),
+            )
+            .join(F.broadcast(cents), how="cross")
+            .select(
+                "__id",
+                "__v",
+                "__n2",
+                "cent_id",
+                cosine(F.col("__v"), F.col("cent_v"), F.col("__n2"), F.col("cent_n2")).alias(
+                    "__cs"
+                ),
+            )
+        )
+        w = Window.partitionBy("__id").orderBy(F.desc("__cs"), F.asc("cent_id"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= probes)
+            .select("__id", "__v", "__n2", F.col("cent_id").alias("cell"))
+        )
+
+    c_assigned = assign(corpus, corpus_id, vec_col, probes=1).withColumnRenamed(
+        "__id", "nid"
+    ).withColumnRenamed("__v", "cv").withColumnRenamed("__n2", "cn2")
+    q_assigned = assign(queries, query_id, vec_col, probes=nprobe).withColumnRenamed(
+        "__id", "qid"
+    ).withColumnRenamed("__v", "qv").withColumnRenamed("__n2", "qn2")
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), on="cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            cosine(F.col("qv"), F.col("cv"), F.col("qn2"), F.col("cn2")).alias("cosine"),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cosine")
+        .orderBy("qid", "rank")
+    )

@@ -349,3 +349,44 @@ QUERIES = {
     "multimodal_metadata": Query(multimodal_metadata, MULTIMODAL_META_SQL, tags=("multimodal",)),
     "multimodal_decode": Query(multimodal_decode, MULTIMODAL_DECODE_SQL, tags=("multimodal",)),
 }
+
+
+# ------------------------------------------------ dedup apply + IVF ANN
+def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: MinHash-LSH pairs → drop higher-id member of
+    every pair → surviving corpus (keep-lowest policy needs no
+    transitive closure)."""
+    from dataclass_array_spark.operators.dedup import drop_near_duplicates
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", n_hashes=16, bands=4, threshold=_MH_THRESH)
+    kept = drop_near_duplicates(d, pairs, "doc_id")
+    return kept.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+DEDUP_APPLY_SQL = f"""
+WITH pairs AS ({MINHASH_SQL.replace('ORDER BY id_a, id_b', '')})
+SELECT doc_id, source, lang FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)
+ORDER BY doc_id
+"""
+
+
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (deterministic centroids) — second ANN strategy
+    beside SRP-LSH; rows-only check (cell assignment is engine-side)."""
+    from dataclass_array_spark.operators.similarity import ivf_topk
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    out = ivf_topk(q, e, "vec_id", "vec_id", "embedding", n_centroids=16, nprobe=4, k=5)
+    return out.select(
+        "qid",
+        F.col("rank").alias("rnk"),
+        "nid",
+        F.floor(F.col("cosine") * 1e9).cast("long").alias("cos_e9"),
+    )
+
+
+QUERIES["dedup_apply_minhash"] = Query(dedup_apply_minhash, DEDUP_APPLY_SQL, tags=("dedup",))
+QUERIES["embedding_ann_ivf"] = Query(embedding_ann_ivf, None, tags=("similarity", "ann"))

@@ -119,3 +119,33 @@ def test_brute_force_topk_matches_numpy(spark):
         exp = np.argsort(-s)[:3].tolist()
         got = out[out.qid == qid].sort_values("rank")["nid"].tolist()
         assert got == exp
+
+
+def test_drop_near_duplicates(spark):
+    import pandas as pd
+    from dataclass_array_spark.operators.dedup import drop_near_duplicates
+
+    df = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3, 4, 5]}))
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1, 2], "id_b": [3, 5]}))
+    kept = sorted(r["id"] for r in drop_near_duplicates(df, pairs, "id").collect())
+    assert kept == [1, 2, 4]
+
+
+def test_ivf_topk_recall(spark):
+    import pandas as pd
+    from dataclass_array_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(100, 8).astype(np.float32)
+    pdf = pd.DataFrame({"id": range(100), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select("id", F.col("v").cast("array<float>").alias("v"))
+    q = df.filter(F.col("id") < 3)
+    exact = brute_force_topk(q, df, "id", "id", "v", k=3).toPandas()
+    approx = ivf_topk(q, df, "id", "id", "v", n_centroids=8, nprobe=4, k=3).toPandas()
+    # with nprobe=half the cells, recall@3 should be substantial
+    hits = 0
+    for qid in range(3):
+        e = set(exact[exact.qid == qid].nid)
+        a = set(approx[approx.qid == qid].nid)
+        hits += len(e & a)
+    assert hits >= 4  # >= ~50% recall on random data with nprobe=4/8
