@@ -153,3 +153,28 @@ def test_replace(spark):
     assert_np_equal(p2, {"x": x, "y": x * 2})
     p3 = p.replace(x=np.ones(3, np.float32))
     assert_np_equal(p3, {"x": np.ones(3, np.float32), "y": y})
+
+
+@das.dataclass_array(broadcast=True, cast_dtype=True)
+class PointDynamic(das.DcaTable):
+    """Reference PointDynamicShape (array_dataclass_test.py:697-715):
+    dynamic inner dims — length fixed per table, not per schema."""
+
+    x: f32["*b _ _"]
+    y: f32["*b 3 _"]
+
+
+def test_dynamic_inner_dims(spark):
+    x = np.zeros((2, 4, 5), np.float32)
+    y = np.zeros((2, 3, 7), np.float32)
+    p = PointDynamic(spark, x=x, y=y)
+    assert p.shape == (2,)
+    got = p.to_numpy_fields()
+    assert got["x"].shape == (2, 4, 5) and got["y"].shape == (2, 3, 7)
+
+
+def test_dynamic_fixed_prefix_enforced(spark):
+    with pytest.raises(ShapeError):
+        PointDynamic(
+            spark, x=np.zeros((2, 4, 5), np.float32), y=np.zeros((2, 9, 7), np.float32)
+        )
