@@ -186,3 +186,40 @@ QUERIES = {
     "unpivot_part_metrics": Query(unpivot_part_metrics, UNPIVOT_SQL, tags=("reshape",)),
     "approx_sketches": Query(approx_sketches, None, tags=("agg", "approx")),
 }
+
+
+# ------------------------------------------ salted aggregation (skew path)
+def salted_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — identical results to a plain
+    groupBy (decimal sums are association-safe), demonstrated against
+    the same single-stage oracle.  The skew tool for hot grouping keys
+    (l_returnflag has only 3 values → maximal key skew)."""
+    from dataclass_array_spark.operators.skew import salted_sum
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    out = salted_sum(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": F.col("l_quantity").cast("decimal(25,6)"),
+            "sum_price": F.col("l_extendedprice").cast("decimal(25,6)"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "n_rows",
+    ).orderBy("l_returnflag")
+
+
+SALTED_SQL = f"""
+SELECT l_returnflag,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_price')},
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+QUERIES["salted_revenue_by_flag"] = Query(salted_revenue_by_flag, SALTED_SQL, tags=("agg", "skew"))
