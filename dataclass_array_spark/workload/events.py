@@ -173,3 +173,39 @@ QUERIES = {
     "json_extract_props": Query(json_extract_props, JSON_SQL, tags=("scalar", "json")),
     "tumbling_hourly_stats": Query(tumbling_hourly_stats, TUMBLING_SQL, tags=("window", "agg")),
 }
+
+
+# ------------------------------------------------ sliding window agg
+_SLIDE_US = 1800 * 1_000_000  # 30-min slide over 1-hour windows
+
+
+def sliding_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min (batch form of streaming
+    sliding windows): each event belongs to exactly 2 windows — built by
+    exploding the per-event window list, mirrored with a 2-branch UNION
+    in the oracle."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    # window starts covering ts: floor to slide, and that minus one slide
+    # when the event is in the second half-hour of the hour-long window
+    w0 = F.col("ts_us") - F.col("ts_us") % _SLIDE_US
+    wins = F.array(w0, w0 - _SLIDE_US)
+    return (
+        e.select(F.explode(wins).alias("window_start_us"), "event_type", "value")
+        .groupBy("window_start_us", "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+SLIDING_SQL = f"""
+WITH ex AS (
+  SELECT epoch_us(ts) - epoch_us(ts) % {_SLIDE_US} AS w0, event_type, value FROM events
+  UNION ALL
+  SELECT (epoch_us(ts) - epoch_us(ts) % {_SLIDE_US}) - {_SLIDE_US} AS w0, event_type, value FROM events
+)
+SELECT w0 AS window_start_us, event_type,
+       COUNT(*) AS n, {sql_dsum('value', 'sum_value')}
+FROM ex GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["sliding_hourly_stats"] = Query(sliding_hourly_stats, SLIDING_SQL, tags=("window", "agg"))

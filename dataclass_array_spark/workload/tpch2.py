@@ -190,3 +190,67 @@ QUERIES = {
     "q18_large_orders": Query(q18_large_orders, Q18_SQL, tags=("join", "having")),
     "q17_below_avg_parts": Query(q17_below_avg_parts, Q17_SQL, tags=("join", "subquery")),
 }
+
+
+# ---------------------------------------------------------------- q19 analog
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-branch predicate (OR of AND-groups) — exercises
+    Catalyst's BooleanSimplification + OR pushdown into the join."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    li, p = t["lineitem"], t["part"]
+    cond = (
+        ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") < 15))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size <= 10 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#3' AND p_size <= 20 AND l_quantity >= 20)
+   OR (p_type = 'PROMO' AND l_quantity < 15)
+"""
+
+
+# ---------------------------------------------------------------- correlated IN
+def q22_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (semi join on a derived aggregate set): customers in
+    the top-decile account balance who placed no 1998 orders."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    c, o = t["customer"], t["orders"]
+    # threshold = average positive balance (scalar subquery)
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double") / F.count("c_acctbal")).alias("t")
+    )
+    rich = c.join(F.broadcast(thresh)).filter(F.col("c_acctbal") > F.col("t"))
+    o98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    out = rich.join(o98, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        out.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), dsum(F.col("c_acctbal"), "sum_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_cust, {sql_dsum('c_acctbal', 'sum_bal')}
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(c_acctbal)
+                   FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+QUERIES["q19_disjunctive_revenue"] = Query(q19_disjunctive_revenue, Q19_SQL, tags=("join", "filter"))
+QUERIES["q22_in_subquery"] = Query(q22_in_subquery, Q22_SQL, tags=("join", "subquery"))
