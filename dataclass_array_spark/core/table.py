@@ -984,7 +984,20 @@ def _tree_row_value(node: Any, spec, i: int, batch_shape: Tuple[int, ...]):
         inner = arr.shape[arr.ndim - len(spec.inner_shape):] if spec.inner_shape else ()
         flat = np.ascontiguousarray(arr).reshape((n,) + tuple(inner))
         v = flat[i]
-        return v.tolist() if isinstance(v, np.ndarray) else v.item()
+        out = v.tolist() if isinstance(v, np.ndarray) else v.item()
+        if np.dtype(spec.np_dtype) == np.dtype(np.uint64):
+            # ui64 maps to DecimalType(20,0): Spark requires Decimal objs
+            import decimal
+
+            def to_dec(x):
+                return (
+                    [to_dec(y) for y in x]
+                    if isinstance(x, list)
+                    else decimal.Decimal(int(x))
+                )
+
+            out = to_dec(out)
+        return out
     # NestedSpec
     tree = node["__tree"]
     cls = spec.table_cls

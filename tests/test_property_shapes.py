@@ -1,0 +1,66 @@
+"""Hypothesis property tests: random batch shapes / slices / reshapes
+must agree with numpy exactly (differential oracle, reference
+test-normalize-indices style but generative)."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import dataclass_array_spark as das
+from dataclass_array_spark.core.schema import f32
+from tests.conftest import assert_np_equal
+
+
+@das.dataclass_array(broadcast=True, cast_dtype=True)
+class PV(das.DcaTable):
+    v: f32
+
+
+shapes = st.lists(st.integers(1, 4), min_size=1, max_size=3).map(tuple)
+
+
+def make(shape, spark):
+    n = int(np.prod(shape))
+    v = np.arange(n, dtype=np.float32).reshape(shape)
+    return PV(spark, v=v), v
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(shape=shapes, data=st.data())
+def test_random_slices_match_numpy(spark, shape, data):
+    p, v = make(shape, spark)
+    idx = []
+    for d in shape[: data.draw(st.integers(0, len(shape)))]:
+        kind = data.draw(st.sampled_from(["int", "slice", "full"]))
+        if kind == "int":
+            idx.append(data.draw(st.integers(-d, d - 1)))
+        elif kind == "slice":
+            a = data.draw(st.integers(0, d))
+            b = data.draw(st.integers(a, d))
+            step = data.draw(st.integers(1, 2))
+            idx.append(slice(a, b, step))
+        else:
+            idx.append(slice(None))
+    idx = tuple(idx)
+    exp = v[idx]
+    got = p[idx]
+    assert got.shape == exp.shape
+    if exp.size:
+        assert_np_equal(got, {"v": exp})
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(shape=shapes)
+def test_flatten_reshape_roundtrip(spark, shape):
+    p, v = make(shape, spark)
+    back = p.flatten().reshape(shape)
+    assert_np_equal(back, {"v": v})
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(shape=st.lists(st.integers(1, 4), min_size=2, max_size=2).map(tuple))
+def test_transpose_involution(spark, shape):
+    p, v = make(shape, spark)
+    t2 = p.reshape("a b -> b a").reshape("a b -> b a")
+    assert_np_equal(t2, {"v": v})

@@ -42,3 +42,26 @@ def test_resolve_annotation():
     assert resolve_annotation((np.int64, "*b 4")).spark_type == T.ArrayType(T.LongType(), False)
     assert resolve_annotation("not a field") is None
     assert resolve_annotation(int) is None
+
+
+def test_unsigned_dtypes_roundtrip(spark):
+    import numpy as np
+    import dataclass_array_spark as das
+    from dataclass_array_spark.core.schema import ui8, ui32, ui64
+
+    @das.dataclass_array(cast_dtype=True)
+    class U(das.DcaTable):
+        a: ui8
+        b: ui32
+        c: ui64
+
+    u = U(
+        spark,
+        a=np.array([0, 255], np.uint8),
+        b=np.array([0, 2**32 - 1], np.uint32),
+        c=np.array([2**63 + 5, 7], np.uint64),
+    )
+    got = u.to_numpy_fields()
+    assert got["a"].tolist() == [0, 255]
+    assert got["b"].tolist() == [0, 2**32 - 1]
+    assert got["c"][0] == np.uint64(2**63 + 5)
