@@ -142,6 +142,8 @@ ui16 = _DtypeAlias(np.uint16)
 ui32 = _DtypeAlias(np.uint32)
 ui64 = _DtypeAlias(np.uint64)
 bool_ = _DtypeAlias(np.bool_)
+complex64 = _DtypeAlias(np.complex64)
+complex128 = _DtypeAlias(np.complex128)
 FloatArray = f32
 IntArray = i32
 BoolArray = bool_

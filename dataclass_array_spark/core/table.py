@@ -761,6 +761,21 @@ class DcaTable(metaclass=_DcaMeta):
         for name, spec in type(self)._array_fields().items():
             if isinstance(spec, ArraySpec):
                 vals = [_deep_tolist(v) for v in pdf[name].tolist()]
+                if np.dtype(spec.np_dtype).kind == "c":
+                    def from_struct(x):
+                        if isinstance(x, dict):
+                            return complex(x["re"], x["im"])
+                        if isinstance(x, (list, tuple)) and x and isinstance(
+                            x[0], (dict, list, tuple)
+                        ):
+                            return [from_struct(y) for y in x]
+                        if isinstance(x, (list, tuple)) and len(x) == 2 and not isinstance(
+                            x[0], (dict, list, tuple)
+                        ):
+                            return complex(x[0], x[1])
+                        return x
+
+                    vals = [from_struct(v) for v in vals]
                 arr = np.array(vals, dtype=spec.np_dtype)
                 out[name] = arr.reshape(self._shape + arr.shape[1:])
             else:
@@ -984,6 +999,16 @@ def _tree_row_value(node: Any, spec, i: int, batch_shape: Tuple[int, ...]):
         inner = arr.shape[arr.ndim - len(spec.inner_shape):] if spec.inner_shape else ()
         flat = np.ascontiguousarray(arr).reshape((n,) + tuple(inner))
         v = flat[i]
+        if np.dtype(spec.np_dtype).kind == "c":
+            # complex → struct<re, im> (SURVEY §1.4 dtype mapping)
+            def to_struct(x):
+                return (
+                    [to_struct(y) for y in x]
+                    if isinstance(x, (list, np.ndarray))
+                    else (float(x.real), float(x.imag))
+                )
+
+            return to_struct(v)
         out = v.tolist() if isinstance(v, np.ndarray) else v.item()
         if np.dtype(spec.np_dtype) == np.dtype(np.uint64):
             # ui64 maps to DecimalType(20,0): Spark requires Decimal objs

@@ -390,3 +390,64 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_apply_minhash"] = Query(dedup_apply_minhash, DEDUP_APPLY_SQL, tags=("dedup",))
 QUERIES["embedding_ann_ivf"] = Query(embedding_ann_ivf, None, tags=("similarity", "ann"))
+
+
+# ------------------------------------------------ end-to-end pipeline
+def pipeline_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composition in one DAG: text analysis (lang-ID +
+    quality + token count) → quality/language filter → exact dedup →
+    per-source corpus stats.  Single pass over documents: the analysis
+    columns are narrow in-scan expressions; the only shuffles are the
+    dedup groupBy and the final rollup."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    t = F.col("text")
+    enriched = d.select(
+        "doc_id",
+        "source",
+        tx.lang_id(t).alias("lang_pred"),
+        tx.quality_score(t).alias("quality"),
+        tx.token_count(t).alias("n_tokens"),
+        tx.md5_fingerprint(t).alias("fp"),
+    )
+    kept = enriched.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 1.0) & (F.col("n_tokens") >= 20)
+    )
+    canonical = (
+        kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    )
+    final = kept.join(canonical, on=["fp", "doc_id"], how="inner")
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("quality").cast("decimal(25,6)")).cast("double").alias("sum_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_SQL = f"""
+WITH enriched AS (
+  SELECT doc_id, source,
+         {tx.sql_lang_id('text')} AS lang_pred,
+         {tx.sql_quality('text')} AS quality,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+         {tx.sql_md5_fingerprint('text')} AS fp
+  FROM documents
+), kept AS (
+  SELECT * FROM enriched
+  WHERE lang_pred = 'en' AND quality >= 1.0 AND n_tokens >= 20
+), canonical AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp
+)
+SELECT k.source, COUNT(*) AS n_docs,
+       CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(k.quality AS DECIMAL(25,6))) AS DOUBLE) AS sum_quality
+FROM kept k JOIN canonical c ON k.fp = c.fp AND k.doc_id = c.doc_id
+GROUP BY k.source ORDER BY k.source
+"""
+
+QUERIES["pipeline_quality_corpus"] = Query(
+    pipeline_quality_corpus, PIPELINE_SQL, tags=("pipeline", "text", "dedup")
+)

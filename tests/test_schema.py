@@ -65,3 +65,20 @@ def test_unsigned_dtypes_roundtrip(spark):
     assert got["a"].tolist() == [0, 255]
     assert got["b"].tolist() == [0, 2**32 - 1]
     assert got["c"][0] == np.uint64(2**63 + 5)
+
+
+def test_complex_dtypes_roundtrip(spark):
+    import numpy as np
+    import dataclass_array_spark as das
+    from dataclass_array_spark.core.schema import complex64
+
+    @das.dataclass_array(cast_dtype=True)
+    class C(das.DcaTable):
+        z: complex64
+        w: complex64["*b 2"]
+
+    z = np.array([1 + 2j, 3 - 4j], np.complex64)
+    w = np.array([[1j, 2 + 0j], [3j, 4 + 5j]], np.complex64)
+    t = C(spark, z=z, w=w)
+    got = t.to_numpy_fields()
+    assert np.allclose(got["z"], z) and np.allclose(got["w"], w)
