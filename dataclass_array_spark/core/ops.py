@@ -26,6 +26,9 @@ def _check_homogeneous(items: Sequence[DcaTable]) -> type:
             raise TypeError(
                 f"cannot combine {cls.__name__} with {type(it).__name__}"
             )
+    from dataclass_array_spark.core.table import assert_same_session
+
+    assert_same_session(*items)  # reference assert_same_xnp analog
     return cls
 
 

@@ -645,6 +645,11 @@ class DcaTable(metaclass=_DcaMeta):
         new_shape = tuple(idx.shape) + rest
         return type(self)._wrap(out, new_shape, self._statics, self._spark)
 
+    def filter(self, pred: Column) -> "DcaTable":
+        """Named alias for Column-mask indexing (``dc[pred]``) — the
+        distributed filter; result is 1-D with dense rowids."""
+        return self._mask_column(pred)
+
     def __iter__(self) -> Iterator["DcaTable"]:
         # driver-side convenience, like the reference (`array_dataclass.py:393-402`)
         for i in range(len(self)):

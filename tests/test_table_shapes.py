@@ -178,3 +178,24 @@ def test_dynamic_fixed_prefix_enforced(spark):
         PointDynamic(
             spark, x=np.zeros((2, 4, 5), np.float32), y=np.zeros((2, 9, 7), np.float32)
         )
+
+
+def test_cast_list_policy(spark):
+    @das.dataclass_array(cast_list=False)
+    class NoList(das.DcaTable):
+        x: f32
+
+    with pytest.raises(TypeError, match="cast_list"):
+        NoList(spark, x=[1.0, 2.0])
+    # default policy accepts lists
+    p = Point(spark, x=[1.0, 2.0], y=[3.0, 4.0])
+    assert p.shape == (2,)
+
+
+def test_filter_alias(spark):
+    import pyspark.sql.functions as F
+
+    p, x, y = make_point((6,), spark)
+    f = p.filter(F.col("x") >= 3)
+    assert f.shape == (3,)
+    assert_np_equal(f, {"x": x[x >= 3], "y": y[x >= 3]})
