@@ -54,11 +54,21 @@ def make_table_cls(name: str, fields: Dict[str, ArraySpec]) -> type:
 
 class _ColumnView:
     """Proxy whose array fields are Column expressions (optionally
-    prefix-renamed for joined-in argument tables)."""
+    prefix-renamed for joined-in argument tables).  With
+    ``symbolic=True`` fields are wrapped in SymbolicArray so numpy-style
+    scalar code traces to Catalyst (see symbolic.py)."""
 
-    def __init__(self, table: DcaTable, prefix: str = ""):
-        for fname in type(table)._array_fields():
-            object.__setattr__(self, fname, F.col(prefix + fname))
+    def __init__(self, table: DcaTable, prefix: str = "", symbolic: bool = False):
+        from dataclass_array_spark.symbolic import SymbolicArray, TraceError
+
+        for fname, spec in type(table)._array_fields().items():
+            col = F.col(prefix + fname)
+            if symbolic and isinstance(spec, ArraySpec):
+                try:
+                    col = SymbolicArray(col, len(spec.inner_shape))
+                except TraceError:
+                    pass  # rank>1 field stays a raw Column
+            object.__setattr__(self, fname, col)
         for k, v in table._statics.items():
             object.__setattr__(self, k, v)
 
@@ -150,13 +160,24 @@ def vectorize_method(
                 return m_args, m_kwargs
 
             # ---- Tier 1: Column tracing ----
-            try:
-                view = _ColumnView(self)
-                m_args, m_kwargs = materialize(
-                    lambda prefix, tbl: _ColumnView(tbl, prefix)
-                )
-                out = method(view, *m_args, **{**m_kwargs, **statics})
-                out_d = _normalize_out(out)
+            # two attempts: raw Columns (methods written against F.*),
+            # then SymbolicArray wrapping (methods written in numpy
+            # style — np.dot/np.sum/arithmetic trace to Catalyst)
+            from dataclass_array_spark.symbolic import SymbolicArray
+
+            for symbolic in (False, True):
+                try:
+                    view = _ColumnView(self, symbolic=symbolic)
+                    m_args, m_kwargs = materialize(
+                        lambda prefix, tbl: _ColumnView(tbl, prefix, symbolic=symbolic)
+                    )
+                    out = method(view, *m_args, **{**m_kwargs, **statics})
+                    out_d = {
+                        k: (v.col if isinstance(v, SymbolicArray) else v)
+                        for k, v in _normalize_out(out).items()
+                    }
+                except Exception:
+                    continue  # try next tracing mode, then tier 2
                 if all(isinstance(v, Column) for v in out_d.values()):
                     sel = [F.col(ROWID)] + [v.alias(k) for k, v in out_d.items()]
                     res_df = work_df.select(*sel)
@@ -176,8 +197,6 @@ def vectorize_method(
                         {},
                         self.spark,
                     )
-            except Exception:
-                pass  # fall through to tier 2
 
             # ---- Tier 2: Arrow batch + per-row scalar loop ----
             self_specs = {

@@ -115,3 +115,28 @@ def test_static_args_routing(spark):
     r = Ray2(spark, pos=pos)
     got = r.scaled_static(scale=4.0).to_numpy_fields()["p"]
     np.testing.assert_allclose(got, pos * 4.0)
+
+
+class Ray3(Ray):
+    @das.vectorize_method
+    def norm_numpy_style(self):
+        # plain numpy code — must TRACE to Catalyst (symbolic tier-1),
+        # not fall back to the Python loop
+        return {"n": np.sqrt(np.dot(self.dir, self.dir)) * 2.0 + 1.0}
+
+
+def test_symbolic_tracing_compiles_to_catalyst(spark):
+    r, pos, dir_ = make(spark)
+    r3 = Ray3(spark, pos=pos, dir=dir_)
+    out = r3.norm_numpy_style()
+    got = out.to_numpy_fields()["n"]
+    np.testing.assert_allclose(got, np.sqrt((dir_.astype(np.float64) ** 2).sum(1)) * 2 + 1)
+    # proof of tier-1: the plan must contain no Python evaluation node
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan, plan
