@@ -286,7 +286,7 @@ class DcaTable(metaclass=_DcaMeta):
         self._statics = dict(statics)
         self._spark = spark
         for k, v in self._statics.items():
-            object.__setattr__(self, k, v) if False else setattr(self, k, v)
+            setattr(self, k, v)
 
     @classmethod
     def _wrap(cls, df: DataFrame, shape: Tuple[int, ...], statics: Dict[str, Any], spark: SparkSession) -> "DcaTable":
