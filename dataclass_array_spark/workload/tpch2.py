@@ -254,3 +254,137 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 QUERIES["q19_disjunctive_revenue"] = Query(q19_disjunctive_revenue, Q19_SQL, tags=("join", "filter"))
 QUERIES["q22_in_subquery"] = Query(q22_in_subquery, Q22_SQL, tags=("join", "subquery"))
+
+
+# ---------------------------------------------------------------- q7 analog
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral shipping volume between two nations by year — double
+    role for the nation dim (supplier vs customer side)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "supplier", "nation"])
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") < F.col("cust_nation")))
+            & (F.year("l_shipdate").isin(1996, 1997))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS yr,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name AND year(l_shipdate) IN (1996, 1997)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------- q8 analog
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year share of ASIA-region revenue supplied by one nation —
+    conditional-sum ratio over a multi-join."""
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "customer", "supplier", "nation", "region"]
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "CHINA", rev).otherwise(F.lit(0.0))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            (
+                F.sum(target.cast("decimal(25,6)")).cast("double")
+                / F.sum(rev.cast("decimal(25,6)")).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("yr")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(SUM(CAST(CASE WHEN n2.n_name = 'CHINA'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+         AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------- q9 analog
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and year (cost modeled from retail price
+    — the star schema has no partsupp table)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier", "nation", "part"])
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.08
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(dsum(profit, "profit"))
+        .orderBy("nation", "yr")
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       {sql_dsum('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.08', 'profit')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["q7_nation_volume"] = Query(q7_nation_volume, Q7_SQL, tags=("join",))
+QUERIES["q8_market_share"] = Query(q8_market_share, Q8_SQL, tags=("join", "agg"))
+QUERIES["q9_product_profit"] = Query(q9_product_profit, Q9_SQL, tags=("join", "agg"))
