@@ -645,6 +645,29 @@ class DcaTable(metaclass=_DcaMeta):
         new_shape = tuple(idx.shape) + rest
         return type(self)._wrap(out, new_shape, self._statics, self._spark)
 
+    # ---- relational passthroughs (§2.B surfaced on the wrapper):
+    # thin delegations so users never need to drop to .df for the
+    # common relational verbs; results are plain DataFrames (the
+    # relational layer is row-set, not batch-shaped).
+
+    def join(self, other, on=None, how: str = "inner") -> DataFrame:
+        odf = other.df if isinstance(other, DcaTable) else other
+        if isinstance(other, DcaTable):
+            assert_same_session(self, other)
+            odf = odf.drop(ROWID)
+        return self._df.drop(ROWID).join(odf, on=on, how=how)
+
+    def groupBy(self, *cols):
+        return self._df.drop(ROWID).groupBy(*cols)
+
+    def select_fields(self, *names: str) -> DataFrame:
+        return self._df.select(*names)
+
+    def sql(self, query: str, view: str = "self") -> DataFrame:
+        """Run SQL with this table registered as ``view``."""
+        self._df.createOrReplaceTempView(view)
+        return self._spark.sql(query)
+
     def filter(self, pred: Column) -> "DcaTable":
         """Named alias for Column-mask indexing (``dc[pred]``) — the
         distributed filter; result is 1-D with dense rowids."""

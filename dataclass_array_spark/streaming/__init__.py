@@ -25,3 +25,7 @@ __all__ = [
     "sliding_counts",
     "running_user_totals_stateful",
 ]
+
+from dataclass_array_spark.streaming.core import purchases_with_recent_clicks  # noqa: E402,F401
+
+__all__.append("purchases_with_recent_clicks")

@@ -159,3 +159,39 @@ def running_user_totals_stateful(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def purchases_with_recent_clicks(
+    events: DataFrame, join_window: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join with watermarks: purchases joined to the
+    same user's clicks within the preceding ``join_window``.  Both sides
+    carry watermarks so the state store can evict expired click state —
+    the mandatory ingredient for unbounded stream-stream joins.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts - INTERVAL {join_window} AND c_ts < p_ts"
+        ),
+        "inner",
+    )

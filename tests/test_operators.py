@@ -149,3 +149,35 @@ def test_ivf_topk_recall(spark):
         a = set(approx[approx.qid == qid].nid)
         hits += len(e & a)
     assert hits >= 4  # >= ~50% recall on random data with nprobe=4/8
+
+
+def test_map_in_arrow_decoder_matches_pandas(spark, sf_dir):
+    from dataclass_array_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+        decode_media_arrow,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    m = attach_media(d, "doc_id", "text")
+    a = decode_media(m).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = decode_media_arrow(m).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_relational_passthroughs(spark, sf_dir):
+    import dataclass_array_spark as das
+    from dataclass_array_spark.core.schema import i64, i32, f32
+
+    @das.dataclass_array(cast_dtype=True)
+    class Emb(das.DcaTable):
+        vec_id: i64
+        label: i32
+
+    t = Emb.from_df(spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "label"))
+    agg = t.groupBy("label").count().toPandas()
+    assert agg["count"].sum() == 500
+    j = t.join(t, on="vec_id").count()
+    assert j == 500
+    s = t.sql("SELECT COUNT(*) AS n FROM self WHERE label % 2 = 0").collect()[0]["n"]
+    assert s > 0

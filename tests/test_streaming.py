@@ -118,3 +118,31 @@ def test_watermark_append_two_batches(spark, tmp_path):
     rows = {r["ws"]: r["n"] for r in spark.table("wm_test").collect()}
     first_window = [n for ws, n in rows.items() if ws < base // 1000 + 3600 * 1_000_000]
     assert first_window == [2]  # finalized with the on-time rows only
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (watermarked both sides) must produce
+    the same pairs as the equivalent batch range join."""
+    from dataclass_array_spark.streaming import purchases_with_recent_clicks
+
+    s = events_stream(spark, f"{sf_dir}/events.parquet")
+    joined = purchases_with_recent_clicks(s, "30 minutes")
+    out, _ = run_stream_to_memory(joined, mode="append")
+    got = out.count()
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as FF
+    e = e.withColumn("ts_us", FF.expr("ts div 1000")).withColumn(
+        "ts", FF.timestamp_micros(FF.col("ts_us"))
+    )
+    p = e.filter(FF.col("event_type") == "purchase").select(
+        FF.col("user_id").alias("pu"), FF.col("ts").alias("pts")
+    )
+    c = e.filter(FF.col("event_type") == "click").select(
+        FF.col("user_id").alias("cu"), FF.col("ts").alias("cts")
+    )
+    exp = p.join(
+        c,
+        FF.expr("pu = cu AND cts >= pts - INTERVAL 30 minutes AND cts < pts"),
+    ).count()
+    assert got == exp and got > 0
