@@ -188,3 +188,32 @@ def sql_rolling_fingerprint(t: str) -> str:
 
 def sql_md5_fingerprint(t: str) -> str:
     return f"md5(regexp_replace(lower(trim({t})), '\\s+', ' ', 'g'))"
+
+
+def chunk_tokens(text: Column, chunk_size: int, overlap: int) -> Column:
+    """Split a document into overlapping token-window chunks — the
+    standard pre-training chunking op.  Returns array<struct<chunk_id,
+    chunk_text, n_tokens>>; stride = chunk_size - overlap.  Pure column
+    expressions (explode at the call site), no UDF."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        # chunk starts: 1, 1+stride, ... while start <= n (1-based)
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            F.floor((n - 1) / F.lit(stride)).cast("int") + 1
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_size)).alias(
+                    "chunk_text"
+                ),
+                F.least(n - i * stride, F.lit(chunk_size)).cast("long").alias("n_tokens"),
+            ),
+        )
+
+    return let(tokens(text), build)

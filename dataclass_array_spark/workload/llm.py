@@ -451,3 +451,63 @@ GROUP BY k.source ORDER BY k.source
 QUERIES["pipeline_quality_corpus"] = Query(
     pipeline_quality_corpus, PIPELINE_SQL, tags=("pipeline", "text", "dedup")
 )
+
+
+# ------------------------------------------------ chunking + vocabulary
+_CHUNK, _OVERLAP = 40, 10
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (40-token chunks, 10 overlap) —
+    the standard pre-training segmentation, as one explode over an
+    in-scan chunk array."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ch = tx.chunk_tokens(F.col("text"), _CHUNK, _OVERLAP)
+    return (
+        d.select("doc_id", F.explode(ch).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), ch AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(floor((len(toks)-1)/30) AS INT))) AS chunk_id
+  FROM toks WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_id,
+       CAST(LEAST(len(toks) - chunk_id*30, 40) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks[(chunk_id*30+1):(chunk_id*30+40)], ' ')) AS chunk_md5
+FROM ch ORDER BY doc_id, chunk_id
+"""
+
+
+def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: word frequencies + document frequencies,
+    top-100 by count (tie-broken by word)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    w = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("word"))
+    return (
+        w.groupBy("word")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), "word")
+        .limit(100)
+    )
+
+
+VOCAB_SQL = f"""
+SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents)
+GROUP BY word ORDER BY tf DESC, word LIMIT 100
+"""
+
+QUERIES["chunk_documents"] = Query(chunk_documents, CHUNK_SQL, tags=("text", "chunking"))
+QUERIES["vocab_top_words"] = Query(vocab_top_words, VOCAB_SQL, tags=("text",))
