@@ -223,3 +223,116 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 QUERIES["salted_revenue_by_flag"] = Query(salted_revenue_by_flag, SALTED_SQL, tags=("agg", "skew"))
+
+
+# ------------------------------------------ ntile quantile bucketing
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) over order prices per market segment + per-bucket agg."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    j = t["orders"].join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    return (
+        j.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice"), "sum_price"))
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+NTILE_SQL = f"""
+SELECT c_mktsegment, quartile, COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+FROM (
+  SELECT c_mktsegment, o_totalprice,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------ exact moments: corr / covar
+def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance of price vs quantity per
+    returnflag — assembled from exact decimal moments (sums of x, y, xy,
+    x², y²) so both engines compute identical doubles; built-in corr()
+    implementations differ numerically across engines."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    dec = lambda c: c.cast("decimal(30,8)")
+
+    def dbl(c):
+        # decimal→double via floor-split: DuckDB's direct cast double-
+        # rounds once the scaled int exceeds 2^53; floor+frac parts are
+        # each exactly convertible, and fl(a+b) matches across engines
+        f = F.floor(c)
+        return f.cast("double") + (c - f).cast("double")
+
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dbl(F.sum(dec(x))).alias("sx"),
+        dbl(F.sum(dec(y))).alias("sy"),
+        dbl(F.sum(dec(x * y))).alias("sxy"),
+        dbl(F.sum(dec(x * x))).alias("sxx"),
+        dbl(F.sum(dec(y * y))).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag", "n", cov.alias("covar"), corr.alias("pearson")
+    ).orderBy("l_returnflag")
+
+
+CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         (CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))) AS DOUBLE) + CAST((SUM(CAST(l_extendedprice AS DECIMAL(30,8)))) - FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))) AS DOUBLE)) AS sx,
+         (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(30,8)))) AS DOUBLE) + CAST((SUM(CAST(l_quantity AS DECIMAL(30,8)))) - FLOOR(SUM(CAST(l_quantity AS DECIMAL(30,8)))) AS DOUBLE)) AS sy,
+         (CAST(FLOOR(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8)))) AS DOUBLE) + CAST((SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8)))) - FLOOR(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8)))) AS DOUBLE)) AS sxy,
+         (CAST(FLOOR(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8)))) AS DOUBLE) + CAST((SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8)))) - FLOOR(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8)))) AS DOUBLE)) AS sxx,
+         (CAST(FLOOR(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8)))) AS DOUBLE) + CAST((SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8)))) - FLOOR(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8)))) AS DOUBLE)) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (sxy - sx*sy/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS covar,
+       (CAST(n AS DOUBLE)*sxy - sx*sy)
+         / (sqrt(CAST(n AS DOUBLE)*sxx - sx*sx) * sqrt(CAST(n AS DOUBLE)*syy - sy*sy)) AS pearson
+FROM m ORDER BY l_returnflag
+"""
+
+
+# ------------------------------------------ PII scrub (text pipeline)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masking pass: digits → '#', long hex tokens → '<HEX>' — the shape
+    of a PII/dedup-safe normalization stage; verified by md5 of the
+    scrubbed text."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[0-9]", "#"),
+        "\\b[a-f#]{16,}\\b",
+        "<HEX>",
+    )
+    return d.select(
+        "doc_id",
+        F.md5(scrub).alias("scrubbed_md5"),
+        (F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))).cast("long").alias("n_digits"),
+    ).orderBy("doc_id")
+
+
+PII_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(text, '[0-9]', '#', 'g'),
+                          '\\b[a-f#]{16,}\\b', '<HEX>', 'g')) AS scrubbed_md5,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["ntile_price_quartiles"] = Query(ntile_price_quartiles, NTILE_SQL, tags=("window",))
+QUERIES["corr_price_quantity"] = Query(corr_price_quantity, CORR_SQL, tags=("agg", "stats"))
+QUERIES["pii_scrub_docs"] = Query(pii_scrub_docs, PII_SQL, tags=("text",))

@@ -115,14 +115,14 @@ def main() -> int:
             n_fail += 1
             continue
         errs = compare(name, sdf, odf)
-        hard = [e for e in errs if "CLOSE" not in e]
-        if hard:
-            print(f"FAIL  {name} ({len(sdf)} rows, {t1-t0:.1f}s)")
+        if errs:
+            # CLOSE counts as failure too: the driver hashes exact
+            # values, so anything not bit-identical will not match
+            label = "CLOSE" if all("CLOSE" in e for e in errs) else "FAIL "
+            print(f"{label} {name} ({len(sdf)} rows, {t1-t0:.1f}s)")
             for e in errs:
                 print(f"      - {e}")
             n_fail += 1
-        elif errs:
-            print(f"CLOSE {name} ({len(sdf)} rows, {t1-t0:.1f}s): {errs}")
         else:
             print(f"OK    {name} ({len(sdf)} rows, {t1-t0:.1f}s)")
     print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
