@@ -123,10 +123,34 @@ def vectorize_method(
                     work_df = work_df.crossJoin(
                         F.broadcast(table.df.select(*renamed))
                     )
+                elif len(table.shape) == len(self.shape) and all(
+                    a == b or a == 1 for a, b in zip(table.shape, self.shape)
+                ):
+                    # per-dim broadcast (reference `_update_batch_shape`,
+                    # vectorization.py:246-282): dims of size 1 repeat —
+                    # map self's rowid to the arg's rowid by zeroing the
+                    # broadcast dims, then equi-join on that key
+                    from dataclass_array_spark.core.table import _strides
+
+                    s_str = _strides(self.shape)
+                    a_str = _strides(table.shape)
+                    rid = F.col(ROWID)
+                    expr = F.lit(0).cast("long")
+                    for i, (sd, ad) in enumerate(zip(self.shape, table.shape)):
+                        if ad > 1:
+                            idx = (rid / s_str[i]).cast("long") % sd
+                            expr = expr + idx * a_str[i]
+                    keycol = f"{prefix}rid"
+                    adf = table.df.select(F.col(ROWID).alias(keycol), *renamed)
+                    work_df = work_df.withColumn(keycol, expr).join(
+                        F.broadcast(adf) if table.size < 1_000_000 else adf,
+                        on=keycol,
+                    ).drop(keycol)
                 else:
                     raise ShapeError(
                         f"vectorized arg shape {table.shape} incompatible with "
-                        f"self shape {self.shape} (same shape or scalar only)"
+                        f"self shape {self.shape} (per-dim broadcast requires "
+                        f"equal rank with dims equal or 1, or scalar ())"
                     )
                 return prefix
 

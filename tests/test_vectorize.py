@@ -140,3 +140,17 @@ def test_symbolic_tracing_compiles_to_catalyst(spark):
         out.df.explain("formatted")
     plan = buf.getvalue()
     assert "MapInPandas" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_table_arg_dim1_broadcast(spark):
+    """Per-dim broadcast: arg shape (1, 2) against self (3, 2) — the
+    reference's _update_batch_shape rule (dim equal or 1)."""
+    pos = np.arange(18, dtype=np.float32).reshape(3, 2, 3)
+    delta = np.array([[[10, 0, 0], [100, 0, 0]]], np.float32)  # (1, 2, 3)
+    r = Ray2(spark, pos=pos)
+    o = Offset(spark, delta=delta)
+    assert r.shape == (3, 2) and o.shape == (1, 2)
+    got = r.shift_t2(o).to_numpy_fields()["p"]
+    np.testing.assert_allclose(got, pos + np.broadcast_to(delta, (3, 2, 3)))
+    got1 = r.shift_t1(o).to_numpy_fields()["p"]
+    np.testing.assert_allclose(got1, got)
