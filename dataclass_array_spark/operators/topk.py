@@ -22,6 +22,6 @@ def topk_per_group(
     (include a unique tiebreak column) for deterministic results."""
     w = Window.partitionBy(*group).orderBy(*order)
     return (
-        df.withColumn(rank_col, F.row_number().over(w))
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= k)
     )

@@ -249,7 +249,7 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = brute_force_topk(q, e, "vec_id", "vec_id", "embedding", k=5)
     return out.select(
         "qid",
-        F.col("rank").alias("rnk"),
+        F.col("rank").cast("long").alias("rnk"),
         "nid",
         F.floor(F.col("cosine") * 1e9).cast("long").alias("cos_e9"),
     )
@@ -291,7 +291,7 @@ def embedding_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = srp_lsh_topk(q, e, "vec_id", "vec_id", "embedding", dim=64, k=5, n_planes=8)
     return out.select(
         "qid",
-        F.col("rank").alias("rnk"),
+        F.col("rank").cast("long").alias("rnk"),
         "nid",
         F.floor(F.col("cosine") * 1e9).cast("long").alias("cos_e9"),
     )
@@ -382,7 +382,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_topk(q, e, "vec_id", "vec_id", "embedding", n_centroids=16, nprobe=4, k=5)
     return out.select(
         "qid",
-        F.col("rank").alias("rnk"),
+        F.col("rank").cast("long").alias("rnk"),
         "nid",
         F.floor(F.col("cosine") * 1e9).cast("long").alias("cos_e9"),
     )
@@ -467,7 +467,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(ch).alias("c"))
         .select(
             "doc_id",
-            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_id").cast("long").alias("chunk_id"),
             F.col("c.n_tokens").alias("n_tokens"),
             F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
         )

@@ -29,7 +29,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
         F.sum(F.col("o_totalprice").cast(_DEC))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("double")

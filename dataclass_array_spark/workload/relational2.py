@@ -234,7 +234,7 @@ def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = t["orders"].join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
     w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
     return (
-        j.withColumn("quartile", F.ntile(4).over(w))
+        j.withColumn("quartile", F.ntile(4).over(w).cast("long"))
         .groupBy("c_mktsegment", "quartile")
         .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice"), "sum_price"))
         .orderBy("c_mktsegment", "quartile")

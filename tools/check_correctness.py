@@ -53,6 +53,18 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return errs
     if errs:
         return errs
+    for c in sdf.columns:
+        sk = sdf[c].dtype
+        ok = odf[c].dtype
+        if sk != ok:
+            # kind-level mismatch is a hard error; width-only (int32 vs
+            # int64 etc.) is a warning worth reviewing
+            if sk.kind != ok.kind and not ({sk.kind, ok.kind} <= {"i", "u"}):
+                errs.append(f"col {c}: dtype kind {sk} != oracle {ok}")
+            else:
+                print(f"      ~ {name}.{c}: dtype width {sk} vs oracle {ok}")
+    if errs:
+        return errs
     s, o = normalize(sdf.copy()), normalize(odf.copy())
     for c in s.columns:
         sv, ov = s[c], o[c]
