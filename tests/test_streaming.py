@@ -146,3 +146,34 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         FF.expr("pu = cu AND cts >= pts - INTERVAL 30 minutes AND cts < pts"),
     ).count()
     assert got == exp and got > 0
+
+
+def test_foreach_batch_idempotent_sink(spark, sf_dir, tmp_path):
+    """foreachBatch + epoch-id-keyed overwrite: the exactly-once sink
+    pattern for non-transactional stores — re-processing an epoch
+    overwrites rather than duplicates."""
+    out_dir = str(tmp_path / "sink")
+    seen = []
+
+    def write_batch(df, epoch_id):
+        seen.append(epoch_id)
+        (
+            df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    s = events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = s.groupBy("event_type").count()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert seen  # at least one epoch committed
+    back = spark.read.parquet(f"{out_dir}/epoch={max(seen)}")
+    total = back.agg(F.sum("count")).collect()[0][0]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == n_events
