@@ -152,6 +152,25 @@ class DcaTable(metaclass=_DcaMeta):
                     out[name] = NestedSpec(ann, ())
                 else:
                     out[name] = ("static", ann)
+        if not any(
+            not (isinstance(v, tuple) and v[0] == "static") for v in out.values()
+        ) and any(
+            isinstance(a, str)
+            for k in reversed(cls.__mro__)
+            for a in getattr(k, "__annotations__", {}).values()
+        ):
+            # every field came out static but string annotations exist:
+            # almost certainly an unresolvable PEP-563 annotation (e.g. a
+            # dtype alias not importable in the defining module) — fail
+            # loudly instead of silently degrading fields to statics
+            import warnings
+
+            warnings.warn(
+                f"{cls.__name__}: no array fields resolved but string "
+                f"annotations present — check that dtype aliases are "
+                f"importable in {cls.__module__}",
+                stacklevel=3,
+            )
         cls._dca_compiled = out
         return out
 

@@ -511,3 +511,65 @@ GROUP BY word ORDER BY tf DESC, word LIMIT 100
 
 QUERIES["chunk_documents"] = Query(chunk_documents, CHUNK_SQL, tags=("text", "chunking"))
 QUERIES["vocab_top_words"] = Query(vocab_top_words, VOCAB_SQL, tags=("text",))
+
+
+# ------------------------------------------------ TF-IDF top terms
+_TFIDF_DOCS = 200
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (bounded doc slice).  IDF uses the
+    full corpus; ln over identical doubles is identical cross-engine, and
+    the score is floor-scaled for hash-safety at ranking boundaries."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    words = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("word"))
+    n_docs = d.count()
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        words.filter(F.col("doc_id") < _TFIDF_DOCS)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.join(F.broadcast(df_), "word").select(
+        "doc_id",
+        "word",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "rnk", "word", F.floor(F.col("tfidf") * 1e9).cast("long").alias("tfidf_e9"))
+        .orderBy("doc_id", "rnk")
+    )
+
+
+TFIDF_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+), df_ AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words
+  WHERE doc_id < {_TFIDF_DOCS} GROUP BY doc_id, word
+), scored AS (
+  SELECT doc_id, word,
+         CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+  FROM tf JOIN df_ USING (word), n
+), r AS (
+  SELECT doc_id, word, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, word, CAST(FLOOR(tfidf * 1e9) AS BIGINT) AS tfidf_e9
+FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk
+"""
+
+QUERIES["tfidf_top_terms"] = Query(tfidf_top_terms, TFIDF_SQL, tags=("text", "ranking"))

@@ -82,3 +82,17 @@ def test_complex_dtypes_roundtrip(spark):
     t = C(spark, z=z, w=w)
     got = t.to_numpy_fields()
     assert np.allclose(got["z"], z) and np.allclose(got["w"], w)
+
+
+def test_unresolvable_annotations_warn(spark):
+    import warnings
+    import dataclass_array_spark as das
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+
+        class Broken(das.DcaTable):
+            x: "not_an_importable_alias"  # noqa: F821
+
+        Broken._fields()
+        assert any("no array fields" in str(x.message) for x in w)
