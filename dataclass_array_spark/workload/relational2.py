@@ -336,3 +336,97 @@ FROM documents ORDER BY doc_id
 QUERIES["ntile_price_quartiles"] = Query(ntile_price_quartiles, NTILE_SQL, tags=("window",))
 QUERIES["corr_price_quantity"] = Query(corr_price_quantity, CORR_SQL, tags=("agg", "stats"))
 QUERIES["pii_scrub_docs"] = Query(pii_scrub_docs, PII_SQL, tags=("text",))
+
+
+# ------------------------------------------ MERGE / upsert emulation
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation: recompute acctbal for customers with 1998
+    orders (update set) and upsert into the dimension — updates win,
+    unmatched rows survive."""
+    from dataclass_array_spark.operators.merge import upsert
+
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    spent = (
+        t["orders"]
+        .filter(F.year("o_orderdate") == 1998)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("spent98"))
+    )
+    updates = (
+        t["customer"]
+        .join(spent, on="c_custkey")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("c_acctbal") - F.col("spent98")).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    merged = upsert(t["customer"], updates, keys=["c_custkey"])
+    return merged.select("c_custkey", "c_acctbal").orderBy("c_custkey")
+
+
+MERGE_SQL = """
+WITH spent AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spent98
+  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY o_custkey
+), updates AS (
+  SELECT c.c_custkey, c.c_acctbal - s.spent98 AS c_acctbal
+  FROM customer c JOIN spent s USING (c_custkey)
+)
+SELECT c_custkey, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+UNION ALL
+SELECT c_custkey, c_acctbal FROM updates
+ORDER BY c_custkey
+"""
+
+
+# ------------------------------------------ exact median (portable)
+def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median via the portable two-middle-rows formulation (window
+    row_number + count) — engine median() implementations differ in
+    interpolation, this one cannot."""
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).cast("long").alias("n"),
+    )
+    # middle rows: even n → rn*2 ∈ {n, n+2}; odd n → rn*2 = n+1
+    mid = ranked.filter(
+        (F.col("rn") * 2 == F.col("n"))
+        | (F.col("rn") * 2 == F.col("n") + 1)
+        | (F.col("rn") * 2 == F.col("n") + 2)
+    )
+    return (
+        mid.groupBy("l_returnflag")
+        .agg((F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double") / F.count("*")).alias("median_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), mid AS (
+  SELECT * FROM ranked
+  WHERE rn*2 = n OR rn*2 = n + 1 OR rn*2 = n + 2
+)
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS median_qty
+FROM mid GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+QUERIES["merge_upsert_customers"] = Query(merge_upsert_customers, MERGE_SQL, tags=("merge", "cdc"))
+QUERIES["median_quantity_by_flag"] = Query(median_quantity_by_flag, MEDIAN_SQL, tags=("agg", "stats"))

@@ -181,3 +181,30 @@ def test_relational_passthroughs(spark, sf_dir):
     assert j == 500
     s = t.sql("SELECT COUNT(*) AS n FROM self WHERE label % 2 = 0").collect()[0]["n"]
     assert s > 0
+
+
+def test_upsert_and_scd2(spark):
+    import pandas as pd
+    from dataclass_array_spark.operators.merge import scd2_close, upsert
+
+    target = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    )
+    updates = spark.createDataFrame(pd.DataFrame({"k": [2, 4], "v": ["B", "D"]}))
+    out = {r["k"]: r["v"] for r in upsert(target, updates, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+    t2 = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 2], "v": ["a", "b"], "version": [1, 1], "is_current": [True, True]}
+        )
+    )
+    u2 = spark.createDataFrame(
+        pd.DataFrame({"k": [2], "v": ["B"], "version": [0], "is_current": [False]})
+    )
+    res = scd2_close(t2, u2, ["k"]).toPandas().sort_values(["k", "version"])
+    k2 = res[res.k == 2]
+    assert len(k2) == 2
+    assert k2[k2.version == 1].is_current.iloc[0] == False  # noqa: E712
+    assert k2[k2.version == 2].is_current.iloc[0] == True  # noqa: E712
+    assert res[res.k == 1].is_current.iloc[0] == True  # noqa: E712
