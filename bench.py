@@ -25,8 +25,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def main() -> None:
     spark = get_spark("bench")
-    # warm-up: JVM JIT + codegen + parquet footer reads
+    # warm-up (excluded from timings): JVM JIT + codegen + parquet footer
+    # reads, plus one mapInPandas query so the Python worker pool and
+    # Arrow serde are spun up before anything is measured
     QUERIES["q6_forecast_revenue"].fn(spark, SF_DIR).collect()
+    QUERIES["multimodal_decode"].fn(spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
     total = 0.0
