@@ -430,3 +430,44 @@ FROM mid GROUP BY l_returnflag ORDER BY l_returnflag
 
 QUERIES["merge_upsert_customers"] = Query(merge_upsert_customers, MERGE_SQL, tags=("merge", "cdc"))
 QUERIES["median_quantity_by_flag"] = Query(median_quantity_by_flag, MEDIAN_SQL, tags=("agg", "stats"))
+
+
+# ------------------------------------------ array aggregation + functions
+def order_quantity_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic order (collect_list is
+    unordered — sort structs then project) + array function passthrough
+    (size/slice/contains/reverse)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    arr = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("l_linenumber"), F.col("l_quantity")))
+        ),
+        lambda s: s.getField("l_quantity"),
+    )
+    g = (
+        li.filter(F.col("l_orderkey") <= 200)
+        .groupBy("l_orderkey")
+        .agg(arr.alias("qtys"))
+    )
+    return g.select(
+        "l_orderkey",
+        "qtys",
+        F.size("qtys").cast("long").alias("n_items"),
+        F.slice("qtys", 1, 2).alias("first2"),
+        F.reverse("qtys").alias("rev"),
+        F.array_contains("qtys", 24.0).alias("has_24"),
+    ).orderBy("l_orderkey")
+
+
+ARRAYS_SQL = """
+SELECT l_orderkey,
+       list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys,
+       CAST(len(list(l_quantity ORDER BY l_linenumber, l_quantity)) AS BIGINT) AS n_items,
+       (list(l_quantity ORDER BY l_linenumber, l_quantity))[1:2] AS first2,
+       list_reverse(list(l_quantity ORDER BY l_linenumber, l_quantity)) AS rev,
+       list_contains(list(l_quantity ORDER BY l_linenumber, l_quantity), 24.0) AS has_24
+FROM lineitem WHERE l_orderkey <= 200
+GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+QUERIES["order_quantity_arrays"] = Query(order_quantity_arrays, ARRAYS_SQL, tags=("agg", "array"))
