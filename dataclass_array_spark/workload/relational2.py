@@ -471,3 +471,76 @@ GROUP BY l_orderkey ORDER BY l_orderkey
 """
 
 QUERIES["order_quantity_arrays"] = Query(order_quantity_arrays, ARRAYS_SQL, tags=("agg", "array"))
+
+
+# ------------------------------------------ outer join variants + null handling
+def join_variants_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (customers without orders × orphan check) with
+    explicit null-handling functions (coalesce/nullif) — the join types
+    and null semantics not covered by the inner/semi/anti queries."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    o97 = t["orders"].filter(F.year("o_orderdate") == 1997)
+    j = t["customer"].join(o97, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+    return (
+        j.select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("NO_CUSTOMER")).alias("segment"),
+            F.when(F.col("o_orderkey").isNull(), 0).otherwise(1).alias("has_order"),
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_non_open"),
+        )
+        .groupBy("segment", "has_order")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("status_non_open").alias("n_non_open"),
+        )
+        .orderBy("segment", "has_order")
+    )
+
+
+JOIN_VARIANTS_SQL = """
+SELECT COALESCE(c_mktsegment, 'NO_CUSTOMER') AS segment,
+       CASE WHEN o_orderkey IS NULL THEN 0 ELSE 1 END AS has_order,
+       COUNT(*) AS n,
+       COUNT(NULLIF(o_orderstatus, 'O')) AS n_non_open
+FROM customer FULL OUTER JOIN
+     (SELECT * FROM orders WHERE year(o_orderdate) = 1997) o
+     ON c_custkey = o_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------ string function depth
+def string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string wave: pad/translate/repeat/left/right/position —
+    all JVM codegen, verified portable."""
+    p = load_tables(spark, sf_dir, ["part"])["part"]
+    n = F.col("p_name")
+    return (
+        p.filter(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            F.lpad(F.col("p_brand"), 12, "*").alias("brand_lpad"),
+            F.rpad(F.col("p_type"), 10, ".").alias("type_rpad"),
+            F.translate(n, "aeiou", "AEIOU").alias("name_vowels"),
+            F.repeat(F.substring(n, 1, 2), 3).alias("rep2x3"),
+            F.substring(n, 1, 4).alias("left4"),
+            n.substr(F.length(n) - 3, F.lit(4)).alias("right4"),
+            F.instr(n, "a").cast("long").alias("first_a"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+STRING2_SQL = """
+SELECT p_partkey,
+       lpad(p_brand, 12, '*') AS brand_lpad,
+       rpad(p_type, 10, '.') AS type_rpad,
+       translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,
+       repeat(substr(p_name, 1, 2), 3) AS rep2x3,
+       substr(p_name, 1, 4) AS left4,
+       substr(p_name, length(p_name) - 3, 4) AS right4,
+       CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
+FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
+"""
+
+QUERIES["join_variants_nulls"] = Query(join_variants_nulls, JOIN_VARIANTS_SQL, tags=("join", "null"))
+QUERIES["string_functions2"] = Query(string_functions2, STRING2_SQL, tags=("scalar",))
