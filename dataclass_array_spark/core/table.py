@@ -609,22 +609,32 @@ class DcaTable(metaclass=_DcaMeta):
         return type(self)._wrap(df, new_shape, self._statics, self._spark)
 
     def _mask(self, mask: np.ndarray) -> "DcaTable":
-        if mask.shape != self._shape:
-            raise IndexError(f"mask shape {mask.shape} != batch shape {self._shape}")
+        """numpy boolean-mask semantics: the mask matches the LEADING
+        batch dims; masked dims collapse to one, trailing dims survive
+        (``v[mask]`` with mask.shape == v.shape[:k])."""
+        k = mask.ndim
+        if mask.shape != self._shape[:k]:
+            raise IndexError(
+                f"mask shape {mask.shape} != leading batch dims {self._shape[:k]}"
+            )
+        trailing = self._shape[k:]
+        t_sz = _size(trailing)
         sel = np.flatnonzero(mask.reshape(-1))
         pairs = [(int(old), int(new)) for new, old in enumerate(sel)]
         idx_df = self._spark.createDataFrame(
             pairs, schema=T.StructType([
-                T.StructField(ROWID, T.LongType(), False),
-                T.StructField("__new_rowid", T.LongType(), False),
+                T.StructField("__old_outer", T.LongType(), False),
+                T.StructField("__new_outer", T.LongType(), False),
             ]),
         )
+        rid = F.col(ROWID)
+        df = self._df.withColumn("__old_outer", (rid / t_sz).cast("long"))
         out = (
-            self._df.join(F.broadcast(idx_df), on=ROWID, how="inner")
-            .drop(ROWID)
-            .withColumnRenamed("__new_rowid", ROWID)
+            df.join(F.broadcast(idx_df), on="__old_outer", how="inner")
+            .withColumn(ROWID, (F.col("__new_outer") * t_sz + rid % t_sz).cast("long"))
+            .drop("__old_outer", "__new_outer")
         )
-        return type(self)._wrap(out, (len(sel),), self._statics, self._spark)
+        return type(self)._wrap(out, (len(sel),) + trailing, self._statics, self._spark)
 
     def _mask_column(self, pred: Column) -> "DcaTable":
         """Filter by a Column predicate — the distributed mask path.

@@ -1,0 +1,92 @@
+"""Edge-case depth: einops variants, chained ops, op-composition
+invariants — all differential vs numpy."""
+
+import numpy as np
+import pytest
+
+import dataclass_array_spark as das
+from dataclass_array_spark.core.schema import ShapeError, f32
+from tests.conftest import assert_np_equal
+
+
+@das.dataclass_array(broadcast=True, cast_dtype=True)
+class P(das.DcaTable):
+    v: f32
+
+
+def make(shape, spark):
+    n = int(np.prod(shape))
+    v = np.arange(n, dtype=np.float32).reshape(shape)
+    return P(spark, v=v), v
+
+
+def test_einops_three_dims_permutation(spark):
+    p, v = make((2, 3, 4), spark)
+    t = p.reshape("a b c -> c a b")
+    assert_np_equal(t, {"v": np.transpose(v, (2, 0, 1))})
+
+
+def test_einops_merge_and_split_combo(spark):
+    p, v = make((2, 3, 4), spark)
+    t = p.reshape("a b c -> (a c) b")
+    expect = np.transpose(v, (0, 2, 1)).reshape(8, 3)
+    assert_np_equal(t, {"v": expect})
+
+
+def test_einops_errors(spark):
+    p, v = make((2, 3), spark)
+    with pytest.raises(ShapeError):
+        p.reshape("a b -> a")  # missing axis
+    with pytest.raises(ShapeError):
+        p.reshape("a -> a")  # rank mismatch
+    with pytest.raises(ShapeError):
+        p.reshape("(a b) -> a b")  # under-determined split (no sizes)
+
+
+def test_chained_slice_transpose_mask(spark):
+    p, v = make((4, 6), spark)
+    step1 = p[1:4]                       # (3, 6)
+    step2 = step1.reshape("a b -> b a")  # (6, 3)
+    step3 = step2[::2]                   # (3, 3)
+    expect = v[1:4].T[::2]
+    assert_np_equal(step3, {"v": expect})
+    mask = expect.sum(axis=1) > 20
+    final = step3[mask]
+    assert_np_equal(final, {"v": expect[mask]})
+
+
+def test_gather_after_transpose(spark):
+    p, v = make((3, 4), spark)
+    t = p.reshape("a b -> b a")  # (4, 3)
+    g = t[np.array([3, 0])]
+    assert_np_equal(g, {"v": v.T[[3, 0]]})
+
+
+def test_stack_of_slices_roundtrip(spark):
+    p, v = make((6,), spark)
+    halves = das.stack([p[0:3], p[3:6]])
+    assert_np_equal(halves, {"v": v.reshape(2, 3)})
+    back = halves.flatten()
+    assert_np_equal(back, {"v": v})
+
+
+def test_broadcast_then_reduce_shape_math(spark):
+    p, v = make((1, 4), spark)
+    b = p.broadcast_to((3, 4))
+    s = b[2]
+    assert_np_equal(s, {"v": v[0]})
+
+
+def test_empty_slice_shape(spark):
+    p, v = make((4,), spark)
+    e = p[2:2]
+    assert e.shape == (0,)
+    assert e.size == 0
+    with pytest.raises(ValueError):
+        bool(e)
+
+
+def test_negative_index_multi_dim(spark):
+    p, v = make((3, 4), spark)
+    assert_np_equal(p[-1], {"v": v[-1]})
+    assert_np_equal(p[-2, -3], {"v": v[-2, -3]})

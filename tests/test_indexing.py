@@ -70,3 +70,15 @@ def test_iter(spark):
     p, v = make((3,), spark)
     rows = [t.to_numpy_fields()["v"] for t in p]
     assert [float(r) for r in rows] == [0.0, 1.0, 2.0]
+
+
+def test_leading_dim_mask(spark):
+    """numpy semantics: a rank-k mask over the leading k batch dims
+    collapses them; trailing dims survive."""
+    import numpy as np
+
+    p, v = make((3, 4), spark)
+    mask = np.array([True, False, True])
+    assert_np_equal(p[mask], {"v": v[mask]})
+    mask2 = v > 5  # full-rank mask → flattened selection
+    assert_np_equal(p[mask2], {"v": v[mask2]})
