@@ -170,6 +170,23 @@ class SymbolicArray:
             if s.inner_ndim == 1:
                 return SymbolicArray(_fold_sum(s.col), 0)
             return s
+        if func is np.mean and len(args) == 1 and isinstance(args[0], SymbolicArray):
+            s = args[0]
+            if s.inner_ndim == 1:
+                return SymbolicArray(
+                    _fold_sum(s.col) / F.size(s.col).cast("double"), 0
+                )
+            return s
+        if func in (np.max, np.amax) and len(args) == 1 and isinstance(args[0], SymbolicArray):
+            s = args[0]
+            if s.inner_ndim == 1:
+                return SymbolicArray(F.array_max(s.col), 0)
+            return s
+        if func in (np.min, np.amin) and len(args) == 1 and isinstance(args[0], SymbolicArray):
+            s = args[0]
+            if s.inner_ndim == 1:
+                return SymbolicArray(F.array_min(s.col), 0)
+            return s
         if func is np.linalg.norm and len(args) == 1 and isinstance(args[0], SymbolicArray):
             s = args[0]
             if s.inner_ndim == 1:

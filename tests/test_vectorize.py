@@ -154,3 +154,32 @@ def test_table_arg_dim1_broadcast(spark):
     np.testing.assert_allclose(got, pos + np.broadcast_to(delta, (3, 2, 3)))
     got1 = r.shift_t1(o).to_numpy_fields()["p"]
     np.testing.assert_allclose(got1, got)
+
+
+class Ray4(Ray):
+    @das.vectorize_method
+    def stats_numpy_style(self):
+        d = self.dir
+        return {
+            "mean": np.mean(d),
+            "spread": np.max(d) - np.min(d),
+            "l2": np.linalg.norm(d),
+        }
+
+
+def test_symbolic_reductions(spark):
+    dir_ = np.array([[1, 2, 6], [4, 4, 4]], np.float32)
+    r = Ray4(spark, pos=np.zeros((2, 3), np.float32), dir=dir_)
+    out = r.stats_numpy_style()
+    got = out.to_numpy_fields()
+    np.testing.assert_allclose(got["mean"], [3.0, 4.0])
+    np.testing.assert_allclose(got["spread"], [5.0, 0.0])
+    np.testing.assert_allclose(got["l2"], [np.sqrt(41.0), np.sqrt(48.0)])
+    # still tier-1: no python in the plan
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.df.explain("formatted")
+    assert "MapInPandas" not in buf.getvalue()
