@@ -886,6 +886,11 @@ class DcaTable(metaclass=_DcaMeta):
         self._df = self._df.cache()
         return self
 
+    def explain(self, mode: str = "formatted") -> None:
+        """Show the physical plan — the first thing to check when an op
+        chain might be shuffling more than it should (see PERF.md)."""
+        self._df.explain(mode)
+
 
 def assert_same_session(*tables: "DcaTable") -> None:
     """Cross-input engine guard (reference ``assert_same_xnp``,
