@@ -68,3 +68,24 @@ def test_source_roundtrips(spark, sf_dir, tmp_path, fmt):
 def test_lakehouse_formats_gated(spark):
     with pytest.raises(NotImplementedError, match="delta"):
         sources.read_table(spark, "/tmp/x", fmt="delta")
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """partitionBy writes → a filtered read must prune partitions at
+    plan time (PartitionFilters in the scan, only matching dirs read)."""
+    import io
+    from contextlib import redirect_stdout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    p = str(tmp_path / "parted")
+    sources.write(li, p, partition_by=["l_returnflag"])
+    back = spark.read.parquet(p).filter(F.col("l_returnflag") == "R")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "l_returnflag" in plan
+    exp = li.filter(F.col("l_returnflag") == "R").count()
+    assert back.count() == exp

@@ -183,3 +183,19 @@ def test_symbolic_reductions(spark):
     with redirect_stdout(buf):
         out.df.explain("formatted")
     assert "MapInPandas" not in buf.getvalue()
+
+
+def test_declared_returns_skips_probe(spark):
+    from dataclass_array_spark.core.schema import ArraySpec
+
+    @das.dataclass_array(broadcast=True, cast_dtype=True)
+    class R5(das.DcaTable):
+        d: f32["*b 3"]
+
+        @das.vectorize_method(returns={"s": ArraySpec(np.dtype(np.float64), ())})
+        def total(self):
+            return {"s": float(np.asarray(self.d).sum())}
+
+    r = R5(spark, d=np.arange(6, dtype=np.float32).reshape(2, 3))
+    got = r.total().to_numpy_fields()["s"]
+    np.testing.assert_allclose(got, [3.0, 12.0])
