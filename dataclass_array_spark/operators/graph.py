@@ -1,0 +1,66 @@
+"""Iterative graph algorithms without GraphFrames: connected components
+by min-label propagation — the canonical way to turn near-duplicate
+PAIRS into duplicate CLUSTERS (transitive closure) for dedup.
+
+Driver-side convergence loop of joins; each iteration is one shuffle on
+the node id.  Iteration count is O(log(diameter)) with the large-star
+contraction below; dup clusters have tiny diameters, so 3-5 iterations
+cover real corpora.  At 100 TB: localCheckpoint each iteration to cut
+the growing lineage (done below past iteration 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """→ (node, component) where component = min node id reachable.
+
+    Min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors until no label changes.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        # materialize ONCE: every iteration joins against the edge set,
+        # and without this the (possibly expensive) upstream lineage —
+        # e.g. a whole MinHash pipeline — re-executes per iteration
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for i in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy(F.col("u").alias("node2"))
+            .agg(F.min("comp").alias("neigh_comp"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if i >= 3:
+            labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels

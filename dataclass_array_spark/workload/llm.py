@@ -573,3 +573,38 @@ FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk
 """
 
 QUERIES["tfidf_top_terms"] = Query(tfidf_top_terms, TFIDF_SQL, tags=("text", "ranking"))
+
+
+# ------------------------------------------------ dup clusters (components)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS via iterative min-label
+    propagation (transitive closure); oracle recomputes reachability
+    with a recursive CTE."""
+    from dataclass_array_spark.operators.graph import connected_components
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", n_hashes=16, bands=4, threshold=_MH_THRESH)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("cluster_id"),
+    ).orderBy("doc_id")
+
+
+COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_SQL.replace('ORDER BY id_a, id_b', '')}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id,
+       LEAST(u, MIN(v)) AS cluster_id
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+QUERIES["dedup_components"] = Query(dedup_components, COMPONENTS_SQL, tags=("dedup", "graph"))

@@ -208,3 +208,15 @@ def test_upsert_and_scd2(spark):
     assert k2[k2.version == 1].is_current.iloc[0] == False  # noqa: E712
     assert k2[k2.version == 2].is_current.iloc[0] == True  # noqa: E712
     assert res[res.k == 1].is_current.iloc[0] == True  # noqa: E712
+
+
+def test_connected_components(spark):
+    import pandas as pd
+    from dataclass_array_spark.operators.graph import connected_components
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 3, 10, 21, 20], "id_b": [2, 3, 4, 11, 22, 21]})
+    )
+    cc = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
