@@ -2,6 +2,7 @@
 tier-1 Column tracing and tier-2 Arrow-batch per-row loop must agree."""
 
 import numpy as np
+import pytest
 import pyspark.sql.functions as F
 
 import dataclass_array_spark as das
@@ -199,3 +200,35 @@ def test_declared_returns_skips_probe(spark):
     r = R5(spark, d=np.arange(6, dtype=np.float32).reshape(2, 3))
     got = r.total().to_numpy_fields()["s"]
     np.testing.assert_allclose(got, [3.0, 12.0])
+
+
+@pytest.mark.parametrize(
+    "self_shape,arg_shape",
+    [
+        ((4,), (4,)),
+        ((4,), ()),
+        ((2, 3), (2, 3)),
+        ((2, 3), ()),
+        ((2, 3), (1, 3)),
+        ((2, 3), (2, 1)),
+        ((2, 2, 2), (1, 1, 2)),
+    ],
+)
+def test_broadcast_matrix(spark, self_shape, arg_shape):
+    """Reference vectorization_test.py:39-106 grid: (self_shape,
+    arg_shape) → numpy-broadcast result, both tiers."""
+    import math
+
+    n_s = int(np.prod(self_shape)) if self_shape else 1
+    n_a = int(np.prod(arg_shape)) if arg_shape else 1
+    pos = np.arange(n_s * 3, dtype=np.float32).reshape(self_shape + (3,))
+    delta = (np.arange(n_a * 3, dtype=np.float32) * 10).reshape(arg_shape + (3,))
+    r = Ray2(spark, pos=pos)
+    o = Offset(spark, delta=delta)
+    expect = pos + np.broadcast_to(
+        delta.reshape(arg_shape + (3,)), self_shape + (3,)
+    ) if arg_shape != () else pos + delta
+    got2 = r.shift_t2(o).to_numpy_fields()["p"]
+    np.testing.assert_allclose(got2, expect)
+    got1 = r.shift_t1(o).to_numpy_fields()["p"]
+    np.testing.assert_allclose(got1, expect)
