@@ -358,3 +358,52 @@ QUERIES = {
     "distinct_parts_per_supplier": Query(distinct_parts_per_supplier, DISTINCT_SQL, tags=("agg",)),
     "scalar_functions": Query(scalar_functions, SCALAR_SQL, tags=("scalar",)),
 }
+
+
+# ------------------------------------------------ RANGE frame + value fns
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric time axis (orders within the 30 days
+    before each order) + first/last/nth_value — the window features the
+    ROWS-frame queries don't cover."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    days = (
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")) / (86400 * 1_000_000)
+    ).cast("long")
+    base = o.select("o_custkey", "o_orderkey", "o_totalprice", days.alias("day"))
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    w_full = w_seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w_range).cast("double").alias("sum_30d"),
+        F.count("*").over(w_range).alias("n_30d"),
+        F.first("o_orderkey").over(w_full).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+    )
+
+
+WINDOW_RANGE_SQL = """
+WITH base AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER
+            (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d,
+       FIRST_VALUE(o_orderkey) OVER w_full AS first_order,
+       LAST_VALUE(o_orderkey) OVER w_full AS last_order,
+       NTH_VALUE(o_orderkey, 2) OVER w_full AS second_order
+FROM base
+WINDOW w_full AS (PARTITION BY o_custkey ORDER BY day, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+QUERIES["window_range_frame"] = Query(window_range_frame, WINDOW_RANGE_SQL, tags=("window",))
