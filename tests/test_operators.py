@@ -220,3 +220,39 @@ def test_connected_components(spark):
     )
     cc = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_asof_no_matches_and_empty_right(spark):
+    import pandas as pd
+
+    ldf = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "lt": [5, 6], "lv": [1, 2]}))
+    # right side has no rows for these keys
+    rdf = spark.createDataFrame(pd.DataFrame({"k": [9], "rt": [1], "rv": [100]}))
+    out = asof_join(ldf, rdf, "k", "lt", "rt", ["rv"]).toPandas()
+    assert out["asof_rv"].isna().all()
+    # right rows all AFTER left ts → also no matches
+    rdf2 = spark.createDataFrame(pd.DataFrame({"k": [1], "rt": [50], "rv": [7]}))
+    out2 = asof_join(ldf, rdf2, "k", "lt", "rt", ["rv"]).toPandas()
+    assert out2["asof_rv"].isna().all()
+
+
+def test_sessionize_single_event_per_key(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"u": [1, 2, 3], "t": [10, 20, 30]}))
+    out = sessionize(df, key="u", ts="t", gap=5).toPandas()
+    assert out["session_id"].tolist() == [1, 1, 1]
+
+
+def test_salted_sum_matches_plain(spark):
+    import pandas as pd
+    from dataclass_array_spark.operators.skew import salted_sum
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["x"] * 50 + ["y"] * 5, "v": [1.5] * 55})
+    )
+    out = salted_sum(
+        df, ["g"], {"s": F.col("v").cast("decimal(25,6)")}, n_salts=8
+    ).toPandas().sort_values("g")
+    assert out.n_rows.tolist() == [50, 5]
+    assert [float(x) for x in out.s] == [75.0, 7.5]
