@@ -407,3 +407,36 @@ WINDOW w_full AS (PARTITION BY o_custkey ORDER BY day, o_orderkey
 """
 
 QUERIES["window_range_frame"] = Query(window_range_frame, WINDOW_RANGE_SQL, tags=("window",))
+
+
+# ------------------------------------------------ rank-family completeness
+def rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/percent_rank/cume_dist — completes the window
+    ranking roster (row_number/ntile live in other queries).  All are
+    exact rationals of (rank, n) → identical doubles cross-engine."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+    )
+
+
+RANK_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       PERCENT_RANK() OVER w AS prnk,
+       CUME_DIST() OVER w AS cdist
+FROM orders WHERE o_orderkey <= 2000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+QUERIES["rank_functions"] = Query(rank_functions, RANK_SQL, tags=("window",))
