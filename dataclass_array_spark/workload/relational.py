@@ -440,3 +440,42 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """
 
 QUERIES["rank_functions"] = Query(rank_functions, RANK_SQL, tags=("window",))
+
+
+# ------------------------------------------------ calendar arithmetic
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic parity: datediff/date_add/last_day/quarter/
+    weekday — the classic engine-divergence zone, pinned down exactly
+    (Spark dayofweek is 1=Sunday, DuckDB 0=Sunday: normalized to ISO
+    1=Monday..7=Sunday in both)."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    d = F.col("o_orderdate").cast("date")
+    iso_dow = ((F.dayofweek(d) + 5) % 7) + 1  # 1=Mon .. 7=Sun
+    return (
+        o.filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch0"),
+            F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.quarter(d).cast("long").alias("qtr"),
+            iso_dow.cast("long").alias("iso_dow"),
+            F.date_format(F.date_trunc("week", d), "yyyy-MM-dd").alias("week_start"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+DATE_SQL = """
+SELECT o_orderkey,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+         AS days_since_epoch0,
+       strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d') AS due_date,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+       strftime(CAST(date_trunc('week', o_orderdate) AS DATE), '%Y-%m-%d') AS week_start
+FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey
+"""
+
+QUERIES["date_functions"] = Query(date_functions, DATE_SQL, tags=("scalar", "date"))
