@@ -90,3 +90,31 @@ def test_negative_index_multi_dim(spark):
     p, v = make((3, 4), spark)
     assert_np_equal(p[-1], {"v": v[-1]})
     assert_np_equal(p[-2, -3], {"v": v[-2, -3]})
+
+
+def test_stack_scalars(spark):
+    items = [make((), spark)[0] for _ in range(3)]
+    # rebuild with distinct values
+    vals = [P(spark, v=np.float32(i * 1.5)) for i in range(3)]
+    st = das.stack(vals)
+    assert st.shape == (3,)
+    assert_np_equal(st, {"v": np.array([0.0, 1.5, 3.0], np.float32)})
+
+
+def test_concat_then_gather_then_mask(spark):
+    a, va = make((3,), spark)
+    b, vb = make((2,), spark)
+    b2 = b.map_field(lambda c: c + 100)
+    cc = das.concat([a, b2])
+    v = np.concatenate([va, vb + 100])
+    g = cc[np.array([4, 0, 3])]
+    expect = v[[4, 0, 3]]
+    assert_np_equal(g, {"v": expect})
+    m = g[np.array([True, False, True])]
+    assert_np_equal(m, {"v": expect[[0, 2]]})
+
+
+def test_broadcast_to_middle_dim(spark):
+    p, v = make((2, 1, 3), spark)
+    b = p.broadcast_to((2, 4, 3))
+    assert_np_equal(b, {"v": np.broadcast_to(v, (2, 4, 3))})
