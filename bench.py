@@ -43,17 +43,37 @@ def main() -> None:
         total += dt
         _ = len(rows)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "workload_total_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-query timings go to a file + an EARLIER stdout line; the driver
+    # tail-captures stdout and round 1 showed the full 74-query dict
+    # overflows its capture window ("parsed": null).  The LAST stdout line
+    # must be a short, self-contained headline JSON.
+    detail = {
+        "metric": "workload_total_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    headline = {
+        "metric": "workload_total_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "median_sec": round(sorted(timings.values())[len(timings) // 2], 3),
+        "max_sec": round(max(timings.values()), 3),
+        "sf": sf_val,
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -27,7 +27,7 @@ from dataclass_array_spark.core.table import (
     field,
 )
 from dataclass_array_spark.core.ops import stack, concat
-from dataclass_array_spark.vectorize import vectorize_method
+from dataclass_array_spark.vectorize import VectorizeFallbackWarning, vectorize_method
 from dataclass_array_spark.session import get_spark
 
 __version__ = "0.1.0"
@@ -39,5 +39,6 @@ __all__ = [
     "stack",
     "concat",
     "vectorize_method",
+    "VectorizeFallbackWarning",
     "get_spark",
 ]

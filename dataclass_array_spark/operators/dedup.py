@@ -112,6 +112,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.3,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
@@ -120,10 +121,22 @@ def minhash_lsh_pairs(
     2. band explode: rows × ``bands`` (small constant).
     3. self-join on (band, signature): shuffle on a uniform hash key —
        this is the ONLY quadratic-risk step and banding keeps buckets
-       tiny by construction.
+       tiny by construction *for distinct-ish corpora*.
     4. verify on the candidate set only (array_intersect of the two
        shingle sets, carried through the join — no second shuffle of the
        corpus).
+
+    ``max_bucket_size`` guards step 3 against degenerate corpora: a
+    viral document duplicated millions of times puts every copy in the
+    same (band, sig) bucket and the self-join goes quadratic in that
+    bucket.  With a cap, buckets larger than ``max_bucket_size`` are
+    DROPPED before the join (window count over the same (band, sig)
+    key the join shuffles on, so AQE reuses the exchange — no extra
+    shuffle).  Recall impact: a pair is lost only if *every* band that
+    matched it was oversized; for a cap of B docs the skipped work is
+    exactly the O(B²)-per-bucket blowup.  Callers who want the members
+    of a mega-cluster should exact-dedup first (identical copies
+    collapse there for free) and run MinHash on the survivors.
     """
     rows_per_band = n_hashes // bands
     # md5 signatures are CPU-bound: spread the corpus across all cores
@@ -147,6 +160,13 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", "shingles", F.explode(F.array(*band_cols)).alias("bs")
     ).select("doc_id", "shingles", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "sig")
+        banded = banded.withColumn("_bn", F.count("*").over(w)).filter(
+            F.col("_bn") <= max_bucket_size
+        ).drop("_bn")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

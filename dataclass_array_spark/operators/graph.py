@@ -5,8 +5,9 @@ PAIRS into duplicate CLUSTERS (transitive closure) for dedup.
 Driver-side convergence loop of joins; each iteration is one shuffle on
 the node id.  Iteration count is O(log(diameter)) with the large-star
 contraction below; dup clusters have tiny diameters, so 3-5 iterations
-cover real corpora.  At 100 TB: localCheckpoint each iteration to cut
-the growing lineage (done below past iteration 3).
+cover real corpora.  At 100 TB: localCheckpoint each iteration (before
+the convergence count, so count + next iteration share one
+materialization) to cut the growing lineage.
 """
 
 from __future__ import annotations
@@ -51,6 +52,12 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))
                 ).alias("comp"),
             )
+            # checkpoint BEFORE the convergence count: the count and the
+            # next iteration then share one materialization instead of
+            # executing the join/agg pipeline twice per iteration (the
+            # count would otherwise materialize it, and the next
+            # iteration would recompute it from lineage)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -59,8 +66,6 @@ def connected_components(
             .count()
         )
         labels = new_labels
-        if i >= 3:
-            labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             break
     return labels

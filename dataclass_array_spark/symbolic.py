@@ -15,9 +15,15 @@ worker.  Unsupported numpy calls raise → the decorator falls back to the
 tier-2 Arrow loop, so tracing is strictly an optimization.
 
 Supported surface (grows as needed): elementwise ufuncs (+ − × ÷ **,
-neg, abs, sqrt, exp, log, maximum, minimum, comparisons), ``np.dot``
-(1-d), ``np.sum``, ``np.linalg.norm`` — over scalar fields
-(inner_ndim 0) and vector fields (inner_ndim 1).
+neg, abs, sqrt, exp, log, maximum, minimum, comparisons), ``np.dot`` /
+``@`` (vector·vector, matrix·vector, vector·matrix, matrix·matrix),
+``np.sum/mean/max/min`` (with ``axis=`` on matrices), ``np.transpose`` /
+``.T``, int indexing, ``np.linalg.norm`` — over scalar fields
+(inner_ndim 0), vector fields (inner_ndim 1), and matrix fields
+(inner_ndim 2, e.g. a 3×3 rotation: reference
+`array_dataclass_test.py:78-102` ``Isometrie``).  All folds are
+sequential left-folds (``F.aggregate``), bit-identical to DuckDB's
+``list_reduce(list_prepend(0.0, ...))``.
 """
 
 from __future__ import annotations
@@ -37,45 +43,144 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr.cast("array<double>"), F.lit(0.0), lambda a, x: a + x)
 
 
+def _dot_fold(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two 1-d array columns (double)."""
+    prods = F.zip_with(
+        a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda s, x: s + x)
+
+
+def _transpose2(col: Column) -> Column:
+    """array<array<T>> transpose: result[j][i] = col[i][j]."""
+    ncols = F.size(F.element_at(col, 1))
+    return F.transform(
+        F.sequence(F.lit(0), ncols - 1),
+        lambda j: F.transform(col, lambda row: F.get(row, j)),
+    )
+
+
+def _nested_map(col: Column, ndim: int, fn) -> Column:
+    if ndim == 0:
+        return fn(col)
+    if ndim == 1:
+        return F.transform(col, fn)
+    return F.transform(col, lambda row: F.transform(row, fn))
+
+
+def _nested_zip(a: Column, b: Column, ndim: int, fn) -> Column:
+    if ndim == 0:
+        return fn(a, b)
+    if ndim == 1:
+        return F.zip_with(a, b, fn)
+    return F.zip_with(a, b, lambda ra, rb: F.zip_with(ra, rb, fn))
+
+
 class SymbolicArray:
     """A Column standing in for one row's field value (scalar or fixed-
     length vector) during method tracing."""
 
     def __init__(self, col: Column, inner_ndim: int):
-        if inner_ndim > 1:
-            raise TraceError("symbolic tracing supports inner rank <= 1")
+        if inner_ndim > 2:
+            raise TraceError("symbolic tracing supports inner rank <= 2")
         self.col = col
         self.inner_ndim = inner_ndim
 
     # ---- helpers ----
     def _binop(self, other: Any, fn, reverse: bool = False):
+        """Elementwise fn with numpy broadcasting; operand order is
+        (self, other), or (other, self) when ``reverse``."""
         if isinstance(other, SymbolicArray):
-            if other.inner_ndim != self.inner_ndim:
-                # scalar vs vector broadcast
-                scal, vec = (
-                    (other, self) if self.inner_ndim else (self, other)
-                )
-                apply = (lambda x: fn(scal.col, x)) if (scal is self) != reverse else (
+            a, b = (other, self) if reverse else (self, other)
+            an, bn = a.inner_ndim, b.inner_ndim
+            if an == bn:
+                return SymbolicArray(_nested_zip(a.col, b.col, an, fn), an)
+            if an == 0 or bn == 0:
+                # scalar broadcast against vector/matrix
+                scal_left = an == 0
+                scal, vec = (a, b) if scal_left else (b, a)
+                vn = bn if scal_left else an
+                g = (lambda x: fn(scal.col, x)) if scal_left else (
                     lambda x: fn(x, scal.col)
                 )
-                return SymbolicArray(F.transform(vec.col, apply), 1)
-            if self.inner_ndim == 0:
-                a, b = (other.col, self.col) if reverse else (self.col, other.col)
-                return SymbolicArray(fn(a, b), 0)
-            l, r = (other.col, self.col) if reverse else (self.col, other.col)
-            return SymbolicArray(F.zip_with(l, r, lambda x, y: fn(x, y)), 1)
+                return SymbolicArray(_nested_map(vec.col, vn, g), vn)
+            # numpy (c,) vs (r,c) broadcast: zip the vector against each row
+            vec_left = an == 1
+            v, m = (a, b) if vec_left else (b, a)
+            g = (lambda row: F.zip_with(v.col, row, fn)) if vec_left else (
+                lambda row: F.zip_with(row, v.col, fn)
+            )
+            return SymbolicArray(F.transform(m.col, g), 2)
         # plain python scalar
         lit = F.lit(float(other) if isinstance(other, (int, float, np.floating, np.integer)) else other)
-        if self.inner_ndim == 0:
-            a, b = (lit, self.col) if reverse else (self.col, lit)
-            return SymbolicArray(fn(a, b), 0)
-        apply = (lambda x: fn(lit, x)) if reverse else (lambda x: fn(x, lit))
-        return SymbolicArray(F.transform(self.col, apply), 1)
+        g = (lambda x: fn(lit, x)) if reverse else (lambda x: fn(x, lit))
+        return SymbolicArray(_nested_map(self.col, self.inner_ndim, g), self.inner_ndim)
 
     def _map(self, fn):
-        if self.inner_ndim == 0:
-            return SymbolicArray(fn(self.col), 0)
-        return SymbolicArray(F.transform(self.col, fn), 1)
+        return SymbolicArray(_nested_map(self.col, self.inner_ndim, fn), self.inner_ndim)
+
+    def _matmul(self, other: Any, reverse: bool = False):
+        if not isinstance(other, SymbolicArray):
+            raise TraceError("matmul requires two symbolic operands")
+        a, b = (other, self) if reverse else (self, other)
+        an, bn = a.inner_ndim, b.inner_ndim
+        if an == 1 and bn == 1:
+            return SymbolicArray(_dot_fold(a.col, b.col), 0)
+        if an == 2 and bn == 1:
+            # (r,c) @ (c,) → (r,): per-row dot
+            return SymbolicArray(
+                F.transform(a.col, lambda row: _dot_fold(row, b.col)), 1
+            )
+        if an == 1 and bn == 2:
+            # (r,) @ (r,c) → (c,): dot against each column of b
+            return SymbolicArray(
+                F.transform(_transpose2(b.col), lambda colv: _dot_fold(a.col, colv)),
+                1,
+            )
+        if an == 2 and bn == 2:
+            # (r,k) @ (k,c): rows of a against columns of b
+            bt = _transpose2(b.col)
+            return SymbolicArray(
+                F.transform(
+                    a.col,
+                    lambda row: F.transform(bt, lambda colv: _dot_fold(row, colv)),
+                ),
+                2,
+            )
+        raise TraceError(f"matmul unsupported for ranks ({an}, {bn})")
+
+    def _reduce(self, elem_fn, axis):
+        """Reduction: elem_fn ∈ {'sum','mean','max','min'}.  axis=None
+        collapses everything; on matrices axis 0/1 reduce columns/rows."""
+        n = self.inner_ndim
+        if n == 0:
+            return self
+
+        def red1(arr: Column) -> Column:
+            if elem_fn == "sum":
+                return _fold_sum(arr)
+            if elem_fn == "mean":
+                return _fold_sum(arr) / F.size(arr).cast("double")
+            if elem_fn == "max":
+                return F.array_max(arr)
+            return F.array_min(arr)
+
+        if n == 1:
+            if axis not in (None, 0, -1):
+                raise TraceError(f"axis {axis} out of range for rank-1 field")
+            return SymbolicArray(red1(self.col), 0)
+        # rank 2
+        if axis is None:
+            if elem_fn in ("max", "min"):
+                f2 = F.array_max if elem_fn == "max" else F.array_min
+                return SymbolicArray(f2(F.transform(self.col, f2)), 0)
+            flat = F.flatten(self.col)
+            return SymbolicArray(red1(flat), 0)
+        if axis in (1, -1):
+            return SymbolicArray(F.transform(self.col, red1), 1)
+        if axis == 0:
+            return SymbolicArray(F.transform(_transpose2(self.col), red1), 1)
+        raise TraceError(f"axis {axis} out of range for rank-2 field")
 
     # ---- python operators ----
     def __add__(self, o):
@@ -121,6 +226,28 @@ class SymbolicArray:
     def __le__(self, o):
         return self._binop(o, lambda a, b: a <= b)
 
+    def __matmul__(self, o):
+        return self._matmul(o)
+
+    def __rmatmul__(self, o):
+        return self._matmul(o, reverse=True)
+
+    @property
+    def T(self):
+        if self.inner_ndim < 2:
+            return self  # numpy: transpose of scalar/1-d is itself
+        return SymbolicArray(_transpose2(self.col), 2)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple) and len(idx) == 2 and self.inner_ndim == 2:
+            i, j = idx
+            if isinstance(i, (int, np.integer)) and isinstance(j, (int, np.integer)):
+                return SymbolicArray(F.get(F.get(self.col, int(i)), int(j)), 0)
+            raise TraceError("only int,int matrix indexing traces")
+        if isinstance(idx, (int, np.integer)) and self.inner_ndim >= 1:
+            return SymbolicArray(F.get(self.col, int(idx)), self.inner_ndim - 1)
+        raise TraceError(f"unsupported symbolic index {idx!r}")
+
     # ---- numpy protocols ----
     _UFUNC_MAP = {
         np.add: lambda a, b: a + b,
@@ -142,6 +269,11 @@ class SymbolicArray:
     def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
         if method != "__call__" or kwargs.get("out"):
             raise TraceError(f"unsupported ufunc call {ufunc}")
+        if ufunc is np.matmul and len(inputs) == 2:
+            a, b = inputs
+            if a is self:
+                return self._matmul(b)
+            return self._matmul(a, reverse=True)
         if ufunc in self._UNARY_MAP and len(inputs) == 1:
             return self._map(self._UNARY_MAP[ufunc])
         if ufunc in self._UFUNC_MAP and len(inputs) == 2:
@@ -151,53 +283,30 @@ class SymbolicArray:
             return self._binop(a, self._UFUNC_MAP[ufunc], reverse=True)
         raise TraceError(f"unsupported ufunc {ufunc}")
 
+    _REDUCTIONS = {np.sum: "sum", np.mean: "mean", np.max: "max", np.amax: "max",
+                   np.min: "min", np.amin: "min"}
+
     def __array_function__(self, func, types, args, kwargs):
-        if func is np.dot and len(args) == 2:
+        if func in (np.dot, np.matmul) and len(args) == 2:
             a, b = args
-            if isinstance(a, SymbolicArray) and isinstance(b, SymbolicArray):
-                if a.inner_ndim == 1 and b.inner_ndim == 1:
-                    prods = F.zip_with(
-                        a.col.cast("array<double>"),
-                        b.col.cast("array<double>"),
-                        lambda x, y: x * y,
-                    )
-                    return SymbolicArray(
-                        F.aggregate(prods, F.lit(0.0), lambda s, x: s + x), 0
-                    )
-            raise TraceError("np.dot supported for 1-d symbolic arrays only")
-        if func is np.sum and len(args) == 1 and isinstance(args[0], SymbolicArray):
-            s = args[0]
-            if s.inner_ndim == 1:
-                return SymbolicArray(_fold_sum(s.col), 0)
-            return s
-        if func is np.mean and len(args) == 1 and isinstance(args[0], SymbolicArray):
-            s = args[0]
-            if s.inner_ndim == 1:
-                return SymbolicArray(
-                    _fold_sum(s.col) / F.size(s.col).cast("double"), 0
-                )
-            return s
-        if func in (np.max, np.amax) and len(args) == 1 and isinstance(args[0], SymbolicArray):
-            s = args[0]
-            if s.inner_ndim == 1:
-                return SymbolicArray(F.array_max(s.col), 0)
-            return s
-        if func in (np.min, np.amin) and len(args) == 1 and isinstance(args[0], SymbolicArray):
-            s = args[0]
-            if s.inner_ndim == 1:
-                return SymbolicArray(F.array_min(s.col), 0)
-            return s
+            if isinstance(a, SymbolicArray):
+                return a._matmul(b)
+            if isinstance(b, SymbolicArray):
+                return b._matmul(a, reverse=True)
+            raise TraceError("np.dot needs a symbolic operand")
+        if func in self._REDUCTIONS and args and isinstance(args[0], SymbolicArray):
+            axis = kwargs.pop("axis", args[1] if len(args) > 1 else None)
+            if kwargs.pop("keepdims", False) or kwargs:
+                raise TraceError(f"unsupported reduction kwargs for {func}")
+            return args[0]._reduce(self._REDUCTIONS[func], axis)
+        if func is np.transpose and args and isinstance(args[0], SymbolicArray):
+            if len(args) > 1 or kwargs.get("axes"):
+                raise TraceError("np.transpose axes= not supported")
+            return args[0].T
         if func is np.linalg.norm and len(args) == 1 and isinstance(args[0], SymbolicArray):
             s = args[0]
             if s.inner_ndim == 1:
-                prods = F.zip_with(
-                    s.col.cast("array<double>"),
-                    s.col.cast("array<double>"),
-                    lambda x, y: x * y,
-                )
-                return SymbolicArray(
-                    F.sqrt(F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)), 0
-                )
+                return SymbolicArray(F.sqrt(_dot_fold(s.col, s.col)), 0)
         raise TraceError(f"unsupported numpy function {func}")
 
     def __array__(self, *a, **k):

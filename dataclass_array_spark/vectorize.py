@@ -42,6 +42,12 @@ from dataclass_array_spark.core.table import DcaTable, ROWID, _nullable_variant
 _RESULT_CLS_CACHE: Dict[Tuple, type] = {}
 
 
+class VectorizeFallbackWarning(UserWarning):
+    """Tier-1 Catalyst tracing failed and the method fell back to the
+    tier-2 per-row Arrow loop — a ~10-100× slowdown cliff that would
+    otherwise be invisible until production scale."""
+
+
 def make_table_cls(name: str, fields: Dict[str, ArraySpec]) -> type:
     """Dynamically build a DcaTable subclass for computed outputs."""
     key = (name, tuple(sorted((k, v.np_dtype.name, v.inner_shape) for k, v in fields.items())))
@@ -94,9 +100,13 @@ def vectorize_method(
     *,
     static_args: FrozenSet[str] = frozenset(),
     returns: Optional[Dict[str, ArraySpec]] = None,
+    strict: bool = False,
 ):
     """Decorator; see module docstring.  ``returns`` optionally declares
-    the output field specs (skips the inference probe)."""
+    the output field specs (skips the inference probe).  ``strict=True``
+    raises instead of silently degrading to the tier-2 per-row loop when
+    Catalyst tracing fails; the default emits a
+    :class:`VectorizeFallbackWarning` naming the failure."""
 
     def decorate(method: Callable) -> Callable:
         @functools.wraps(method)
@@ -189,7 +199,9 @@ def vectorize_method(
             # style — np.dot/np.sum/arithmetic trace to Catalyst)
             from dataclass_array_spark.symbolic import SymbolicArray
 
+            trace_failures: list[tuple[str, BaseException]] = []
             for symbolic in (False, True):
+                mode = "symbolic-numpy" if symbolic else "raw-Column"
                 try:
                     view = _ColumnView(self, symbolic=symbolic)
                     m_args, m_kwargs = materialize(
@@ -200,8 +212,18 @@ def vectorize_method(
                         k: (v.col if isinstance(v, SymbolicArray) else v)
                         for k, v in _normalize_out(out).items()
                     }
-                except Exception:
+                except Exception as exc:
+                    trace_failures.append((mode, exc))
                     continue  # try next tracing mode, then tier 2
+                if not all(isinstance(v, Column) for v in out_d.values()):
+                    bad = {
+                        k: type(v).__name__
+                        for k, v in out_d.items()
+                        if not isinstance(v, Column)
+                    }
+                    trace_failures.append(
+                        (mode, TypeError(f"traced outputs are not Columns: {bad}"))
+                    )
                 if all(isinstance(v, Column) for v in out_d.values()):
                     sel = [F.col(ROWID)] + [v.alias(k) for k, v in out_d.items()]
                     res_df = work_df.select(*sel)
@@ -223,6 +245,23 @@ def vectorize_method(
                     )
 
             # ---- Tier 2: Arrow batch + per-row scalar loop ----
+            import warnings
+
+            detail = "; ".join(
+                f"[{mode}] {type(e).__name__}: {e}" for mode, e in trace_failures
+            )
+            msg = (
+                f"{type(self).__name__}.{method.__name__}: Catalyst tracing "
+                f"failed, falling back to the per-row Arrow loop "
+                f"(~10-100x slower). Causes: {detail}"
+            )
+            if strict:
+                from dataclass_array_spark.symbolic import TraceError
+
+                raise TraceError(msg) from (
+                    trace_failures[-1][1] if trace_failures else None
+                )
+            warnings.warn(msg, VectorizeFallbackWarning, stacklevel=2)
             self_specs = {
                 k: v for k, v in type(self)._array_fields().items() if isinstance(v, ArraySpec)
             }

@@ -52,12 +52,19 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 # ------------------------------------------------ minhash LSH near-dup
 _MH_THRESH = 0.3
+# Bucket-size guard: buckets over this are dropped before the self-join
+# (degenerate-corpus protection — a viral doc duplicated millions of
+# times would otherwise make one bucket quadratic).  Real buckets at
+# sf0.1 max out at 19, so the cap never binds on this corpus; the oracle
+# applies the identical cap so the comparison is exact either way.
+_MH_CAP = 64
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     return minhash_lsh_pairs(
-        d, "text", "doc_id", n_hashes=16, bands=4, threshold=_MH_THRESH
+        d, "text", "doc_id", n_hashes=16, bands=4, threshold=_MH_THRESH,
+        max_bucket_size=_MH_CAP,
     )
 
 
@@ -74,7 +81,7 @@ WITH toks AS (
 ), sig AS (
   SELECT doc_id, {_MH_EXPR}
   FROM sh GROUP BY doc_id
-), bands AS (
+), bands0 AS (
   SELECT doc_id, band,
          CASE band
            WHEN 0 THEN mh0||':'||mh1||':'||mh2||':'||mh3
@@ -82,6 +89,11 @@ WITH toks AS (
            WHEN 2 THEN mh8||':'||mh9||':'||mh10||':'||mh11
            ELSE mh12||':'||mh13||':'||mh14||':'||mh15 END AS sig
   FROM sig, generate_series(0,3) AS g(band)
+), bands AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bn
+    FROM bands0)
+  WHERE bn <= {_MH_CAP}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
@@ -359,7 +371,10 @@ def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataclass_array_spark.operators.dedup import drop_near_duplicates
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = minhash_lsh_pairs(d, "text", "doc_id", n_hashes=16, bands=4, threshold=_MH_THRESH)
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", n_hashes=16, bands=4, threshold=_MH_THRESH,
+        max_bucket_size=_MH_CAP,
+    )
     kept = drop_near_duplicates(d, pairs, "doc_id")
     return kept.select("doc_id", "source", "lang").orderBy("doc_id")
 
@@ -583,7 +598,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataclass_array_spark.operators.graph import connected_components
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = minhash_lsh_pairs(d, "text", "doc_id", n_hashes=16, bands=4, threshold=_MH_THRESH)
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", n_hashes=16, bands=4, threshold=_MH_THRESH,
+        max_bucket_size=_MH_CAP,
+    )
     cc = connected_components(pairs.select("id_a", "id_b"))
     return cc.select(
         F.col("node").cast("long").alias("doc_id"),

@@ -168,11 +168,17 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-private, so this is a rows-only check by design; exact
     counterparts are oracle-checked in distinct_parts_per_supplier."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    # Quantiles emitted as separate scalar columns (not one array column):
+    # the driver's pandas canonicalizer sorts output columns, and ndarray
+    # cells are unhashable there.  Catalyst collapses the two
+    # percentile_approx calls over the same (col, accuracy) into a single
+    # ApproximatePercentile accumulator, so this costs no extra pass.
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("price_p95"),
             F.count("*").alias("n"),
         )
         .orderBy("l_returnflag")
@@ -436,7 +442,12 @@ QUERIES["median_quantity_by_flag"] = Query(median_quantity_by_flag, MEDIAN_SQL, 
 def order_quantity_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation with deterministic order (collect_list is
     unordered — sort structs then project) + array function passthrough
-    (size/slice/contains/reverse)."""
+    (size/slice/contains/reverse).  All array ops run on the real
+    ArrayType column inside Catalyst; only the OUTPUT is serialized to a
+    CSV string, because the driver's pandas canonicalizer sorts columns
+    and ndarray cells are unhashable.  l_quantity is all-whole doubles,
+    so the BIGINT element cast is lossless and formatting-stable across
+    engines."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     arr = F.transform(
         F.sort_array(
@@ -447,27 +458,34 @@ def order_quantity_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         li.filter(F.col("l_orderkey") <= 200)
         .groupBy("l_orderkey")
-        .agg(arr.alias("qtys"))
+        .agg(arr.alias("qtys_arr"))
     )
+
+    def ser(col):
+        return F.array_join(F.transform(col, lambda x: x.cast("long").cast("string")), ",")
+
     return g.select(
         "l_orderkey",
-        "qtys",
-        F.size("qtys").cast("long").alias("n_items"),
-        F.slice("qtys", 1, 2).alias("first2"),
-        F.reverse("qtys").alias("rev"),
-        F.array_contains("qtys", 24.0).alias("has_24"),
+        ser(F.col("qtys_arr")).alias("qtys"),
+        F.size("qtys_arr").cast("long").alias("n_items"),
+        ser(F.slice("qtys_arr", 1, 2)).alias("first2"),
+        ser(F.reverse("qtys_arr")).alias("rev"),
+        F.array_contains("qtys_arr", 24.0).alias("has_24"),
     ).orderBy("l_orderkey")
 
 
 ARRAYS_SQL = """
+WITH g AS (
+  SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys_arr
+  FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey
+)
 SELECT l_orderkey,
-       list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys,
-       CAST(len(list(l_quantity ORDER BY l_linenumber, l_quantity)) AS BIGINT) AS n_items,
-       (list(l_quantity ORDER BY l_linenumber, l_quantity))[1:2] AS first2,
-       list_reverse(list(l_quantity ORDER BY l_linenumber, l_quantity)) AS rev,
-       list_contains(list(l_quantity ORDER BY l_linenumber, l_quantity), 24.0) AS has_24
-FROM lineitem WHERE l_orderkey <= 200
-GROUP BY l_orderkey ORDER BY l_orderkey
+       array_to_string(list_transform(qtys_arr, x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS qtys,
+       CAST(len(qtys_arr) AS BIGINT) AS n_items,
+       array_to_string(list_transform(qtys_arr[1:2], x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS first2,
+       array_to_string(list_transform(list_reverse(qtys_arr), x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS rev,
+       list_contains(qtys_arr, 24.0) AS has_24
+FROM g ORDER BY l_orderkey
 """
 
 QUERIES["order_quantity_arrays"] = Query(order_quantity_arrays, ARRAYS_SQL, tags=("agg", "array"))

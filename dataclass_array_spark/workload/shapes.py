@@ -144,7 +144,84 @@ FROM embeddings
 """
 
 
+# -------------------------------------------- rank-2 vectorize (matrix fields)
+@das.dataclass_array(cast_dtype=True)
+class IsoLike(das.DcaTable):
+    """3×3 matrix + 3-vector fields (reference Isometrie analog,
+    `array_dataclass_test.py:78-102`) carved out of the embedding
+    vector: R = first 9 dims as rows, t = dims 10-12."""
+
+    vec_id: i64
+    R: f32["*b 3 3"]
+    t: f32["*b 3"]
+
+    @das.vectorize_method
+    def geometry(self):
+        """Plain-numpy scalar-written body over a MATRIX field — must
+        compile to Catalyst (tier-1 rank-2 tracing): matmul m@v and
+        m@m, transpose, axis reduction, element indexing."""
+        p = self.R @ self.t + self.t  # apply + translate
+        colsum = np.sum(self.R, axis=0)  # column sums (reduce over rows)
+        gram01 = (self.R @ self.R.T)[0, 1]  # row0 · row1
+        return {
+            "p0": p[0], "p1": p[1], "p2": p[2],
+            "colsum0": colsum[0],
+            "gram01": gram01,
+        }
+
+
+def shape_vectorize_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    e = F.col("embedding")
+    df = df.select(
+        "vec_id",
+        F.array(F.slice(e, 1, 3), F.slice(e, 4, 3), F.slice(e, 7, 3)).alias("R"),
+        F.slice(e, 10, 3).alias("t"),
+    )
+    df = attach_dense_rowid(df, order_by="vec_id")
+    t = IsoLike.from_df(df, validate=True)
+    out = t.geometry()
+    joined = out.df.join(t.df.select(ROWID, "vec_id"), on=ROWID)
+    cols = ["p0", "p1", "p2", "colsum0", "gram01"]
+    # float32 inputs widen exactly to double; folds are sequential in
+    # both engines → bit-identical values → identical floor-scaled ints
+    return joined.select(
+        "vec_id", *[F.floor(F.col(c) * 1e6).cast("long").alias(f"{c}_e6") for c in cols]
+    ).orderBy("vec_id")
+
+
+_DOT3 = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1,3), "
+    "k -> CAST({a}[k] AS DOUBLE) * CAST({b}[k] AS DOUBLE))), (x,y) -> x + y)"
+)
+
+VECTORIZE_MAT_SQL = f"""
+WITH base AS (
+  SELECT vec_id,
+         embedding[1:3] AS r0, embedding[4:6] AS r1, embedding[7:9] AS r2,
+         embedding[10:12] AS t
+  FROM embeddings
+), calc AS (
+  SELECT vec_id,
+         {_DOT3.format(a='r0', b='t')} + CAST(t[1] AS DOUBLE) AS p0,
+         {_DOT3.format(a='r1', b='t')} + CAST(t[2] AS DOUBLE) AS p1,
+         {_DOT3.format(a='r2', b='t')} + CAST(t[3] AS DOUBLE) AS p2,
+         CAST(r0[1] AS DOUBLE) + CAST(r1[1] AS DOUBLE) + CAST(r2[1] AS DOUBLE) AS colsum0,
+         {_DOT3.format(a='r0', b='r1')} AS gram01
+  FROM base
+)
+SELECT vec_id,
+       CAST(FLOOR(p0 * 1e6) AS BIGINT) AS p0_e6,
+       CAST(FLOOR(p1 * 1e6) AS BIGINT) AS p1_e6,
+       CAST(FLOOR(p2 * 1e6) AS BIGINT) AS p2_e6,
+       CAST(FLOOR(colsum0 * 1e6) AS BIGINT) AS colsum0_e6,
+       CAST(FLOOR(gram01 * 1e6) AS BIGINT) AS gram01_e6
+FROM calc ORDER BY vec_id
+"""
+
+
 QUERIES = {
+    "shape_vectorize_mat": Query(shape_vectorize_mat, VECTORIZE_MAT_SQL, tags=("shape", "vectorize")),
     "shape_mask_filter": Query(shape_mask_filter, MASK_SQL, tags=("shape",)),
     "shape_gather": Query(shape_gather, GATHER_SQL, tags=("shape",)),
     "shape_transpose": Query(shape_transpose, TRANSPOSE_SQL, tags=("shape",)),

@@ -232,3 +232,129 @@ def test_broadcast_matrix(spark, self_shape, arg_shape):
     np.testing.assert_allclose(got2, expect)
     got1 = r.shift_t1(o).to_numpy_fields()["p"]
     np.testing.assert_allclose(got1, expect)
+
+
+def test_tier2_fallback_warns(spark):
+    """Silent 100x degradation is banned: tier-2 fallback must warn,
+    naming the method and the exception that broke tier-1 tracing."""
+    r, *_ = make(spark)
+    with pytest.warns(das.VectorizeFallbackWarning, match="dir_norm2_t2"):
+        r.dir_norm2_t2().df.collect()
+
+
+def test_tier1_does_not_warn(spark):
+    import warnings
+
+    r, *_ = make(spark)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", das.VectorizeFallbackWarning)
+        r.dir_norm2_t1().df.collect()
+
+
+def test_strict_raises_on_untraceable(spark):
+    from dataclass_array_spark.symbolic import TraceError
+
+    @das.dataclass_array(broadcast=True, cast_dtype=True)
+    class StrictRay(das.DcaTable):
+        dir: f32["*b 3"]
+
+        @das.vectorize_method(strict=True)
+        def norm2(self):
+            return {"n2": float(np.dot(np.asarray(self.dir), np.asarray(self.dir)))}
+
+    r = StrictRay(spark, dir=np.ones((4, 3), dtype=np.float32))
+    with pytest.raises(TraceError, match="norm2"):
+        r.norm2()
+
+
+# ---------------------------------------------------------------- rank-2
+@das.dataclass_array(broadcast=True, cast_dtype=True)
+class MatBox(das.DcaTable):
+    """3x3 matrix field (reference Isometrie analog)."""
+
+    R: f32["*b 3 3"]
+    t: f32["*b 3"]
+
+    @das.vectorize_method
+    def apply(self):
+        return {"p": self.R @ self.t + self.t}
+
+    @das.vectorize_method
+    def rich(self):
+        return {
+            "colsum": np.sum(self.R, axis=0),
+            "rowsum": np.sum(self.R, axis=1),
+            "tot": np.sum(self.R),
+            "mx": np.max(self.R),
+            "el12": self.R[1, 2],
+            "gram": self.R @ self.R.T,
+            "vm": self.t @ self.R,
+            "scaled": self.R * 2.0 + 1.0,
+            "shifted": self.R + self.t,  # (3,3) + (3,) broadcast
+        }
+
+
+def _mat_fixture(spark, n=6):
+    rng = np.random.default_rng(42)
+    R = rng.standard_normal((n, 3, 3)).astype(np.float32)
+    t = rng.standard_normal((n, 3)).astype(np.float32)
+    return MatBox(spark, R=R, t=t), R.astype(np.float64), t.astype(np.float64)
+
+
+def test_rank2_matmul_traces_to_catalyst(spark):
+    """The reference's Isometrie-style matrix methods must compile to
+    Catalyst (tier-1), not the per-row Python loop."""
+    import warnings
+
+    box, R, t = _mat_fixture(spark)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", das.VectorizeFallbackWarning)
+        out = box.apply()
+        got = out.to_numpy_fields()["p"]
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "Python" not in plan
+    np.testing.assert_allclose(got, np.einsum("nij,nj->ni", R, t) + t, rtol=1e-6)
+
+
+def test_rank2_operations_match_numpy(spark):
+    import warnings
+
+    box, R, t = _mat_fixture(spark)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", das.VectorizeFallbackWarning)
+        f = box.rich().to_numpy_fields()
+    np.testing.assert_allclose(f["colsum"], R.sum(axis=1), rtol=1e-6)
+    np.testing.assert_allclose(f["rowsum"], R.sum(axis=2), rtol=1e-6)
+    np.testing.assert_allclose(f["tot"], R.sum(axis=(1, 2)), rtol=1e-6)
+    np.testing.assert_allclose(f["mx"], R.max(axis=(1, 2)), rtol=1e-6)
+    np.testing.assert_allclose(f["el12"], R[:, 1, 2], rtol=1e-6)
+    np.testing.assert_allclose(f["gram"], np.einsum("nij,nkj->nik", R, R), rtol=1e-6)
+    np.testing.assert_allclose(f["vm"], np.einsum("ni,nij->nj", t, R), rtol=1e-6)
+    np.testing.assert_allclose(f["scaled"], R * 2.0 + 1.0, rtol=1e-6)
+    np.testing.assert_allclose(f["shifted"], R + t[:, None, :], rtol=1e-6)
+
+
+def test_rank2_matmul_chain_mm(spark):
+    """m @ m composition keeps tracing (transpose-of-transpose path)."""
+    import warnings
+
+    @das.dataclass_array(broadcast=True, cast_dtype=True)
+    class TwoMat(das.DcaTable):
+        A: f32["*b 2 3"]
+        B: f32["*b 3 2"]
+
+        @das.vectorize_method
+        def prod(self):
+            return {"C": self.A @ self.B}
+
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((4, 2, 3)).astype(np.float32)
+    B = rng.standard_normal((4, 3, 2)).astype(np.float32)
+    tm = TwoMat(spark, A=A, B=B)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", das.VectorizeFallbackWarning)
+        C = tm.prod().to_numpy_fields()["C"]
+    np.testing.assert_allclose(
+        C, np.einsum("nik,nkj->nij", A.astype(np.float64), B.astype(np.float64)),
+        rtol=1e-6,
+    )
