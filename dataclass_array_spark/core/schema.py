@@ -69,7 +69,51 @@ def parse_shape(spec: str) -> Tuple[Optional[int], ...]:
 
 
 @dataclasses.dataclass(frozen=True)
-class ArraySpec:
+class UnionHint:
+    """Runtime stand-in for ``X | Y`` where a member is a spec *instance*
+    (``f32['*b 3'] | None``) — Python's native UnionType only accepts
+    types.  Flattened by :func:`get_leaf_hints`."""
+
+    members: Tuple[Any, ...]
+
+    def __or__(self, other: Any) -> "UnionHint":
+        return UnionHint(self.members + (other,))
+
+    def __ror__(self, other: Any) -> "UnionHint":
+        return UnionHint((other,) + self.members)
+
+
+class _UnionableMixin:
+    def __or__(self, other: Any) -> UnionHint:
+        return UnionHint((self, other))
+
+    def __ror__(self, other: Any) -> UnionHint:
+        return UnionHint((other, self))
+
+
+def get_leaf_hints(ann: Any) -> list:
+    """Flatten ``Union[...]`` / ``X | Y`` / ``Optional[X]`` /
+    :class:`UnionHint` annotation trees to their leaves; ``NoneType``
+    normalizes to ``None`` (reference `type_parsing.py:35-75`)."""
+    import types as _pytypes
+    import typing as _typing
+
+    if isinstance(ann, UnionHint):
+        out: list = []
+        for m in ann.members:
+            out.extend(get_leaf_hints(m))
+        return out
+    origin = _typing.get_origin(ann)
+    if origin is _typing.Union or origin is getattr(_pytypes, "UnionType", object()):
+        out = []
+        for m in _typing.get_args(ann):
+            out.extend(get_leaf_hints(m))
+        return out
+    return [None if ann is type(None) else ann]
+
+
+@dataclasses.dataclass(frozen=True)
+class ArraySpec(_UnionableMixin):
     """Parsed field annotation: dtype + inner shape (None dims dynamic)."""
 
     np_dtype: np.dtype
@@ -112,7 +156,7 @@ _NP_TO_SPARK: dict[str, T.DataType] = {
 }
 
 
-class _DtypeAlias:
+class _DtypeAlias(_UnionableMixin):
     """``f32['*batch 3']`` → ArraySpec.  Bare ``f32`` means inner shape ()."""
 
     def __init__(self, np_dtype: Any):

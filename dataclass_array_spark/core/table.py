@@ -48,7 +48,7 @@ class DataclassParams:
 
 
 @dataclasses.dataclass(frozen=True)
-class NestedSpec:
+class NestedSpec(dsch._UnionableMixin):
     """A nested-DcaTable field, optionally with extra inner batch dims
     (reference ``Ray['*batch 3 7']``, `field_utils.py:28-63`)."""
 
@@ -76,7 +76,13 @@ def dataclass_array(
     cast_list: bool = True,
 ):
     """Class decorator setting the coercion policy (reference
-    `array_dataclass.py:75-117`)."""
+    `array_dataclass.py:75-117`).
+
+    ``broadcast`` is deliberately MORE permissive than the reference:
+    scalar ``()`` fields always broadcast (even with broadcast=False),
+    and ``broadcast=True`` accepts any numpy-compatible batch-shape
+    combination, not just scalar→batch.  See the constructor's
+    broadcasting block for the rationale."""
 
     def wrap(c: type) -> type:
         c._dca_params = DataclassParams(broadcast, cast_dtype, cast_list)
@@ -96,9 +102,67 @@ def _size(shape: Sequence[int]) -> int:
     return int(math.prod(shape)) if shape else 1
 
 
+def _idiv(a: Column, b) -> Column:
+    """Exact integer division on long columns (SQL ``div``).  Double
+    division + cast('long') is only floor-exact while the dividend is
+    below ~2^53; rowids at the 100 TB design point can exceed that, and
+    a quotient half-ulp under an integer would round up and silently
+    misindex a row."""
+    return F.call_function("div", a, F.lit(b) if isinstance(b, int) else b)
+
+
 class _DcaMeta(type):
     def __getitem__(cls, spec: str) -> NestedSpec:
         return NestedSpec(cls, parse_shape(spec))
+
+
+def _resolve_hint(ann: Any) -> Any:
+    """Annotation (possibly a ``Union``/``Optional``) → ArraySpec |
+    NestedSpec | None, mirroring the reference's ``get_array_type``
+    truth table (`type_parsing.py:78-147`):
+
+    - ``Optional[X]`` → resolve ``X`` (``None`` members are dropped)
+    - a union with any non-array member (``Ray | int``) → None (static)
+    - a union of DcaTable types with one common inner shape → the field
+      degrades to the base ``DcaTable`` at that shape
+    - mixing DcaTable and plain array members, unions of DcaTables with
+      different inner shapes, or unions of distinct array specs →
+      NotImplementedError (reference raises the same)
+    """
+    leaves = [l for l in dsch.get_leaf_hints(ann) if l is not None]
+    if not leaves:
+        return None
+    specs: list = []
+    dcas: list = []
+    others: list = []
+    for leaf in leaves:
+        s = dsch.resolve_annotation(leaf)
+        if s is not None:
+            specs.append(s)
+        elif isinstance(leaf, NestedSpec):
+            dcas.append(leaf)
+        elif isinstance(leaf, type) and issubclass(leaf, DcaTable):
+            dcas.append(NestedSpec(leaf, ()))
+        else:
+            others.append(leaf)
+    if others:
+        return None  # non-array member → whole union is a static field
+    if specs and dcas:
+        raise NotImplementedError(
+            f"{ann!r} mixes dataclass and array annotation members"
+        )
+    if dcas:
+        if len(set(dcas)) == 1:
+            return dcas[0]
+        shapes = {d.extra_inner_shape for d in dcas}
+        if len(shapes) != 1:
+            raise NotImplementedError(
+                f"{ann!r} mixes dataclasses with different inner shapes"
+            )
+        return NestedSpec(DcaTable, next(iter(shapes)))
+    if len(set(specs)) != 1:
+        raise NotImplementedError(f"{ann!r} mixes multiple array types")
+    return specs[0]
 
 
 class DcaTable(metaclass=_DcaMeta):
@@ -141,15 +205,24 @@ class DcaTable(metaclass=_DcaMeta):
                     # annotations; evaluate in the defining namespace
                     try:
                         ann = eval(ann, mod_globals, dict(vars(klass)))  # noqa: S307
-                    except Exception:
-                        pass
-                spec = dsch.resolve_annotation(ann)
+                    except Exception as exc:
+                        # a typo'd / unimportable alias would silently
+                        # drop this column from the schema — warn loudly
+                        # per field instead (the field stays static)
+                        import warnings
+
+                        warnings.warn(
+                            f"{cls.__name__}.{name}: string annotation "
+                            f"{ann!r} failed to evaluate "
+                            f"({type(exc).__name__}: {exc}); treating as a "
+                            f"STATIC field. If this was meant to be an "
+                            f"array field, make the dtype alias importable "
+                            f"in {klass.__module__}.",
+                            stacklevel=3,
+                        )
+                spec = _resolve_hint(ann)
                 if spec is not None:
                     out[name] = spec
-                elif isinstance(ann, NestedSpec):
-                    out[name] = ann
-                elif isinstance(ann, type) and issubclass(ann, DcaTable):
-                    out[name] = NestedSpec(ann, ())
                 else:
                     out[name] = ("static", ann)
         if not any(
@@ -259,9 +332,15 @@ class DcaTable(metaclass=_DcaMeta):
         if values:
             raise TypeError(f"unexpected fields {sorted(values)}")
 
-        # batch-shape broadcasting (reference `_broadcast_shape_inplace`,
-        # `array_dataclass.py:678-728`: without broadcast=True only
-        # scalar () → batch is allowed after exact-match check)
+        # batch-shape broadcasting.  INTENTIONAL RELAXATION vs the
+        # reference (`_broadcast_shape_inplace`, `array_dataclass.py:678-728`):
+        # the reference rejects scalar () auto-broadcast when
+        # broadcast=False and restricts broadcast=True to scalar→batch
+        # only; here broadcast=False still broadcasts scalar () fields
+        # (a scalar per-row constant is unambiguous) and broadcast=True
+        # accepts any np.broadcast_shapes-compatible combination, e.g.
+        # (1,3) vs (2,3) — strictly more permissive, never silently
+        # different for inputs the reference accepts.
         if arrays:
             shapes = list(batch_shapes.values())
             try:
@@ -486,7 +565,7 @@ class DcaTable(metaclass=_DcaMeta):
         new_rid: Optional[Column] = None
         for a, stride in zip(rhs_atoms, rhs_strides):
             i = atom_pos[a]
-            idx = (rid / atom_strides[i]).cast("long") % atom_shape[i]
+            idx = _idiv(rid, atom_strides[i]) % atom_shape[i]
             term = idx * stride
             new_rid = term if new_rid is None else (new_rid + term)
         out = self._df.withColumn(ROWID, new_rid.cast("long"))
@@ -514,7 +593,7 @@ class DcaTable(metaclass=_DcaMeta):
         rid = F.col("__new_rowid")
         src: Optional[Column] = None
         for i, d in enumerate(old):
-            new_idx = (rid / new_strides[pad + i]).cast("long") % shape[pad + i]
+            new_idx = _idiv(rid, new_strides[pad + i]) % shape[pad + i]
             old_idx = new_idx if d != 1 else F.lit(0)
             term = old_idx * old_strides[i]
             src = term if src is None else (src + term)
@@ -571,7 +650,7 @@ class DcaTable(metaclass=_DcaMeta):
                 out_idx_exprs.append(F.lit(0))
                 continue
             d = old_shape[dim_i]
-            idx_expr = (rid / old_strides[dim_i]).cast("long") % d
+            idx_expr = _idiv(rid, old_strides[dim_i]) % d
             if isinstance(ix, (int, np.integer)):
                 i = int(ix)
                 if i < 0:
@@ -590,7 +669,7 @@ class DcaTable(metaclass=_DcaMeta):
                     if step != 1:
                         filters.append(((idx_expr - start) % step) == 0)
                 out_dims.append(length)
-                out_idx_exprs.append(((idx_expr - start) / step).cast("long"))
+                out_idx_exprs.append(_idiv(idx_expr - start, step))
             else:
                 raise IndexError(f"unsupported index {ix!r}")
             dim_i += 1
@@ -628,7 +707,7 @@ class DcaTable(metaclass=_DcaMeta):
             ]),
         )
         rid = F.col(ROWID)
-        df = self._df.withColumn("__old_outer", (rid / t_sz).cast("long"))
+        df = self._df.withColumn("__old_outer", _idiv(rid, t_sz))
         out = (
             df.join(F.broadcast(idx_df), on="__old_outer", how="inner")
             .withColumn(ROWID, (F.col("__new_outer") * t_sz + rid % t_sz).cast("long"))
@@ -665,7 +744,7 @@ class DcaTable(metaclass=_DcaMeta):
             ]),
         )
         rid = F.col(ROWID)
-        df = self._df.withColumn("__old0", (rid / rest_sz).cast("long"))
+        df = self._df.withColumn("__old0", _idiv(rid, rest_sz))
         out = (
             df.join(F.broadcast(idx_df), on="__old0", how="inner")
             .withColumn(ROWID, (F.col("__new0") * rest_sz + rid % rest_sz).cast("long"))
@@ -864,22 +943,28 @@ class DcaTable(metaclass=_DcaMeta):
     # parquet + JSON sidecar carrying logical shape and static fields.
 
     def save(self, path: str, mode: str = "overwrite") -> None:
+        """Write parquet + a `_dca_meta.json` sidecar (shape metadata).
+
+        The sidecar goes through the Hadoop FileSystem API, not local
+        ``open()`` — so it lands next to the parquet on ANY supported
+        filesystem (HDFS/S3A/GCS), matching the 100 TB deployment story
+        where ``path`` is rarely driver-local."""
         import json
-        import os
 
         self._df.write.mode(mode).parquet(path)
         _, meta = self.tree_flatten()
-        with open(os.path.join(path, "_dca_meta.json"), "w") as f:
-            json.dump(meta, f)
+        _hadoop_write_text(
+            self._spark, f"{path.rstrip('/')}/_dca_meta.json", json.dumps(meta)
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "DcaTable":
         import json
-        import os
 
         df = spark.read.parquet(path)
-        with open(os.path.join(path, "_dca_meta.json")) as f:
-            meta = json.load(f)
+        meta = json.loads(
+            _hadoop_read_text(spark, f"{path.rstrip('/')}/_dca_meta.json")
+        )
         return cls.tree_unflatten(df, meta)
 
     def cache(self) -> "DcaTable":
@@ -890,6 +975,36 @@ class DcaTable(metaclass=_DcaMeta):
         """Show the physical plan — the first thing to check when an op
         chain might be shuffling more than it should (see PERF.md)."""
         self._df.explain(mode)
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for a path string, resolved through the
+    session's Hadoop conf — works for file:/, hdfs:/, s3a:/, gs:/ ..."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(hconf), p
+
+
+def _hadoop_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    fs, p = _hadoop_fs(spark, path_str)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark: SparkSession, path_str: str) -> str:
+    jvm = spark._jvm
+    fs, p = _hadoop_fs(spark, path_str)
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+    finally:
+        stream.close()
 
 
 def assert_same_session(*tables: "DcaTable") -> None:

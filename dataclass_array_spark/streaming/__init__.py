@@ -10,6 +10,10 @@ two oracle-checked streaming workload queries (``workload.streaming``).
 
 from dataclass_array_spark.streaming.core import (
     events_stream,
+    events_from_kafka_json,
+    kafka_stream,
+    rate_events,
+    rate_stream,
     run_stream_to_memory,
     tumbling_counts,
     session_window_stats,
@@ -19,6 +23,10 @@ from dataclass_array_spark.streaming.core import (
 
 __all__ = [
     "events_stream",
+    "events_from_kafka_json",
+    "kafka_stream",
+    "rate_events",
+    "rate_stream",
     "run_stream_to_memory",
     "tumbling_counts",
     "session_window_stats",

@@ -140,7 +140,7 @@ def vectorize_method(
                     # vectorization.py:246-282): dims of size 1 repeat —
                     # map self's rowid to the arg's rowid by zeroing the
                     # broadcast dims, then equi-join on that key
-                    from dataclass_array_spark.core.table import _strides
+                    from dataclass_array_spark.core.table import _idiv, _strides
 
                     s_str = _strides(self.shape)
                     a_str = _strides(table.shape)
@@ -148,7 +148,7 @@ def vectorize_method(
                     expr = F.lit(0).cast("long")
                     for i, (sd, ad) in enumerate(zip(self.shape, table.shape)):
                         if ad > 1:
-                            idx = (rid / s_str[i]).cast("long") % sd
+                            idx = _idiv(rid, s_str[i]) % sd
                             expr = expr + idx * a_str[i]
                     keycol = f"{prefix}rid"
                     adf = table.df.select(F.col(ROWID).alias(keycol), *renamed)

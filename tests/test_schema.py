@@ -96,3 +96,83 @@ def test_unresolvable_annotations_warn(spark):
 
         Broken._fields()
         assert any("no array fields" in str(x.message) for x in w)
+
+
+# ---------------- Union / Optional annotations (reference truth table,
+# type_parsing_test.py:35-125)
+def test_union_optional_resolution(spark):
+    import dataclass_array_spark as das
+    from dataclass_array_spark.core.schema import ArraySpec, f32, f64, get_leaf_hints
+    from dataclass_array_spark.core.table import DcaTable, NestedSpec, _resolve_hint
+    from typing import Optional, Union, List
+
+    @das.dataclass_array
+    class Ray(das.DcaTable):
+        pos: f32["*b 3"]
+
+    @das.dataclass_array
+    class Camera(das.DcaTable):
+        pos: f32["*b 3"]
+
+    spec3 = f32["*b 3"]
+    # leaf extraction (Optional normalizes NoneType → None)
+    assert get_leaf_hints(Optional[Ray]) == [Ray, None]
+    assert get_leaf_hints(Union[Ray, int, None]) == [Ray, int, None]
+    assert get_leaf_hints(spec3 | None) == [spec3, None]
+
+    # scalars / plain types stay static
+    assert _resolve_hint(int) is None
+    assert _resolve_hint(List[int]) is None
+    # bare + Optional dataclass
+    assert _resolve_hint(Ray) == NestedSpec(Ray, ())
+    assert _resolve_hint(Optional[Ray]) == NestedSpec(Ray, ())
+    # union of DcaTables degrades to the base class, same inner shape
+    assert _resolve_hint(Union[Ray, Camera]) == NestedSpec(DcaTable, ())
+    assert _resolve_hint(Union[Ray, Camera, None]) == NestedSpec(DcaTable, ())
+    # any non-array member makes the whole union static
+    assert _resolve_hint(Union[Ray, int]) is None
+    assert _resolve_hint(Union[Ray, int, None]) is None
+    assert _resolve_hint(spec3 | int | None) is None
+    # Optional array spec resolves to the spec
+    assert _resolve_hint(spec3 | None) == spec3
+    assert isinstance(_resolve_hint(spec3 | None), ArraySpec)
+    # unsupported mixes raise (reference raises NotImplementedError too)
+    with pytest.raises(NotImplementedError):
+        _resolve_hint(Ray | spec3)
+    with pytest.raises(NotImplementedError):
+        _resolve_hint(spec3 | f64["*b 3"])
+
+
+def test_optional_field_end_to_end(spark):
+    import dataclass_array_spark as das
+    from dataclass_array_spark.core.schema import f32, i64
+
+    @das.dataclass_array(cast_dtype=True)
+    class OptRay(das.DcaTable):
+        rid: i64
+        pos: f32["*b 3"] | None  # Optional array field
+        note: "int | None"  # static (non-array member)
+
+    fields = OptRay._array_fields()
+    assert set(fields) == {"rid", "pos"}
+    t = OptRay(spark, rid=np.arange(4), pos=np.ones((4, 3), dtype=np.float32))
+    assert t.shape == (4,)
+    np.testing.assert_array_equal(t.to_numpy_fields()["pos"], np.ones((4, 3)))
+
+
+def test_string_annotation_eval_failure_warns_per_field(spark):
+    import dataclass_array_spark as das
+    from dataclass_array_spark.core.schema import f32  # noqa: F401
+
+    @das.dataclass_array
+    class Broken(das.DcaTable):
+        good: f32["*b 3"]
+
+    # inject an unresolvable *string* annotation (simulating PEP-563
+    # with a typo'd alias) — must warn for THAT field, not silently drop
+    Broken.__annotations__["bad"] = "f32_typo['*b 3']"
+    Broken._dca_compiled = None
+    with pytest.warns(UserWarning, match="bad.*failed to evaluate"):
+        fields = Broken._fields()
+    assert ("static", "f32_typo['*b 3']") == fields["bad"]
+    assert "good" in Broken._array_fields()

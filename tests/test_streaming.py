@@ -177,3 +177,56 @@ def test_foreach_batch_idempotent_sink(spark, sf_dir, tmp_path):
     total = back.agg(F.sum("count")).collect()[0][0]
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert total == n_events
+
+
+def test_rate_source_feeds_operators(spark):
+    """Operators are source-agnostic: the built-in rate source, shaped
+    like the events stream, drives the same tumbling aggregation."""
+    from dataclass_array_spark.streaming import rate_events, tumbling_counts
+
+    stream = rate_events(spark, rows_per_second=200)
+    assert stream.isStreaming
+    assert {"ts", "ts_us", "user_id", "event_type", "value"} <= set(stream.columns)
+    out = tumbling_counts(stream, width="1 minute")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rate_tumbling")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.table("rate_tumbling").count()
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0
+        row = spark.table("rate_tumbling").first()
+        assert row["n"] > 0
+    finally:
+        q.stop()
+
+
+def test_kafka_source_config_gated(spark):
+    """Without the connector jars the Kafka constructor must fail with
+    an actionable message (not a bare ClassNotFound)."""
+    from dataclass_array_spark.streaming import kafka_stream
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_kafka_json_decode_shape(spark):
+    """events_from_kafka_json turns raw key/value records into the
+    canonical events schema (batch frame stands in for the kafka one —
+    the decode logic is identical)."""
+    from dataclass_array_spark.streaming import events_from_kafka_json
+
+    payload = '{"event_id": 7, "ts_us": 1700000000000000, "user_id": 3, "event_type": "click", "value": 1.5, "props": "{}"}'
+    raw = spark.createDataFrame([(bytearray(payload, "utf8"),)], "value binary")
+    got = events_from_kafka_json(raw).collect()[0]
+    assert got["event_id"] == 7 and got["user_id"] == 3
+    assert got["ts"] is not None and got["value"] == 1.5
