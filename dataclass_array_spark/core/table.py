@@ -1089,39 +1089,38 @@ def attach_dense_rowid(df: DataFrame, order_by: Optional[str] = None) -> DataFra
     """Add a dense 0..N-1 ``__rowid`` without a single-partition sort.
 
     Two-pass partition-offset numbering (the standard distributed
-    zipWithIndex): count rows per partition (tiny collect), broadcast the
-    prefix sums, then number within each partition.  If ``order_by`` is
-    given the frame is range-repartitioned on it first so the global order
-    follows that column; otherwise existing partition order is kept.
+    zipWithIndex), entirely JVM-side: count rows per partition (tiny
+    collect), broadcast the prefix sums, then number within each
+    partition by decoding ``monotonically_increasing_id`` (its low 33
+    bits ARE the within-partition record index) — a pure column
+    expression, so the data never round-trips through a Python worker
+    and the numbering pass adds no shuffle (the offset join is a
+    broadcast of |partitions| rows).  If ``order_by`` is given the frame
+    is range-repartitioned on it first so the global order follows that
+    column; otherwise existing partition order is kept.
     """
-    import pandas as pd
-
     if order_by is not None:
         df = df.repartitionByRange(order_by).sortWithinPartitions(order_by)
-    with_pid = df.withColumn("__pid", F.spark_partition_id())
+    with_pid = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
     counts = {r["__pid"]: r["cnt"] for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     offsets: Dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    out_schema = T.StructType(
-        [T.StructField(ROWID, T.LongType(), False)] + list(df.schema)
+    spark = df.sparkSession
+    offs = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "__pid int, __off long",
     )
-
-    def number(it):
-        seen = 0
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["__pid"].iloc[0])
-            base = offsets.get(pid, 0) + seen
-            seen += len(pdf)
-            body = pdf.drop(columns=["__pid"])
-            body.insert(0, ROWID, np.arange(base, base + len(pdf), dtype=np.int64))
-            yield body
-
-    return with_pid.mapInPandas(number, schema=out_schema)
+    local_idx = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        with_pid.join(F.broadcast(offs), on="__pid", how="inner")
+        .withColumn(ROWID, (F.col("__off") + local_idx).cast("long"))
+        .select(ROWID, *df.columns)
+    )
 
 
 # ---------------- nested-value helpers (construction path) ----------------

@@ -80,11 +80,16 @@ class SymbolicArray:
     """A Column standing in for one row's field value (scalar or fixed-
     length vector) during method tracing."""
 
-    def __init__(self, col: Column, inner_ndim: int):
+    def __init__(self, col: Column, inner_ndim: int, t_base: Column | None = None):
         if inner_ndim > 2:
             raise TraceError("symbolic tracing supports inner rank <= 2")
         self.col = col
         self.inner_ndim = inner_ndim
+        # provenance: if this matrix IS a transpose, the pre-transpose
+        # column — lets matmul (which needs the transpose of its right
+        # operand) avoid building transpose(transpose(X)) trees for the
+        # common ``A @ B.T`` pattern
+        self._t_base = t_base
 
     # ---- helpers ----
     def _binop(self, other: Any, fn, reverse: bool = False):
@@ -133,13 +138,16 @@ class SymbolicArray:
             )
         if an == 1 and bn == 2:
             # (r,) @ (r,c) → (c,): dot against each column of b
+            bt = b._t_base if b._t_base is not None else _transpose2(b.col)
             return SymbolicArray(
-                F.transform(_transpose2(b.col), lambda colv: _dot_fold(a.col, colv)),
+                F.transform(bt, lambda colv: _dot_fold(a.col, colv)),
                 1,
             )
         if an == 2 and bn == 2:
-            # (r,k) @ (k,c): rows of a against columns of b
-            bt = _transpose2(b.col)
+            # (r,k) @ (k,c): rows of a against columns of b (reuses the
+            # pre-transpose column when b is itself a transpose — A @ B.T
+            # then never materializes transpose(transpose(B)))
+            bt = b._t_base if b._t_base is not None else _transpose2(b.col)
             return SymbolicArray(
                 F.transform(
                     a.col,
@@ -236,7 +244,9 @@ class SymbolicArray:
     def T(self):
         if self.inner_ndim < 2:
             return self  # numpy: transpose of scalar/1-d is itself
-        return SymbolicArray(_transpose2(self.col), 2)
+        if self._t_base is not None:
+            return SymbolicArray(self._t_base, 2, t_base=self.col)
+        return SymbolicArray(_transpose2(self.col), 2, t_base=self.col)
 
     def __getitem__(self, idx):
         if isinstance(idx, tuple) and len(idx) == 2 and self.inner_ndim == 2:
