@@ -54,8 +54,12 @@ _PRIORITY: Tuple[str, ...] = (
     "shape_slice",
     "shape_concat_mapfield",
     "shape_vectorize",
-    # new in round 2 (rank-2 symbolic tracing gate)
+    # new in round 2 (rank-2 tracing; splits/sampling/packing/ranking)
     "shape_vectorize_mat",
+    "split_train_val_test",
+    "stratified_sample_docs",
+    "pack_context_windows",
+    "bm25_doc_ranking",
 )
 
 

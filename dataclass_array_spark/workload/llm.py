@@ -626,3 +626,193 @@ FROM reach GROUP BY u ORDER BY doc_id
 """
 
 QUERIES["dedup_components"] = Query(dedup_components, COMPONENTS_SQL, tags=("dedup", "graph"))
+
+
+# ------------------------------------------------ deterministic splits
+from dataclass_array_spark.operators.sampling import (  # noqa: E402
+    hash_split,
+    sql_hash_split,
+    sql_stratified_sample_pred,
+    stratified_sample,
+)
+
+_SPLIT_W = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed train/val/test assignment (re-run-stable; keyed on
+    doc_id so derived chunks inherit the split — the leakage guard).
+    Output = per-(split, lang) counts + id ranges."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    s = hash_split(d, "doc_id", _SPLIT_W)
+    return (
+        s.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+SPLIT_SQL = f"""
+SELECT {sql_hash_split('doc_id', _SPLIT_W)} AS split, lang, COUNT(*) AS n,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
+_STRATA = {"en": 0.5, "de": 0.25, "fr": 0.1}
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (sampleBy analog, but
+    hash-threshold so re-runs keep identical rows)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    s = stratified_sample(d, "lang", _STRATA, "doc_id", default_fraction=0.05)
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SQL = f"""
+SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents
+WHERE {sql_stratified_sample_pred('lang', _STRATA, 'doc_id', default_fraction=0.05)}
+GROUP BY lang ORDER BY lang
+"""
+
+
+# ------------------------------------------------ sequence packing
+_BLOCK = 2048
+
+
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop packing of the whole corpus into 2048-token
+    context windows via the two-phase global cumsum (no single-partition
+    sort); per-doc placement emitted for a bounded id slice."""
+    from dataclass_array_spark.operators.packing import pack_sequences
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sized = d.select("doc_id", tx.token_count(F.col("text")).alias("n_toks"))
+    packed = pack_sequences(sized, "doc_id", "n_toks", _BLOCK)
+    return (
+        packed.filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id", "n_toks", "start_tok", "start_block",
+            "start_off", "end_block", "n_blocks",
+        )
+        .orderBy("doc_id")
+    )
+
+
+PACK_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks FROM documents
+), cum AS (
+  SELECT doc_id, n_toks,
+         CAST(SUM(n_toks) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM sized
+)
+SELECT doc_id, n_toks,
+       c - n_toks AS start_tok,
+       (c - n_toks) // {_BLOCK} AS start_block,
+       (c - n_toks) % {_BLOCK} AS start_off,
+       CASE WHEN n_toks > 0 THEN (c - 1) // {_BLOCK}
+            ELSE (c - n_toks) // {_BLOCK} END AS end_block,
+       CASE WHEN n_toks > 0 THEN (c - 1) // {_BLOCK}
+            ELSE (c - n_toks) // {_BLOCK} END - (c - n_toks) // {_BLOCK} + 1 AS n_blocks
+FROM cum WHERE doc_id < 500 ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------ BM25 ranking
+_BM25_TERMS = ("join", "hash", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by BM25 over a fixed term set.  Exactness: doc
+    lengths and term frequencies are integers; avgdl = long-sum/count is
+    one exact double division; per-term scores are pure rational double
+    arithmetic + one ln (bit-identical across engines, as in TF-IDF);
+    the cross-term sum goes through the decimal accumulator so addition
+    order cannot flip ranking boundaries."""
+    from dataclass_array_spark.workload.base import dsum
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    words = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("word"))
+    lens = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["tot"] / float(stats["n_docs"])
+    tf = (
+        words.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    term_score = idf * (
+        F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)
+    ) / (F.col("tf").cast("double") + norm)
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .join(lens, "doc_id")
+        .select("doc_id", term_score.alias("s"))
+        .groupBy("doc_id")
+        .agg(dsum(F.col("s"), "score"))
+    )
+    return (
+        scored.select("doc_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_e6"))
+        .orderBy(F.desc("score_e6"), "doc_id")
+        .limit(50)
+    )
+
+
+BM25_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+), lens AS (
+  SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot FROM lens
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words
+  WHERE word IN ('join', 'hash', 'scan') GROUP BY doc_id, word
+), df_ AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+), scored AS (
+  SELECT t.doc_id,
+         ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         * (CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0})
+         / (CAST(tf AS DOUBLE) + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B}
+            * CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS s
+  FROM tf t JOIN df_ USING (word) JOIN lens l ON l.doc_id = t.doc_id, stats
+), agg AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(FLOOR(score * 1e6) AS BIGINT) AS score_e6
+FROM agg ORDER BY score_e6 DESC, doc_id LIMIT 50
+"""
+
+QUERIES["split_train_val_test"] = Query(split_train_val_test, SPLIT_SQL, tags=("sampling",))
+QUERIES["stratified_sample_docs"] = Query(stratified_sample_docs, STRATIFIED_SQL, tags=("sampling",))
+QUERIES["pack_context_windows"] = Query(pack_context_windows, PACK_SQL, tags=("packing",))
+QUERIES["bm25_doc_ranking"] = Query(bm25_doc_ranking, BM25_SQL, tags=("text", "ranking"))

@@ -256,3 +256,74 @@ def test_salted_sum_matches_plain(spark):
     ).toPandas().sort_values("g")
     assert out.n_rows.tolist() == [50, 5]
     assert [float(x) for x in out.s] == [75.0, 7.5]
+
+
+# ---------------------------------------------------------------- sampling
+def test_hash_split_partitions_and_determinism(spark, sf_dir):
+    from dataclass_array_spark.operators.sampling import hash_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = hash_split(d, "doc_id", w).select("doc_id", "split").collect()
+    s2 = hash_split(d, "doc_id", w).select("doc_id", "split").collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # re-run stable
+    total = len(s1)
+    counts = {}
+    for _, sp in s1:
+        counts[sp] = counts.get(sp, 0) + 1
+    assert set(counts) <= set(w)
+    assert sum(counts.values()) == total  # exhaustive + disjoint
+    # proportions within a loose tolerance (hash uniformity)
+    assert abs(counts["train"] / total - 0.8) < 0.05
+
+
+def test_stratified_sample_subset_and_fraction(spark, sf_dir):
+    from dataclass_array_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = stratified_sample(d, "lang", {"en": 0.5}, "doc_id", default_fraction=0.0)
+    rows = s.select("doc_id", "lang").collect()
+    assert all(r["lang"] == "en" for r in rows)  # default 0 drops others
+    n_en = d.filter("lang = 'en'").count()
+    assert 0.35 < len(rows) / n_en < 0.65
+    # sampled ids are a subset of the original
+    ids = {r["doc_id"] for r in rows}
+    all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    assert ids <= all_ids
+
+
+# ---------------------------------------------------------------- packing
+def test_global_cumsum_matches_local(spark, sf_dir):
+    import numpy as np
+    from dataclass_array_spark.operators.packing import global_cumsum
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in global_cumsum(d, "doc_id", "v").collect()
+    }
+    pdf = d.orderBy("doc_id").toPandas()
+    exp = pdf["v"].cumsum()
+    for did, e in zip(pdf["doc_id"], exp):
+        assert got[did] == e
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from dataclass_array_spark.operators.packing import pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.length("text") % 700).cast("long").alias("n")
+    )
+    B = 512
+    rows = pack_sequences(d, "doc_id", "n", B).orderBy("doc_id").collect()
+    pos = 0
+    for r in rows:
+        assert r["start_tok"] == pos  # contiguous stream, no gaps/overlap
+        assert r["start_block"] == pos // B
+        assert r["start_off"] == pos % B
+        end = pos + r["n"] - 1 if r["n"] > 0 else pos
+        assert r["end_block"] == end // B
+        assert r["n_blocks"] == end // B - pos // B + 1
+        pos += r["n"]
