@@ -212,37 +212,35 @@ def vectorize_method(
                         k: (v.col if isinstance(v, SymbolicArray) else v)
                         for k, v in _normalize_out(out).items()
                     }
-                except Exception as exc:
-                    trace_failures.append((mode, exc))
-                    continue  # try next tracing mode, then tier 2
-                if not all(isinstance(v, Column) for v in out_d.values()):
-                    bad = {
-                        k: type(v).__name__
-                        for k, v in out_d.items()
-                        if not isinstance(v, Column)
-                    }
-                    trace_failures.append(
-                        (mode, TypeError(f"traced outputs are not Columns: {bad}"))
-                    )
-                if all(isinstance(v, Column) for v in out_d.values()):
+                    if not all(isinstance(v, Column) for v in out_d.values()):
+                        bad = {
+                            k: type(v).__name__
+                            for k, v in out_d.items()
+                            if not isinstance(v, Column)
+                        }
+                        raise TypeError(f"traced outputs are not Columns: {bad}")
+                    # the select analyzes the expressions eagerly — a
+                    # raw-Column trace that built an invalid Column
+                    # (e.g. numpy-style tuple indexing → unexecutable
+                    # ArrayList literal) throws HERE, inside the try,
+                    # and falls through to symbolic tracing
                     sel = [F.col(ROWID)] + [v.alias(k) for k, v in out_d.items()]
                     res_df = work_df.select(*sel)
                     specs = returns or {
                         k: _spec_from_spark_type(res_df.schema[k].dataType) for k in out_d
                     }
-                    cls = make_table_cls(f"{type(self).__name__}_{method.__name__}_out", specs)
-                    return cls._wrap(
-                        res_df.select(
-                            ROWID,
-                            *[
-                                F.col(k).cast(_nullable_variant(specs[k].spark_type)).alias(k)
-                                for k in out_d
-                            ],
-                        ),
-                        self.shape,
-                        {},
-                        self.spark,
+                    final_df = res_df.select(
+                        ROWID,
+                        *[
+                            F.col(k).cast(_nullable_variant(specs[k].spark_type)).alias(k)
+                            for k in out_d
+                        ],
                     )
+                except Exception as exc:
+                    trace_failures.append((mode, exc))
+                    continue  # try next tracing mode, then tier 2
+                cls = make_table_cls(f"{type(self).__name__}_{method.__name__}_out", specs)
+                return cls._wrap(final_df, self.shape, {}, self.spark)
 
             # ---- Tier 2: Arrow batch + per-row scalar loop ----
             import warnings
