@@ -60,6 +60,9 @@ _PRIORITY: Tuple[str, ...] = (
     "stratified_sample_docs",
     "pack_context_windows",
     "bm25_doc_ranking",
+    # new in round 2, part 2 (decontamination, quality filters)
+    "decontam_ngram_overlap",
+    "repetition_filter_docs",
 )
 
 
@@ -70,7 +73,7 @@ def _collect() -> Dict[str, Query]:
     # fewer queries instead of a failure.
     for modname in (
         "tpch", "tpch2", "relational", "relational2",
-        "events", "llm", "streaming", "shapes",
+        "events", "llm", "llm2", "streaming", "shapes",
     ):
         mod = __import__(
             f"dataclass_array_spark.workload.{modname}", fromlist=["QUERIES"]

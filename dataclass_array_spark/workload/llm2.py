@@ -1,0 +1,141 @@
+"""Training-data pipeline queries, part 2: benchmark decontamination,
+Gopher-style repetition filters, embedding k-means clustering,
+domain-mixture sampling.
+
+Same contract as :mod:`workload.llm`: every query binds an operator to
+the driver tables and carries a DuckDB oracle (md5-portable hashes,
+decimal-exact float reductions) unless genuinely non-SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataclass_array_spark.operators import text as tx
+from dataclass_array_spark.operators.decontam import ngram_overlap_vs_eval
+from dataclass_array_spark.operators.quality import repetition_metrics
+from dataclass_array_spark.workload.base import load_tables, spread
+from dataclass_array_spark.workload.catalog import Query
+
+_SQL_TOKS = tx.SQL_TOKENS.format(t="text")
+
+
+# ------------------------------------------------ decontamination
+_EVAL_MOD = 23  # doc_id % 23 == 0 stands in for the benchmark set
+_DECONTAM_K = 5
+_DECONTAM_THRESH = 0.5
+
+
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram overlap of every training doc against the eval subset; the
+    eval n-gram set is broadcast (benchmarks are tiny next to a 100 TB
+    corpus) so the corpus side joins map-side."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    ev = d.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return ngram_overlap_vs_eval(
+        corpus, ev, "text", "doc_id", k=_DECONTAM_K, threshold=_DECONTAM_THRESH
+    ).orderBy("doc_id")
+
+
+_SQL_5GRAMS = """list_transform(generate_series(1, len(toks)-4),
+          i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])"""
+
+DECONTAM_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= {_DECONTAM_K} THEN {_SQL_5GRAMS}
+      ELSE [] END) AS sh
+    FROM toks)
+),
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+agg AS (
+  SELECT c.doc_id, COUNT(*) AS n_grams, COUNT(ev.sh) AS n_hit
+  FROM (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} != 0) c
+  LEFT JOIN ev ON ev.sh = c.sh
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_hit, 0) AS n_hit,
+       CASE WHEN COALESCE(a.n_grams, 0) > 0
+            THEN CAST(a.n_hit AS DOUBLE) / a.n_grams ELSE 0.0 END AS overlap_frac,
+       CASE WHEN COALESCE(a.n_grams, 0) > 0
+            THEN CAST(a.n_hit AS DOUBLE) / a.n_grams ELSE 0.0 END
+         >= {_DECONTAM_THRESH} AS contaminated
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+WHERE d.doc_id % {_EVAL_MOD} != 0
+ORDER BY d.doc_id
+"""
+
+
+# ------------------------------------------------ repetition filters
+_DUP_WORD_MAX = 0.3
+_TOP_BIGRAM_MAX = 0.18
+
+
+def repetition_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition metrics — all in-scan expressions, zero
+    shuffles (top bigram = run-length fold over the sorted bigram array)."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return repetition_metrics(
+        d, "text", "doc_id",
+        max_dup_word_frac=_DUP_WORD_MAX,
+        max_top_bigram_frac=_TOP_BIGRAM_MAX,
+    ).orderBy("doc_id")
+
+
+REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS dup_word_frac,
+    CASE WHEN len(toks) >= 3 THEN
+      1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+      ELSE 0.0 END AS dup_3gram_frac
+  FROM (SELECT *, CASE WHEN len(toks) >= 3 THEN
+          list_transform(generate_series(1, len(toks)-2),
+                         i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+        ELSE [] END AS g3 FROM toks)
+),
+g2 AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+      list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])
+    ELSE [] END) AS gram
+  FROM toks
+),
+cnt AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+top AS (
+  SELECT doc_id, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+  FROM cnt
+)
+SELECT b.doc_id, b.n_tokens, b.dup_word_frac, b.dup_3gram_frac,
+       t.gram AS top_bigram,
+       COALESCE(t.cnt, 0) AS top_bigram_count,
+       CASE WHEN length(b.text) > 0
+            THEN CAST(COALESCE(t.cnt, 0) * length(COALESCE(t.gram, '')) AS DOUBLE)
+                   / length(b.text)
+            ELSE 0.0 END AS top_bigram_char_frac,
+       (b.dup_word_frac > {_DUP_WORD_MAX}
+        OR CASE WHEN length(b.text) > 0
+                THEN CAST(COALESCE(t.cnt, 0) * length(COALESCE(t.gram, '')) AS DOUBLE)
+                       / length(b.text)
+                ELSE 0.0 END > {_TOP_BIGRAM_MAX}) AS flagged
+FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id AND t.rn = 1
+ORDER BY b.doc_id
+"""
+
+
+QUERIES = {
+    "decontam_ngram_overlap": Query(
+        decontam_ngram_overlap, DECONTAM_SQL, tags=("decontam", "text")
+    ),
+    "repetition_filter_docs": Query(
+        repetition_filter_docs, REPETITION_SQL, tags=("quality", "text")
+    ),
+}

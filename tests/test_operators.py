@@ -327,3 +327,67 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert r["end_block"] == end // B
         assert r["n_blocks"] == end // B - pos // B + 1
         pos += r["n"]
+
+
+# ---------------------------------------------------------------- quality / decontam
+def test_repetition_metrics_known_values(spark):
+    import pandas as pd
+    from dataclass_array_spark.operators.quality import repetition_metrics
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a b a b a b",          # heavy bigram repetition
+                    "w x y z u v t s r q p o n m l k",  # all distinct
+                    "solo",                 # 1 token, no bigrams
+                    "",                     # empty
+                ],
+            }
+        )
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_metrics(df, "text", "doc_id").collect()
+    }
+    r0 = rows[0]
+    assert r0["n_tokens"] == 6
+    assert abs(r0["dup_word_frac"] - (1 - 2 / 6)) < 1e-12
+    # bigrams: [a b, b a, a b, b a, a b] -> top "a b" x3
+    assert r0["top_bigram"] == "a b" and r0["top_bigram_count"] == 3
+    assert abs(r0["top_bigram_char_frac"] - 3 * 3 / 11) < 1e-12
+    assert r0["flagged"]
+    r1 = rows[1]
+    assert r1["dup_word_frac"] == 0.0 and r1["top_bigram_count"] == 1
+    assert not r1["flagged"]
+    assert rows[2]["top_bigram"] is None and rows[2]["top_bigram_count"] == 0
+    assert rows[3]["n_tokens"] == 0 and not rows[3]["flagged"]
+
+
+def test_decontam_overlap_known_values(spark):
+    import pandas as pd
+    from dataclass_array_spark.operators.decontam import ngram_overlap_vs_eval
+
+    ev = spark.createDataFrame(pd.DataFrame({"doc_id": [100], "text": ["p q r s t u"]}))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "p q r s t u",   # fully contained: 2/2 5-grams hit
+                    "p q r s t zz",  # 5-grams: [p q r s t, q r s t zz] -> 1/2
+                    "nothing here",  # < 5 tokens -> 0 grams
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_overlap_vs_eval(corpus, ev, "text", "doc_id", k=5).collect()
+    }
+    assert out[0]["overlap_frac"] == 1.0 and out[0]["contaminated"]
+    assert out[1]["n_grams"] == 2 and out[1]["n_hit"] == 1
+    assert out[1]["overlap_frac"] == 0.5 and out[1]["contaminated"]
+    assert out[2]["n_grams"] == 0 and out[2]["overlap_frac"] == 0.0
+    assert not out[2]["contaminated"]
