@@ -1,0 +1,173 @@
+"""Distributed k-means over embedding columns (the clustering stage of
+SemDeDup-style semantic dedup and domain discovery).
+
+Plan shape per iteration (MLlib-style, but DataFrame-native):
+- **Assignment is a pure column expression**: the k centroids (k x dim
+  doubles — driver-tiny) are inlined as literals, the arg-min over
+  ``array_min(array(struct(dist_i, i)...))`` runs inside the scan stage
+  with NO join and NO shuffle.
+- **Update is one aggregation**: ``posexplode`` the vector, group by
+  (cluster, dim), exact decimal sums -> per-dim mean.  Shuffle volume is
+  k x dim rows per partition (map-side combined), independent of corpus
+  size.
+- The only driver materialization per iteration is k x dim means —
+  the standard k-means driver loop; corpus rows never leave executors.
+
+Cross-engine exactness (matches the DuckDB oracle bit-for-bit):
+- distances are sequential left-to-right double folds
+  (``F.aggregate`` = ``list_reduce``);
+- per-dim means use DECIMAL(38,9) sums — float32 components are exactly
+  representable at scale 9 — converted via the floor-split
+  (``floor(s)::double + (s-floor(s))::double``) so decimal->double is
+  single-rounded in both engines even past 2^53 scaled units;
+- arg-min ties break on the lower cluster id (struct ordering here,
+  ``ORDER BY dist, cid`` in the oracle).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,9)"
+
+
+def _sq_dist(vec: Column, centroid: List[float]) -> Column:
+    """Sequential-fold squared L2 distance to a literal centroid."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(vec, c, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _argmin_cluster(vec: Column, centroids: List[List[float]]) -> Column:
+    """struct(cluster, dist): nearest centroid, lower id wins ties."""
+    cands = F.array(
+        *[
+            F.named_struct(
+                F.lit("dist"), _sq_dist(vec, c), F.lit("cid"), F.lit(i)
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(cands)
+    return F.named_struct(
+        F.lit("cluster"), best.cid.cast("long"), F.lit("dist"), best.dist
+    )
+
+
+def _mean_expr() -> Column:
+    """Exact per-group mean of column ``val``: decimal sum, floor-split
+    to double, double division by the count.
+
+    The sum is re-cast to DECIMAL(30,9) before the split: with the full
+    (38,9) the subtraction ``s - floor(s)`` needs precision 48, and
+    Spark's precision-loss rule silently reduces the result scale to 6
+    — truncating the last three scale digits.  At (30,9) the result is
+    (32,9): lossless, and 10^21 integer digits still covers any
+    realistic per-(cluster,dim) sum."""
+    s = F.sum(F.col("val").cast(_DEC)).cast("decimal(30,9)")
+    as_double = F.floor(s).cast("double") + (s - F.floor(s)).cast("double")
+    return (as_double / F.count("val")).alias("m")
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> Tuple[DataFrame, List[List[float]]]:
+    """Lloyd's k-means with deterministic init (first k rows by id).
+
+    Returns ``(assignment_df, centroids)`` where the assignment has
+    ``(id, cluster, dist)`` — ``dist`` the squared L2 distance to the
+    final centroid.  Fixed ``iters`` assignment/update rounds, then one
+    final assignment against the last centroids.
+    """
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    centroids: List[List[float]] = [
+        r["v"] for r in vecs.orderBy(id_col).limit(k).collect()
+    ]
+    for _ in range(iters):
+        assigned = vecs.select(
+            _argmin_cluster(F.col("v"), centroids).cluster.alias("cluster"),
+            F.posexplode("v").alias("dim", "val"),
+        )
+        rows = assigned.groupBy("cluster", "dim").agg(_mean_expr()).collect()
+        by_cid: dict = {}
+        for r in rows:
+            by_cid.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        centroids = [
+            [by_cid[i][d] for d in range(len(centroids[i]))]
+            if i in by_cid
+            else centroids[i]  # empty cluster keeps its centroid
+            for i in range(k)
+        ]
+    best = _argmin_cluster(F.col("v"), centroids)
+    out = vecs.select(
+        id_col, best.cluster.alias("cluster"), best.dist.alias("dist")
+    )
+    return out, centroids
+
+
+def kmeans_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+) -> str:
+    """DuckDB oracle: the identical algorithm with iterations unrolled
+    into CTE chains (assignment -> per-dim mean -> centroid carry)."""
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(e.v, c.cv), "
+        "p -> (p[1]-p[2])*(p[1]-p[2]))), (acc, x) -> acc + x)"
+    )
+
+    def assign(ci: str) -> str:
+        return f"""(
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT e.{id_col} AS vec_id, c.cid, {fold} AS dist
+          FROM e CROSS JOIN {ci} c)
+  ) WHERE rn = 1
+)"""
+
+    parts = [
+        f"""WITH e AS (
+  SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cid, v AS cv
+  FROM (SELECT {id_col}, v FROM e ORDER BY {id_col} LIMIT {k})
+)"""
+    ]
+    for i in range(iters):
+        parts.append(f", a{i} AS {assign(f'c{i}')}")
+        parts.append(
+            f""", m{i} AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT cid, dim,
+           (CAST(FLOOR(s) AS DOUBLE) + CAST(s - FLOOR(s) AS DOUBLE)) / cnt AS m
+    FROM (SELECT a.cid, gs.i AS dim,
+                 SUM(CAST(e.v[gs.i] AS DECIMAL(38,9))) AS s, COUNT(*) AS cnt
+          FROM a{i} a JOIN e ON e.{id_col} = a.vec_id,
+               generate_series(1, {dim}) gs(i)
+          GROUP BY a.cid, gs.i)
+  ) GROUP BY cid
+), c{i + 1} AS (
+  SELECT c.cid, COALESCE(m.cv, c.cv) AS cv
+  FROM c{i} c LEFT JOIN m{i} m ON m.cid = c.cid
+)"""
+        )
+    parts.append(f", afinal AS {assign(f'c{iters}')}")
+    parts.append(
+        f"""
+SELECT vec_id AS {id_col}, CAST(cid AS BIGINT) AS cluster,
+       CAST(FLOOR(dist * 1e9) AS BIGINT) AS dist_e9
+FROM afinal ORDER BY vec_id"""
+    )
+    return "".join(parts)

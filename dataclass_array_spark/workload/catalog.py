@@ -63,6 +63,7 @@ _PRIORITY: Tuple[str, ...] = (
     # new in round 2, part 2 (decontamination, quality filters)
     "decontam_ngram_overlap",
     "repetition_filter_docs",
+    "embedding_kmeans_clusters",
 )
 
 

@@ -131,11 +131,43 @@ ORDER BY b.doc_id
 """
 
 
+# ------------------------------------------------ embedding k-means
+_KM_K = 8
+_KM_ITERS = 3
+_KM_DIM = 64
+
+
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-stage clustering: 3 Lloyd iterations, first-8 init.
+    Assignment is shuffle-free (literal centroids in the scan stage);
+    only the per-iteration (cluster, dim) mean aggregation shuffles."""
+    from dataclass_array_spark.operators.clustering import kmeans_assign
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out, _ = kmeans_assign(spread(e), "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS)
+    return out.select(
+        "vec_id",
+        "cluster",
+        F.floor(F.col("dist") * 1e9).cast("long").alias("dist_e9"),
+    ).orderBy("vec_id")
+
+
+def _kmeans_oracle() -> str:
+    from dataclass_array_spark.operators.clustering import kmeans_sql
+
+    return kmeans_sql(
+        "embeddings", "vec_id", "embedding", dim=_KM_DIM, k=_KM_K, iters=_KM_ITERS
+    )
+
+
 QUERIES = {
     "decontam_ngram_overlap": Query(
         decontam_ngram_overlap, DECONTAM_SQL, tags=("decontam", "text")
     ),
     "repetition_filter_docs": Query(
         repetition_filter_docs, REPETITION_SQL, tags=("quality", "text")
+    ),
+    "embedding_kmeans_clusters": Query(
+        embedding_kmeans_clusters, _kmeans_oracle(), tags=("clustering", "similarity")
     ),
 }

@@ -391,3 +391,20 @@ def test_decontam_overlap_known_values(spark):
     assert out[1]["overlap_frac"] == 0.5 and out[1]["contaminated"]
     assert out[2]["n_grams"] == 0 and out[2]["overlap_frac"] == 0.0
     assert not out[2]["contaminated"]
+
+
+def test_kmeans_invariants(spark):
+    from dataclass_array_spark.operators.clustering import kmeans_assign
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out, cents = kmeans_assign(e, "vec_id", "embedding", k=4, iters=2)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    assert all(0 <= r["cluster"] < 4 and r["dist"] >= 0.0 for r in rows)
+    # determinism: a second run reproduces identical assignments
+    out2, cents2 = kmeans_assign(e, "vec_id", "embedding", k=4, iters=2)
+    assert cents == cents2
+    got = {r["vec_id"]: (r["cluster"], r["dist"]) for r in rows}
+    got2 = {r["vec_id"]: (r["cluster"], r["dist"]) for r in out2.collect()}
+    assert got == got2
