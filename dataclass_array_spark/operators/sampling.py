@@ -130,3 +130,86 @@ def sql_stratified_sample_pred(
         cases.append(f"WHEN ({stratum_expr}) = '{stratum}' THEN {int(round(frac * PPM))}")
     cases.append(f"ELSE {int(round(default_fraction * PPM))} END")
     return f"({b}) < ({' '.join(cases)})"
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    domain_col: str,
+    target_rows: float,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-domain sampling rates for temperature-weighted mixing.
+
+    The standard pre-training recipe (GPT-3 / PaLM style): domain d with
+    n_d rows gets probability p_d = n_d^alpha / sum(n^alpha), flattening
+    the natural distribution toward uniform as alpha -> 0, and the
+    per-row keep-rate is ``min(1, target_rows * p_d / n_d)``.
+
+    Returns ``(domain, n_docs, rate)`` — one row per domain (driver-tiny;
+    broadcast it into :func:`temperature_sample`).  alpha=0.5 uses
+    ``sqrt`` (IEEE correctly-rounded, so the DuckDB oracle reproduces it
+    bit-for-bit); other alphas go through ``pow``, whose last-ulp
+    behavior is libm-specific — fine for production, not for the exact
+    cross-engine gate.  The weight total is an exact decimal sum, so the
+    20-way addition is order-independent.
+    """
+    cnt = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
+    wt = (
+        F.sqrt(F.col("n_docs").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    )
+    w = cnt.withColumn("wt", wt)
+    tot = w.agg(
+        F.sum(F.col("wt").cast("decimal(25,6)")).cast("double").alias("tot")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_rows)) * (F.col("wt") / F.col("tot")) / F.col("n_docs"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        domain_col, "n_docs", rate.alias("rate")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    domain_col: str,
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep each row iff its hash bucket clears its domain's quantized
+    rate.  The rates frame is broadcast (one row per domain), so the
+    corpus side samples map-side with no shuffle."""
+    b = hash_bucket(F.col(key_col), salt)
+    thr = F.floor(F.col("rate") * PPM).cast("long")
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(b < thr)
+        .withColumn("rate_ppm", thr)
+    )
+
+
+def sql_temperature_sample(
+    table: str,
+    domain_col: str,
+    key_col: str,
+    target_rows: float,
+    salt: str = "mix",
+) -> str:
+    """DuckDB CTE prefix + predicate mirroring rates (alpha=0.5) and
+    selection; yields rows ``(key, domain, rate_ppm)``."""
+    b = sql_hash_bucket(f"d.{key_col}", salt)
+    return f"""
+WITH cnt AS (SELECT {domain_col}, COUNT(*) AS n_docs FROM {table} GROUP BY {domain_col}),
+w AS (SELECT {domain_col}, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt FROM cnt),
+tot AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(25,6))) AS DOUBLE) AS tot FROM w),
+r AS (SELECT {domain_col}, n_docs,
+        least(1.0, {float(target_rows)} * (wt / tot) / n_docs) AS rate FROM w, tot)
+SELECT d.{key_col}, d.{domain_col},
+       CAST(FLOOR(rate * {PPM}) AS BIGINT) AS rate_ppm
+FROM {table} d JOIN r USING ({domain_col})
+WHERE ({b}) < CAST(FLOOR(rate * {PPM}) AS BIGINT)
+ORDER BY d.{key_col}
+"""

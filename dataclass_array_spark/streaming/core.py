@@ -148,6 +148,52 @@ def events_from_kafka_json(kafka_df: DataFrame) -> DataFrame:
     )
 
 
+def kafka_sink(
+    out: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    key_col: str | None = None,
+    value_cols: list[str] | None = None,
+    output_mode: str = "append",
+    **options: str,
+):
+    """Kafka sink: serialize rows to JSON ``value`` (plus optional
+    ``key``) and write via the kafka connector.  Same jar gate as
+    :func:`kafka_stream`.  At scale the sink parallelism follows the
+    stream's partitioning; checkpointing makes delivery at-least-once —
+    pair with idempotent/transactional consumers for exactly-once (or
+    use foreachBatch + an idempotent upsert, see tests/test_streaming).
+
+    Returns the started StreamingQuery.
+    """
+    cols = value_cols or [c for c in out.columns if c != key_col]
+    payload = F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value")
+    sel = [payload] if key_col is None else [F.col(key_col).cast("string").alias("key"), payload]
+    writer = (
+        out.select(*sel)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    try:
+        return writer.start()
+    except Exception as e:
+        if "kafka" in str(e).lower():
+            raise RuntimeError(
+                "Kafka sink needs the spark-sql-kafka connector on the "
+                "classpath (spark.jars.packages = "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>). "
+                "Develop against run_stream_to_memory()/foreachBatch and "
+                "swap the sink in production."
+            ) from e
+        raise
+
+
 def run_stream_to_memory(
     out: DataFrame, mode: str = "complete", name: str | None = None
 ) -> Tuple[DataFrame, str]:

@@ -64,6 +64,7 @@ _PRIORITY: Tuple[str, ...] = (
     "decontam_ngram_overlap",
     "repetition_filter_docs",
     "embedding_kmeans_clusters",
+    "domain_mixture_sample",
 )
 
 

@@ -171,3 +171,37 @@ QUERIES = {
         embedding_kmeans_clusters, _kmeans_oracle(), tags=("clustering", "similarity")
     ),
 }
+
+
+# ------------------------------------------------ domain mixture
+_MIX_TARGET = 200.0
+
+
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (alpha=0.5) domain mixing over ``source``:
+    rates derive from per-domain counts, selection is a deterministic
+    md5-bucket threshold — broadcast rates, map-side filter, no corpus
+    shuffle."""
+    from dataclass_array_spark.operators.sampling import (
+        temperature_mixture_rates,
+        temperature_sample,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    rates = temperature_mixture_rates(d, "source", target_rows=_MIX_TARGET)
+    return (
+        temperature_sample(d, rates, "source", "doc_id")
+        .select("doc_id", "source", "rate_ppm")
+        .orderBy("doc_id")
+    )
+
+
+def _mixture_oracle() -> str:
+    from dataclass_array_spark.operators.sampling import sql_temperature_sample
+
+    return sql_temperature_sample("documents", "source", "doc_id", _MIX_TARGET)
+
+
+QUERIES["domain_mixture_sample"] = Query(
+    domain_mixture_sample, _mixture_oracle(), tags=("sampling", "mixture")
+)

@@ -408,3 +408,23 @@ def test_kmeans_invariants(spark):
     got = {r["vec_id"]: (r["cluster"], r["dist"]) for r in rows}
     got2 = {r["vec_id"]: (r["cluster"], r["dist"]) for r in out2.collect()}
     assert got == got2
+
+
+def test_temperature_mixture_rates_and_sample(spark, sf_dir):
+    from dataclass_array_spark.operators.sampling import (
+        temperature_mixture_rates,
+        temperature_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = temperature_mixture_rates(d, "source", target_rows=50.0)
+    r = rates.toPandas()
+    assert (r["rate"] > 0).all() and (r["rate"] <= 1.0).all()
+    # alpha=0.5 flattens: smallest domain gets the highest rate
+    assert r.loc[r.n_docs.idxmin(), "rate"] >= r.loc[r.n_docs.idxmax(), "rate"]
+    out = temperature_sample(d, rates, "source", "doc_id").toPandas()
+    # deterministic: same selection on a second run
+    out2 = temperature_sample(d, rates, "source", "doc_id").toPandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+    # expected-count sanity: within a loose band of the target
+    assert 10 <= len(out) <= 120

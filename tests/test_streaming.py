@@ -230,3 +230,26 @@ def test_kafka_json_decode_shape(spark):
     got = events_from_kafka_json(raw).collect()[0]
     assert got["event_id"] == 7 and got["user_id"] == 3
     assert got["ts"] is not None and got["value"] == 1.5
+
+
+def test_kafka_sink_payload_shape_and_jar_gate(spark, tmp_path):
+    """The sink's row->JSON projection is testable without the connector;
+    the connector-less environment must raise the clear jar-gate error."""
+    import pyspark.sql.functions as F
+    import pytest
+    from dataclass_array_spark.streaming.core import kafka_sink, rate_events
+
+    stream = rate_events(spark, rows_per_second=5)
+    # shape check: same projection the sink applies, on a batch frame
+    batch = spark.range(3).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("amount")
+    )
+    payload = batch.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(F.struct("user_id", "amount")).alias("value"),
+    ).collect()
+    assert payload[1]["key"] == "1" and '"amount":2' in payload[1]["value"]
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_sink(
+            stream, "localhost:9092", "events", str(tmp_path / "ckpt"), key_col="user_id"
+        )
