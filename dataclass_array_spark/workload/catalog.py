@@ -65,6 +65,7 @@ _PRIORITY: Tuple[str, ...] = (
     "repetition_filter_docs",
     "embedding_kmeans_clusters",
     "domain_mixture_sample",
+    "multimodal_frames",
 )
 
 

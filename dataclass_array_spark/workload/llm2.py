@@ -205,3 +205,31 @@ def _mixture_oracle() -> str:
 QUERIES["domain_mixture_sample"] = Query(
     domain_mixture_sample, _mixture_oracle(), tags=("sampling", "mixture")
 )
+
+
+# ------------------------------------------------ multimodal frames
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through mapInPandas with 1->N output — the
+    media-type filter prunes before the Python worker.  The stub frame
+    ids are md5-derived, so the oracle reproduces them in SQL."""
+    from dataclass_array_spark.operators.multimodal import attach_media, sample_frames
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    m = attach_media(d, "doc_id", "text")
+    return sample_frames(m).orderBy("doc_id", "frame_idx")
+
+
+FRAMES_SQL = """
+WITH v AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, CAST(gs.i AS INTEGER) AS frame_idx,
+       md5(h || ':' || CAST(gs.i AS VARCHAR)) AS frame_md5
+FROM v, generate_series(0, 3) gs(i)
+WHERE gs.i <= CAST(('0x'||substr(h,5,2)) AS BIGINT) % 4
+ORDER BY doc_id, frame_idx
+"""
+
+QUERIES["multimodal_frames"] = Query(
+    multimodal_frames, FRAMES_SQL, tags=("multimodal",)
+)

@@ -428,3 +428,35 @@ def test_temperature_mixture_rates_and_sample(spark, sf_dir):
     assert sorted(out.doc_id) == sorted(out2.doc_id)
     # expected-count sanity: within a loose band of the target
     assert 10 <= len(out) <= 120
+
+
+def test_multimodal_resize_and_features(spark, sf_dir):
+    from dataclass_array_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+        extract_media_features,
+        resize_media,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    m = attach_media(d, "doc_id", "text")
+    dec = {r["doc_id"]: r for r in decode_media(m).collect()}
+    rez = {r["doc_id"]: r for r in resize_media(m, max_dim=64).collect()}
+    assert set(rez) == set(dec)
+    for i, r in rez.items():
+        assert max(r["width"], r["height"]) <= 64
+        w0, h0 = dec[i]["width"], dec[i]["height"]
+        # aspect preserved within integer truncation
+        scale = min(1.0, 64 / max(w0, h0))
+        if max(w0, h0) > 64 and min(w0, h0) * scale >= 8:
+            # relative aspect error bounded by integer truncation (only
+            # meaningful when the scaled short side isn't a couple px)
+            assert abs((r["width"] / r["height"]) / (w0 / h0) - 1) < 0.2
+    feats = extract_media_features(m, dim=16).collect()
+    assert all(len(r["embedding"]) == 16 for r in feats)
+    assert all(-1.0 <= x <= 1.0 for r in feats for x in r["embedding"])
+    # determinism
+    feats2 = extract_media_features(m, dim=16).collect()
+    assert {r["doc_id"]: r["embedding"] for r in feats} == {
+        r["doc_id"]: r["embedding"] for r in feats2
+    }
