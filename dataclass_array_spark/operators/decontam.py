@@ -22,15 +22,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataclass_array_spark.operators.dedup import word_shingles
+from dataclass_array_spark.operators.dedup import _hash60, word_shingles
 
 
 def eval_ngram_set(eval_df: DataFrame, text_col: str, k: int = 5) -> DataFrame:
-    """Distinct k-gram shingles of the benchmark set — one column ``sh``."""
+    """Distinct k-gram shingle *hashes* of the benchmark set — one long
+    column ``sh``.  Joining on the 60-bit md5 hash instead of the raw
+    n-gram string shrinks the broadcast ~5x and makes probes integer
+    compares; the oracle hashes identically, so the comparison is still
+    exact (a 60-bit collision would need ~10^9 eval n-grams)."""
     return (
-        eval_df.select(
-            F.explode(word_shingles(F.col(text_col), k)).alias("sh")
-        ).distinct()
+        eval_df.select(F.explode(word_shingles(F.col(text_col), k)).alias("sh_str"))
+        .select(_hash60(F.col("sh_str")).alias("sh"))
+        .distinct()
     )
 
 
@@ -51,7 +55,10 @@ def ngram_overlap_vs_eval(
     """
     evals = F.broadcast(eval_ngram_set(eval_df, text_col, k).withColumn("hit", F.lit(1)))
     sh = corpus_df.select(
-        F.col(id_col), F.explode_outer(word_shingles(F.col(text_col), k)).alias("sh")
+        F.col(id_col),
+        F.explode_outer(
+            F.transform(word_shingles(F.col(text_col), k), _hash60)
+        ).alias("sh"),
     )
     per_doc = (
         sh.join(evals, "sh", "left")

@@ -45,10 +45,11 @@ _SQL_5GRAMS = """list_transform(generate_series(1, len(toks)-4),
 DECONTAM_SQL = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, sh FROM (
-    SELECT doc_id, unnest(CASE WHEN len(toks) >= {_DECONTAM_K} THEN {_SQL_5GRAMS}
-      ELSE [] END) AS sh
-    FROM toks)
+  SELECT doc_id, CAST(('0x'||substr(md5(sh_str),1,15)) AS BIGINT) AS sh FROM (
+    SELECT DISTINCT doc_id, sh_str FROM (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= {_DECONTAM_K} THEN {_SQL_5GRAMS}
+        ELSE [] END) AS sh_str
+      FROM toks))
 ),
 ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
 agg AS (
