@@ -9,6 +9,7 @@ two oracle-checked streaming workload queries (``workload.streaming``).
 """
 
 from dataclass_array_spark.streaming.core import (
+    dedup_within_watermark,
     events_stream,
     events_from_kafka_json,
     kafka_stream,
@@ -22,6 +23,7 @@ from dataclass_array_spark.streaming.core import (
 )
 
 __all__ = [
+    "dedup_within_watermark",
     "events_stream",
     "events_from_kafka_json",
     "kafka_stream",

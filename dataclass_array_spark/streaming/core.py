@@ -194,6 +194,18 @@ def kafka_sink(
         raise
 
 
+def dedup_within_watermark(
+    stream: DataFrame, keys: list, ts_col: str = "ts", delay: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: suppress re-deliveries of the same key
+    whose event times fall within the watermark delay of each other
+    (``dropDuplicatesWithinWatermark``).  State is evicted as the
+    watermark advances, so memory is bounded by the number of distinct
+    keys inside one delay window — the at-least-once -> exactly-once
+    repair stage of an ingestion pipeline."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def run_stream_to_memory(
     out: DataFrame, mode: str = "complete", name: str | None = None
 ) -> Tuple[DataFrame, str]:

@@ -66,6 +66,7 @@ _PRIORITY: Tuple[str, ...] = (
     "embedding_kmeans_clusters",
     "domain_mixture_sample",
     "multimodal_frames",
+    "streaming_dedup_events",
 )
 
 

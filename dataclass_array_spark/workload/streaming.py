@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataclass_array_spark.streaming import (
+    dedup_within_watermark,
     events_stream,
     run_stream_to_memory,
     session_window_stats,
@@ -75,3 +76,34 @@ QUERIES = {
         streaming_session_windows, STREAM_SESSION_SQL, tags=("streaming", "session")
     ),
 }
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: collapse per-(user, type, hour) key
+    re-occurrences with dropDuplicatesWithinWatermark (2 h delay > the
+    1 h key bucket width, so the distinct-key output is deterministic
+    regardless of micro-batch boundaries).  Only the keys are emitted —
+    which physical row survives is arrival-order-dependent and must not
+    leak into the oracle comparison."""
+    s = events_stream(spark, f"{sf_dir}/events.parquet")
+    keyed = s.withColumn(
+        "window_start_us", F.col("ts_us") - F.col("ts_us") % _HOUR_US
+    )
+    d = dedup_within_watermark(
+        keyed, ["user_id", "event_type", "window_start_us"], "ts", "2 hours"
+    )
+    out, _ = run_stream_to_memory(
+        d.select("user_id", "event_type", "window_start_us"), mode="append"
+    )
+    return out.orderBy("user_id", "event_type", "window_start_us")
+
+
+STREAM_DEDUP_SQL = f"""
+SELECT DISTINCT user_id, event_type,
+       epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS window_start_us
+FROM events ORDER BY 1, 2, 3
+"""
+
+QUERIES["streaming_dedup_events"] = Query(
+    streaming_dedup_events, STREAM_DEDUP_SQL, tags=("streaming", "dedup")
+)

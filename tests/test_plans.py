@@ -38,3 +38,44 @@ def test_scan_column_pruning(spark):
     p = plan(spark, "q6_forecast_revenue")
     rs = [l for l in p.splitlines() if "ReadSchema" in l]
     assert rs and "l_returnflag" not in rs[0] and "l_quantity" in rs[0]
+
+
+def test_decontam_broadcasts_eval_side(spark):
+    p = plan(spark, "decontam_ngram_overlap")
+    assert "BroadcastHashJoin" in p
+    # corpus side must not sort-merge join
+    assert "SortMergeJoin" not in p
+
+
+def test_repetition_metrics_no_shuffle(spark):
+    # pure in-scan expressions: the only exchanges allowed are the
+    # spread() repartition and the final orderBy range partitioning
+    p = plan(spark, "repetition_filter_docs")
+    import re
+    kinds = re.findall(r"Exchange (\w+)", p)
+    assert all(k in ("RoundRobinPartitioning", "rangepartitioning") for k in kinds), kinds
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    p = plan(spark, "domain_mixture_sample")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_kmeans_assignment_no_join(spark):
+    from pyspark.sql import functions as F
+    from dataclass_array_spark.operators.clustering import _argmin_cluster
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [[0.0] * 64, [1.0] * 64]
+    df = e.select(
+        "vec_id",
+        _argmin_cluster(F.col("embedding").cast("array<double>"), cents).alias("a"),
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # assignment is expression-only: no join, no exchange, no python
+    assert "Join" not in p and "Exchange" not in p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p

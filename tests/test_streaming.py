@@ -253,3 +253,34 @@ def test_kafka_sink_payload_shape_and_jar_gate(spark, tmp_path):
         kafka_sink(
             stream, "localhost:9092", "events", str(tmp_path / "ckpt"), key_col="user_id"
         )
+
+
+def test_dedup_within_watermark_multi_batch(spark, tmp_path):
+    """Re-deliveries of a key within the delay are suppressed even when
+    they arrive in different micro-batches (state carried across)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from dataclass_array_spark.streaming.core import (
+        dedup_within_watermark,
+        run_stream_to_memory,
+    )
+    from pyspark.sql import types as T
+
+    d = tmp_path / "in"
+    d.mkdir()
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    pd.DataFrame({"k": [1, 2], "ts_us": [1_000_000, 2_000_000]}).to_parquet(d / "a.parquet")
+    pd.DataFrame({"k": [1, 3], "ts_us": [3_000_000, 4_000_000]}).to_parquet(d / "b.parquet")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("ts_us", T.LongType())]
+    )
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    out, _ = run_stream_to_memory(
+        dedup_within_watermark(s, ["k"], "ts", "1 hour").select("k"), mode="append"
+    )
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
