@@ -42,6 +42,10 @@ SF1_QUERIES = (
     "text_stats",
     "shape_mask_filter",
     "shape_vectorize_mat",
+    # round-2 training-pipeline ops
+    "decontam_ngram_overlap",
+    "repetition_filter_docs",
+    "embedding_kmeans_clusters",
 )
 
 

@@ -112,7 +112,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.3,
     shingle_k: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: "int | str | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
@@ -137,6 +137,17 @@ def minhash_lsh_pairs(
     exactly the O(B²)-per-bucket blowup.  Callers who want the members
     of a mega-cluster should exact-dedup first (identical copies
     collapse there for free) and run MinHash on the survivors.
+
+    ``max_bucket_size="auto"`` derives the cap from the corpus's own
+    bucket-size histogram instead of a fixed constant, targeting the
+    actual scale guarantee: candidate pairs stay LINEAR in corpus size.
+    Walking the histogram smallest-bucket-first, the cap is the largest
+    size whose cumulative sum(n_b^2) fits a budget of 8 pairs per
+    banded row (floor 16) — natural buckets pass, and any bucket big
+    enough to push the self-join super-linear (the degenerate-corpus
+    case) is dropped regardless of how many such buckets there are.
+    Costs one extra tiny job over the aggregated (band, sig) counts —
+    histogram rows = distinct bucket sizes, not documents.
     """
     rows_per_band = n_hashes // bands
     # md5 signatures are CPU-bound: spread the corpus across all cores
@@ -160,6 +171,23 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", "shingles", F.explode(F.array(*band_cols)).alias("bs")
     ).select("doc_id", "shingles", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    if max_bucket_size == "auto":
+        hist = (
+            banded.groupBy("band", "sig")
+            .count()
+            .groupBy(F.col("count").alias("bsize"))
+            .agg(F.count("*").alias("n_buckets"))
+            .collect()
+        )
+        n_rows = sum(r["bsize"] * r["n_buckets"] for r in hist)
+        budget = 8 * n_rows
+        cum, cap = 0, 16
+        for r in sorted(hist, key=lambda r: r["bsize"]):
+            cum += r["bsize"] * r["bsize"] * r["n_buckets"]
+            if cum > budget:
+                break
+            cap = max(cap, int(r["bsize"]))
+        max_bucket_size = cap
     if max_bucket_size is not None:
         from pyspark.sql import Window
 

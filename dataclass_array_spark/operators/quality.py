@@ -109,3 +109,24 @@ def repetition_metrics(
             | (m.top_bigram_char_frac > F.lit(max_top_bigram_frac))
         ).alias("flagged"),
     )
+
+
+def repetition_flag(
+    text: Column,
+    max_dup_word_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.18,
+) -> Column:
+    """The pass/fail flag of :func:`repetition_metrics` as a standalone
+    column expression — compose it straight into a filter (no join, no
+    extra pass over the corpus)."""
+
+    def build(toks: Column) -> Column:
+        top = _top_run(F.array_sort(_grams(toks, 2)))
+        char_frac = F.when(
+            F.length(text) > 0, top.cnt * F.length(top.gram) / F.length(text)
+        ).otherwise(F.lit(0.0))
+        return (_dup_frac(toks) > F.lit(max_dup_word_frac)) | (
+            char_frac > F.lit(max_top_bigram_frac)
+        )
+
+    return let(tokens(text), build)

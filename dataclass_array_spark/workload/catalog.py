@@ -67,6 +67,7 @@ _PRIORITY: Tuple[str, ...] = (
     "domain_mixture_sample",
     "multimodal_frames",
     "streaming_dedup_events",
+    "pipeline_pretrain_corpus",
 )
 
 

@@ -234,3 +234,150 @@ ORDER BY doc_id, frame_idx
 QUERIES["multimodal_frames"] = Query(
     multimodal_frames, FRAMES_SQL, tags=("multimodal",)
 )
+
+
+# ------------------------------------------------ end-to-end pipeline
+# Thresholds sit inside this corpus's metric distributions (median
+# dup_word_frac ~0.54, max ~0.72; median top-bigram char frac ~0.055,
+# max ~0.33) so every stage filters a real, nonzero slice.
+_PL_DUP_WORD = 0.65
+_PL_TOP_BIGRAM = 0.18
+_PL_TARGET = 100.0
+
+
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training data path over the new round-2 operators:
+    repetition filter -> benchmark decontamination -> exact dedup ->
+    temperature-weighted domain mixing.  Filters are expression- or
+    broadcast-side; the dedup is one window over the content hash; the
+    mixture rates derive from the SURVIVING corpus."""
+    from pyspark.sql import Window
+
+    from dataclass_array_spark.operators.sampling import (
+        temperature_mixture_rates,
+        temperature_sample,
+    )
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    ev = d.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % _EVAL_MOD != 0)
+
+    from dataclass_array_spark.operators.quality import repetition_flag
+
+    # repetition filter is a pure expression — no join, no second pass
+    reps = corpus.filter(
+        ~repetition_flag(
+            F.col("text"),
+            max_dup_word_frac=_PL_DUP_WORD,
+            max_top_bigram_frac=_PL_TOP_BIGRAM,
+        )
+    )
+    dec_keep = (
+        ngram_overlap_vs_eval(
+            corpus, ev, "text", "doc_id", k=_DECONTAM_K, threshold=_DECONTAM_THRESH
+        )
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    surv = reps.join(dec_keep, "doc_id")
+    w = Window.partitionBy(tx.md5_fingerprint(F.col("text")))
+    ded = (
+        surv.withColumn("_mn", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_mn"))
+        .select("doc_id", "text", "source")
+        # the survivor corpus is consumed twice (rate derivation + the
+        # final sample join); checkpoint it so the filter/dedup subtree
+        # executes once instead of once per consumer
+        .localCheckpoint(eager=True)
+    )
+    rates = temperature_mixture_rates(ded, "source", target_rows=_PL_TARGET)
+    return (
+        temperature_sample(ded, rates, "source", "doc_id")
+        .select("doc_id", "source", "rate_ppm")
+        .orderBy("doc_id")
+    )
+
+
+def _pipeline_oracle() -> str:
+    from dataclass_array_spark.operators.sampling import PPM, sql_hash_bucket
+
+    fp = tx.sql_md5_fingerprint("text")
+    bucket = sql_hash_bucket("dd.doc_id", "mix")
+    return f"""
+WITH toksc AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+  WHERE doc_id % {_EVAL_MOD} != 0
+),
+base AS (
+  SELECT doc_id, text,
+    CASE WHEN len(toks) > 0
+         THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS dwf
+  FROM toksc
+),
+g2 AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+      list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])
+    ELSE [] END) AS gram
+  FROM toksc
+),
+cntg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+topg AS (
+  SELECT doc_id, gram, cnt FROM (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+    FROM cntg) WHERE rn = 1
+),
+repk AS (
+  SELECT b.doc_id FROM base b LEFT JOIN topg t ON t.doc_id = b.doc_id
+  WHERE NOT (b.dwf > {_PL_DUP_WORD}
+    OR (CASE WHEN length(b.text) > 0
+             THEN CAST(COALESCE(t.cnt, 0) * length(COALESCE(t.gram, '')) AS DOUBLE)
+                    / length(b.text)
+             ELSE 0.0 END) > {_PL_TOP_BIGRAM})
+),
+toksall AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, CAST(('0x'||substr(md5(sh_str),1,15)) AS BIGINT) AS sh FROM (
+    SELECT DISTINCT doc_id, sh_str FROM (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= {_DECONTAM_K} THEN {_SQL_5GRAMS}
+        ELSE [] END) AS sh_str
+      FROM toksall))
+),
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+agg AS (
+  SELECT c.doc_id, COUNT(*) AS n_grams, COUNT(ev.sh) AS n_hit
+  FROM (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} != 0) c
+  LEFT JOIN ev ON ev.sh = c.sh
+  GROUP BY c.doc_id
+),
+deck AS (
+  SELECT t.doc_id FROM toksc t LEFT JOIN agg a USING (doc_id)
+  WHERE (CASE WHEN COALESCE(a.n_grams, 0) > 0
+              THEN CAST(a.n_hit AS DOUBLE) / a.n_grams ELSE 0.0 END)
+        < {_DECONTAM_THRESH}
+),
+surv AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d
+  JOIN repk USING (doc_id) JOIN deck USING (doc_id)
+),
+ded AS (
+  SELECT doc_id, source FROM (
+    SELECT s.*, MIN(doc_id) OVER (PARTITION BY {fp}) AS mn FROM surv s
+  ) WHERE doc_id = mn
+),
+cnt2 AS (SELECT source, COUNT(*) AS n_docs FROM ded GROUP BY source),
+w2 AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt FROM cnt2),
+tot2 AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(25,6))) AS DOUBLE) AS tot FROM w2),
+r2 AS (SELECT source, n_docs,
+         least(1.0, {_PL_TARGET} * (wt / tot) / n_docs) AS rate FROM w2, tot2)
+SELECT dd.doc_id, dd.source, CAST(FLOOR(rate * {PPM}) AS BIGINT) AS rate_ppm
+FROM ded dd JOIN r2 USING (source)
+WHERE ({bucket}) < CAST(FLOOR(rate * {PPM}) AS BIGINT)
+ORDER BY dd.doc_id
+"""
+
+
+QUERIES["pipeline_pretrain_corpus"] = Query(
+    pipeline_pretrain_corpus, _pipeline_oracle(), tags=("pipeline", "dedup", "sampling")
+)

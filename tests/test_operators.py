@@ -460,3 +460,28 @@ def test_multimodal_resize_and_features(spark, sf_dir):
     assert {r["doc_id"]: r["embedding"] for r in feats} == {
         r["doc_id"]: r["embedding"] for r in feats2
     }
+
+
+def test_minhash_auto_bucket_cap(spark):
+    """auto cap: natural buckets pass (pairs unchanged vs uncapped on a
+    normal corpus); a planted viral cluster is dropped by the cap."""
+    base = ["the quick brown fox jumps over the lazy dog again and again today"] + [
+        f"unique document number {i} with plenty of distinct words token{i} extra{i}"
+        for i in range(1, 30)
+    ]
+    near = base[0].replace("today", "tomorrow")  # known-colliding LSH pair
+    pdf = pd.DataFrame({"id": range(31), "txt": base + [near]})
+    df = spark.createDataFrame(pdf)
+    plain = minhash_lsh_pairs(df, "txt", "id", threshold=0.3).toPandas()
+    auto = minhash_lsh_pairs(df, "txt", "id", threshold=0.3, max_bucket_size="auto").toPandas()
+    assert sorted(zip(plain.id_a, plain.id_b)) == sorted(zip(auto.id_a, auto.id_b))
+    # degenerate corpus: 200 identical docs + the normal ones
+    viral = pd.DataFrame(
+        {"id": range(1000, 1200), "txt": ["same viral doc repeated everywhere always"] * 200}
+    )
+    df2 = spark.createDataFrame(pd.concat([pdf, viral], ignore_index=True))
+    capped = minhash_lsh_pairs(df2, "txt", "id", threshold=0.3, max_bucket_size="auto").toPandas()
+    got = set(zip(capped.id_a, capped.id_b))
+    # the 200-doc bucket (19900 pairs) must be dropped; the real near-dup kept
+    assert (0, 30) in got
+    assert not any(a >= 1000 for a, _ in got)
