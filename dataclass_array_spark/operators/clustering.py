@@ -78,6 +78,7 @@ def kmeans_assign(
     vec_col: str,
     k: int = 8,
     iters: int = 3,
+    keep_vec: bool = False,
 ) -> Tuple[DataFrame, List[List[float]]]:
     """Lloyd's k-means with deterministic init (first k rows by id).
 
@@ -106,13 +107,14 @@ def kmeans_assign(
             for i in range(k)
         ]
     best = _argmin_cluster(F.col("v"), centroids)
-    out = vecs.select(
-        id_col, best.cluster.alias("cluster"), best.dist.alias("dist")
-    )
+    cols = [F.col(id_col), best.cluster.alias("cluster"), best.dist.alias("dist")]
+    if keep_vec:
+        cols.append(F.col("v"))
+    out = vecs.select(*cols)
     return out, centroids
 
 
-def kmeans_sql(
+def kmeans_sql_ctes(
     table: str,
     id_col: str,
     vec_col: str,
@@ -120,8 +122,9 @@ def kmeans_sql(
     k: int = 8,
     iters: int = 3,
 ) -> str:
-    """DuckDB oracle: the identical algorithm with iterations unrolled
-    into CTE chains (assignment -> per-dim mean -> centroid carry)."""
+    """DuckDB CTE chain for the unrolled k-means (assignment -> per-dim
+    mean -> centroid carry), ending at ``afinal(vec_id, cid, dist)``;
+    :func:`kmeans_sql` and the semantic-dedup oracle both build on it."""
     fold = (
         "list_reduce(list_prepend(0.0, list_transform(list_zip(e.v, c.cv), "
         "p -> (p[1]-p[2])*(p[1]-p[2]))), (acc, x) -> acc + x)"
@@ -164,10 +167,103 @@ def kmeans_sql(
 )"""
         )
     parts.append(f", afinal AS {assign(f'c{iters}')}")
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def kmeans_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`kmeans_assign` final assignments."""
+    return (
+        kmeans_sql_ctes(table, id_col, vec_col, dim, k, iters)
+        + f"""
 SELECT vec_id AS {id_col}, CAST(cid AS BIGINT) AS cluster,
        CAST(FLOOR(dist * 1e9) AS BIGINT) AS dist_e9
 FROM afinal ORDER BY vec_id"""
     )
-    return "".join(parts)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    cos_threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup: k-means partition, then drop within-cluster cosine
+    near-duplicates (keep the lowest id of each near-dup pair).
+
+    Scale shape: the all-pairs step runs WITHIN clusters only — pick k
+    so clusters stay bounded (SemDeDup's own recipe: k grows with the
+    corpus; cluster size ~n/k caps the per-cluster quadratic term).
+    The assignment frame is checkpointed once and feeds both sides of
+    the self-join plus the survivor anti-join.
+
+    Returns ``(id, cluster)`` of surviving rows.
+    """
+    from dataclass_array_spark.operators.similarity import cosine, norm2
+
+    assign, _ = kmeans_assign(df, id_col, vec_col, k, iters, keep_vec=True)
+    assign = assign.withColumn("n2", norm2(F.col("v"))).localCheckpoint(eager=True)
+    a, b = assign.alias("a"), assign.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"b.{id_col}").alias("_drop_id"),
+        cosine(
+            F.col("a.v"), F.col("b.v"), F.col("a.n2"), F.col("b.n2")
+        ).alias("cos"),
+    )
+    drops = pairs.filter(F.col("cos") >= cos_threshold).select("_drop_id").distinct()
+    return (
+        assign.join(drops, assign[id_col] == drops["_drop_id"], "left_anti")
+        .select(id_col, "cluster")
+    )
+
+
+def semantic_dedup_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+    cos_threshold: float = 0.45,
+) -> str:
+    """DuckDB oracle for :func:`semantic_dedup`."""
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(ea.v, eb.v), "
+        "p -> p[1]*p[2])), (acc, x) -> acc + x)"
+    )
+    n2 = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(v, v), "
+        "p -> p[1]*p[2])), (acc, x) -> acc + x)"
+    )
+    return (
+        kmeans_sql_ctes(table, id_col, vec_col, dim, k, iters)
+        + f"""
+, n AS (SELECT {id_col} AS nid, {n2} AS n2 FROM e)
+, pairs AS (
+  SELECT b.vec_id AS drop_id,
+         {dot} / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+  FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.{id_col} = a.vec_id
+  JOIN e eb ON eb.{id_col} = b.vec_id
+  JOIN n na ON na.nid = a.vec_id
+  JOIN n nb ON nb.nid = b.vec_id
+)
+SELECT a.vec_id AS {id_col}, CAST(a.cid AS BIGINT) AS cluster
+FROM afinal a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs p WHERE p.cos >= {cos_threshold} AND p.drop_id = a.vec_id
+)
+ORDER BY 1"""
+    )

@@ -68,6 +68,7 @@ _PRIORITY: Tuple[str, ...] = (
     "multimodal_frames",
     "streaming_dedup_events",
     "pipeline_pretrain_corpus",
+    "semantic_dedup_embeddings",
 )
 
 

@@ -381,3 +381,33 @@ ORDER BY dd.doc_id
 QUERIES["pipeline_pretrain_corpus"] = Query(
     pipeline_pretrain_corpus, _pipeline_oracle(), tags=("pipeline", "dedup", "sampling")
 )
+
+
+# ------------------------------------------------ semantic dedup
+_SD_THRESH = 0.45
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means partition + within-
+    cluster cosine pruning (keep lowest vec_id)."""
+    from dataclass_array_spark.operators.clustering import semantic_dedup
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return semantic_dedup(
+        spread(e), "vec_id", "embedding",
+        k=_KM_K, iters=_KM_ITERS, cos_threshold=_SD_THRESH,
+    ).orderBy("vec_id")
+
+
+def _semantic_dedup_oracle() -> str:
+    from dataclass_array_spark.operators.clustering import semantic_dedup_sql
+
+    return semantic_dedup_sql(
+        "embeddings", "vec_id", "embedding",
+        dim=_KM_DIM, k=_KM_K, iters=_KM_ITERS, cos_threshold=_SD_THRESH,
+    )
+
+
+QUERIES["semantic_dedup_embeddings"] = Query(
+    semantic_dedup_embeddings, _semantic_dedup_oracle(), tags=("dedup", "clustering")
+)
