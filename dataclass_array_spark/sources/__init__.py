@@ -34,6 +34,51 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType, **options) -
     return spark.read.options(**options).schema(schema).json(path)
 
 
+def read_text_docs(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    id_from_path: bool = True,
+) -> DataFrame:
+    """Raw-text ingestion for document pipelines: one row per line (or
+    per file with ``whole_file``), columns ``(doc_id, text[, path])``.
+    ``doc_id`` is the md5-derived 60-bit hash of (file path, record
+    index).  Record index comes from monotonically_increasing_id, so
+    ids are re-run-deterministic for a fixed ``files.maxPartitionBytes``
+    split conf (text records are always in file order within a split);
+    for ids independent of the split conf use ``whole_file=True`` (one
+    record per file) or re-key on a content hash after ingestion.  Text
+    files support no column pruning/pushdown — land the corpus to
+    parquet right after this."""
+    from pyspark.sql import functions as F
+
+    r = spark.read.option("wholetext", whole_file).text(path)
+    r = r.select(
+        F.input_file_name().alias("path"),
+        F.monotonically_increasing_id().alias("_ord"),  # per-file order only
+        F.col("value").alias("text"),
+    )
+    key = F.concat_ws(":", "path", F.col("_ord").cast("string"))
+    doc_id = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    cols = [doc_id.alias("doc_id"), F.col("text")]
+    if id_from_path:
+        cols.append(F.col("path"))
+    return r.select(*cols)
+
+
+def read_binary_media(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Opaque media ingestion via the built-in ``binaryFile`` source:
+    ``(path, modificationTime, length, content)`` with ``content`` a
+    BinaryType column — feeds operators.multimodal directly.  Pushdown:
+    the source prunes on path/length predicates; content is only read
+    for surviving files."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
 _LAKEHOUSE_FORMATS = {"delta", "iceberg", "hudi"}
 
 

@@ -89,3 +89,22 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "l_returnflag" in plan
     exp = li.filter(F.col("l_returnflag") == "R").count()
     assert back.count() == exp
+
+
+def test_read_text_docs_and_binary_media(spark, tmp_path):
+    from dataclass_array_spark.sources import read_binary_media, read_text_docs
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first doc\nsecond doc\n")
+    (d / "b.txt").write_text("third doc\n")
+    docs = read_text_docs(spark, str(d)).collect()
+    assert sorted(r["text"] for r in docs) == ["first doc", "second doc", "third doc"]
+    # ids are stable across re-reads (md5 of path+order, not partition-dependent)
+    again = read_text_docs(spark, str(d)).collect()
+    assert {r["doc_id"] for r in docs} == {r["doc_id"] for r in again}
+    assert len({r["doc_id"] for r in docs}) == 3
+    media = read_binary_media(spark, str(d), glob="*.txt").collect()
+    got = {r["path"].split("/")[-1]: bytes(r["content"]) for r in media}
+    assert got["b.txt"] == b"third doc\n"
+    assert all(r["length"] == len(bytes(r["content"])) for r in media)
