@@ -217,3 +217,53 @@ def chunk_tokens(text: Column, chunk_size: int, overlap: int) -> Column:
         )
 
     return let(tokens(text), build)
+
+
+def build_vocab(df, text_col: str, size: int = 500):
+    """Frequency-ranked vocabulary of whitespace tokens:
+    ``(t, tid)`` with ids 0..size-1 assigned by (count DESC, token ASC)
+    — fully tie-broken, so the mapping is deterministic.  One explode +
+    one aggregation; the result is dimension-table-sized (broadcast it
+    into :func:`tokenize_with_vocab`)."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    vc = tok.groupBy("t").count()
+    w = Window.orderBy(F.desc("count"), F.asc("t"))
+    return (
+        vc.withColumn("tid", F.row_number().over(w) - 1)
+        .filter(F.col("tid") < size)
+        .select("t", F.col("tid").cast("long").alias("tid"))
+    )
+
+
+def tokenize_with_vocab(df, text_col: str, id_col: str, vocab_df, unk_id: int = -1):
+    """Map each document's token sequence to vocabulary ids (the
+    tokenize step feeding sequence packing).
+
+    Plan: posexplode tokens in-scan, broadcast-join the vocab (BPE-scale
+    vocabs are ~100k rows — always broadcastable), re-assemble the
+    ordered id sequence with one per-doc aggregation (sort by position
+    inside the collected array — tokens of one doc are co-partitioned
+    after the explode, so the shuffle carries one row per doc).
+
+    Output: ``(id, ids_json, n_tokens, n_unk)`` — the id array is
+    serialized to JSON (driver-comparator-safe, matches DuckDB
+    ``to_json(list(...))``)."""
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "t"),
+    )
+    j = tok.join(F.broadcast(vocab_df), "t", "left")
+    entry = F.when(
+        F.col("pos").isNotNull(),
+        F.struct(F.col("pos"), F.coalesce(F.col("tid"), F.lit(unk_id)).alias("tid")),
+    )
+    unk = F.when(F.col("pos").isNotNull() & F.col("tid").isNull(), 1).otherwise(0)
+    return j.groupBy(id_col).agg(
+        F.to_json(
+            F.transform(F.array_sort(F.collect_list(entry)), lambda s: s.tid)
+        ).alias("ids_json"),
+        F.count("pos").alias("n_tokens"),
+        F.sum(unk).cast("long").alias("n_unk"),
+    )

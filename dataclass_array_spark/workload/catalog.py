@@ -69,6 +69,7 @@ _PRIORITY: Tuple[str, ...] = (
     "streaming_dedup_events",
     "pipeline_pretrain_corpus",
     "semantic_dedup_embeddings",
+    "tokenize_docs",
 )
 
 

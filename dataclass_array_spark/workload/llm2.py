@@ -411,3 +411,55 @@ def _semantic_dedup_oracle() -> str:
 QUERIES["semantic_dedup_embeddings"] = Query(
     semantic_dedup_embeddings, _semantic_dedup_oracle(), tags=("dedup", "clustering")
 )
+
+
+# ------------------------------------------------ tokenization
+_VOCAB_SIZE = 500
+
+
+def tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived frequency vocab (fully tie-broken ids) + token->id
+    mapping per document; id sequences serialized to JSON for the
+    comparator."""
+    from dataclass_array_spark.operators.text import build_vocab, tokenize_with_vocab
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    vocab = build_vocab(d, "text", size=_VOCAB_SIZE)
+    return tokenize_with_vocab(d, "text", "doc_id", vocab).orderBy("doc_id")
+
+
+TOKENIZE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+vc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+vocab AS (
+  SELECT t, CAST(row_number() OVER (ORDER BY c DESC, t) - 1 AS BIGINT) AS tid
+  FROM vc ORDER BY c DESC, t LIMIT {_VOCAB_SIZE}
+),
+pos AS (
+  -- DuckDB's generate_series cannot take a lateral column bound;
+  -- over-generate to a fixed cap and filter (docs are < 4096 tokens)
+  SELECT doc_id, gs.i AS pos, toks[gs.i] AS t
+  FROM toks, generate_series(1, 4096) gs(i)
+  WHERE gs.i <= len(toks)
+),
+ids AS (
+  SELECT p.doc_id, p.pos, COALESCE(v.tid, -1) AS tid,
+         CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END AS unk
+  FROM pos p LEFT JOIN vocab v USING (t)
+),
+agg AS (
+  SELECT doc_id, to_json(list(tid ORDER BY pos)) AS ids_json,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(unk) AS BIGINT) AS n_unk
+  FROM ids GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.ids_json, '[]') AS ids_json,
+       COALESCE(a.n_tokens, 0) AS n_tokens, COALESCE(a.n_unk, 0) AS n_unk
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+QUERIES["tokenize_docs"] = Query(
+    tokenize_docs, TOKENIZE_SQL, tags=("text", "tokenization")
+)
