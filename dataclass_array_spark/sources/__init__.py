@@ -79,10 +79,28 @@ def read_binary_media(spark: SparkSession, path: str, glob: str = "*") -> DataFr
     )
 
 
+def read_avro(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Avro source — jar-gated: pyspark does not bundle spark-avro.
+    Clear error instead of a bare ClassNotFound; the row-format scale
+    caveats of CSV/JSON apply (no column pruning at the storage layer)."""
+    try:
+        return spark.read.format("avro").options(**options).load(path)
+    except Exception as e:
+        if "avro" in str(e).lower():
+            raise NotImplementedError(
+                "avro requires the spark-avro connector on the classpath "
+                "(spark.jars.packages = org.apache.spark:spark-avro_2.13:"
+                "<spark-version>); land long-lived data as parquet instead"
+            ) from e
+        raise
+
+
 _LAKEHOUSE_FORMATS = {"delta", "iceberg", "hudi"}
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet", **kw) -> DataFrame:
+    if fmt == "avro":
+        return read_avro(spark, path, **kw)
     if fmt in _LAKEHOUSE_FORMATS:
         raise NotImplementedError(
             f"{fmt} requires its connector jars on the classpath (not in this "

@@ -485,3 +485,19 @@ def test_minhash_auto_bucket_cap(spark):
     # the 200-doc bucket (19900 pairs) must be dropped; the real near-dup kept
     assert (0, 30) in got
     assert not any(a >= 1000 for a, _ in got)
+
+
+def test_semantic_dedup_invariants(spark):
+    from dataclass_array_spark.operators.clustering import kmeans_assign, semantic_dedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    surv = semantic_dedup(e, "vec_id", "embedding", k=4, iters=2, cos_threshold=0.45)
+    rows = surv.collect()
+    n_all = e.count()
+    assert 0 < len(rows) <= n_all
+    # survivors' cluster labels agree with a fresh kmeans run (determinism)
+    assign, _ = kmeans_assign(e, "vec_id", "embedding", k=4, iters=2)
+    lbl = {r["vec_id"]: r["cluster"] for r in assign.collect()}
+    assert all(lbl[r["vec_id"]] == r["cluster"] for r in rows)
+    # keep-lowest: the smallest vec_id of the table always survives
+    assert min(lbl) in {r["vec_id"] for r in rows}

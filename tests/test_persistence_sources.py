@@ -108,3 +108,11 @@ def test_read_text_docs_and_binary_media(spark, tmp_path):
     got = {r["path"].split("/")[-1]: bytes(r["content"]) for r in media}
     assert got["b.txt"] == b"third doc\n"
     assert all(r["length"] == len(bytes(r["content"])) for r in media)
+
+
+def test_avro_jar_gate(spark, tmp_path):
+    import pytest
+    from dataclass_array_spark.sources import read_avro
+
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "x.avro"))
