@@ -57,9 +57,9 @@ def _argmin_cluster(vec: Column, centroids: List[List[float]]) -> Column:
     )
 
 
-def _mean_expr() -> Column:
-    """Exact per-group mean of column ``val``: decimal sum, floor-split
-    to double, double division by the count.
+def _mean_expr(val: Column, alias: str) -> Column:
+    """Exact per-group mean of ``val``: decimal sum, floor-split to
+    double, double division by the group count (column ``_n``).
 
     The sum is re-cast to DECIMAL(30,9) before the split: with the full
     (38,9) the subtraction ``s - floor(s)`` needs precision 48, and
@@ -67,9 +67,19 @@ def _mean_expr() -> Column:
     — truncating the last three scale digits.  At (30,9) the result is
     (32,9): lossless, and 10^21 integer digits still covers any
     realistic per-(cluster,dim) sum."""
-    s = F.sum(F.col("val").cast(_DEC)).cast("decimal(30,9)")
+    s = F.sum(val.cast(_DEC)).cast("decimal(30,9)")
     as_double = F.floor(s).cast("double") + (s - F.floor(s)).cast("double")
-    return (as_double / F.count("val")).alias("m")
+    return (as_double / F.count(val)).alias(alias)
+
+
+def _mean_from_decimal(s, n: int) -> float:
+    """Driver-side replica of the engine floor-split: exact Decimal sum
+    -> floor part + frac part, each correctly rounded to double, then
+    double division by the count.  ``float(Decimal)`` is correctly
+    rounded in CPython, so this matches the Spark/DuckDB cast chain
+    bit-for-bit."""
+    fl = s.to_integral_value(rounding="ROUND_FLOOR")
+    return (float(fl) + float(s - fl)) / n
 
 
 def kmeans_assign(
@@ -91,19 +101,28 @@ def kmeans_assign(
     centroids: List[List[float]] = [
         r["v"] for r in vecs.orderBy(id_col).limit(k).collect()
     ]
+    dim = len(centroids[0])
     for _ in range(iters):
+        # per-dim columns instead of posexplode: the update shuffle
+        # carries k rows per partition (map-side combined), not k*dim
         assigned = vecs.select(
             _argmin_cluster(F.col("v"), centroids).cluster.alias("cluster"),
-            F.posexplode("v").alias("dim", "val"),
+            *[F.element_at("v", d + 1).alias(f"d{d}") for d in range(dim)],
         )
-        rows = assigned.groupBy("cluster", "dim").agg(_mean_expr()).collect()
-        by_cid: dict = {}
-        for r in rows:
-            by_cid.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        # plain decimal sums only — the floor-split runs on the driver
+        # over k rows (less codegen than 64 floor-split trees per plan)
+        rows = assigned.groupBy("cluster").agg(
+            F.count("*").alias("_n"),
+            *[F.sum(F.col(f"d{d}").cast(_DEC)).alias(f"s{d}") for d in range(dim)],
+        ).collect()
+        by_cid = {
+            r["cluster"]: [
+                _mean_from_decimal(r[f"s{d}"], r["_n"]) for d in range(dim)
+            ]
+            for r in rows
+        }
         centroids = [
-            [by_cid[i][d] for d in range(len(centroids[i]))]
-            if i in by_cid
-            else centroids[i]  # empty cluster keeps its centroid
+            by_cid.get(i, centroids[i])  # empty cluster keeps its centroid
             for i in range(k)
         ]
     best = _argmin_cluster(F.col("v"), centroids)
