@@ -267,3 +267,27 @@ def tokenize_with_vocab(df, text_col: str, id_col: str, vocab_df, unk_id: int = 
         F.count("pos").alias("n_tokens"),
         F.sum(unk).cast("long").alias("n_unk"),
     )
+
+
+def token_rarity_scores(df, text_col: str, id_col: str):
+    """Frequency-based rarity score per document: the mean log2-bucket
+    of each token's corpus frequency (lower = rarer vocabulary = often
+    boilerplate-free prose; extremely low = gibberish).  The log2 bucket
+    is ``length(bin(freq)) - 1`` — an exact integer (no libm ``log``,
+    whose last-ulp behavior differs across engines), so the score is a
+    ratio of exact integers and reproduces bit-for-bit in the oracle.
+
+    Plan: corpus frequencies via one token aggregation (vocab-sized
+    result, broadcast back), per-doc mean via posexplode + broadcast
+    join + per-doc re-aggregation (shuffle = one row per doc)."""
+    tok = df.select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("t"))
+    freq = tok.filter(F.col("t").isNotNull()).groupBy("t").count()
+    freq = freq.select("t", (F.length(F.bin(F.col("count"))) - 1).cast("long").alias("lb"))
+    j = tok.join(F.broadcast(freq), "t", "left")
+    return j.groupBy(id_col).agg(
+        F.count("t").alias("n_tokens"),
+        F.coalesce(F.sum("lb"), F.lit(0)).cast("long").alias("lb_sum"),
+        F.when(
+            F.count("t") > 0, F.sum("lb") / F.count("t")
+        ).otherwise(F.lit(0.0)).alias("rarity_score"),
+    )

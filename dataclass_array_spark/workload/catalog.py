@@ -70,6 +70,7 @@ _PRIORITY: Tuple[str, ...] = (
     "pipeline_pretrain_corpus",
     "semantic_dedup_embeddings",
     "tokenize_docs",
+    "token_rarity_docs",
 )
 
 

@@ -463,3 +463,40 @@ ORDER BY d.doc_id
 QUERIES["tokenize_docs"] = Query(
     tokenize_docs, TOKENIZE_SQL, tags=("text", "tokenization")
 )
+
+
+# ------------------------------------------------ token rarity
+def token_rarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequency-rarity quality scores (integer log2 buckets — no
+    libm log in either engine)."""
+    from dataclass_array_spark.operators.text import token_rarity_scores
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return token_rarity_scores(d, "text", "doc_id").orderBy("doc_id")
+
+
+RARITY_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+freq AS (
+  SELECT t, CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS lb
+  FROM tok GROUP BY t
+),
+agg AS (
+  SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(lb) AS BIGINT) AS lb_sum
+  FROM tok JOIN freq USING (t)
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.lb_sum, 0) AS lb_sum,
+       CASE WHEN COALESCE(a.n_tokens, 0) > 0
+            THEN CAST(a.lb_sum AS DOUBLE) / a.n_tokens ELSE 0.0 END AS rarity_score
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+QUERIES["token_rarity_docs"] = Query(
+    token_rarity_docs, RARITY_SQL, tags=("quality", "text")
+)
