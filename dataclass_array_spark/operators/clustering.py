@@ -211,9 +211,10 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 8,
+    k: "int | str" = 8,
     iters: int = 3,
     cos_threshold: float = 0.45,
+    target_cluster_size: int = 256,
 ) -> DataFrame:
     """SemDeDup: k-means partition, then drop within-cluster cosine
     near-duplicates (keep the lowest id of each near-dup pair).
@@ -221,13 +222,19 @@ def semantic_dedup(
     Scale shape: the all-pairs step runs WITHIN clusters only — pick k
     so clusters stay bounded (SemDeDup's own recipe: k grows with the
     corpus; cluster size ~n/k caps the per-cluster quadratic term).
-    The assignment frame is checkpointed once and feeds both sides of
-    the self-join plus the survivor anti-join.
+    ``k="auto"`` derives it from the corpus: ``ceil(n /
+    target_cluster_size)``, keeping the expected per-cluster pair count
+    ~target²/2 regardless of corpus size (one extra count job).  The
+    assignment frame is checkpointed once and feeds both sides of the
+    self-join plus the survivor anti-join.
 
     Returns ``(id, cluster)`` of surviving rows.
     """
     from dataclass_array_spark.operators.similarity import cosine, norm2
 
+    if k == "auto":
+        n = df.count()
+        k = max(1, -(-n // target_cluster_size))  # ceil div
     assign, _ = kmeans_assign(df, id_col, vec_col, k, iters, keep_vec=True)
     assign = assign.withColumn("n2", norm2(F.col("v"))).localCheckpoint(eager=True)
     a, b = assign.alias("a"), assign.alias("b")

@@ -501,3 +501,19 @@ def test_semantic_dedup_invariants(spark):
     assert all(lbl[r["vec_id"]] == r["cluster"] for r in rows)
     # keep-lowest: the smallest vec_id of the table always survives
     assert min(lbl) in {r["vec_id"] for r in rows}
+
+
+def test_semantic_dedup_auto_k(spark):
+    from dataclass_array_spark.operators.clustering import semantic_dedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = e.count()
+    surv = semantic_dedup(
+        e, "vec_id", "embedding", k="auto", iters=1, target_cluster_size=16
+    )
+    rows = surv.collect()
+    assert 0 < len(rows) <= n
+    # ceil(n/16) clusters requested; labels must stay within range
+    import math
+    k = max(1, math.ceil(n / 16))
+    assert all(0 <= r["cluster"] < k for r in rows)
