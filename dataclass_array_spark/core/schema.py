@@ -147,6 +147,7 @@ _NP_TO_SPARK: dict[str, T.DataType] = {
     "uint64": T.DecimalType(20, 0),
     "bool": T.BooleanType(),
     "str_": T.StringType(),
+    "str": T.StringType(),  # np.dtype(np.str_).name on numpy 2
     "complex64": T.StructType(
         [T.StructField("re", T.FloatType()), T.StructField("im", T.FloatType())]
     ),
@@ -186,6 +187,7 @@ ui16 = _DtypeAlias(np.uint16)
 ui32 = _DtypeAlias(np.uint32)
 ui64 = _DtypeAlias(np.uint64)
 bool_ = _DtypeAlias(np.bool_)
+str_ = _DtypeAlias(np.str_)
 complex64 = _DtypeAlias(np.complex64)
 complex128 = _DtypeAlias(np.complex128)
 FloatArray = f32

@@ -517,3 +517,32 @@ def test_semantic_dedup_auto_k(spark):
     import math
     k = max(1, math.ceil(n / 16))
     assert all(0 <= r["cluster"] < k for r in rows)
+
+
+def test_dcatable_feeds_pipeline_operators(spark, sf_dir):
+    """Cohesion: the typed DcaTable layer and the pipeline operators are
+    one system — adopt documents as a DcaTable, shape-filter with a
+    boolean mask, hand the backing frame to dedup + quality operators."""
+    import dataclass_array_spark as das
+    from dataclass_array_spark.core.schema import i64, str_
+    from dataclass_array_spark.operators.dedup import exact_dedup
+    from dataclass_array_spark.operators.quality import repetition_flag
+
+    @das.dataclass_array(cast_dtype=True)
+    class Docs(das.DcaTable):
+        doc_id: i64
+        text: str_
+
+    t = Docs.from_df(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+    n = len(t)
+    # boolean mask through the typed layer: keep the first half
+    ids = t.to_numpy_fields()["doc_id"]
+    kept = t[ids < ids[n // 2]]
+    assert len(kept) == n // 2
+    # the masked table's frame flows straight into the operators
+    groups = exact_dedup(kept.df, "text", "doc_id")
+    assert groups.count() <= n // 2
+    flags = kept.df.select(repetition_flag(F.col("text")).alias("f"))
+    assert flags.count() == n // 2
