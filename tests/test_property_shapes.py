@@ -64,3 +64,42 @@ def test_transpose_involution(spark, shape):
     p, v = make(shape, spark)
     t2 = p.reshape("a b -> b a").reshape("a b -> b a")
     assert_np_equal(t2, {"v": v})
+
+
+# ---------------------------------------------------------------- quality ops
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _docs(draw):
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    n = draw(st.integers(0, 12))
+    return " ".join(draw(st.lists(st.sampled_from(words), min_size=n, max_size=n)))
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_docs(), min_size=1, max_size=5))
+def test_repetition_metrics_match_python(spark, texts):
+    import pandas as pd
+    from collections import Counter
+    from dataclass_array_spark.operators.quality import repetition_metrics
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = {r["doc_id"]: r for r in repetition_metrics(df, "text", "doc_id").collect()}
+    for i, text in enumerate(texts):
+        toks = [t for t in text.lower().strip().split() if t]
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        exp_dup = 1.0 - len(set(toks)) / len(toks) if toks else 0.0
+        assert abs(r["dup_word_frac"] - exp_dup) < 1e-12
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if bigrams:
+            cnt = Counter(bigrams)
+            # tie-break: highest count, lexicographically smallest gram
+            best_n = max(cnt.values())
+            best_g = min(g for g, c in cnt.items() if c == best_n)
+            assert r["top_bigram"] == best_g and r["top_bigram_count"] == best_n
+            exp_cf = best_n * len(best_g) / len(text) if len(text) else 0.0
+            assert abs(r["top_bigram_char_frac"] - exp_cf) < 1e-12
+        else:
+            assert r["top_bigram"] is None and r["top_bigram_count"] == 0
