@@ -71,6 +71,7 @@ _PRIORITY: Tuple[str, ...] = (
     "semantic_dedup_embeddings",
     "tokenize_docs",
     "token_rarity_docs",
+    "dedup_minhash_lsh_auto",
 )
 
 

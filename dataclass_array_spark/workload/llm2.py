@@ -500,3 +500,49 @@ ORDER BY d.doc_id
 QUERIES["token_rarity_docs"] = Query(
     token_rarity_docs, RARITY_SQL, tags=("quality", "text")
 )
+
+
+# ------------------------------------------------ auto-capped MinHash
+def dedup_minhash_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash gate run through max_bucket_size='auto': the cap is
+    derived from the corpus's bucket-size histogram (cumulative pair
+    budget of 8 per banded row, floor 16) instead of a fixed constant —
+    this gate verifies the scaling POLICY itself, with the oracle
+    replicating the derivation in SQL."""
+    from dataclass_array_spark.operators.dedup import minhash_lsh_pairs
+    from dataclass_array_spark.workload.llm import _MH_THRESH
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", threshold=_MH_THRESH, max_bucket_size="auto"
+    )
+
+
+def _minhash_auto_oracle() -> str:
+    from dataclass_array_spark.workload.llm import MINHASH_SQL, _MH_CAP
+
+    cap_ctes = """hist AS (
+  SELECT cnt AS bsize, COUNT(*) AS nb FROM (
+    SELECT band, sig, COUNT(*) AS cnt FROM bands0 GROUP BY band, sig)
+  GROUP BY cnt
+), capv AS (
+  SELECT GREATEST(16, COALESCE(MAX(bsize), 16)) AS cap
+  FROM (SELECT bsize,
+               SUM(bsize * bsize * nb) OVER (ORDER BY bsize
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist),
+       (SELECT SUM(bsize * nb) AS nrows FROM hist)
+  WHERE cum <= 8 * nrows
+), bands AS ("""
+    old = f"), bands AS (\n  SELECT doc_id, band, sig FROM (\n    SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bn\n    FROM bands0)\n  WHERE bn <= {_MH_CAP}\n)"
+    new = (
+        "), " + cap_ctes
+        + "\n  SELECT doc_id, band, sig FROM (\n    SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bn\n    FROM bands0)\n  WHERE bn <= (SELECT cap FROM capv)\n)"
+    )
+    assert old in MINHASH_SQL, "minhash oracle structure changed"
+    return MINHASH_SQL.replace(old, new, 1)
+
+
+QUERIES["dedup_minhash_lsh_auto"] = Query(
+    dedup_minhash_lsh_auto, _minhash_auto_oracle(), tags=("dedup", "lsh")
+)
