@@ -72,6 +72,7 @@ _PRIORITY: Tuple[str, ...] = (
     "tokenize_docs",
     "token_rarity_docs",
     "dedup_minhash_lsh_auto",
+    "streaming_quality_filter",
 )
 
 

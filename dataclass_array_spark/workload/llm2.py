@@ -546,3 +546,80 @@ def _minhash_auto_oracle() -> str:
 QUERIES["dedup_minhash_lsh_auto"] = Query(
     dedup_minhash_lsh_auto, _minhash_auto_oracle(), tags=("dedup", "lsh")
 )
+
+
+# ------------------------------------------------ streaming quality filter
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming ETL: a document stream filtered by the
+    in-scan repetition flag (the most common production streaming job —
+    a pure-expression filter needs no state, no watermark, and scales
+    to any micro-batch rate).  Driven to completion over the file
+    source; the oracle is the equivalent batch filter."""
+    from pyspark.sql import types as T
+
+    from dataclass_array_spark.operators.quality import repetition_flag
+    from dataclass_array_spark.streaming.core import run_stream_to_memory
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    import os
+
+    d, fname = os.path.split(f"{sf_dir}/documents.parquet")
+    s = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(d)
+    )
+    kept = s.filter(
+        ~repetition_flag(
+            F.col("text"),
+            max_dup_word_frac=_PL_DUP_WORD,
+            max_top_bigram_frac=_PL_TOP_BIGRAM,
+        )
+    ).select("doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens"))
+    out, _ = run_stream_to_memory(kept, mode="append")
+    return out.orderBy("doc_id")
+
+
+STREAM_QUALITY_SQL = f"""
+WITH toks AS (SELECT doc_id, text, source, {_SQL_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, text, source, toks,
+    CASE WHEN len(toks) > 0
+         THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS dwf
+  FROM toks
+),
+g2 AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+      list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])
+    ELSE [] END) AS gram
+  FROM toks
+),
+cntg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+topg AS (
+  SELECT doc_id, gram, cnt FROM (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+    FROM cntg) WHERE rn = 1
+)
+SELECT b.doc_id, b.source, CAST(len(b.toks) AS BIGINT) AS n_tokens
+FROM base b LEFT JOIN topg t ON t.doc_id = b.doc_id
+WHERE NOT (b.dwf > {_PL_DUP_WORD}
+  OR (CASE WHEN length(b.text) > 0
+           THEN CAST(COALESCE(t.cnt, 0) * length(COALESCE(t.gram, '')) AS DOUBLE)
+                  / length(b.text)
+           ELSE 0.0 END) > {_PL_TOP_BIGRAM})
+ORDER BY b.doc_id
+"""
+
+QUERIES["streaming_quality_filter"] = Query(
+    streaming_quality_filter, STREAM_QUALITY_SQL, tags=("streaming", "quality")
+)
