@@ -194,6 +194,29 @@ def kafka_sink(
         raise
 
 
+def run_available_now(
+    out: DataFrame, checkpoint_dir: str, output_dir: str
+) -> DataFrame:
+    """Incremental-batch execution: Trigger(availableNow) processes
+    exactly the data available at start (respecting source rate limits),
+    then stops — the production pattern for periodic jobs that must
+    only touch NEW files since the last checkpointed run.  Re-invoking
+    with the same checkpoint_dir resumes from the recorded offsets, so
+    a nightly corpus-ingest job costs O(new data), not O(corpus).
+    Writes append-mode parquet (memory sinks cannot recover from a
+    checkpoint); returns a reader over the accumulated output."""
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out.sparkSession.read.parquet(output_dir)
+
+
 def dedup_within_watermark(
     stream: DataFrame, keys: list, ts_col: str = "ts", delay: str = "2 hours"
 ) -> DataFrame:

@@ -284,3 +284,27 @@ def test_dedup_within_watermark_multi_batch(spark, tmp_path):
         dedup_within_watermark(s, ["k"], "ts", "1 hour").select("k"), mode="append"
     )
     assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_available_now_incremental_ingest(spark, tmp_path):
+    """Trigger(availableNow) + a persistent checkpoint = process only
+    files that arrived since the previous run."""
+    import pandas as pd
+    from dataclass_array_spark.streaming.core import run_available_now
+    from pyspark.sql import types as T
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    outdir = str(tmp_path / "out")
+    pd.DataFrame({"doc_id": [1, 2]}).to_parquet(src / "a.parquet")
+    s = spark.readStream.schema(schema).parquet(str(src))
+    got1 = run_available_now(s, ckpt, outdir)
+    assert sorted(r["doc_id"] for r in got1.collect()) == [1, 2]
+    # second run with the same checkpoint processes ONLY the new file:
+    # output grows by exactly the new rows (reprocessing would dup 1,2)
+    pd.DataFrame({"doc_id": [3]}).to_parquet(src / "b.parquet")
+    s2 = spark.readStream.schema(schema).parquet(str(src))
+    got2 = run_available_now(s2, ckpt, outdir)
+    assert sorted(r["doc_id"] for r in got2.collect()) == [1, 2, 3]
