@@ -73,6 +73,9 @@ _PRIORITY: Tuple[str, ...] = (
     "token_rarity_docs",
     "dedup_minhash_lsh_auto",
     "streaming_quality_filter",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_waiting_supplier",
 )
 
 

@@ -388,3 +388,144 @@ GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES["q7_nation_volume"] = Query(q7_nation_volume, Q7_SQL, tags=("join",))
 QUERIES["q8_market_share"] = Query(q8_market_share, Q8_SQL, tags=("join", "agg"))
 QUERIES["q9_product_profit"] = Query(q9_product_profit, Q9_SQL, tags=("join", "agg"))
+
+
+# ------------------------------------------- q13/q15/q21 analogs
+# (partsupp is absent from the driver schema, so q2/q11/q16/q20 have no
+# faithful analog; q13 drops the o_comment filter and q21 substitutes
+# the commit/receipt lateness predicate — both columns absent — with
+# ship-lag > 60 days.  The plan shapes are the classic ones.)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + two-level aggregation: distribution of order
+    counts per customer (customers with no orders count at 0)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + scalar-max filter: supplier(s) with the maximum revenue in
+    1996Q1 — the classic q15 view shape (revenue floor-scaled to exact
+    integers so the max-equality join is bit-stable)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.floor(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(25,6)"
+                    )
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("total_rev_c")
+        )
+    )
+    mx = rev.agg(F.max("total_rev_c").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev_c") == F.col("mx"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_c")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) * 100) AS BIGINT) AS total_rev_c
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_c
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-correlation exists/not-exists: suppliers whose line items
+    shipped >60 days after the order date on multi-supplier orders where
+    NO other supplier was late — the q21 shape with ship-lag standing in
+    for the absent commit/receipt dates."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier", "nation"])
+    l = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60).alias("late"),
+        )
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    target = l.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    hits = (
+        target.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        hits.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+Q21_SQL = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         (datediff('day', o_orderdate, CAST(l_shipdate AS TIMESTAMP)) > 60) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+  FROM l GROUP BY l_orderkey
+),
+hits AS (
+  SELECT DISTINCT t.l_orderkey, t.l_suppkey
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late) t
+  JOIN per_order p ON p.l_orderkey = t.l_orderkey
+  WHERE p.n_supp > 1 AND p.n_late_supp = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM hits JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY s_name ORDER BY numwait DESC, s_name
+"""
+
+QUERIES["q13_customer_distribution"] = Query(q13_customer_distribution, Q13_SQL, tags=("join", "agg"))
+QUERIES["q15_top_supplier"] = Query(q15_top_supplier, Q15_SQL, tags=("join", "subquery"))
+QUERIES["q21_waiting_supplier"] = Query(q21_waiting_supplier, Q21_SQL, tags=("join", "subquery"))
