@@ -79,3 +79,15 @@ def test_kmeans_assignment_no_join(spark):
     # assignment is expression-only: no join, no exchange, no python
     assert "Join" not in p and "Exchange" not in p
     assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_q15_max_join_broadcasts(spark):
+    # scalar-max side must broadcast; supplier dim join must broadcast
+    p = plan(spark, "q15_top_supplier")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "PushedFilters: [" in p  # shipdate range reaches the scan
+
+
+def test_q13_no_cartesian(spark):
+    p = plan(spark, "q13_customer_distribution")
+    assert "CartesianProduct" not in p
