@@ -1100,7 +1100,16 @@ def attach_dense_rowid(df: DataFrame, order_by: Optional[str] = None) -> DataFra
     column; otherwise existing partition order is kept.
     """
     if order_by is not None:
-        df = df.repartitionByRange(order_by).sortWithinPartitions(order_by)
+        # localCheckpoint so the counts job and the output job share one
+        # materialization: RangePartitioner boundaries are sampled with
+        # an RDD-id-derived seed, so two executions of the same
+        # repartitionByRange plan can split rows differently once
+        # partitions exceed the reservoir sample — silent mis-numbering.
+        df = (
+            df.repartitionByRange(order_by)
+            .sortWithinPartitions(order_by)
+            .localCheckpoint(eager=True)
+        )
     with_pid = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__mid", F.monotonically_increasing_id()
     )

@@ -57,21 +57,6 @@ def _argmin_cluster(vec: Column, centroids: List[List[float]]) -> Column:
     )
 
 
-def _mean_expr(val: Column, alias: str) -> Column:
-    """Exact per-group mean of ``val``: decimal sum, floor-split to
-    double, double division by the group count (column ``_n``).
-
-    The sum is re-cast to DECIMAL(30,9) before the split: with the full
-    (38,9) the subtraction ``s - floor(s)`` needs precision 48, and
-    Spark's precision-loss rule silently reduces the result scale to 6
-    — truncating the last three scale digits.  At (30,9) the result is
-    (32,9): lossless, and 10^21 integer digits still covers any
-    realistic per-(cluster,dim) sum."""
-    s = F.sum(val.cast(_DEC)).cast("decimal(30,9)")
-    as_double = F.floor(s).cast("double") + (s - F.floor(s)).cast("double")
-    return (as_double / F.count(val)).alias(alias)
-
-
 def _mean_from_decimal(s, n: int) -> float:
     """Driver-side replica of the engine floor-split: exact Decimal sum
     -> floor part + frac part, each correctly rounded to double, then
@@ -101,6 +86,12 @@ def kmeans_assign(
     centroids: List[List[float]] = [
         r["v"] for r in vecs.orderBy(id_col).limit(k).collect()
     ]
+    if not centroids:
+        raise ValueError("kmeans_assign: input has no rows")
+    # clamp: fewer rows than k means fewer init centroids; the
+    # empty-cluster carry below indexes centroids[i], so k must not
+    # exceed what the init collect actually produced.
+    k = min(k, len(centroids))
     dim = len(centroids[0])
     for _ in range(iters):
         # per-dim columns instead of posexplode: the update shuffle

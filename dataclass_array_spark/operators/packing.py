@@ -34,8 +34,20 @@ def global_cumsum(
     out_col: str = "cum",
 ) -> DataFrame:
     """Running sum of ``value_col`` over the global ``order_col`` order
-    (inclusive of the current row), without a single-partition sort."""
-    df = df.repartitionByRange(order_col).sortWithinPartitions(order_col)
+    (inclusive of the current row), without a single-partition sort.
+
+    The repartitioned+sorted frame is ``localCheckpoint``-ed (eager)
+    before the per-partition sums are collected: RangePartitioner
+    samples its boundaries with an RDD-id-derived seed, so re-executing
+    the plan for the output job could otherwise land rows in DIFFERENT
+    partitions than the offsets job saw once partitions exceed the
+    reservoir sample size — silent mis-offsets at scale.  The
+    checkpoint pins one materialization that both jobs share."""
+    df = (
+        df.repartitionByRange(order_col)
+        .sortWithinPartitions(order_col)
+        .localCheckpoint(eager=True)
+    )
     with_pid = df.withColumn("__pid", F.spark_partition_id())
     parts = (
         with_pid.groupBy("__pid")

@@ -248,14 +248,23 @@ class SymbolicArray:
             return SymbolicArray(self._t_base, 2, t_base=self.col)
         return SymbolicArray(_transpose2(self.col), 2, t_base=self.col)
 
+    @staticmethod
+    def _element(col, i: int):
+        """numpy-style int index over an array column.  ``F.get`` is
+        0-based but returns NULL for negative indices, so negative
+        numpy indices translate to ``element_at`` (1-based, where -1 is
+        the last element — exactly numpy's convention)."""
+        i = int(i)
+        return F.get(col, i) if i >= 0 else F.element_at(col, i)
+
     def __getitem__(self, idx):
         if isinstance(idx, tuple) and len(idx) == 2 and self.inner_ndim == 2:
             i, j = idx
             if isinstance(i, (int, np.integer)) and isinstance(j, (int, np.integer)):
-                return SymbolicArray(F.get(F.get(self.col, int(i)), int(j)), 0)
+                return SymbolicArray(self._element(self._element(self.col, i), j), 0)
             raise TraceError("only int,int matrix indexing traces")
         if isinstance(idx, (int, np.integer)) and self.inner_ndim >= 1:
-            return SymbolicArray(F.get(self.col, int(idx)), self.inner_ndim - 1)
+            return SymbolicArray(self._element(self.col, idx), self.inner_ndim - 1)
         raise TraceError(f"unsupported symbolic index {idx!r}")
 
     # ---- numpy protocols ----

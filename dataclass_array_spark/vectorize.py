@@ -34,6 +34,7 @@ from typing import Any, Callable, Dict, FrozenSet, Optional, Tuple
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.classic.column import Column as _ClassicColumn
 from pyspark.sql import types as T
 
 from dataclass_array_spark.core.schema import ArraySpec, ShapeError
@@ -58,6 +59,19 @@ def make_table_cls(name: str, fields: Dict[str, ArraySpec]) -> type:
     return cls
 
 
+class _NumpyIndexColumn(_ClassicColumn):
+    """Raw-trace field Column with numpy-style int indexing: a negative
+    index counts from the end via ``element_at`` (1-based, -1 = last).
+    Plain ``Column.getItem`` is 0-based and returns NULL for negative
+    indices, so numpy-valid code like ``self.dir[-1]`` would otherwise
+    trace successfully and silently produce all-NULL results."""
+
+    def __getitem__(self, k):
+        if isinstance(k, (int, np.integer)) and int(k) < 0:
+            return F.element_at(_ClassicColumn(self._jc), int(k))
+        return super().__getitem__(k)
+
+
 class _ColumnView:
     """Proxy whose array fields are Column expressions (optionally
     prefix-renamed for joined-in argument tables).  With
@@ -74,6 +88,13 @@ class _ColumnView:
                     col = SymbolicArray(col, len(spec.inner_shape))
                 except TraceError:
                     pass  # rank>1 field stays a raw Column
+            elif (
+                not symbolic
+                and isinstance(spec, ArraySpec)
+                and spec.inner_shape
+                and isinstance(col, _ClassicColumn)
+            ):
+                col = _NumpyIndexColumn(col._jc)
             object.__setattr__(self, fname, col)
         for k, v in table._statics.items():
             object.__setattr__(self, k, v)

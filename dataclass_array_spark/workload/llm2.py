@@ -436,9 +436,19 @@ vocab AS (
   SELECT t, CAST(row_number() OVER (ORDER BY c DESC, t) - 1 AS BIGINT) AS tid
   FROM vc ORDER BY c DESC, t LIMIT {_VOCAB_SIZE}
 ),
+guard AS (
+  -- FAIL LOUDLY instead of silently truncating: the Spark side is
+  -- unbounded, so a doc over the cap would otherwise mismatch the
+  -- gate confusingly instead of erroring here.
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('TOKENIZE_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
 pos AS (
   -- DuckDB's generate_series cannot take a lateral column bound;
-  -- over-generate to a fixed cap and filter (docs are < 4096 tokens)
+  -- over-generate to a fixed cap and filter (docs are < 4096 tokens,
+  -- enforced by the guard CTE above)
   SELECT doc_id, gs.i AS pos, toks[gs.i] AS t
   FROM toks, generate_series(1, 4096) gs(i)
   WHERE gs.i <= len(toks)
@@ -457,6 +467,7 @@ agg AS (
 SELECT d.doc_id, COALESCE(a.ids_json, '[]') AS ids_json,
        COALESCE(a.n_tokens, 0) AS n_tokens, COALESCE(a.n_unk, 0) AS n_unk
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+CROSS JOIN guard
 ORDER BY d.doc_id
 """
 

@@ -410,6 +410,22 @@ def test_kmeans_invariants(spark):
     assert got == got2
 
 
+def test_kmeans_k_exceeds_rows(spark):
+    # k larger than the row count clamps to n (was IndexError on the
+    # empty-cluster carry); empty input raises a clear error
+    import pytest as _pytest
+
+    from dataclass_array_spark.operators.clustering import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)], "id long, v array<double>"
+    )
+    out, cents = kmeans_assign(df, "id", "v", k=8, iters=2)
+    assert len(cents) == 3 and out.count() == 3
+    with _pytest.raises(ValueError, match="no rows"):
+        kmeans_assign(df.filter("id < 0"), "id", "v", k=2)
+
+
 def test_temperature_mixture_rates_and_sample(spark, sf_dir):
     from dataclass_array_spark.operators.sampling import (
         temperature_mixture_rates,

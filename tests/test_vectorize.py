@@ -143,6 +143,27 @@ def test_symbolic_tracing_compiles_to_catalyst(spark):
     assert "MapInPandas" not in plan and "PythonUDF" not in plan, plan
 
 
+class RayNeg(Ray):
+    @das.vectorize_method
+    def last_minus_first(self):
+        # negative indexing must trace tier-1 to element_at (Spark's
+        # F.get returns NULL for negative indices — regression guard)
+        return {"lmf": self.dir[-1] - self.dir[0], "last": self.dir[-1]}
+
+
+def test_symbolic_negative_index(spark):
+    dir_ = np.array([[1, 2, 6], [4, 5, 9]], np.float32)
+    r = RayNeg(spark, pos=np.zeros((2, 3), np.float32), dir=dir_)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", das.VectorizeFallbackWarning)
+        out = r.last_minus_first()
+    got = out.to_numpy_fields()
+    np.testing.assert_allclose(got["lmf"], dir_[:, -1] - dir_[:, 0])
+    np.testing.assert_allclose(got["last"], dir_[:, -1])
+
+
 def test_table_arg_dim1_broadcast(spark):
     """Per-dim broadcast: arg shape (1, 2) against self (3, 2) — the
     reference's _update_batch_shape rule (dim equal or 1)."""
