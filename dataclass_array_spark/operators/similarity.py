@@ -156,6 +156,58 @@ def srp_lsh_topk(
     )
 
 
+def _cell_candidates(vec_double: Column, n2: Column, cents) -> Column:
+    """Array of ``struct(negcs, cid)`` — cosine to every literal centroid,
+    negated so ascending struct order = best-cosine-first with lower
+    centroid id winning ties.  Pure column expression: the centroids are
+    driver-collected rows (``cent_id``, ``cent_v`` double array,
+    ``cent_n2``), inlined as literals, so evaluating this costs zero
+    joins and zero shuffles — the same shape as k-means assignment
+    (clustering._argmin_cluster)."""
+    return F.array(
+        *[
+            F.named_struct(
+                F.lit("negcs"),
+                -(
+                    _exact_dot(vec_double, F.lit(list(r["cent_v"])))
+                    / (F.sqrt(n2) * F.sqrt(F.lit(float(r["cent_n2"]))))
+                ),
+                F.lit("cid"),
+                F.lit(r["cent_id"]),
+            )
+            for r in cents
+        ]
+    )
+
+
+def assign_cells(
+    df: DataFrame, id_col: str, vec_col: str, cents, nprobe: int = 1
+) -> DataFrame:
+    """IVF cell assignment as a pure expression: ``(id, v, n2, cell)``
+    with one row per probed cell.  ``nprobe=1`` is an ``array_min``
+    (the common corpus side); ``nprobe>1`` sorts the candidate array and
+    explodes the first ``nprobe`` — still expression-only, no Exchange
+    anywhere (plan-asserted in tests/test_plans.py)."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm2(F.col(vec_col)).alias("__n2"),
+    )
+    cands = _cell_candidates(F.col("__v").cast("array<double>"), F.col("__n2"), cents)
+    if nprobe <= 1:
+        return base.select(
+            "__id", "__v", "__n2", F.array_min(cands).cid.alias("cell")
+        )
+    return (
+        base.select(
+            "__id", "__v", "__n2",
+            F.slice(F.array_sort(cands), 1, nprobe).alias("__cells"),
+        )
+        .select("__id", "__v", "__n2", F.explode("__cells").alias("__c"))
+        .select("__id", "__v", "__n2", F.col("__c.cid").alias("cell"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -169,50 +221,40 @@ def ivf_topk(
     """IVF-style ANN: deterministic centroids (the first ``n_centroids``
     corpus vectors — a real deployment would k-means them), every vector
     assigned to its nearest centroid, and each query probes its
-    ``nprobe`` nearest cells.  The cross join is only corpus×centroids
-    (centroids broadcast); search becomes an equi-join on cell id —
-    the classic way to keep a billion-vector corpus shuffle-free."""
+    ``nprobe`` nearest cells.
+
+    Scale shape: the centroids (n_centroids × dim doubles) are collected
+    once on the driver and inlined as literals, so the billion-vector
+    corpus side is assigned with a zero-shuffle column expression inside
+    its own scan stage — no corpus-wide window, no cross join (that was
+    this operator's weakness through round 3: a corpus×centroids cross
+    join followed by a full ``Window.partitionBy(id)`` shuffle).  Search
+    is then a broadcast equi-join on cell id, and the only shuffle left
+    is the per-query top-k over the candidate set."""
     cents = (
         corpus.orderBy(corpus_id)
         .limit(n_centroids)
         .select(
             F.col(corpus_id).alias("cent_id"),
-            F.col(vec_col).alias("cent_v"),
+            F.col(vec_col).cast("array<double>").alias("cent_v"),
             norm2(F.col(vec_col)).alias("cent_n2"),
         )
+        .collect()
     )
-
-    def assign(df, id_alias, vec_alias, probes):
-        scored = (
-            df.select(
-                F.col(id_alias).alias("__id"),
-                F.col(vec_alias).alias("__v"),
-                norm2(F.col(vec_alias)).alias("__n2"),
-            )
-            .join(F.broadcast(cents), how="cross")
-            .select(
-                "__id",
-                "__v",
-                "__n2",
-                "cent_id",
-                cosine(F.col("__v"), F.col("cent_v"), F.col("__n2"), F.col("cent_n2")).alias(
-                    "__cs"
-                ),
-            )
-        )
-        w = Window.partitionBy("__id").orderBy(F.desc("__cs"), F.asc("cent_id"))
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= probes)
-            .select("__id", "__v", "__n2", F.col("cent_id").alias("cell"))
-        )
-
-    c_assigned = assign(corpus, corpus_id, vec_col, probes=1).withColumnRenamed(
-        "__id", "nid"
-    ).withColumnRenamed("__v", "cv").withColumnRenamed("__n2", "cn2")
-    q_assigned = assign(queries, query_id, vec_col, probes=nprobe).withColumnRenamed(
-        "__id", "qid"
-    ).withColumnRenamed("__v", "qv").withColumnRenamed("__n2", "qn2")
+    c_assigned = (
+        assign_cells(corpus, corpus_id, vec_col, cents, nprobe=1)
+        .withColumnRenamed("__id", "nid")
+        .withColumnRenamed("__v", "cv")
+        .withColumnRenamed("__n2", "cn2")
+    )
+    q_assigned = (
+        assign_cells(queries, query_id, vec_col, cents, nprobe=nprobe)
+        .withColumnRenamed("__id", "qid")
+        .withColumnRenamed("__v", "qv")
+        .withColumnRenamed("__n2", "qn2")
+    )
+    # corpus rows live in exactly one cell and a query's probed cells are
+    # distinct, so each (qid, nid) pair appears at most once — no dedup.
     scored = (
         c_assigned.join(F.broadcast(q_assigned), on="cell")
         .filter(F.col("qid") != F.col("nid"))
@@ -221,7 +263,6 @@ def ivf_topk(
             "nid",
             cosine(F.col("qv"), F.col("cv"), F.col("qn2"), F.col("cn2")).alias("cosine"),
         )
-        .dropDuplicates(["qid", "nid"])
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (

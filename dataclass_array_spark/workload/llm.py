@@ -296,8 +296,10 @@ FROM r WHERE rnk <= 5 ORDER BY qid, rnk
 
 
 def embedding_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via SRP-LSH buckets — the scale path; checked
-    rows-only (deterministic but the bucketing is engine-side)."""
+    """Approximate NN via SRP-LSH buckets — the scale path.  The
+    hyperplane signs are md5-derived driver constants, so the oracle
+    replays the identical bucketing with literal sign arrays and the
+    gate is EXACT (bucket assignment + per-bucket cosine top-k)."""
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     out = srp_lsh_topk(q, e, "vec_id", "vec_id", "embedding", dim=64, k=5, n_planes=8)
@@ -307,6 +309,52 @@ def embedding_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nid",
         F.floor(F.col("cosine") * 1e9).cast("long").alias("cos_e9"),
     )
+
+
+def _srp_plane_dot_sql(p: int, dim: int) -> str:
+    """DuckDB replica of similarity.srp_signature's plane-p dot: the
+    same md5-derived ±1 signs, inlined as a literal array, folded
+    left-to-right exactly like the Spark side."""
+    from dataclass_array_spark.operators.similarity import _srp_signs
+
+    arr = "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in _srp_signs(p, dim)) + "]"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip(v, {arr}), "
+        "p -> p[1]*p[2])), (acc, x) -> acc + x)"
+    )
+
+
+_SRP_BUCKET = " + ".join(
+    f"(CASE WHEN {_srp_plane_dot_sql(p, 64)} > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(8)
+)
+
+SRP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(v, v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x) AS n2,
+         CAST({_SRP_BUCKET} AS BIGINT) AS bucket
+  FROM e
+), q AS (
+  SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket FROM s
+  WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.qid, s.vec_id AS nid,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(qv, s.v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x)
+           / (sqrt(qn2) * sqrt(s.n2)) AS cosine
+  FROM q JOIN s USING (bucket) WHERE s.vec_id != q.qid
+), r AS (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+  FROM scored
+)
+SELECT qid, rnk, nid, CAST(FLOOR(cosine * 1e9) AS BIGINT) AS cos_e9
+FROM r WHERE rnk <= 5 ORDER BY qid, rnk
+"""
 
 
 # ------------------------------------------------ multimodal
@@ -357,7 +405,7 @@ QUERIES = {
     "lang_id_docs": Query(lang_id_docs, LANG_ID_SQL, tags=("text",)),
     "doc_fingerprints": Query(doc_fingerprints, FINGERPRINT_SQL, tags=("text",)),
     "embedding_topk_cosine": Query(embedding_topk_cosine, COSINE_SQL, tags=("similarity",)),
-    "embedding_ann_srp": Query(embedding_ann_srp, None, tags=("similarity", "lsh")),
+    "embedding_ann_srp": Query(embedding_ann_srp, SRP_SQL, tags=("similarity", "lsh")),
     "multimodal_metadata": Query(multimodal_metadata, MULTIMODAL_META_SQL, tags=("multimodal",)),
     "multimodal_decode": Query(multimodal_decode, MULTIMODAL_DECODE_SQL, tags=("multimodal",)),
 }
@@ -389,7 +437,9 @@ ORDER BY doc_id
 
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN (deterministic centroids) — second ANN strategy
-    beside SRP-LSH; rows-only check (cell assignment is engine-side)."""
+    beside SRP-LSH.  Centroids and cell assignments are deterministic
+    cosine folds, so the oracle replays assignment + per-cell search
+    exactly (full CTE replica below) and the gate is EXACT."""
     from dataclass_array_spark.operators.similarity import ivf_topk
 
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
@@ -403,8 +453,59 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle replica of ivf_topk(n_centroids=16, nprobe=4, k=5): centroids =
+# first 16 corpus vectors; every vector ranks cells by cosine (ties ->
+# lower centroid id, same convention as the struct-min on the Spark
+# side); corpus keeps rn=1, queries probe rn<=4; per-cell exact cosine
+# top-5 with (cosine DESC, nid) ordering matching the Spark window.
+_IVF_CELL_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip(e.v, c.cv), "
+    "p -> p[1]*p[2])), (acc, x) -> acc + x)"
+)
+
+IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(v, v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x) AS n2
+  FROM e
+), c AS (
+  SELECT e.vec_id AS cent_id, e.v AS cv, n.n2 AS cn2
+  FROM e JOIN n USING (vec_id) ORDER BY vec_id LIMIT 16
+), cells AS (
+  SELECT vec_id, cell, rn FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {_IVF_CELL_DOT} / (sqrt(n.n2) * sqrt(c.cn2)) DESC, c.cent_id) AS rn
+    FROM e JOIN n USING (vec_id) CROSS JOIN c
+  )
+), ca AS (
+  SELECT vec_id AS nid, cell FROM cells WHERE rn = 1
+), qa AS (
+  SELECT vec_id AS qid, cell FROM cells WHERE rn <= 4 AND vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT qa.qid, ca.nid,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(eq.v, ec.v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x)
+           / (sqrt(nq.n2) * sqrt(nc.n2)) AS cosine
+  FROM qa JOIN ca USING (cell)
+  JOIN e eq ON eq.vec_id = qa.qid JOIN n nq ON nq.vec_id = qa.qid
+  JOIN e ec ON ec.vec_id = ca.nid JOIN n nc ON nc.vec_id = ca.nid
+  WHERE qa.qid != ca.nid
+), r AS (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+  FROM scored
+)
+SELECT qid, rnk, nid, CAST(FLOOR(cosine * 1e9) AS BIGINT) AS cos_e9
+FROM r WHERE rnk <= 5 ORDER BY qid, rnk
+"""
+
+
 QUERIES["dedup_apply_minhash"] = Query(dedup_apply_minhash, DEDUP_APPLY_SQL, tags=("dedup",))
-QUERIES["embedding_ann_ivf"] = Query(embedding_ann_ivf, None, tags=("similarity", "ann"))
+QUERIES["embedding_ann_ivf"] = Query(embedding_ann_ivf, IVF_SQL, tags=("similarity", "ann"))
 
 
 # ------------------------------------------------ end-to-end pipeline

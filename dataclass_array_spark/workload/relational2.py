@@ -1,11 +1,11 @@
 """Third coverage wave: embedding-cosine near-dup dedup, Python UDTF
 (lateral table function), explicit GROUPING SETS, unpivot/melt, and
-approximate sketches (rows-only — approximation is engine-private).
+approximate sketches (gated exactly via in-query tolerance booleans).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataclass_array_spark.operators.similarity import cosine, norm2
@@ -162,27 +162,86 @@ ORDER BY p_partkey, metric
 """
 
 
-# ------------------------------------------ approximate sketches (rows-only)
+# ------------------------------------------ approximate sketches
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct + t-digest quantiles — approximations are
-    engine-private, so this is a rows-only check by design; exact
-    counterparts are oracle-checked in distinct_parts_per_supplier."""
+    """HLL distinct + approximate quantiles, gated EXACTLY: the sketch
+    values are engine-private, so the query also computes the exact
+    counterparts in-query and emits ``*_ok`` booleans asserting the
+    sketch landed within tolerance.  The oracle recomputes the exact
+    columns and asserts the booleans are all TRUE — a failing sketch
+    (or a broken exact side) turns the gate red.
+
+    Exact percentiles use the discrete inverted-CDF convention (value at
+    1-based rank ceil(p*n), integer arithmetic only) so both engines
+    pick the same element.  The rank window shuffles once per flag —
+    fine for a gate query; the sketches themselves are the 100 TB path
+    (single pass, mergeable partial aggregates, no sort)."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    # Quantiles emitted as separate scalar columns (not one array column):
-    # the driver's pandas canonicalizer sorts output columns, and ndarray
-    # cells are unhashable there.  Catalyst collapses the two
-    # percentile_approx calls over the same (col, accuracy) into a single
-    # ApproximatePercentile accumulator, so this costs no extra pass.
+    approx = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("__ap_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("__ap_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("__ap_p95"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("price")
+    ranked = (
+        li.select("l_returnflag", F.col("l_extendedprice").alias("price"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("l_returnflag")))
+    )
+    # ceil(p*n) in pure integer arithmetic: ceil(n/2)=(n+1) div 2,
+    # ceil(19n/20)=(19n+19) div 20 — no float rounding on either engine
+    exact = ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("price"))
+        ).alias("exact_p50"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(19 * cnt + 19) div 20"), F.col("price"))
+        ).alias("exact_p95"),
+    )
+
+    def _ok(approx_col: Column, exact_col: Column, tol: float) -> Column:
+        a = approx_col.cast("double")
+        e = exact_col.cast("double")
+        return F.abs(a - e) <= F.lit(tol) * F.abs(e)
+
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
-            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("price_p95"),
-            F.count("*").alias("n"),
+        approx.join(exact, on="l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "exact_parts",
+            "exact_p50",
+            "exact_p95",
+            _ok(F.col("__ap_parts"), F.col("exact_parts"), 0.10).alias("parts_ok"),
+            _ok(F.col("__ap_p50"), F.col("exact_p50"), 0.02).alias("p50_ok"),
+            _ok(F.col("__ap_p95"), F.col("exact_p95"), 0.02).alias("p95_ok"),
         )
         .orderBy("l_returnflag")
     )
+
+
+APPROX_SKETCHES_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem
+), pct AS (
+  SELECT l_returnflag,
+         MAX(CASE WHEN rn = (cnt + 1) // 2 THEN price END) AS exact_p50,
+         MAX(CASE WHEN rn = (19 * cnt + 19) // 20 THEN price END) AS exact_p95
+  FROM ranked GROUP BY l_returnflag
+), agg AS (
+  SELECT l_returnflag, COUNT(*) AS n, COUNT(DISTINCT l_partkey) AS exact_parts
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT a.l_returnflag, a.n, a.exact_parts, p.exact_p50, p.exact_p95,
+       TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p95_ok
+FROM agg a JOIN pct p USING (l_returnflag)
+ORDER BY a.l_returnflag
+"""
 
 
 QUERIES = {
@@ -190,7 +249,7 @@ QUERIES = {
     "udtf_bigram_counts": Query(udtf_bigram_counts, UDTF_SQL, tags=("udtf",)),
     "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL, tags=("agg",)),
     "unpivot_part_metrics": Query(unpivot_part_metrics, UNPIVOT_SQL, tags=("reshape",)),
-    "approx_sketches": Query(approx_sketches, None, tags=("agg", "approx")),
+    "approx_sketches": Query(approx_sketches, APPROX_SKETCHES_SQL, tags=("agg", "approx")),
 }
 
 

@@ -151,6 +151,35 @@ def test_ivf_topk_recall(spark):
     assert hits >= 4  # >= ~50% recall on random data with nprobe=4/8
 
 
+def test_srp_lsh_topk_recall(spark):
+    # recall@3 on planted clusters: 20 bases x 5 jittered copies, so a
+    # vector's true neighbors are tiny-angle same-cluster copies and SRP
+    # (which buckets by hyperplane side) must keep them together.  Bounds
+    # n_planes tuning: a regression that scatters near-identical vectors
+    # across buckets drops recall and fails here.
+    import pandas as pd
+    from dataclass_array_spark.operators.similarity import (
+        brute_force_topk,
+        srp_lsh_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, 8)
+    vecs = np.repeat(base, 5, axis=0) + 0.01 * rng.randn(100, 8)
+    vecs = vecs.astype(np.float32)
+    pdf = pd.DataFrame({"id": range(100), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select("id", F.col("v").cast("array<float>").alias("v"))
+    q = df.filter(F.col("id") < 5)
+    exact = brute_force_topk(q, df, "id", "id", "v", k=3).toPandas()
+    approx = srp_lsh_topk(q, df, "id", "id", "v", dim=8, k=3, n_planes=4).toPandas()
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact.qid == qid].nid)
+        a = set(approx[approx.qid == qid].nid)
+        hits += len(e & a)
+    assert hits >= 12  # recall@3 >= 80% over 5 queries (15 slots)
+
+
 def test_map_in_arrow_decoder_matches_pandas(spark, sf_dir):
     from dataclass_array_spark.operators.multimodal import (
         attach_media,
