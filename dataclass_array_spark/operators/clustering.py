@@ -129,12 +129,17 @@ def kmeans_sql_ctes(
     id_col: str,
     vec_col: str,
     dim: int,
-    k: int = 8,
+    k: "int | str" = 8,
     iters: int = 3,
 ) -> str:
     """DuckDB CTE chain for the unrolled k-means (assignment -> per-dim
     mean -> centroid carry), ending at ``afinal(vec_id, cid, dist)``;
-    :func:`kmeans_sql` and the semantic-dedup oracle both build on it."""
+    :func:`kmeans_sql` and the semantic-dedup oracle both build on it.
+
+    ``k`` may be a SQL scalar-subquery string (e.g. ``"(SELECT
+    (COUNT(*) + 63) // 64 FROM t)"``) for data-dependent k — the oracle
+    counterpart of :func:`semantic_dedup`'s ``k="auto"``; DuckDB's LIMIT
+    accepts subquery expressions."""
     fold = (
         "list_reduce(list_prepend(0.0, list_transform(list_zip(e.v, c.cv), "
         "p -> (p[1]-p[2])*(p[1]-p[2]))), (acc, x) -> acc + x)"
@@ -251,7 +256,7 @@ def semantic_dedup_sql(
     id_col: str,
     vec_col: str,
     dim: int,
-    k: int = 8,
+    k: "int | str" = 8,
     iters: int = 3,
     cos_threshold: float = 0.45,
 ) -> str:

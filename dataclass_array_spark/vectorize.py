@@ -34,8 +34,12 @@ from typing import Any, Callable, Dict, FrozenSet, Optional, Tuple
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.classic.column import Column as _ClassicColumn
 from pyspark.sql import types as T
+
+try:  # Spark >= 4.0 moved the JVM-backed Column to the classic namespace
+    from pyspark.sql.classic.column import Column as _ClassicColumn
+except ImportError:  # pyspark 3.x, or a Connect-only (pyspark-client) install
+    from pyspark.sql.column import Column as _ClassicColumn
 
 from dataclass_array_spark.core.schema import ArraySpec, ShapeError
 from dataclass_array_spark.core.table import DcaTable, ROWID, _nullable_variant
@@ -68,8 +72,15 @@ class _NumpyIndexColumn(_ClassicColumn):
 
     def __getitem__(self, k):
         if isinstance(k, (int, np.integer)) and int(k) < 0:
-            return F.element_at(_ClassicColumn(self._jc), int(k))
-        return super().__getitem__(k)
+            out = F.element_at(_ClassicColumn(self._jc), int(k))
+        else:
+            out = super().__getitem__(k)
+        # Re-wrap so chained indexing on rank>=2 fields (self.mat[0][-1])
+        # keeps numpy semantics one level down instead of reverting to
+        # getItem(-1) -> NULL.
+        if isinstance(out, Column) and hasattr(out, "_jc"):
+            return _NumpyIndexColumn(out._jc)
+        return out
 
 
 class _ColumnView:
@@ -87,14 +98,28 @@ class _ColumnView:
                 try:
                     col = SymbolicArray(col, len(spec.inner_shape))
                 except TraceError:
-                    pass  # rank>1 field stays a raw Column
+                    # rank>1 field stays a raw Column — but still needs
+                    # numpy-style negative indexing, else `self.mat[-1]`
+                    # traces fine and yields silent NULLs.
+                    if hasattr(col, "_jc"):
+                        col = _NumpyIndexColumn(col._jc)
             elif (
                 not symbolic
                 and isinstance(spec, ArraySpec)
                 and spec.inner_shape
-                and isinstance(col, _ClassicColumn)
             ):
-                col = _NumpyIndexColumn(col._jc)
+                if hasattr(col, "_jc"):
+                    col = _NumpyIndexColumn(col._jc)
+                else:  # Spark Connect Column: no JVM handle to wrap
+                    import warnings
+
+                    warnings.warn(
+                        f"field {fname!r}: negative-index translation is "
+                        "unavailable under Spark Connect; numpy-style "
+                        "negative indices would return NULL",
+                        VectorizeFallbackWarning,
+                        stacklevel=2,
+                    )
             object.__setattr__(self, fname, col)
         for k, v in table._statics.items():
             object.__setattr__(self, k, v)

@@ -20,62 +20,68 @@ class Query:
     bench: bool = True  # include in bench.py headline timing
 
 
-# Queries the driver's per-round correctness gate has not yet verified
-# (it checks roughly the first 50 entries): these go FIRST in the registry
-# so round 2 produces a green driver row for each.  Already-green round-1
-# queries follow.  Python dicts preserve insertion order, so this ordering
-# is exactly what `queries()` exposes to the driver.
+# The driver's per-round correctness gate checks roughly the first 50
+# registry entries, so the window is ROTATED each round to keep every
+# query under recurring driver verification.  Round 4: the 3 queries that
+# were rows-only until their exact oracles landed go first (they need a
+# green driver row), followed by the 46 queries absent from the r02/r03
+# gate files (44 verified only in round 1 + 2 new this round).  The 47
+# round-2/3-verified entries move to the back.  Python dicts preserve
+# insertion order, so this ordering is exactly what `queries()` exposes
+# to the driver.
 _PRIORITY: Tuple[str, ...] = (
-    # red in round 1 (driver-harness crash on array output, now scalarized)
+    # rows-only in r02/r03 ("no_oracle"); exact oracles added in round 4
     "approx_sketches",
-    "order_quantity_arrays",
-    # never reached by the round-1 gate (first-50 cutoff)
-    "dedup_ngram_jaccard",
-    "simhash_fingerprints",
-    "text_stats",
-    "lang_id_docs",
-    "doc_fingerprints",
-    "embedding_topk_cosine",
     "embedding_ann_srp",
-    "multimodal_metadata",
-    "multimodal_decode",
-    "dedup_apply_minhash",
     "embedding_ann_ivf",
-    "pipeline_quality_corpus",
-    "chunk_documents",
-    "vocab_top_words",
-    "tfidf_top_terms",
-    "dedup_components",
-    "streaming_tumbling_hourly",
-    "streaming_session_windows",
-    "shape_mask_filter",
-    "shape_gather",
-    "shape_transpose",
-    "shape_slice",
-    "shape_concat_mapfield",
-    "shape_vectorize",
-    # new in round 2 (rank-2 tracing; splits/sampling/packing/ranking)
-    "shape_vectorize_mat",
-    "split_train_val_test",
-    "stratified_sample_docs",
-    "pack_context_windows",
-    "bm25_doc_ranking",
-    # new in round 2, part 2 (decontamination, quality filters)
-    "decontam_ngram_overlap",
-    "repetition_filter_docs",
-    "embedding_kmeans_clusters",
-    "domain_mixture_sample",
-    "multimodal_frames",
-    "streaming_dedup_events",
-    "pipeline_pretrain_corpus",
-    "semantic_dedup_embeddings",
-    "tokenize_docs",
-    "token_rarity_docs",
-    "dedup_minhash_lsh_auto",
-    "streaming_quality_filter",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_waiting_supplier",
+    # not covered by the r02/r03 driver gate (round-1-verified or new)
+    "q10_returned_items",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q17_below_avg_parts",
+    "q19_disjunctive_revenue",
+    "q22_in_subquery",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "window_running_total",
+    "window_moving_avg",
+    "topk_orders_per_segment",
+    "rollup_flag_status",
+    "cube_nation_segment",
+    "setops_repeat_customers",
+    "semi_anti_customers",
+    "pivot_user_event_counts",
+    "range_join_price_buckets",
+    "distinct_parts_per_supplier",
+    "scalar_functions",
+    "window_range_frame",
+    "rank_functions",
+    "date_functions",
+    "dedup_embedding_neardup",
+    "udtf_bigram_counts",
+    "grouping_sets_revenue",
+    "unpivot_part_metrics",
+    "salted_revenue_by_flag",
+    "ntile_price_quartiles",
+    "corr_price_quantity",
+    "pii_scrub_docs",
+    "merge_upsert_customers",
+    "median_quantity_by_flag",
+    "join_variants_nulls",
+    "string_functions2",
+    "asof_purchase_last_click",
+    "sessionize_events",
+    "json_extract_props",
+    "tumbling_hourly_stats",
+    "sliding_hourly_stats",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    # new in round 4
+    "semantic_dedup_auto",
+    "streaming_purchase_clicks",
 )
 
 

@@ -413,6 +413,39 @@ QUERIES["semantic_dedup_embeddings"] = Query(
 )
 
 
+# k="auto" path — what a real user calls: k derived from corpus size as
+# ceil(n / target_cluster_size).  The oracle derives the SAME k with a
+# scalar-subquery LIMIT, so the gate covers the data-dependent sizing
+# logic, not just a fixed k.
+_SD_TARGET = 64
+
+
+def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclass_array_spark.operators.clustering import semantic_dedup
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return semantic_dedup(
+        spread(e), "vec_id", "embedding",
+        k="auto", iters=_KM_ITERS, cos_threshold=_SD_THRESH,
+        target_cluster_size=_SD_TARGET,
+    ).orderBy("vec_id")
+
+
+def _semantic_dedup_auto_oracle() -> str:
+    from dataclass_array_spark.operators.clustering import semantic_dedup_sql
+
+    k_expr = f"(SELECT (COUNT(*) + {_SD_TARGET - 1}) // {_SD_TARGET} FROM embeddings)"
+    return semantic_dedup_sql(
+        "embeddings", "vec_id", "embedding",
+        dim=_KM_DIM, k=k_expr, iters=_KM_ITERS, cos_threshold=_SD_THRESH,
+    )
+
+
+QUERIES["semantic_dedup_auto"] = Query(
+    semantic_dedup_auto, _semantic_dedup_auto_oracle(), tags=("dedup", "clustering")
+)
+
+
 # ------------------------------------------------ tokenization
 _VOCAB_SIZE = 500
 
@@ -468,6 +501,7 @@ SELECT d.doc_id, COALESCE(a.ids_json, '[]') AS ids_json,
        COALESCE(a.n_tokens, 0) AS n_tokens, COALESCE(a.n_unk, 0) AS n_unk
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 CROSS JOIN guard
+WHERE guard.ok = 1
 ORDER BY d.doc_id
 """
 

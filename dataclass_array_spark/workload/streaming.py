@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from dataclass_array_spark.streaming import (
     dedup_within_watermark,
     events_stream,
+    purchases_with_recent_clicks,
     run_stream_to_memory,
     session_window_stats,
     tumbling_counts,
@@ -106,4 +107,42 @@ FROM events ORDER BY 1, 2, 3
 
 QUERIES["streaming_dedup_events"] = Query(
     streaming_dedup_events, STREAM_DEDUP_SQL, tags=("streaming", "dedup")
+)
+
+
+def streaming_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases x preceding clicks within
+    30 min, both sides watermarked so click state is evicted).  Inner
+    joins emit eagerly, so append mode over the finite file source
+    yields the complete batch-equivalent match set."""
+    s = events_stream(spark, f"{sf_dir}/events.parquet")
+    joined = purchases_with_recent_clicks(s, join_window="30 minutes")
+    out, _ = run_stream_to_memory(
+        joined.select(
+            "p_id",
+            "c_id",
+            F.col("p_user").alias("user_id"),
+            F.unix_micros("p_ts").alias("p_ts_us"),
+            F.unix_micros("c_ts").alias("c_ts_us"),
+        ),
+        mode="append",
+    )
+    return out.orderBy("p_id", "c_id")
+
+
+_JOIN_US = 1800 * 1_000_000
+
+STREAM_JOIN_SQL = f"""
+SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id,
+       epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - {_JOIN_US}
+ AND epoch_us(c.ts) < epoch_us(p.ts)
+ORDER BY p_id, c_id
+"""
+
+QUERIES["streaming_purchase_clicks"] = Query(
+    streaming_purchase_clicks, STREAM_JOIN_SQL, tags=("streaming", "join")
 )

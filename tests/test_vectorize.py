@@ -379,3 +379,61 @@ def test_rank2_matmul_chain_mm(spark):
         C, np.einsum("nik,nkj->nij", A.astype(np.float64), B.astype(np.float64)),
         rtol=1e-6,
     )
+
+
+def test_rank2_chained_negative_index(spark):
+    """Chained indexing self.R[0][-1] must keep numpy semantics one level
+    down — previously _NumpyIndexColumn.__getitem__ returned a plain
+    Column, so the second [-1] hit getItem(-1) and silently yielded NULL
+    while the raw-Column trace 'succeeded'."""
+    import warnings
+
+    @das.dataclass_array(broadcast=True, cast_dtype=True)
+    class Chain(das.DcaTable):
+        R: f32["*b 2 3"]
+
+        @das.vectorize_method
+        def corner(self):
+            return {"x": self.R[0][-1], "y": self.R[-1][0]}
+
+    rng = np.random.default_rng(11)
+    R = rng.standard_normal((5, 2, 3)).astype(np.float32)
+    c = Chain(spark, R=R)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", das.VectorizeFallbackWarning)
+        f = c.corner().to_numpy_fields()
+    assert not np.isnan(f["x"]).any() and not np.isnan(f["y"]).any()
+    np.testing.assert_allclose(f["x"], R[:, 0, -1], rtol=1e-6)
+    np.testing.assert_allclose(f["y"], R[:, -1, 0], rtol=1e-6)
+
+
+def test_rank3_symbolic_fallback_negative_index(spark):
+    """Rank-3 fields fail SymbolicArray construction (rank<=2) and stay
+    raw Columns in symbolic mode — the fallback must still wrap them so
+    negative indexing traces to element_at instead of NULL-producing
+    getItem(-1)."""
+    import warnings
+
+    @das.dataclass_array(broadcast=True, cast_dtype=True)
+    class Cube(das.DcaTable):
+        T: f32["*b 2 2 2"]
+        v: f32["*b 3"]
+
+        @das.vectorize_method
+        def mix(self):
+            # np.dot on the rank-1 field kills the raw-Column trace, so
+            # this method only traces in symbolic mode, where T is the
+            # TraceError-fallback raw Column.
+            return {"s": np.sqrt(np.dot(self.v, self.v)), "last": self.T[-1]}
+
+    rng = np.random.default_rng(13)
+    T = rng.standard_normal((4, 2, 2, 2)).astype(np.float32)
+    v = rng.standard_normal((4, 3)).astype(np.float32)
+    cu = Cube(spark, T=T, v=v)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", das.VectorizeFallbackWarning)
+        f = cu.mix().to_numpy_fields()
+    np.testing.assert_allclose(
+        f["s"], np.sqrt((v.astype(np.float64) ** 2).sum(1)), rtol=1e-6
+    )
+    np.testing.assert_allclose(f["last"], T[:, -1], rtol=1e-6)
