@@ -1085,7 +1085,42 @@ def _map_field_expr(col: Column, spec, fn: Callable[[Column, ArraySpec], Column]
     return rebuild(col, len(spec.extra_inner_shape))
 
 
-def attach_dense_rowid(df: DataFrame, order_by: Optional[str] = None) -> DataFrame:
+def pin_materialization(df: DataFrame, pin: str = "local") -> DataFrame:
+    """Pin exactly ONE materialization of ``df`` so every later job sees
+    identical partition contents (RangePartitioner boundaries are sampled
+    with an RDD-id-derived seed, so re-executing the same plan can place
+    rows differently — see :func:`attach_dense_rowid`).
+
+    ``pin`` selects the failure-domain tradeoff (PERF.md "Pinning"):
+
+    - ``"local"`` (default): ``localCheckpoint(eager=True)`` — blocks in
+      executor memory/disk, no replication.  Fast and right for
+      single-node or short-lived jobs, but on a cluster an executor loss
+      makes the pinned RDD unrecoverable (lineage is truncated), failing
+      the job instead of recomputing, and blocks are held until the
+      frame is GC'd.
+    - ``"reliable"``: ``checkpoint(eager=True)`` to the SparkContext
+      checkpoint directory — survives executor loss; the write/read
+      round-trip costs one extra pass over the data.  Set
+      ``sc.setCheckpointDir`` to HDFS/object storage on a real cluster;
+      if unset, a local temp dir is auto-configured (sandbox fallback —
+      NOT durable across machines).
+    """
+    if pin == "local":
+        return df.localCheckpoint(eager=True)
+    if pin == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import tempfile
+
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="dca-checkpoint-"))
+        return df.checkpoint(eager=True)
+    raise ValueError(f"pin must be 'local' or 'reliable', got {pin!r}")
+
+
+def attach_dense_rowid(
+    df: DataFrame, order_by: Optional[str] = None, pin: str = "local"
+) -> DataFrame:
     """Add a dense 0..N-1 ``__rowid`` without a single-partition sort.
 
     Two-pass partition-offset numbering (the standard distributed
@@ -1097,18 +1132,17 @@ def attach_dense_rowid(df: DataFrame, order_by: Optional[str] = None) -> DataFra
     and the numbering pass adds no shuffle (the offset join is a
     broadcast of |partitions| rows).  If ``order_by`` is given the frame
     is range-repartitioned on it first so the global order follows that
-    column; otherwise existing partition order is kept.
+    column; otherwise existing partition order is kept.  ``pin`` picks
+    the materialization-pinning mode (see :func:`pin_materialization`).
     """
     if order_by is not None:
-        # localCheckpoint so the counts job and the output job share one
+        # pin so the counts job and the output job share one
         # materialization: RangePartitioner boundaries are sampled with
         # an RDD-id-derived seed, so two executions of the same
         # repartitionByRange plan can split rows differently once
         # partitions exceed the reservoir sample — silent mis-numbering.
-        df = (
-            df.repartitionByRange(order_by)
-            .sortWithinPartitions(order_by)
-            .localCheckpoint(eager=True)
+        df = pin_materialization(
+            df.repartitionByRange(order_by).sortWithinPartitions(order_by), pin
         )
     with_pid = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__mid", F.monotonically_increasing_id()

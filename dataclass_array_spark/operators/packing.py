@@ -32,21 +32,25 @@ def global_cumsum(
     order_col: str,
     value_col: str,
     out_col: str = "cum",
+    pin: str = "local",
 ) -> DataFrame:
     """Running sum of ``value_col`` over the global ``order_col`` order
     (inclusive of the current row), without a single-partition sort.
 
-    The repartitioned+sorted frame is ``localCheckpoint``-ed (eager)
-    before the per-partition sums are collected: RangePartitioner
-    samples its boundaries with an RDD-id-derived seed, so re-executing
-    the plan for the output job could otherwise land rows in DIFFERENT
-    partitions than the offsets job saw once partitions exceed the
-    reservoir sample size — silent mis-offsets at scale.  The
-    checkpoint pins one materialization that both jobs share."""
-    df = (
-        df.repartitionByRange(order_col)
-        .sortWithinPartitions(order_col)
-        .localCheckpoint(eager=True)
+    The repartitioned+sorted frame is checkpoint-pinned before the
+    per-partition sums are collected: RangePartitioner samples its
+    boundaries with an RDD-id-derived seed, so re-executing the plan for
+    the output job could otherwise land rows in DIFFERENT partitions
+    than the offsets job saw once partitions exceed the reservoir sample
+    size — silent mis-offsets at scale.  The pin guarantees one
+    materialization that both jobs share; ``pin="local"`` (fast,
+    executor-memory) vs ``"reliable"`` (checkpoint dir, survives
+    executor loss) — see :func:`~dataclass_array_spark.core.table
+    .pin_materialization` for the failure-domain tradeoff."""
+    from dataclass_array_spark.core.table import pin_materialization
+
+    df = pin_materialization(
+        df.repartitionByRange(order_col).sortWithinPartitions(order_col), pin
     )
     with_pid = df.withColumn("__pid", F.spark_partition_id())
     parts = (
@@ -83,6 +87,7 @@ def pack_sequences(
     size_col: str,
     block_size: int,
     order_col: Optional[str] = None,
+    pin: str = "local",
 ) -> DataFrame:
     """Concat-and-chop packing plan: documents in ``order_col`` order
     form one token stream, chopped every ``block_size`` tokens.
@@ -95,7 +100,7 @@ def pack_sequences(
     a doc spanning blocks is the (documented) continuation case.
     """
     order_col = order_col or id_col
-    cum = global_cumsum(df, order_col, size_col, out_col="__cum")
+    cum = global_cumsum(df, order_col, size_col, out_col="__cum", pin=pin)
     start = (F.col("__cum") - F.col(size_col)).alias("start_tok")
     bs = F.lit(int(block_size))
     return cum.select(

@@ -339,6 +339,41 @@ def test_global_cumsum_matches_local(spark, sf_dir):
         assert got[did] == e
 
 
+def test_global_cumsum_reliable_pin(spark, sf_dir):
+    """pin="reliable" (checkpoint-to-dir, the cluster-durable mode) must
+    produce the identical cumsum as the default local pin."""
+    from dataclass_array_spark.operators.packing import global_cumsum
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    local = {
+        r["doc_id"]: r["cum"]
+        for r in global_cumsum(d, "doc_id", "v", pin="local").collect()
+    }
+    reliable = {
+        r["doc_id"]: r["cum"]
+        for r in global_cumsum(d, "doc_id", "v", pin="reliable").collect()
+    }
+    assert local == reliable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pin"):
+        global_cumsum(d, "doc_id", "v", pin="bogus")
+
+
+def test_attach_dense_rowid_reliable_pin(spark, sf_dir):
+    """Both pin modes must yield the same dense 0..N-1 numbering in
+    doc_id order."""
+    from dataclass_array_spark.core.table import attach_dense_rowid, ROWID
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    for pin in ("local", "reliable"):
+        out = attach_dense_rowid(d, order_by="doc_id", pin=pin)
+        rows = out.orderBy("doc_id").collect()
+        assert [r[ROWID] for r in rows] == list(range(len(rows)))
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     from dataclass_array_spark.operators.packing import pack_sequences
 
