@@ -291,3 +291,123 @@ def token_rarity_scores(df, text_col: str, id_col: str):
             F.count("t") > 0, F.sum("lb") / F.count("t")
         ).otherwise(F.lit(0.0)).alias("rarity_score"),
     )
+
+
+# ------------------------------------------------- portable-exact ln
+# The perplexity-style LM score needs natural log, but libm ln differs
+# across engines in the last ulp.  ln of a positive integer is instead
+# computed with ONLY IEEE +,-,*,/ in a fixed evaluation order — both
+# engines round each op identically, so the doubles match bit-for-bit:
+#   n = m * 2^e,  m = n / 2^e in [1, 2)   (e = floor(log2 n), exact)
+#   ln n = e*ln2 + 2*artanh(z),  z = (m-1)/(m+1) in [0, 1/3)
+#   artanh(z) = sum_{k<K} z^(2k+1)/(2k+1)   (tail < 3^-41: below ulp)
+LN2_DOUBLE = 0.6931471805599453  # shortest repr; parses to the same bits
+_LN_SERIES_K = 20
+
+
+def ln_exact(n: Column) -> Column:
+    """ln of a positive integer column as DOUBLE via the fixed-order
+    series above; bit-identical to :func:`sql_ln_exact_ctes` in DuckDB
+    (the operation sequences are kept textually parallel — any edit here
+    must mirror there)."""
+    e = F.length(F.bin(n)) - 1
+    m = n.cast("double") / F.call_function(
+        "shiftleft", F.lit(1).cast("long"), e
+    ).cast("double")
+
+    def series(z: Column) -> Column:
+        z2 = z * z
+        term = z
+        acc = z
+        for k in range(1, _LN_SERIES_K):
+            term = term * z2
+            acc = acc + term / F.lit(float(2 * k + 1))
+        return acc
+
+    return let(
+        (m - F.lit(1.0)) / (m + F.lit(1.0)),
+        lambda z: e.cast("double") * F.lit(LN2_DOUBLE) + F.lit(2.0) * series(z),
+    )
+
+
+def sql_ln_series() -> str:
+    """The artanh series in terms of bound identifiers ``z``/``z2`` —
+    SQL's left-associative + and * reproduce ln_exact's fold order."""
+    parts = ["z"]
+    for k in range(1, _LN_SERIES_K):
+        parts.append("z" + "*z2" * k + f"/{2 * k + 1}.0")
+    return " + ".join(parts)
+
+
+def sql_ln_exact_ctes(src: str, key: str, n: str, out: str) -> str:
+    """CTE chain computing ``{out}(… , ln double)`` = ln({n}) for every
+    row of ``{src}({key}, {n})`` — the DuckDB mirror of :func:`ln_exact`
+    (z and z2 are CTE-bound so the series stays linear-sized)."""
+    return f"""{out}_e AS (
+  SELECT {key}, {n} AS __n, length(bin({n})) - 1 AS e FROM {src}
+),
+{out}_m AS (
+  SELECT *, CAST(__n AS DOUBLE) / CAST((CAST(1 AS BIGINT) << e) AS DOUBLE) AS m
+  FROM {out}_e
+),
+{out}_z AS (SELECT *, (m - 1.0) / (m + 1.0) AS z FROM {out}_m),
+{out}_z2 AS (SELECT *, z*z AS z2 FROM {out}_z),
+{out} AS (
+  SELECT {key}, CAST(e AS DOUBLE) * {LN2_DOUBLE!r} + 2.0 * ({sql_ln_series()}) AS ln
+  FROM {out}_z2
+)"""
+
+
+def unigram_xent_scores(df, text_col: str, id_col: str):
+    """Perplexity-style LM quality score: per-document cross-entropy in
+    nats/token under the corpus's own unigram LM —
+    ``xent = -(1/n) Σ_i ln p(t_i)``, ``p(t) = count(t)/total_tokens``.
+    Perplexity is ``exp(xent)`` (monotone; exp is left to callers
+    because libm exp is not bit-portable).  Low = repetitive/boilerplate
+    (high-frequency tokens), high = rare-vocabulary gibberish — the
+    log-frequency refinement of :func:`token_rarity_scores`' integer
+    buckets, now with a real natural log (ROADMAP #13).
+
+    Plan shape (100 TB): one token aggregation produces the vocab-sized
+    frequency table; the 20-term ln series runs once per DISTINCT token
+    (not per token instance) and joins back in-scan; the per-doc sum
+    folds doubles in token-position order so both engines add in the
+    same sequence (order-dependent IEEE sums).  One explode shuffle +
+    one per-doc aggregation — same plan family as tf-idf."""
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "t"),
+    )
+    freq = tok.filter(F.col("t").isNotNull()).groupBy("t").agg(
+        F.count("*").alias("c")
+    )
+    lnc = freq.select("t", ln_exact(F.col("c")).alias("lnc"))
+    tot = freq.agg(F.sum("c").cast("long").alias("n_total")).select(
+        ln_exact(F.col("n_total")).alias("ln_total")
+    )
+    entry = F.when(
+        F.col("pos").isNotNull(), F.struct(F.col("pos"), F.col("lnc").alias("lnc"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(lnc), "t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("pos").alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(entry)), lambda s: s.lnc
+            ).alias("__lns"),
+        )
+    )
+    summed = per_doc.crossJoin(F.broadcast(tot)).withColumn(
+        "__s",
+        F.aggregate(
+            F.col("__lns"), F.lit(0.0), lambda a, x: a + (F.col("ln_total") - x)
+        ),
+    )
+    return summed.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.when(F.col("n_tokens") > 0, F.col("__s") / F.col("n_tokens").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("xent_nats"),
+    )

@@ -39,3 +39,9 @@ __all__ = [
 from dataclass_array_spark.streaming.core import purchases_with_recent_clicks  # noqa: E402,F401
 
 __all__.append("purchases_with_recent_clicks")
+
+from dataclass_array_spark.streaming.core import (  # noqa: E402,F401
+    decontaminate_stream,
+    documents_stream,
+)
+__all__ += ["decontaminate_stream", "documents_stream"]

@@ -369,3 +369,69 @@ def purchases_with_recent_clicks(
         ),
         "inner",
     )
+
+
+DOCUMENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of the documents table (ingest-pipeline input:
+    each new parquet file under the directory is one micro-batch of
+    freshly crawled docs)."""
+    reader = spark.readStream.schema(DOCUMENTS_RAW_SCHEMA)
+    if path.endswith(".parquet"):
+        import os
+
+        d, fname = os.path.split(path)
+        reader = reader.option("pathGlobFilter", fname)
+        path = d
+    return reader.parquet(path)
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming benchmark decontamination as a ``foreachBatch`` stage:
+    every micro-batch of incoming documents runs the BATCH
+    ``ngram_overlap_vs_eval`` against the (static, broadcast) eval
+    n-gram set and appends the scored rows to ``output_dir``.
+
+    Per-document scores depend only on that document and the static
+    eval set, so the union of per-batch results is EXACTLY the batch
+    result over all documents — the property that makes foreachBatch
+    the right streaming shape for corpus hygiene filters (reuse the
+    audited batch operator; no streaming state, no watermark; the eval
+    broadcast happens once per micro-batch and the join is map-side).
+    With ``availableNow`` + a persistent checkpoint this is the nightly
+    "decontaminate only the new crawl files" job: O(new data) per run.
+    """
+    from dataclass_array_spark.operators.decontam import ngram_overlap_vs_eval
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        ngram_overlap_vs_eval(
+            batch_df, eval_df, text_col, id_col, k=k, threshold=threshold
+        ).write.mode("append").parquet(output_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return docs.sparkSession.read.parquet(output_dir)

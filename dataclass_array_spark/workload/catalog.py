@@ -34,7 +34,16 @@ _PRIORITY: Tuple[str, ...] = (
     "approx_sketches",
     "embedding_ann_srp",
     "embedding_ann_ivf",
-    # not covered by the r02/r03 driver gate (round-1-verified or new)
+    # new in round 4 (first driver verification)
+    "semantic_dedup_auto",
+    "streaming_purchase_clicks",
+    "lm_quality_docs",
+    "streaming_decontam_docs",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_counts",
+    "q20_promotion_suppliers",
+    # round-1-verified, absent from the r02/r03 driver gate files
     "q10_returned_items",
     "q4_order_priority",
     "q12_shipmode_priority",
@@ -79,9 +88,6 @@ _PRIORITY: Tuple[str, ...] = (
     "sliding_hourly_stats",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
-    # new in round 4
-    "semantic_dedup_auto",
-    "streaming_purchase_clicks",
 )
 
 
@@ -91,7 +97,7 @@ def _collect() -> Dict[str, Query]:
     # silently shrink the query registry and the gate would just see
     # fewer queries instead of a failure.
     for modname in (
-        "tpch", "tpch2", "relational", "relational2",
+        "tpch", "tpch2", "tpch3", "relational", "relational2",
         "events", "llm", "llm2", "streaming", "shapes",
     ):
         mod = __import__(

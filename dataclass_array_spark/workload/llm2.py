@@ -446,6 +446,61 @@ QUERIES["semantic_dedup_auto"] = Query(
 )
 
 
+# ------------------------------------------------ LM quality (perplexity-style)
+def lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram-LM cross-entropy (nats/token) — the
+    perplexity-style quality score (perplexity = exp(xent), monotone).
+    Exact gate: ln is computed with a fixed-order IEEE series in BOTH
+    engines (operators/text.py::ln_exact / sql_ln_exact_ctes), so the
+    doubles hash-match bit-for-bit."""
+    from dataclass_array_spark.operators.text import unigram_xent_scores
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return unigram_xent_scores(d, "text", "doc_id").orderBy("doc_id")
+
+
+def _lm_quality_oracle() -> str:
+    from dataclass_array_spark.operators.text import sql_ln_exact_ctes
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+guard AS (
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('LM_QUALITY_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
+pos AS (
+  SELECT doc_id, gs.i AS pos, toks[gs.i] AS t
+  FROM toks, generate_series(1, 4096) gs(i)
+  WHERE gs.i <= len(toks)
+),
+freq AS (SELECT t, COUNT(*) AS c FROM pos GROUP BY t),
+totn AS (SELECT CAST(SUM(c) AS BIGINT) AS c FROM freq),
+{sql_ln_exact_ctes("freq", "t", "c", "lnc_t")},
+{sql_ln_exact_ctes("totn", "c", "c", "lnt_t")},
+perdoc AS (
+  SELECT p.doc_id, COUNT(*) AS n,
+         list_reduce(list_prepend(0.0, list(l.ln ORDER BY p.pos)),
+                     (a, x) -> a + (g.lnT - x)) AS s
+  FROM pos p JOIN lnc_t l USING (t)
+  CROSS JOIN (SELECT ln AS lnT FROM lnt_t) g
+  GROUP BY p.doc_id, g.lnT
+)
+SELECT d.doc_id, COALESCE(pd.n, 0) AS n_tokens,
+       COALESCE(pd.s / CAST(pd.n AS DOUBLE), 0.0) AS xent_nats
+FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+CROSS JOIN guard
+WHERE guard.ok = 1
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["lm_quality_docs"] = Query(
+    lm_quality_docs, _lm_quality_oracle(), tags=("text", "quality")
+)
+
+
 # ------------------------------------------------ tokenization
 _VOCAB_SIZE = 500
 

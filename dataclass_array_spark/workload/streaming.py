@@ -146,3 +146,46 @@ ORDER BY p_id, c_id
 QUERIES["streaming_purchase_clicks"] = Query(
     streaming_purchase_clicks, STREAM_JOIN_SQL, tags=("streaming", "join")
 )
+
+
+def streaming_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch decontamination over a document stream: each
+    micro-batch of incoming docs is scored by the audited BATCH n-gram
+    overlap operator against the static broadcast eval set, so the
+    accumulated streaming output equals the batch result exactly (the
+    oracle is the same SQL as the batch decontam gate)."""
+    import tempfile
+
+    from dataclass_array_spark.streaming import decontaminate_stream, documents_stream
+    from dataclass_array_spark.workload.base import load_tables
+    from dataclass_array_spark.workload.llm2 import (
+        _DECONTAM_K,
+        _DECONTAM_THRESH,
+        _EVAL_MOD,
+    )
+
+    ev = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .filter(F.col("doc_id") % _EVAL_MOD == 0)
+    )
+    s = documents_stream(spark, f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % _EVAL_MOD != 0
+    )
+    tmp = tempfile.mkdtemp(prefix="stream-decontam-")
+    out = decontaminate_stream(
+        s, ev, "text", "doc_id",
+        output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
+        k=_DECONTAM_K, threshold=_DECONTAM_THRESH,
+    )
+    return out.orderBy("doc_id")
+
+
+def _streaming_decontam_oracle() -> str:
+    from dataclass_array_spark.workload.llm2 import DECONTAM_SQL
+
+    return DECONTAM_SQL
+
+
+QUERIES["streaming_decontam_docs"] = Query(
+    streaming_decontam_docs, _streaming_decontam_oracle(), tags=("streaming", "decontam")
+)

@@ -626,3 +626,28 @@ def test_dcatable_feeds_pipeline_operators(spark, sf_dir):
     assert groups.count() <= n // 2
     flags = kept.df.select(repetition_flag(F.col("text")).alias("f"))
     assert flags.count() == n // 2
+
+
+def test_ln_exact_bit_portable(spark):
+    """ln_exact (fixed-order IEEE series, no libm) must bit-match the
+    DuckDB CTE mirror on the same integers and sit within ~1 ulp of
+    math.log — the primitive behind the perplexity-style LM score."""
+    import duckdb
+    import math
+    from dataclass_array_spark.operators.text import ln_exact, sql_ln_exact_ctes
+
+    ns = [1, 2, 3, 7, 10, 100, 12345, 999983, 2**31, 2**52 + 12345, 3**30]
+    sdf = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = {
+        r["n"]: r["ln"]
+        for r in sdf.select("n", ln_exact(F.col("n")).alias("ln")).collect()
+    }
+    sql = f"""
+WITH src AS (SELECT * FROM (VALUES {', '.join(f'({n})' for n in ns)}) v(n)),
+{sql_ln_exact_ctes('src', 'n', 'n', 'lnv')}
+SELECT n, ln FROM lnv ORDER BY n
+"""
+    duck = {n: v for n, v in duckdb.sql(sql).fetchall()}
+    for n in ns:
+        assert got[n] == duck[n], (n, got[n].hex(), duck[n].hex())
+        assert abs(got[n] - math.log(n)) <= 5e-16 * max(abs(math.log(n)), 1.0)

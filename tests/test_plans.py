@@ -144,3 +144,25 @@ def test_q15_max_join_broadcasts(spark):
 def test_q13_no_cartesian(spark):
     p = plan(spark, "q13_customer_distribution")
     assert "CartesianProduct" not in p
+
+
+def test_tpch3_dims_broadcast(spark):
+    # q2/q11/q16/q20: every dimension side broadcasts; lineitem must
+    # never sort-merge against a dim and never cartesian.
+    for q in (
+        "q2_min_cost_supplier",
+        "q11_important_parts",
+        "q16_supplier_counts",
+        "q20_promotion_suppliers",
+    ):
+        p = plan(spark, q)
+        assert "BroadcastHashJoin" in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_lm_quality_vocab_broadcast(spark):
+    # the per-distinct-token ln table joins back via broadcast; the
+    # 20-term series must stay JVM-side (no Python eval anywhere).
+    p = plan(spark, "lm_quality_docs")
+    assert "BroadcastHashJoin" in p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p

@@ -103,3 +103,48 @@ def test_repetition_metrics_match_python(spark, texts):
             assert abs(r["top_bigram_char_frac"] - exp_cf) < 1e-12
         else:
             assert r["top_bigram"] is None and r["top_bigram_count"] == 0
+
+
+# ------------------------------------------- round-4: mask/gather/concat
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n=st.integers(1, 8), data=st.data())
+def test_random_mask_matches_numpy(spark, n, data):
+    p, v = make((n,), spark)
+    m = np.array(data.draw(st.lists(st.booleans(), min_size=n, max_size=n)))
+    exp = v[m]
+    got = p[m]
+    assert got.shape == exp.shape
+    if exp.size:
+        assert_np_equal(got, {"v": exp})
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n=st.integers(1, 8), data=st.data())
+def test_random_gather_matches_numpy(spark, n, data):
+    p, v = make((n,), spark)
+    idx = np.array(
+        data.draw(st.lists(st.integers(-n, n - 1), min_size=0, max_size=6)),
+        dtype=np.int64,
+    )
+    exp = v[idx]
+    got = p[idx]
+    assert got.shape == exp.shape
+    if exp.size:
+        assert_np_equal(got, {"v": exp})
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n=st.integers(2, 8), data=st.data())
+def test_concat_split_roundtrip(spark, n, data):
+    p, v = make((n,), spark)
+    cut = data.draw(st.integers(1, n - 1))
+    back = das.concat([p[:cut], p[cut:]])
+    assert_np_equal(back, {"v": v})
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(k=st.integers(1, 4), m=st.integers(1, 4))
+def test_broadcast_to_matches_numpy(spark, k, m):
+    p, v = make((1, k), spark)
+    got = p.broadcast_to((m, k))
+    assert_np_equal(got, {"v": np.broadcast_to(v, (m, k))})
