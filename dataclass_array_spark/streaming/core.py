@@ -19,27 +19,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events parquet physical schema (ts is TIMESTAMP(NANOS) → read as long
-# via the legacy conf, converted to micros downstream, same as batch)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream of the events table with the same ts
-    normalization as the batch loader (ts_us long + micros timestamp)."""
+    normalization as the batch loader (ts_us long + micros timestamp).
+
+    The file source requires an explicit schema, and the physical type
+    of ``ts`` varies by testdata drop (TIMESTAMP(NANOS)→long under the
+    legacy conf, or TIMESTAMP(MICROS)→timestamp_ntz), so the schema is
+    sniffed from the parquet footer via a batch read — a driver-only
+    metadata operation, no data scan."""
+    from dataclass_array_spark.workload.base import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(spark.read.parquet(path).schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if path.endswith(".parquet"):
@@ -49,10 +43,7 @@ def events_stream(
         d, fname = os.path.split(path)
         reader = reader.option("pathGlobFilter", fname)
         path = d
-    e = reader.parquet(path)
-    return e.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-        "ts", F.timestamp_micros(F.col("ts_us"))
-    )
+    return normalize_events_ts(reader.parquet(path))
 
 
 # JSON payload schema for Kafka-carried events (ts as integer micros —

@@ -32,24 +32,44 @@ TABLES = (
 _DEC = "decimal(25,6)"
 
 
+def normalize_events_ts(e: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to the canonical pair every operator uses:
+    ``ts_us`` (exact integer micros since epoch — use for arithmetic and
+    outputs; matches DuckDB's ``epoch_us``) and ``ts`` (micros timestamp).
+
+    The driver's testdata has shipped ``ts`` as TIMESTAMP(NANOS) (which
+    Spark reads as BIGINT nanos under the legacy conf) and as
+    TIMESTAMP(MICROS) (read as timestamp_ntz / timestamp) in different
+    drops; all three physical forms land on identical ts_us values, so
+    every downstream query and oracle is schema-drift-proof."""
+    t = dict(e.dtypes)["ts"]
+    if t == "bigint":  # nanos-as-long: truncate ns -> us like epoch_us
+        e = e.withColumn("ts_us", F.expr("ts div 1000"))
+    elif t == "timestamp_ntz":  # tz-independent diff from the naive epoch
+        e = e.withColumn(
+            "ts_us",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ),
+        )
+    else:  # timestamp (session TZ pinned UTC in get_spark)
+        e = e.withColumn("ts_us", F.unix_micros("ts"))
+    return e.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> Dict[str, DataFrame]:
     """Parquet scans, one per table.  Filters/projections stay pushable —
     no caching or materialization here, so Catalyst prunes at the source.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    reader rejects; we read it as a long (legacy conf) and expose both
-    ``ts_us`` (exact integer micros — use this for arithmetic/outputs so
-    the ns-truncation matches DuckDB's ``epoch_us``) and ``ts`` (micros
-    timestamp)."""
+    ``events.ts`` physical type varies by testdata drop (see
+    :func:`normalize_events_ts`); the legacy nanos conf is set so the
+    NANOS form reads as long instead of erroring, and the normalizer
+    branches on whatever type actually arrived."""
     out: Dict[str, DataFrame] = {}
     for n in names:
         if n == "events":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            e = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-            e = e.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-                "ts", F.timestamp_micros(F.col("ts_us"))
-            )
-            out[n] = e
+            out[n] = normalize_events_ts(spark.read.parquet(f"{sf_dir}/{n}.parquet"))
         else:
             out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
     return out

@@ -130,11 +130,11 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     out, _ = run_stream_to_memory(joined, mode="append")
     got = out.count()
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
     from pyspark.sql import functions as FF
-    e = e.withColumn("ts_us", FF.expr("ts div 1000")).withColumn(
-        "ts", FF.timestamp_micros(FF.col("ts_us"))
-    )
+
+    from dataclass_array_spark.workload.base import load_tables
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
     p = e.filter(FF.col("event_type") == "purchase").select(
         FF.col("user_id").alias("pu"), FF.col("ts").alias("pts")
     )
