@@ -39,19 +39,29 @@ SF1_N = max(0, int(os.environ.get("SPARK_GRAFT_SF1_N", "1")))
 
 def _timed_passes(
     names: list[str], sf_dir: str, n: int
-) -> tuple[dict[str, float], dict[str, float]]:
+) -> tuple[dict[str, float], dict[str, float], dict[str, str]]:
     """Run each query n times in interleaved passes; return
-    (median, min) seconds per query."""
+    (median, min, errors) seconds per query.  Each query is fault-
+    isolated: one failure records an error entry for THAT query and
+    never discards the others' timings (round 4 lost 101 good sf1
+    numbers to a single all-or-nothing try/except)."""
     samples: dict[str, list[float]] = {name: [] for name in names}
+    errors: dict[str, str] = {}
     for _rep in range(n):
         for name in names:
+            if name in errors:
+                continue  # failed once — don't burn passes re-failing
             t0 = time.perf_counter()
-            rows = QUERIES[name].fn(_timed_passes.spark, sf_dir).collect()
+            try:
+                rows = QUERIES[name].fn(_timed_passes.spark, sf_dir).collect()
+                _ = len(rows)
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                continue
             samples[name].append(time.perf_counter() - t0)
-            _ = len(rows)
-    med = {k: round(statistics.median(v), 3) for k, v in samples.items()}
-    mn = {k: round(min(v), 3) for k, v in samples.items()}
-    return med, mn
+    med = {k: round(statistics.median(v), 3) for k, v in samples.items() if v}
+    mn = {k: round(min(v), 3) for k, v in samples.items() if v}
+    return med, mn, errors
 
 
 def main() -> None:
@@ -64,7 +74,7 @@ def main() -> None:
     QUERIES["multimodal_decode"].fn(spark, SF_DIR).collect()
 
     bench_names = [name for name, q in QUERIES.items() if q.bench]
-    timings, timings_min = _timed_passes(bench_names, SF_DIR, BENCH_N)
+    timings, timings_min, errors = _timed_passes(bench_names, SF_DIR, BENCH_N)
     total = sum(timings.values())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -82,13 +92,15 @@ def main() -> None:
         "queries_min": timings_min,
         "sf": sf_val,
     }
+    if errors:
+        detail["errors"] = errors
     # ---- optional sf1 pass (full catalog; SPARK_GRAFT_SF1=off to skip) ----
     if os.environ.get("SPARK_GRAFT_SF1", "auto") != "off" and SF1_N > 0:
         try:
             from tools.make_sf1 import ensure_sf1
 
             sf1_dir = ensure_sf1(spark)
-            t1, t1_min = _timed_passes(bench_names, sf1_dir, SF1_N)
+            t1, t1_min, e1 = _timed_passes(bench_names, sf1_dir, SF1_N)
             detail["sf1"] = {
                 "value": round(sum(t1.values()), 3),
                 "n_queries": len(t1),
@@ -96,7 +108,9 @@ def main() -> None:
                 "queries": t1,
                 "queries_min": t1_min,
             }
-        except Exception as e:  # sf1 is best-effort; never fail the bench
+            if e1:
+                detail["sf1"]["errors"] = e1
+        except Exception as e:  # generation failed; timings are per-query safe
             detail["sf1"] = {"error": f"{type(e).__name__}: {e}"}
 
     try:
@@ -119,10 +133,14 @@ def main() -> None:
         "max_sec": round(max(timings.values()), 3),
         "sf": sf_val,
     }
+    if errors:
+        headline["n_errors"] = len(errors)
     sf1_info = detail.get("sf1", {})
     if "value" in sf1_info:
         headline["sf1_total_sec"] = sf1_info["value"]
         headline["sf1_n_queries"] = sf1_info["n_queries"]
+        if sf1_info.get("errors"):
+            headline["sf1_n_errors"] = len(sf1_info["errors"])
     print(json.dumps(headline))
 
 

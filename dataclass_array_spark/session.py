@@ -48,6 +48,9 @@ def get_spark(app_name: str = "dataclass_array_spark", cpus: str | None = None) 
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # memory-sink gate queries use implicit temp checkpoints; force
+        # cleanup so repeated bench runs leave no /tmp/temporary-* residue
+        .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,6 +10,7 @@ accumulate state forever.  Session windows use Spark's native
 
 from __future__ import annotations
 
+import os
 import uuid
 from typing import Iterator, Tuple
 
@@ -18,6 +19,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _parquet_stream(reader, path: str) -> DataFrame:
+    """Point a streaming reader at a parquet source that may be either a
+    single FILE named ``*.parquet`` (the driver's testdata shape) or a
+    Spark-written DIRECTORY named ``*.parquet`` (any ``.write.parquet``
+    output — e.g. the generated sf1 tables).  The file source accepts a
+    directory natively; only a true single file needs the parent-dir +
+    ``pathGlobFilter`` trick.  Routing a *directory* through the glob
+    matches zero files inside it and the stream completes with zero
+    micro-batches — a silent-empty-results bug (round-4 sf1 crash)."""
+    if path.endswith(".parquet") and os.path.isfile(path):
+        d, fname = os.path.split(path)
+        reader = reader.option("pathGlobFilter", fname)
+        path = d
+    return reader.parquet(path)
+
+
+# Default events schema (the canonical testdata shape, ts in MICROS).
+# Used only when the source path has no files yet — the file source
+# requires a schema before any data arrives.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
 
 def events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
@@ -29,21 +62,21 @@ def events_stream(
     of ``ts`` varies by testdata drop (TIMESTAMP(NANOS)→long under the
     legacy conf, or TIMESTAMP(MICROS)→timestamp_ntz), so the schema is
     sniffed from the parquet footer via a batch read — a driver-only
-    metadata operation, no data scan."""
+    metadata operation, no data scan.  If the path is empty/missing at
+    definition time (stream declared before data arrives) the canonical
+    MICROS schema is assumed; note the sniffed schema is frozen at
+    definition time either way — files appearing later must match it."""
     from dataclass_array_spark.workload.base import normalize_events_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(spark.read.parquet(path).schema)
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA (no files yet)
+        schema = EVENTS_RAW_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if path.endswith(".parquet"):
-        # file source needs a directory; point at the parent with a glob
-        import os
-
-        d, fname = os.path.split(path)
-        reader = reader.option("pathGlobFilter", fname)
-        path = d
-    return normalize_events_ts(reader.parquet(path))
+    return normalize_events_ts(_parquet_stream(reader, path))
 
 
 # JSON payload schema for Kafka-carried events (ts as integer micros —
@@ -376,15 +409,9 @@ DOCUMENTS_RAW_SCHEMA = T.StructType(
 def documents_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of the documents table (ingest-pipeline input:
     each new parquet file under the directory is one micro-batch of
-    freshly crawled docs)."""
-    reader = spark.readStream.schema(DOCUMENTS_RAW_SCHEMA)
-    if path.endswith(".parquet"):
-        import os
-
-        d, fname = os.path.split(path)
-        reader = reader.option("pathGlobFilter", fname)
-        path = d
-    return reader.parquet(path)
+    freshly crawled docs).  Accepts a single ``*.parquet`` file or a
+    Spark-written ``*.parquet`` directory (see :func:`_parquet_stream`)."""
+    return _parquet_stream(spark.readStream.schema(DOCUMENTS_RAW_SCHEMA), path)
 
 
 def decontaminate_stream(

@@ -52,8 +52,10 @@ def normalize_events_ts(e: DataFrame) -> DataFrame:
                 "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
             ),
         )
-    else:  # timestamp (session TZ pinned UTC in get_spark)
+    elif t == "timestamp":  # session TZ pinned UTC in get_spark
         e = e.withColumn("ts_us", F.unix_micros("ts"))
+    else:  # a silent fallthrough (e.g. string ts) would NULL every ts_us
+        raise ValueError(f"unexpected events.ts dtype {t!r}")
     return e.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
 
 

@@ -286,6 +286,54 @@ def test_dedup_within_watermark_multi_batch(spark, tmp_path):
     assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
 
 
+def test_stream_from_spark_written_parquet_directory(spark, sf_dir, tmp_path):
+    """Regression (round-4 sf1 crash): a Spark-WRITTEN table is a
+    DIRECTORY named ``*.parquet``; the streaming sources must read it
+    directly instead of routing it through parent-dir + pathGlobFilter
+    (which matches zero files inside and yields a silently EMPTY stream)."""
+    from dataclass_array_spark.streaming import documents_stream, tumbling_counts
+
+    # Spark-write both tables as *.parquet DIRECTORIES (the sf1 shape)
+    ddir = str(tmp_path / "documents.parquet")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").write.parquet(ddir)
+    edir = str(tmp_path / "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(edir)
+
+    s = documents_stream(spark, ddir)
+    out, _ = run_stream_to_memory(s.groupBy("lang").count(), mode="complete")
+    got = out.agg(F.sum("count")).collect()[0][0]
+    assert got == spark.read.parquet(ddir).count() and got > 0
+
+    es = events_stream(spark, edir)
+    eout, _ = run_stream_to_memory(tumbling_counts(es), mode="complete")
+    egot = eout.agg(F.sum("n")).collect()[0][0]
+    assert egot == spark.read.parquet(edir).count() and egot > 0
+
+
+def test_events_stream_definable_before_data(spark, tmp_path):
+    """A stream over a not-yet-populated directory must be definable
+    (falls back to the canonical schema instead of throwing at
+    definition time), and must pick up files that arrive later."""
+    d = str(tmp_path / "incoming")
+    os.makedirs(d)
+    s = events_stream(spark, d)  # no files yet — must not raise
+    assert s.isStreaming
+    ts = pd.Timestamp("2023-11-14 22:13:20")
+    pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": [ts, ts + pd.Timedelta(minutes=1)],
+            "user_id": [1, 1],
+            "event_type": ["click", "click"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    ).to_parquet(os.path.join(d, "a.parquet"))
+    out, _ = run_stream_to_memory(s.groupBy("event_type").count(), mode="complete")
+    assert out.collect()[0]["count"] == 2
+
+
 def test_available_now_incremental_ingest(spark, tmp_path):
     """Trigger(availableNow) + a persistent checkpoint = process only
     files that arrived since the previous run."""
