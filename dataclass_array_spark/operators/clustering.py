@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -55,6 +57,59 @@ def _argmin_cluster(vec: Column, centroids: List[List[float]]) -> Column:
     return F.named_struct(
         F.lit("cluster"), best.cid.cast("long"), F.lit("dist"), best.dist
     )
+
+
+# Above this many k*dim centroid literals the unrolled expression argmin is
+# replaced by the Arrow-batched numpy argmin: the literal tree's ANALYSIS +
+# CODEGEN cost grows with k*dim (measured 45 s for 3 iterations at k=79,
+# dim=64 — execution itself was 0.3 s), while the UDF plan is O(1) size.
+# Below it, the unrolled expression JITs into the scan stage and beats the
+# Arrow round-trip (PERF.md round-2 note).  Both paths are bit-identical
+# (same left-to-right fold order, same first-min tie-break) —
+# tests/test_operators.py::test_kmeans_udf_path_matches_expression_path.
+_ARGMIN_UDF_THRESHOLD = 4096
+
+
+def _argmin_udf(centroids: List[List[float]]):
+    """Arrow-batched numpy argmin over the (driver-tiny, closure-captured)
+    centroid matrix.  Bit-exact replica of :func:`_argmin_cluster`:
+
+    - ``acc += (v_d - c_d)^2`` accumulates dim-major, the SAME double
+      operation sequence as the sequential ``F.aggregate`` fold;
+    - ``np.argmin`` returns the FIRST minimum — the lower-cid tie-break.
+
+    Still zero-shuffle: an ArrowEvalPython node inside the scan stage;
+    the centroids ship once per executor in the UDF closure (at k that
+    matters this is the moral equivalent of a broadcast variable).
+    """
+    C = np.asarray(centroids, dtype=np.float64)  # k x dim
+
+    @F.pandas_udf("struct<cluster: bigint, dist: double>")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        if not len(v):
+            return pd.DataFrame({"cluster": [], "dist": []})
+        V = np.stack(v.to_numpy()).astype(np.float64, copy=False)  # b x dim
+        acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+        for d in range(C.shape[1]):
+            diff = V[:, d, None] - C[None, :, d]
+            acc += diff * diff
+        cid = np.argmin(acc, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": cid.astype(np.int64),
+                "dist": acc[np.arange(V.shape[0]), cid],
+            }
+        )
+
+    return assign
+
+
+def _argmin(vec: Column, centroids: List[List[float]]) -> Column:
+    """Dispatch between the unrolled expression argmin (small k: JITs
+    into the scan) and the Arrow numpy argmin (large k: O(1) plan size)."""
+    if len(centroids) * len(centroids[0]) <= _ARGMIN_UDF_THRESHOLD:
+        return _argmin_cluster(vec, centroids)
+    return _argmin_udf(centroids)(vec)
 
 
 def _mean_from_decimal(s, n: int) -> float:
@@ -97,7 +152,7 @@ def kmeans_assign(
         # per-dim columns instead of posexplode: the update shuffle
         # carries k rows per partition (map-side combined), not k*dim
         assigned = vecs.select(
-            _argmin_cluster(F.col("v"), centroids).cluster.alias("cluster"),
+            _argmin(F.col("v"), centroids).cluster.alias("cluster"),
             *[F.element_at("v", d + 1).alias(f"d{d}") for d in range(dim)],
         )
         # plain decimal sums only — the floor-split runs on the driver
@@ -116,7 +171,7 @@ def kmeans_assign(
             by_cid.get(i, centroids[i])  # empty cluster keeps its centroid
             for i in range(k)
         ]
-    best = _argmin_cluster(F.col("v"), centroids)
+    best = _argmin(F.col("v"), centroids)
     cols = [F.col(id_col), best.cluster.alias("cluster"), best.dist.alias("dist")]
     if keep_vec:
         cols.append(F.col("v"))

@@ -75,6 +75,7 @@ def shape_and_index(draw):
 @settings(
     max_examples=200,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
 @given(shape_and_index())
@@ -92,7 +93,7 @@ def test_fuzz_basic_indexing(spark, si):
     assert_np_equal(got, {"v": exp})
 
 
-@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=60, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
 @given(st.data())
 def test_fuzz_mask_and_gather(spark, data):
     shape = data.draw(SHAPES)
@@ -146,7 +147,7 @@ def reshape_case(draw):
     return shape, f"{' '.join(names)} -> {rhs}", perm, groups
 
 
-@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=60, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
 @given(reshape_case())
 def test_fuzz_einops_reshape(spark, case):
     shape, pattern, perm, groups = case
@@ -160,7 +161,7 @@ def test_fuzz_einops_reshape(spark, case):
     assert_np_equal(got, {"v": exp})
 
 
-@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=40, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
 @given(st.data())
 def test_fuzz_tuple_reshape(spark, data):
     shape = data.draw(SHAPES)

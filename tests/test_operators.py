@@ -474,6 +474,27 @@ def test_kmeans_invariants(spark):
     assert got == got2
 
 
+def test_kmeans_udf_path_matches_expression_path(spark, monkeypatch):
+    """The large-k Arrow numpy argmin must be BIT-IDENTICAL to the
+    unrolled expression argmin (same dim-major double fold order, same
+    first-min tie-break) — it is only oracle-covered indirectly, so the
+    two engine paths are differentially tested against each other."""
+    from dataclass_array_spark.operators import clustering
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expr_out, expr_cents = clustering.kmeans_assign(
+        e, "vec_id", "embedding", k=6, iters=2
+    )
+    expr = {r["vec_id"]: (r["cluster"], r["dist"]) for r in expr_out.collect()}
+    monkeypatch.setattr(clustering, "_ARGMIN_UDF_THRESHOLD", 0)
+    udf_out, udf_cents = clustering.kmeans_assign(
+        e, "vec_id", "embedding", k=6, iters=2
+    )
+    udf = {r["vec_id"]: (r["cluster"], r["dist"]) for r in udf_out.collect()}
+    assert expr_cents == udf_cents  # identical centroid trajectories
+    assert expr == udf  # identical assignments AND exact distances
+
+
 def test_kmeans_k_exceeds_rows(spark):
     # k larger than the row count clamps to n (was IndexError on the
     # empty-cluster carry); empty input raises a clear error
