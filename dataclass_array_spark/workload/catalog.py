@@ -22,20 +22,74 @@ class Query:
 
 # The driver's per-round correctness gate checks roughly the first 50
 # registry entries, so the window is ROTATED each round to keep every
-# query under recurring driver verification.  Round 4: the 3 queries that
-# were rows-only until their exact oracles landed go first (they need a
-# green driver row), followed by the 46 queries absent from the r02/r03
-# gate files (44 verified only in round 1 + 2 new this round).  The 47
-# round-2/3-verified entries move to the back.  Python dicts preserve
-# insertion order, so this ordering is exactly what `queries()` exposes
-# to the driver.
+# query under recurring driver verification.  Round 5: the 52 queries
+# NOT in the r04 gate file (CORRECTNESS_r04.json) go first — the two
+# queries whose implementations changed this round (median's histogram
+# rewrite rode along in r04's window, but semantic_dedup/kmeans queries
+# and every streaming/tpch/llm entry below were last driver-checked in
+# r02/r03) — followed by the 50 r04-verified entries.  Python dicts
+# preserve insertion order, so this ordering is exactly what
+# ``queries()`` exposes to the driver.
 _PRIORITY: Tuple[str, ...] = (
-    # rows-only in r02/r03 ("no_oracle"); exact oracles added in round 4
+    # ---- not in the r04 driver window (52) ----
+    "json_extract_props",
+    "tumbling_hourly_stats",
+    "sliding_hourly_stats",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_waiting_supplier",
+    "order_quantity_arrays",
+    "dedup_ngram_jaccard",
+    "simhash_fingerprints",
+    "text_stats",
+    "lang_id_docs",
+    "doc_fingerprints",
+    "embedding_topk_cosine",
+    "multimodal_metadata",
+    "multimodal_decode",
+    "dedup_apply_minhash",
+    "pipeline_quality_corpus",
+    "chunk_documents",
+    "vocab_top_words",
+    "tfidf_top_terms",
+    "dedup_components",
+    "split_train_val_test",
+    "stratified_sample_docs",
+    "pack_context_windows",
+    "bm25_doc_ranking",
+    "decontam_ngram_overlap",
+    "repetition_filter_docs",
+    "embedding_kmeans_clusters",
+    "domain_mixture_sample",
+    "multimodal_frames",
+    "pipeline_pretrain_corpus",
+    "semantic_dedup_embeddings",
+    "tokenize_docs",
+    "token_rarity_docs",
+    "dedup_minhash_lsh_auto",
+    "streaming_quality_filter",
+    "streaming_tumbling_hourly",
+    "streaming_session_windows",
+    "streaming_dedup_events",
+    "shape_vectorize_mat",
+    "shape_mask_filter",
+    "shape_gather",
+    "shape_transpose",
+    "shape_slice",
+    "shape_concat_mapfield",
+    "shape_vectorize",
+    # ---- r04-verified (50), with this round's changed queries first ----
+    "semantic_dedup_auto",
+    "median_quantity_by_flag",
     "approx_sketches",
     "embedding_ann_srp",
     "embedding_ann_ivf",
-    # new in round 4 (first driver verification)
-    "semantic_dedup_auto",
     "streaming_purchase_clicks",
     "lm_quality_docs",
     "streaming_decontam_docs",
@@ -43,7 +97,6 @@ _PRIORITY: Tuple[str, ...] = (
     "q11_important_parts",
     "q16_supplier_counts",
     "q20_promotion_suppliers",
-    # round-1-verified, absent from the r02/r03 driver gate files
     "q10_returned_items",
     "q4_order_priority",
     "q12_shipmode_priority",
@@ -78,16 +131,10 @@ _PRIORITY: Tuple[str, ...] = (
     "corr_price_quantity",
     "pii_scrub_docs",
     "merge_upsert_customers",
-    "median_quantity_by_flag",
     "join_variants_nulls",
     "string_functions2",
     "asof_purchase_last_click",
     "sessionize_events",
-    "json_extract_props",
-    "tumbling_hourly_stats",
-    "sliding_hourly_stats",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
 )
 
 

@@ -465,28 +465,57 @@ ORDER BY c_custkey
 
 # ------------------------------------------ exact median (portable)
 def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median via the portable two-middle-rows formulation (window
-    row_number + count) — engine median() implementations differ in
-    interpolation, this one cannot."""
+    """Exact median via a VALUE HISTOGRAM: aggregate counts per (flag,
+    quantity), then locate the two middle positions in the tiny
+    cumulative histogram.  Engine median() implementations differ in
+    interpolation; the two-middle-rows convention cannot.
+
+    Scale shape: the shuffle carries one row per DISTINCT (flag, value)
+    pair — ~50 quantities × 3 flags — with map-side partial counts; the
+    windows then run over that tiny histogram.  The naive row_number
+    formulation sorts each flag's entire partition in ONE task (2M rows
+    per flag at sf1, 12.7 s; this form is ~1 s and is the shape that
+    survives 100 TB).  Arithmetic is bit-identical to the oracle's
+    middle-rows form: a middle value covered twice gets weight 2, and
+    ``double(2v)/2 == double(v)/1`` exactly (scaling by 2 is exact in
+    binary; the decimal sum is order-free)."""
     from pyspark.sql import Window
 
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    ranked = li.select(
-        "l_returnflag",
-        "l_quantity",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.count("*").over(Window.partitionBy("l_returnflag")).cast("long").alias("n"),
+    hist = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # middle rows: even n → rn*2 ∈ {n, n+2}; odd n → rn*2 = n+1
-    mid = ranked.filter(
-        (F.col("rn") * 2 == F.col("n"))
-        | (F.col("rn") * 2 == F.col("n") + 1)
-        | (F.col("rn") * 2 == F.col("n") + 2)
+    wall = Window.partitionBy("l_returnflag")
+    h = (
+        hist.select(
+            "l_returnflag",
+            "l_quantity",
+            "cnt",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wall).alias("n"),
+        )
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+        # 1-based middle positions: odd n → both equal (n+1)/2
+        .withColumn("p1", F.expr("(n + 1) div 2"))
+        .withColumn("p2", F.expr("(n + 2) div 2"))
     )
+    in_range = lambda p: (p > F.col("prev")) & (p <= F.col("cum"))  # noqa: E731
+    mid = h.withColumn(
+        "w",
+        F.when(in_range(F.col("p1")), 1).otherwise(0)
+        + F.when(in_range(F.col("p2")), 1).otherwise(0),
+    ).filter(F.col("w") > 0)
     return (
         mid.groupBy("l_returnflag")
-        .agg((F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double") / F.count("*")).alias("median_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("decimal(25,6)") * F.col("w")).cast("double")
+                / F.sum("w")
+            ).alias("median_qty")
+        )
         .orderBy("l_returnflag")
     )
 
