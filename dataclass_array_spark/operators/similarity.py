@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -180,19 +182,69 @@ def _cell_candidates(vec_double: Column, n2: Column, cents) -> Column:
     )
 
 
+# Above this many k*dim centroid literals the expression-based cell
+# assignment is replaced by an Arrow numpy probe — same rationale and
+# same bit-exactness discipline as clustering._ARGMIN_UDF_THRESHOLD
+# (plan compile cost grows with literal count; the cosine-to-centroid
+# expression is ~3x the argmin's nodes per centroid, so the cutoff is
+# lower).  16x64 IVF gates stay on the plan-asserted expression path.
+_ASSIGN_UDF_THRESHOLD = 1024
+
+
+def _cells_udf(cents, nprobe: int):
+    """Arrow-batched numpy replica of :func:`_cell_candidates` ranking:
+    returns the ``nprobe`` nearest cell ids per vector.  Bit-identical
+    to the expression path — dot and norm accumulate dim-major (the
+    sequential fold order), ``sqrt``/division are single IEEE ops, and
+    the stable argsort over descending cosine breaks ties on the lower
+    centroid id exactly like the (negcs, cid) struct ordering."""
+    C = np.asarray([list(r["cent_v"]) for r in cents], dtype=np.float64)
+    cn2 = np.asarray([float(r["cent_n2"]) for r in cents], dtype=np.float64)
+    cid = np.asarray([r["cent_id"] for r in cents], dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def probe(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        V = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        dot = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+        vn2 = np.zeros(V.shape[0], dtype=np.float64)
+        for d in range(C.shape[1]):
+            dot += V[:, d, None] * C[None, :, d]
+            vn2 += V[:, d] * V[:, d]
+        cos = dot / (np.sqrt(vn2)[:, None] * np.sqrt(cn2)[None, :])
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cid[row].tolist() for row in order])
+
+    return probe
+
+
 def assign_cells(
     df: DataFrame, id_col: str, vec_col: str, cents, nprobe: int = 1
 ) -> DataFrame:
-    """IVF cell assignment as a pure expression: ``(id, v, n2, cell)``
-    with one row per probed cell.  ``nprobe=1`` is an ``array_min``
-    (the common corpus side); ``nprobe>1`` sorts the candidate array and
-    explodes the first ``nprobe`` — still expression-only, no Exchange
-    anywhere (plan-asserted in tests/test_plans.py)."""
+    """IVF cell assignment: ``(id, v, n2, cell)`` with one row per
+    probed cell.  Small centroid sets use a pure expression —
+    ``nprobe=1`` is an ``array_min``, ``nprobe>1`` sorts the candidate
+    array and explodes the first ``nprobe`` — expression-only, no
+    Exchange anywhere (plan-asserted in tests/test_plans.py).  Above
+    ``_ASSIGN_UDF_THRESHOLD`` k×dim literals the ranking runs as an
+    Arrow numpy probe instead (O(1) plan size, bit-identical —
+    tests/test_operators.py::test_assign_cells_udf_matches_expression)."""
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         norm2(F.col(vec_col)).alias("__n2"),
     )
+    k, dim = len(cents), len(cents[0]["cent_v"])
+    if k * dim > _ASSIGN_UDF_THRESHOLD:
+        probed = _cells_udf(cents, nprobe)(F.col("__v").cast("array<double>"))
+        if nprobe <= 1:
+            return base.select(
+                "__id", "__v", "__n2", F.element_at(probed, 1).alias("cell")
+            )
+        return base.select(
+            "__id", "__v", "__n2", F.explode(probed).alias("cell")
+        )
     cands = _cell_candidates(F.col("__v").cast("array<double>"), F.col("__n2"), cents)
     if nprobe <= 1:
         return base.select(
@@ -205,6 +257,75 @@ def assign_cells(
         )
         .select("__id", "__v", "__n2", F.explode("__cells").alias("__c"))
         .select("__id", "__v", "__n2", F.col("__c.cid").alias("cell"))
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str,
+    n_centroids: int = 64,
+    nprobe: int = 2,
+    k: int = 3,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Large × large kNN JOIN: every LEFT vector gets its cosine top-k
+    among RIGHT vectors sharing an IVF cell — with NEITHER side
+    broadcast.  This is the retrieval/dedup-against-reference shape
+    where both sides are corpus-scale (``ivf_topk`` broadcasts the
+    query side and stops scaling once the query set is itself huge).
+
+    Scale shape: centroids (n_centroids × dim doubles) are collected
+    once and inlined, so BOTH sides are cell-assigned with zero-shuffle
+    expressions inside their own scans; the join is then a plain
+    partitioned equi-join on cell id — one shuffle of each side, and
+    AQE's skew-join splitting handles hot cells.  The per-left top-k
+    rides the same cell partitioning (WindowGroupLimit caps state at k
+    before any filter).  Candidate volume is Σ_cells |L_c|·|R_c|·nprobe
+    — bounded by choosing n_centroids ∝ √(|L|·|R|)/target just like
+    IVF nlist sizing.
+
+    Right rows live in exactly one cell (nprobe=1) and a left row's
+    probed cells are distinct, so (left, right) pairs are unique — no
+    dedup pass."""
+    cents = (
+        right.orderBy(right_id)
+        .limit(n_centroids)
+        .select(
+            F.col(right_id).alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("cent_v"),
+            norm2(F.col(vec_col)).alias("cent_n2"),
+        )
+        .collect()
+    )
+    l_assigned = (
+        assign_cells(left, left_id, vec_col, cents, nprobe=nprobe)
+        .withColumnRenamed("__id", "qid")
+        .withColumnRenamed("__v", "qv")
+        .withColumnRenamed("__n2", "qn2")
+    )
+    r_assigned = (
+        assign_cells(right, right_id, vec_col, cents, nprobe=1)
+        .withColumnRenamed("__id", "nid")
+        .withColumnRenamed("__v", "cv")
+        .withColumnRenamed("__n2", "cn2")
+    )
+    scored = l_assigned.join(r_assigned, on="cell")
+    if exclude_self:
+        scored = scored.filter(F.col("qid") != F.col("nid"))
+    scored = scored.select(
+        "qid",
+        "nid",
+        cosine(F.col("qv"), F.col("cv"), F.col("qn2"), F.col("cn2")).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cosine")
+        .orderBy("qid", "rank")
     )
 
 

@@ -31,6 +31,8 @@ class Query:
 # preserve insertion order, so this ordering is exactly what
 # ``queries()`` exposes to the driver.
 _PRIORITY: Tuple[str, ...] = (
+    # new in round 5 (needs its first driver verification)
+    "embedding_knn_join",
     # ---- not in the r04 driver window (52) ----
     "json_extract_props",
     "tumbling_hourly_stats",

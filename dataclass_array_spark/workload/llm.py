@@ -504,8 +504,75 @@ FROM r WHERE rnk <= 5 ORDER BY qid, rnk
 """
 
 
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large × large kNN join: EVERY embedding retrieves its cosine
+    top-3 among vectors sharing an IVF cell, with neither side broadcast
+    (partitioned equi-join on cell — the retrieval shape where the
+    "query" set is itself corpus-scale; ``embedding_ann_ivf`` covers the
+    small-query broadcast shape).  Deterministic centroids + fold-exact
+    cosines make the oracle an exact CTE replay."""
+    from dataclass_array_spark.operators.similarity import knn_join
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = knn_join(
+        e, e, "vec_id", "vec_id", "embedding",
+        n_centroids=64, nprobe=2, k=3, exclude_self=True,
+    )
+    return out.select(
+        "qid",
+        F.col("rank").cast("long").alias("rnk"),
+        "nid",
+        F.floor(F.col("cosine") * 1e9).cast("long").alias("cos_e9"),
+    )
+
+
+# Oracle replica of knn_join(n_centroids=64, nprobe=2, k=3,
+# exclude_self): centroids = first 64 corpus vectors; cells ranked by
+# (cosine DESC, cent_id) — left keeps rn<=2, right keeps rn=1.
+KNN_JOIN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(v, v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x) AS n2
+  FROM e
+), c AS (
+  SELECT e.vec_id AS cent_id, e.v AS cv, n.n2 AS cn2
+  FROM e JOIN n USING (vec_id) ORDER BY vec_id LIMIT 64
+), cells AS (
+  SELECT vec_id, cell, rn FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {_IVF_CELL_DOT} / (sqrt(n.n2) * sqrt(c.cn2)) DESC, c.cent_id) AS rn
+    FROM e JOIN n USING (vec_id) CROSS JOIN c
+  )
+), la AS (
+  SELECT vec_id AS qid, cell FROM cells WHERE rn <= 2
+), ra AS (
+  SELECT vec_id AS nid, cell FROM cells WHERE rn = 1
+), scored AS (
+  SELECT la.qid, ra.nid,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(eq.v, ec.v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x)
+           / (sqrt(nq.n2) * sqrt(nc.n2)) AS cosine
+  FROM la JOIN ra USING (cell)
+  JOIN e eq ON eq.vec_id = la.qid JOIN n nq ON nq.vec_id = la.qid
+  JOIN e ec ON ec.vec_id = ra.nid JOIN n nc ON nc.vec_id = ra.nid
+  WHERE la.qid != ra.nid
+), r AS (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+  FROM scored
+)
+SELECT qid, rnk, nid, CAST(FLOOR(cosine * 1e9) AS BIGINT) AS cos_e9
+FROM r WHERE rnk <= 3 ORDER BY qid, rnk
+"""
+
+
 QUERIES["dedup_apply_minhash"] = Query(dedup_apply_minhash, DEDUP_APPLY_SQL, tags=("dedup",))
 QUERIES["embedding_ann_ivf"] = Query(embedding_ann_ivf, IVF_SQL, tags=("similarity", "ann"))
+QUERIES["embedding_knn_join"] = Query(embedding_knn_join, KNN_JOIN_SQL, tags=("similarity", "knn"))
 
 
 # ------------------------------------------------ end-to-end pipeline

@@ -151,6 +151,79 @@ def test_ivf_topk_recall(spark):
     assert hits >= 4  # >= ~50% recall on random data with nprobe=4/8
 
 
+def test_knn_join_full_probe_equals_brute_force(spark):
+    """With nprobe = n_centroids every left row probes every cell, the
+    candidate set is the ENTIRE right side, and knn_join must equal
+    brute_force_topk exactly (ids, ranks, and cosine values) — the
+    large×large partitioned-join path differentially tested against the
+    broadcast path."""
+    import pandas as pd
+    from dataclass_array_spark.operators.similarity import brute_force_topk, knn_join
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(60, 8).astype(np.float32)
+    pdf = pd.DataFrame({"id": range(60), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select("id", F.col("v").cast("array<float>").alias("v"))
+    exact = brute_force_topk(df, df, "id", "id", "v", k=3).toPandas()
+    joined = knn_join(
+        df, df, "id", "id", "v", n_centroids=4, nprobe=4, k=3, exclude_self=True
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), joined.reset_index(drop=True)
+    )
+
+
+def test_assign_cells_udf_matches_expression(spark, monkeypatch):
+    """The Arrow numpy cell probe must be BIT-IDENTICAL to the
+    expression ranking (dim-major fold order, lower-cid tie-break) for
+    both nprobe=1 and nprobe>1."""
+    import pandas as pd
+    from dataclass_array_spark.operators import similarity
+    from dataclass_array_spark.operators.similarity import assign_cells, norm2
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = (
+        e.orderBy("vec_id").limit(8)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").cast("array<double>").alias("cent_v"),
+            norm2(F.col("embedding")).alias("cent_n2"),
+        )
+        .collect()
+    )
+    for nprobe in (1, 3):
+        monkeypatch.setattr(similarity, "_ASSIGN_UDF_THRESHOLD", 10**9)
+        expr = assign_cells(e, "vec_id", "embedding", cents, nprobe=nprobe)
+        expr_rows = sorted((r["__id"], r["cell"]) for r in expr.collect())
+        monkeypatch.setattr(similarity, "_ASSIGN_UDF_THRESHOLD", 0)
+        udf = assign_cells(e, "vec_id", "embedding", cents, nprobe=nprobe)
+        udf_rows = sorted((r["__id"], r["cell"]) for r in udf.collect())
+        assert expr_rows == udf_rows, f"nprobe={nprobe}"
+
+
+def test_knn_join_partial_probe_recall(spark):
+    """nprobe < n_centroids: every returned neighbor must be correct
+    w.r.t. the probed cells, and recall vs brute force stays substantial
+    on planted clusters."""
+    import pandas as pd
+    from dataclass_array_spark.operators.similarity import brute_force_topk, knn_join
+
+    rng = np.random.RandomState(29)
+    base = rng.randn(12, 8)
+    vecs = (np.repeat(base, 5, axis=0) + 0.01 * rng.randn(60, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"id": range(60), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select("id", F.col("v").cast("array<float>").alias("v"))
+    exact = brute_force_topk(df, df, "id", "id", "v", k=3).toPandas()
+    approx = knn_join(
+        df, df, "id", "id", "v", n_centroids=8, nprobe=3, k=3, exclude_self=True
+    ).toPandas()
+    hits = sum(
+        len(set(exact[exact.qid == q].nid) & set(approx[approx.qid == q].nid))
+        for q in range(60)
+    )
+    assert hits >= 0.7 * len(exact)  # recall@3 >= 70% with nprobe=3/8
+
+
 def test_srp_lsh_topk_recall(spark):
     # recall@3 on planted clusters: 20 bases x 5 jittered copies, so a
     # vector's true neighbors are tiny-angle same-cluster copies and SRP
