@@ -173,9 +173,14 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact percentiles use the discrete inverted-CDF convention (value at
     1-based rank ceil(p*n), integer arithmetic only) so both engines
-    pick the same element.  The rank window shuffles once per flag —
-    fine for a gate query; the sketches themselves are the 100 TB path
-    (single pass, mergeable partial aggregates, no sort).
+    pick the same element — located via a BUCKET HISTOGRAM instead of a
+    per-flag global sort: counts per (flag, floor(price)) bucket find
+    which bucket holds each target rank, and only that bucket's few
+    rows are ranked.  The shuffles carry the ~100k-bucket histogram and
+    a few hundred candidate rows — no task ever sorts a full flag
+    partition (the previous row_number form funneled each flag's 2M
+    sf1 rows through one task's sort).  The sketches themselves remain
+    the 100 TB production path (single pass, mergeable partials).
 
     Plan note: ``countDistinct`` lives in its OWN aggregation, joined
     back on the 3-row key.  Mixing it into the sketch aggregate makes
@@ -197,21 +202,50 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("exact_parts"))
     )
-    w = Window.partitionBy("l_returnflag").orderBy("price")
-    ranked = (
-        li.select("l_returnflag", F.col("l_extendedprice").alias("price"))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("cnt", F.count("*").over(Window.partitionBy("l_returnflag")))
+    # ---- bucket-locate exact percentiles ----
+    hist = li.groupBy(
+        "l_returnflag", F.floor("l_extendedprice").alias("b")
+    ).agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # ceil(p*n) in pure integer arithmetic: ceil(n/2)=(n+1) div 2,
-    # ceil(19n/20)=(19n+19) div 20 — no float rounding on either engine
-    exact = ranked.groupBy("l_returnflag").agg(
-        F.max(
-            F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("price"))
-        ).alias("exact_p50"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(19 * cnt + 19) div 20"), F.col("price"))
-        ).alias("exact_p95"),
+    h = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+    )
+    # target 1-based ranks: ceil(n/2)=(n+1) div 2, ceil(19n/20)=(19n+19) div 20
+    targets = (
+        hist.groupBy("l_returnflag")
+        .agg(F.sum("cnt").alias("nn"))
+        .select(
+            "l_returnflag",
+            F.expr(
+                "stack(2, 'p50', (nn + 1) div 2, 'p95', (19 * nn + 19) div 20)"
+                " as (which, r)"
+            ),
+        )
+    )
+    loc = (
+        targets.join(h, on="l_returnflag")
+        .filter((F.col("r") > F.col("prev")) & (F.col("r") <= F.col("cum")))
+        .select(
+            "l_returnflag", "which", "b", (F.col("r") - F.col("prev")).alias("local_r")
+        )
+    )
+    cand = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.floor("l_extendedprice").alias("b"),
+    ).join(F.broadcast(loc), on=["l_returnflag", "b"])
+    wr = Window.partitionBy("l_returnflag", "which").orderBy("price")
+    picked = cand.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") == F.col("local_r")
+    )
+    exact = picked.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("which") == "p50", F.col("price"))).alias("exact_p50"),
+        F.max(F.when(F.col("which") == "p95", F.col("price"))).alias("exact_p95"),
     )
 
     def _ok(approx_col: Column, exact_col: Column, tol: float) -> Column:
