@@ -270,6 +270,7 @@ def knn_join(
     nprobe: int = 2,
     k: int = 3,
     exclude_self: bool = False,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Large × large kNN JOIN: every LEFT vector gets its cosine top-k
     among RIGHT vectors sharing an IVF cell — with NEITHER side
@@ -289,7 +290,15 @@ def knn_join(
 
     Right rows live in exactly one cell (nprobe=1) and a left row's
     probed cells are distinct, so (left, right) pairs are unique — no
-    dedup pass."""
+    dedup pass.
+
+    ``max_cell_size`` caps the RIGHT side per cell (keep the
+    ``max_cell_size`` lowest ids — deterministic): on degenerate
+    corpora where one cell swallows most vectors, |L_c|·|R_c| goes
+    quadratic; the cap bounds it at |L_c|·cap, trading recall inside
+    oversized cells — the same insurance as the MinHash-LSH bucket cap.
+    The capping window runs on the SAME key the join shuffles on, so
+    the exchange is reused."""
     cents = (
         right.orderBy(right_id)
         .limit(n_centroids)
@@ -312,6 +321,13 @@ def knn_join(
         .withColumnRenamed("__v", "cv")
         .withColumnRenamed("__n2", "cn2")
     )
+    if max_cell_size is not None:
+        wcell = Window.partitionBy("cell").orderBy("nid")
+        r_assigned = (
+            r_assigned.withColumn("__rn", F.row_number().over(wcell))
+            .filter(F.col("__rn") <= max_cell_size)
+            .drop("__rn")
+        )
     scored = l_assigned.join(r_assigned, on="cell")
     if exclude_self:
         scored = scored.filter(F.col("qid") != F.col("nid"))

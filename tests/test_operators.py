@@ -201,6 +201,34 @@ def test_assign_cells_udf_matches_expression(spark, monkeypatch):
         assert expr_rows == udf_rows, f"nprobe={nprobe}"
 
 
+def test_knn_join_cell_cap(spark):
+    """max_cell_size bounds right-side candidates per cell (keep lowest
+    ids); a generous cap must change nothing, and cap=1 must return only
+    the per-cell representative as a candidate."""
+    import pandas as pd
+    from dataclass_array_spark.operators.similarity import knn_join
+
+    rng = np.random.RandomState(31)
+    vecs = rng.randn(40, 8).astype(np.float32)
+    pdf = pd.DataFrame({"id": range(40), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select("id", F.col("v").cast("array<float>").alias("v"))
+    uncapped = knn_join(
+        df, df, "id", "id", "v", n_centroids=4, nprobe=2, k=3, exclude_self=True
+    ).toPandas()
+    generous = knn_join(
+        df, df, "id", "id", "v", n_centroids=4, nprobe=2, k=3, exclude_self=True,
+        max_cell_size=1000,
+    ).toPandas()
+    pd.testing.assert_frame_equal(uncapped, generous)
+    tight = knn_join(
+        df, df, "id", "id", "v", n_centroids=4, nprobe=2, k=3, exclude_self=True,
+        max_cell_size=1,
+    ).toPandas()
+    # at most nprobe candidates survive per query, all from the capped set
+    assert tight.groupby("qid").size().max() <= 2
+    assert set(tight.nid) <= set(uncapped.nid)
+
+
 def test_knn_join_partial_probe_recall(spark):
     """nprobe < n_centroids: every returned neighbor must be correct
     w.r.t. the probed cells, and recall vs brute force stays substantial
