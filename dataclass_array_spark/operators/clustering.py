@@ -30,7 +30,7 @@ from typing import List, Tuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,9)"
@@ -266,6 +266,7 @@ def semantic_dedup(
     iters: int = 3,
     cos_threshold: float = 0.45,
     target_cluster_size: int = 256,
+    max_cluster_size: "int | None" = None,
 ) -> DataFrame:
     """SemDeDup: k-means partition, then drop within-cluster cosine
     near-duplicates (keep the lowest id of each near-dup pair).
@@ -279,6 +280,16 @@ def semantic_dedup(
     assignment frame is checkpointed once and feeds both sides of the
     self-join plus the survivor anti-join.
 
+    ``max_cluster_size`` is the fixed-k insurance (the MinHash
+    ``max_bucket_size`` pattern, dedup.py): when k is pinned and the
+    corpus grows, cluster size — and with it the within-cluster pair
+    count — grows quadratically.  With a cap, only each cluster's
+    ``max_cluster_size`` LOWEST ids participate in pairing (both
+    sides), bounding candidates at ``k·cap²/2`` for ANY corpus; rows
+    outside the cap are never dropped and never cause drops — a
+    documented recall trade on oversized clusters, deterministic.  The
+    capping window runs on the cluster key the self-join shuffles on.
+
     Returns ``(id, cluster)`` of surviving rows.
     """
     from dataclass_array_spark.operators.similarity import cosine, norm2
@@ -288,7 +299,15 @@ def semantic_dedup(
         k = max(1, -(-n // target_cluster_size))  # ceil div
     assign, _ = kmeans_assign(df, id_col, vec_col, k, iters, keep_vec=True)
     assign = assign.withColumn("n2", norm2(F.col("v"))).localCheckpoint(eager=True)
-    a, b = assign.alias("a"), assign.alias("b")
+    pairable = assign
+    if max_cluster_size is not None:
+        wclus = Window.partitionBy("cluster").orderBy(id_col)
+        pairable = (
+            assign.withColumn("__rn", F.row_number().over(wclus))
+            .filter(F.col("__rn") <= max_cluster_size)
+            .drop("__rn")
+        )
+    a, b = pairable.alias("a"), pairable.alias("b")
     pairs = a.join(
         b,
         (F.col("a.cluster") == F.col("b.cluster"))
@@ -314,8 +333,10 @@ def semantic_dedup_sql(
     k: "int | str" = 8,
     iters: int = 3,
     cos_threshold: float = 0.45,
+    max_cluster_size: "int | None" = None,
 ) -> str:
-    """DuckDB oracle for :func:`semantic_dedup`."""
+    """DuckDB oracle for :func:`semantic_dedup` (incl. the
+    ``max_cluster_size`` pair cap — lowest ids per cluster pair up)."""
     dot = (
         "list_reduce(list_prepend(0.0, list_transform(list_zip(ea.v, eb.v), "
         "p -> p[1]*p[2])), (acc, x) -> acc + x)"
@@ -324,14 +345,26 @@ def semantic_dedup_sql(
         "list_reduce(list_prepend(0.0, list_transform(list_zip(v, v), "
         "p -> p[1]*p[2])), (acc, x) -> acc + x)"
     )
+    if max_cluster_size is not None:
+        pairable = f"""
+, pairable AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+    FROM afinal
+  ) WHERE rn <= {int(max_cluster_size)}
+)"""
+    else:
+        pairable = "\n, pairable AS (SELECT vec_id, cid FROM afinal)"
     return (
         kmeans_sql_ctes(table, id_col, vec_col, dim, k, iters)
+        + pairable
         + f"""
 , n AS (SELECT {id_col} AS nid, {n2} AS n2 FROM e)
 , pairs AS (
   SELECT b.vec_id AS drop_id,
          {dot} / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
-  FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  FROM pairable a JOIN pairable b ON a.cid = b.cid AND a.vec_id < b.vec_id
   JOIN e ea ON ea.{id_col} = a.vec_id
   JOIN e eb ON eb.{id_col} = b.vec_id
   JOIN n na ON na.nid = a.vec_id

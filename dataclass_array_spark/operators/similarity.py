@@ -125,6 +125,7 @@ def srp_lsh_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    score: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: candidates share the SRP bucket (equi-join on
     the signature — a plain hash shuffle instead of a cross join)."""
@@ -140,14 +141,10 @@ def srp_lsh_topk(
         norm2(F.col(vec_col)).alias("cn2"),
         srp_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
-        .filter(F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "nid",
-            cosine(F.col("qv"), F.col("cv"), F.col("qn2"), F.col("cn2")).alias("cosine"),
-        )
+    # bucket-collision candidates are corpus-scale → "auto" = Arrow
+    scored = _score_pairs(
+        c.join(F.broadcast(q), on="bucket").filter(F.col("qid") != F.col("nid")),
+        "arrow" if score == "auto" else score,
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -156,6 +153,51 @@ def srp_lsh_topk(
         .select("qid", "rank", "nid", "cosine")
         .orderBy("qid", "rank")
     )
+
+
+def _pair_cosine_arrow() -> "F.pandas_udf":
+    """Arrow-batched numpy replica of :func:`cosine` for candidate-pair
+    scoring.  Bit-identical to the expression path (and DuckDB's
+    ``list_reduce`` oracle): products are computed in double and
+    accumulated dim-major — the sequential left-fold order — and
+    ``sqrt``/division are single IEEE ops.  Differentially tested in
+    tests/test_operators.py.
+
+    Rationale: the HOF ``aggregate`` lambda pays per-element Catalyst
+    interpretation per candidate pair; at corpus-scale candidate
+    volumes (knn_join at sf1: ~1.9M pairs × dim 64) the Arrow batch
+    path is ~5× cheaper.  Same dispatch discipline as the cell-probe
+    (`_cells_udf`) and k-means argmin (clustering.py) numpy paths."""
+
+    @F.pandas_udf("double")
+    def score(qv: pd.Series, cv: pd.Series, qn2: pd.Series, cn2: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series([], dtype=np.float64)
+        Q = np.stack(qv.to_numpy()).astype(np.float64, copy=False)
+        C = np.stack(cv.to_numpy()).astype(np.float64, copy=False)
+        dot = np.zeros(len(Q), dtype=np.float64)
+        for d in range(Q.shape[1]):
+            dot += Q[:, d] * C[:, d]
+        qn = np.sqrt(qn2.to_numpy(dtype=np.float64))
+        cn = np.sqrt(cn2.to_numpy(dtype=np.float64))
+        return pd.Series(dot / (qn * cn))
+
+    return score
+
+
+def _score_pairs(scored: DataFrame, score: str) -> DataFrame:
+    """Project (qid, nid, cosine) from a joined candidate frame using
+    either the fold expression or the Arrow numpy scorer (bit-equal)."""
+    if score == "arrow":
+        c = _pair_cosine_arrow()(
+            F.col("qv").cast("array<double>"),
+            F.col("cv").cast("array<double>"),
+            F.col("qn2"),
+            F.col("cn2"),
+        )
+    else:
+        c = cosine(F.col("qv"), F.col("cv"), F.col("qn2"), F.col("cn2"))
+    return scored.select("qid", "nid", c.alias("cosine"))
 
 
 def _cell_candidates(vec_double: Column, n2: Column, cents) -> Column:
@@ -201,6 +243,12 @@ def _cells_udf(cents, nprobe: int):
     C = np.asarray([list(r["cent_v"]) for r in cents], dtype=np.float64)
     cn2 = np.asarray([float(r["cent_n2"]) for r in cents], dtype=np.float64)
     cid = np.asarray([r["cent_id"] for r in cents], dtype=np.int64)
+    # the expression path breaks cosine ties by cent_id VALUE (the
+    # (negcs, cid) struct order); the stable argsort below breaks by
+    # POSITION — sort by cent_id so the two coincide for ANY input
+    # order, not just the orderBy(id) convention the callers follow
+    pos = np.argsort(cid, kind="stable")
+    C, cn2, cid = C[pos], cn2[pos], cid[pos]
 
     @F.pandas_udf("array<bigint>")
     def probe(v: pd.Series) -> pd.Series:
@@ -260,6 +308,83 @@ def assign_cells(
     )
 
 
+def _cell_block_topk(
+    l_assigned: DataFrame,
+    r_assigned: DataFrame,
+    k: int,
+    exclude_self: bool,
+    max_cell_size: int | None,
+) -> DataFrame:
+    """Per-cell blocked scoring for :func:`knn_join`: cogroup both sides
+    on cell id and score each |L_c|×|R_c| block in numpy, returning only
+    each left row's top-k within the cell.
+
+    Bit-exactness contract (vs the fold expression / DuckDB oracle):
+    the block product accumulates dim-major — ``dot += Q[:,d]·C[:,d]``
+    — which is the sequential left-fold order per pair; norms arrive
+    pre-computed by the same Spark-side fold; right rows are sorted by
+    id so the stable argsort over descending cosine breaks ties on the
+    lower nid, matching the global window's ``(cosine DESC, nid ASC)``.
+    Self-pairs are masked to -inf (cosine is bounded by ±1, so the mask
+    can't collide) and dropped after selection.  NaN cosines (zero-norm
+    vectors) rank last here but FIRST in a Spark descending window —
+    don't feed zero-norm vectors to the cogroup path."""
+    from pyspark.sql import types as T
+
+    qid_t = l_assigned.schema["qid"].dataType
+    nid_t = r_assigned.schema["nid"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", qid_t),
+            T.StructField("nid", nid_t),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def block(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(left_pdf) or not len(right_pdf):
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series([], dtype=left_pdf["qid"].dtype),
+                    "nid": pd.Series([], dtype=right_pdf["nid"].dtype),
+                    "cosine": pd.Series([], dtype=np.float64),
+                }
+            )
+        r = right_pdf.sort_values("nid", kind="stable").reset_index(drop=True)
+        if max_cell_size is not None:
+            r = r.iloc[:max_cell_size]
+        Q = np.stack(left_pdf["qv"].to_numpy()).astype(np.float64, copy=False)
+        C = np.stack(r["cv"].to_numpy()).astype(np.float64, copy=False)
+        dot = np.zeros((Q.shape[0], C.shape[0]), dtype=np.float64)
+        for d in range(Q.shape[1]):
+            dot += Q[:, d, None] * C[None, :, d]
+        qn = np.sqrt(left_pdf["qn2"].to_numpy(dtype=np.float64))
+        cn = np.sqrt(r["cn2"].to_numpy(dtype=np.float64))
+        cos = dot / (qn[:, None] * cn[None, :])
+        qids = left_pdf["qid"].to_numpy()
+        nids = r["nid"].to_numpy()
+        if exclude_self:
+            cos[qids[:, None] == nids[None, :]] = -np.inf
+        kk = min(k, cos.shape[1])
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        out = pd.DataFrame(
+            {
+                "qid": np.repeat(qids, kk),
+                "nid": nids[order].ravel(),
+                "cosine": np.take_along_axis(cos, order, axis=1).ravel(),
+            }
+        )
+        if exclude_self:
+            out = out[out["qid"] != out["nid"]]
+        return out
+
+    return (
+        l_assigned.groupBy("cell")
+        .cogroup(r_assigned.groupBy("cell"))
+        .applyInPandas(block, schema=out_schema)
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -271,6 +396,7 @@ def knn_join(
     k: int = 3,
     exclude_self: bool = False,
     max_cell_size: int | None = None,
+    score: str = "auto",
 ) -> DataFrame:
     """Large × large kNN JOIN: every LEFT vector gets its cosine top-k
     among RIGHT vectors sharing an IVF cell — with NEITHER side
@@ -298,7 +424,20 @@ def knn_join(
     quadratic; the cap bounds it at |L_c|·cap, trading recall inside
     oversized cells — the same insurance as the MinHash-LSH bucket cap.
     The capping window runs on the SAME key the join shuffles on, so
-    the exchange is reused."""
+    the exchange is reused.
+
+    ``score``: ``"auto"``/``"cogroup"`` scores each cell's L×R block in
+    one Arrow cogroup (`applyInPandas` over ``groupBy(cell).cogroup``):
+    every vector crosses to Python ONCE PER CELL — Σ(|L_c|+|R_c|)·dim
+    doubles — instead of once per candidate pair (Σ|L_c|·|R_c|·dim, a
+    ~100× blow-up at sf1: 12.6M pairs from 40k assignments), and only
+    per-qid-per-cell top-k survivors come back, so the candidate set
+    never materializes as rows.  The block product accumulates
+    dim-major (the sequential-fold order) and right rows are pre-sorted
+    by id so the stable argsort tie-break equals the window's
+    ``(cosine DESC, nid ASC)`` — bit-identical to ``"expression"``
+    (the joined fold-expression path, kept for differential tests;
+    differentially verified in tests/test_operators.py)."""
     cents = (
         right.orderBy(right_id)
         .limit(n_centroids)
@@ -321,21 +460,26 @@ def knn_join(
         .withColumnRenamed("__v", "cv")
         .withColumnRenamed("__n2", "cn2")
     )
-    if max_cell_size is not None:
-        wcell = Window.partitionBy("cell").orderBy("nid")
-        r_assigned = (
-            r_assigned.withColumn("__rn", F.row_number().over(wcell))
-            .filter(F.col("__rn") <= max_cell_size)
-            .drop("__rn")
+    if score in ("auto", "cogroup"):
+        scored = _cell_block_topk(
+            l_assigned, r_assigned, k=k, exclude_self=exclude_self,
+            max_cell_size=max_cell_size,
         )
-    scored = l_assigned.join(r_assigned, on="cell")
-    if exclude_self:
-        scored = scored.filter(F.col("qid") != F.col("nid"))
-    scored = scored.select(
-        "qid",
-        "nid",
-        cosine(F.col("qv"), F.col("cv"), F.col("qn2"), F.col("cn2")).alias("cosine"),
-    )
+    else:
+        if max_cell_size is not None:
+            wcell = Window.partitionBy("cell").orderBy("nid")
+            r_assigned = (
+                r_assigned.withColumn("__rn", F.row_number().over(wcell))
+                .filter(F.col("__rn") <= max_cell_size)
+                .drop("__rn")
+            )
+        pairs = l_assigned.join(r_assigned, on="cell")
+        if exclude_self:
+            pairs = pairs.filter(F.col("qid") != F.col("nid"))
+        scored = _score_pairs(pairs, score)
+    # global top-k merge: a candidate outside its cell's per-qid top-k
+    # has >= k better candidates in that cell alone, so per-cell top-k
+    # feeding this window is lossless
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -354,6 +498,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 2,
     k: int = 5,
+    score: str = "auto",
 ) -> DataFrame:
     """IVF-style ANN: deterministic centroids (the first ``n_centroids``
     corpus vectors — a real deployment would k-means them), every vector
@@ -392,14 +537,13 @@ def ivf_topk(
     )
     # corpus rows live in exactly one cell and a query's probed cells are
     # distinct, so each (qid, nid) pair appears at most once — no dedup.
-    scored = (
-        c_assigned.join(F.broadcast(q_assigned), on="cell")
-        .filter(F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "nid",
-            cosine(F.col("qv"), F.col("cv"), F.col("qn2"), F.col("cn2")).alias("cosine"),
-        )
+    # Candidates ≈ |corpus matched cells| × nprobe — corpus-scale, so
+    # "auto" scores via the Arrow path (bit-equal to the expression).
+    scored = _score_pairs(
+        c_assigned.join(F.broadcast(q_assigned), on="cell").filter(
+            F.col("qid") != F.col("nid")
+        ),
+        "arrow" if score == "auto" else score,
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (

@@ -17,8 +17,12 @@ tier-2 Arrow loop, so tracing is strictly an optimization.
 Supported surface (grows as needed): elementwise ufuncs (+ − × ÷ **,
 neg, abs, sqrt, exp, log, maximum, minimum, comparisons), ``np.dot`` /
 ``@`` (vector·vector, matrix·vector, vector·matrix, matrix·matrix),
-``np.sum/mean/max/min`` (with ``axis=`` on matrices), ``np.transpose`` /
-``.T``, int indexing, ``np.linalg.norm`` — over scalar fields
+``np.sum/mean/max/min`` (with ``axis=`` on matrices), comparisons and
+boolean algebra (``> >= < <= == !=``, ``& | ^ ~``) with boolean
+reductions ``np.sum/count_nonzero/any/all/mean`` compiling to
+``size(filter(...))`` / ``exists`` / ``forall``, ``.astype``,
+``np.asarray`` passthrough during the trace (see ``trace_context``),
+``np.transpose`` / ``.T``, int indexing, ``np.linalg.norm`` — over scalar fields
 (inner_ndim 0), vector fields (inner_ndim 1), and matrix fields
 (inner_ndim 2, e.g. a 3×3 rotation: reference
 `array_dataclass_test.py:78-102` ``Isometrie``).  All folds are
@@ -28,6 +32,8 @@ sequential left-folds (``F.aggregate``), bit-identical to DuckDB's
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Any
 
 import numpy as np
@@ -37,6 +43,51 @@ from pyspark.sql import functions as F
 
 class TraceError(TypeError):
     pass
+
+
+_NP_TO_SPARK = {
+    "float32": "float",
+    "float64": "double",
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "bool": "boolean",
+}
+
+_trace_patch_lock = threading.Lock()
+
+
+@contextlib.contextmanager
+def trace_context():
+    """Driver-side patch active only while the tier-1 symbolic trace
+    calls the user method: ``np.asarray``/``np.array``/``np.asanyarray``
+    pass a SymbolicArray through (honoring ``dtype=`` via ``astype``)
+    instead of raising in ``__array__``.  The reference's scalar methods
+    are written numpy-first (`vectorization_test.py:39-106` bodies use
+    ``np.asarray`` freely), so without this every such body lands on the
+    tier-2 per-row loop.  The patch is process-local, driver-only, and
+    reverted in ``finally`` — executor-side tier-2 code never sees it."""
+    orig = {n: getattr(np, n) for n in ("asarray", "array", "asanyarray", "ascontiguousarray")}
+
+    def _passthrough(name):
+        real = orig[name]
+
+        def fn(obj, dtype=None, *a, **k):
+            if isinstance(obj, SymbolicArray):
+                return obj.astype(dtype) if dtype is not None else obj
+            return real(obj, dtype, *a, **k) if dtype is not None else real(obj, *a, **k)
+
+        return fn
+
+    with _trace_patch_lock:
+        for n in orig:
+            setattr(np, n, _passthrough(n))
+        try:
+            yield
+        finally:
+            for n, f in orig.items():
+                setattr(np, n, f)
 
 
 def _fold_sum(arr: Column) -> Column:
@@ -80,7 +131,13 @@ class SymbolicArray:
     """A Column standing in for one row's field value (scalar or fixed-
     length vector) during method tracing."""
 
-    def __init__(self, col: Column, inner_ndim: int, t_base: Column | None = None):
+    def __init__(
+        self,
+        col: Column,
+        inner_ndim: int,
+        t_base: Column | None = None,
+        is_bool: bool = False,
+    ):
         if inner_ndim > 2:
             raise TraceError("symbolic tracing supports inner rank <= 2")
         self.col = col
@@ -90,6 +147,9 @@ class SymbolicArray:
         # operand) avoid building transpose(transpose(X)) trees for the
         # common ``A @ B.T`` pattern
         self._t_base = t_base
+        # element type is boolean (result of a comparison / logical op):
+        # reductions over it compile to count/exists/forall forms
+        self.is_bool = is_bool
 
     # ---- helpers ----
     def _binop(self, other: Any, fn, reverse: bool = False):
@@ -116,8 +176,13 @@ class SymbolicArray:
                 lambda row: F.zip_with(row, v.col, fn)
             )
             return SymbolicArray(F.transform(m.col, g), 2)
-        # plain python scalar
-        lit = F.lit(float(other) if isinstance(other, (int, float, np.floating, np.integer)) else other)
+        # plain python scalar (bool first — it's an int subclass)
+        if isinstance(other, (bool, np.bool_)):
+            lit = F.lit(bool(other))
+        elif isinstance(other, (int, float, np.floating, np.integer)):
+            lit = F.lit(float(other))
+        else:
+            lit = F.lit(other)
         g = (lambda x: fn(lit, x)) if reverse else (lambda x: fn(x, lit))
         return SymbolicArray(_nested_map(self.col, self.inner_ndim, g), self.inner_ndim)
 
@@ -158,13 +223,39 @@ class SymbolicArray:
         raise TraceError(f"matmul unsupported for ranks ({an}, {bn})")
 
     def _reduce(self, elem_fn, axis):
-        """Reduction: elem_fn ∈ {'sum','mean','max','min'}.  axis=None
-        collapses everything; on matrices axis 0/1 reduce columns/rows."""
+        """Reduction: elem_fn ∈ {'sum','mean','max','min','any','all',
+        'countnz'}.  axis=None collapses everything; on matrices axis 0/1
+        reduce columns/rows.  Boolean elements compile to count/exists/
+        forall — ``np.sum(x > 0)`` becomes ``size(filter(col, x -> x))``,
+        pure Catalyst (the reference batches predicate bodies the same as
+        arithmetic ones, `vectorization.py:151-196`)."""
         n = self.inner_ndim
         if n == 0:
+            if elem_fn in ("sum", "countnz") and self.is_bool:
+                return SymbolicArray(self.col.cast("long"), 0)
             return self
 
+        bool_in = self.is_bool
+        # numpy: max/min over booleans stay boolean (≡ any/all)
+        if bool_in and elem_fn == "max":
+            elem_fn = "any"
+        if bool_in and elem_fn == "min":
+            elem_fn = "all"
+        bool_out = elem_fn in ("any", "all")
+
         def red1(arr: Column) -> Column:
+            if elem_fn == "any":
+                pred = (lambda x: x) if bool_in else (lambda x: x != F.lit(0))
+                return F.exists(arr, pred)
+            if elem_fn == "all":
+                pred = (lambda x: x) if bool_in else (lambda x: x != F.lit(0))
+                return F.forall(arr, pred)
+            if elem_fn == "countnz" or (elem_fn == "sum" and bool_in):
+                pred = (lambda x: x) if bool_in else (lambda x: x != F.lit(0))
+                return F.size(F.filter(arr, pred)).cast("long")
+            if elem_fn == "mean" and bool_in:
+                cnt = F.size(F.filter(arr, lambda x: x)).cast("double")
+                return cnt / F.size(arr).cast("double")
             if elem_fn == "sum":
                 return _fold_sum(arr)
             if elem_fn == "mean":
@@ -176,19 +267,52 @@ class SymbolicArray:
         if n == 1:
             if axis not in (None, 0, -1):
                 raise TraceError(f"axis {axis} out of range for rank-1 field")
-            return SymbolicArray(red1(self.col), 0)
+            return SymbolicArray(red1(self.col), 0, is_bool=bool_out)
         # rank 2
         if axis is None:
-            if elem_fn in ("max", "min"):
+            if elem_fn in ("max", "min") and not bool_in:
                 f2 = F.array_max if elem_fn == "max" else F.array_min
                 return SymbolicArray(f2(F.transform(self.col, f2)), 0)
             flat = F.flatten(self.col)
-            return SymbolicArray(red1(flat), 0)
+            return SymbolicArray(red1(flat), 0, is_bool=bool_out)
         if axis in (1, -1):
-            return SymbolicArray(F.transform(self.col, red1), 1)
+            return SymbolicArray(F.transform(self.col, red1), 1, is_bool=bool_out)
         if axis == 0:
-            return SymbolicArray(F.transform(_transpose2(self.col), red1), 1)
+            return SymbolicArray(
+                F.transform(_transpose2(self.col), red1), 1, is_bool=bool_out
+            )
         raise TraceError(f"axis {axis} out of range for rank-2 field")
+
+    def astype(self, dtype) -> "SymbolicArray":
+        """numpy ``.astype`` — an elementwise Catalyst cast."""
+        key = np.dtype(dtype).name
+        if key not in _NP_TO_SPARK:
+            raise TraceError(f"astype({dtype!r}) has no Spark cast")
+        t = _NP_TO_SPARK[key]
+        return SymbolicArray(
+            _nested_map(self.col, self.inner_ndim, lambda c: c.cast(t)),
+            self.inner_ndim,
+            is_bool=(t == "boolean"),
+        )
+
+    # numpy-style reduction methods (arr.sum() / arr.any() / ...)
+    def sum(self, axis=None):
+        return self._reduce("sum", axis)
+
+    def mean(self, axis=None):
+        return self._reduce("mean", axis)
+
+    def max(self, axis=None):
+        return self._reduce("max", axis)
+
+    def min(self, axis=None):
+        return self._reduce("min", axis)
+
+    def any(self, axis=None):
+        return self._reduce("any", axis)
+
+    def all(self, axis=None):
+        return self._reduce("all", axis)
 
     # ---- python operators ----
     def __add__(self, o):
@@ -222,17 +346,64 @@ class SymbolicArray:
     def __abs__(self):
         return self._map(F.abs)
 
+    def _cmp(self, o, fn):
+        r = self._binop(o, fn)
+        r.is_bool = True
+        return r
+
     def __gt__(self, o):
-        return self._binop(o, lambda a, b: a > b)
+        return self._cmp(o, lambda a, b: a > b)
 
     def __ge__(self, o):
-        return self._binop(o, lambda a, b: a >= b)
+        return self._cmp(o, lambda a, b: a >= b)
 
     def __lt__(self, o):
-        return self._binop(o, lambda a, b: a < b)
+        return self._cmp(o, lambda a, b: a < b)
 
     def __le__(self, o):
-        return self._binop(o, lambda a, b: a <= b)
+        return self._cmp(o, lambda a, b: a <= b)
+
+    def __eq__(self, o):  # noqa: D105 — numpy semantics: elementwise
+        return self._cmp(o, lambda a, b: a == b)
+
+    def __ne__(self, o):
+        return self._cmp(o, lambda a, b: a != b)
+
+    # __eq__ above would otherwise drop default hashability (the tracer
+    # itself stores SymbolicArrays in containers)
+    __hash__ = object.__hash__
+
+    def _logical(self, o, fn, reverse: bool = False):
+        if isinstance(o, SymbolicArray):
+            if not (self.is_bool and o.is_bool):
+                raise TraceError("&/|/^ trace only between boolean arrays")
+        elif not isinstance(o, (bool, np.bool_)):
+            raise TraceError("&/|/^ trace only against booleans")
+        r = self._binop(bool(o) if not isinstance(o, SymbolicArray) else o, fn, reverse)
+        r.is_bool = True
+        return r
+
+    def __and__(self, o):
+        return self._logical(o, lambda a, b: a & b)
+
+    __rand__ = __and__
+
+    def __or__(self, o):
+        return self._logical(o, lambda a, b: a | b)
+
+    __ror__ = __or__
+
+    def __xor__(self, o):
+        return self._logical(o, lambda a, b: a != b)
+
+    __rxor__ = __xor__
+
+    def __invert__(self):
+        if not self.is_bool:
+            raise TraceError("~ traces only on boolean arrays")
+        r = self._map(lambda c: ~c)
+        r.is_bool = True
+        return r
 
     def __matmul__(self, o):
         return self._matmul(o)
@@ -277,6 +448,28 @@ class SymbolicArray:
         np.maximum: F.greatest,
         np.minimum: F.least,
     }
+    # comparison/logical ufuncs dispatch to the dunders so is_bool
+    # propagates (np.greater(a, b) ≡ a > b)
+    _CMP_UFUNCS = {
+        np.greater: "__gt__",
+        np.greater_equal: "__ge__",
+        np.less: "__lt__",
+        np.less_equal: "__le__",
+        np.equal: "__eq__",
+        np.not_equal: "__ne__",
+        np.logical_and: "__and__",
+        np.logical_or: "__or__",
+        np.bitwise_and: "__and__",
+        np.bitwise_or: "__or__",
+        np.logical_xor: "__xor__",
+        np.bitwise_xor: "__xor__",
+    }
+    _CMP_REVERSE = {
+        "__gt__": "__lt__", "__lt__": "__gt__",
+        "__ge__": "__le__", "__le__": "__ge__",
+        "__eq__": "__eq__", "__ne__": "__ne__",
+        "__and__": "__and__", "__or__": "__or__", "__xor__": "__xor__",
+    }
     _UNARY_MAP = {
         np.negative: lambda c: -c,
         np.absolute: F.abs,
@@ -293,8 +486,16 @@ class SymbolicArray:
             if a is self:
                 return self._matmul(b)
             return self._matmul(a, reverse=True)
+        if ufunc in (np.logical_not, np.invert) and len(inputs) == 1:
+            return self.__invert__()
         if ufunc in self._UNARY_MAP and len(inputs) == 1:
             return self._map(self._UNARY_MAP[ufunc])
+        if ufunc in self._CMP_UFUNCS and len(inputs) == 2:
+            a, b = inputs
+            name = self._CMP_UFUNCS[ufunc]
+            if a is self:
+                return getattr(self, name)(b)
+            return getattr(self, self._CMP_REVERSE[name])(a)
         if ufunc in self._UFUNC_MAP and len(inputs) == 2:
             a, b = inputs
             if a is self:
@@ -303,7 +504,8 @@ class SymbolicArray:
         raise TraceError(f"unsupported ufunc {ufunc}")
 
     _REDUCTIONS = {np.sum: "sum", np.mean: "mean", np.max: "max", np.amax: "max",
-                   np.min: "min", np.amin: "min"}
+                   np.min: "min", np.amin: "min", np.any: "any", np.all: "all",
+                   np.count_nonzero: "countnz"}
 
     def __array_function__(self, func, types, args, kwargs):
         if func in (np.dot, np.matmul) and len(args) == 2:
@@ -338,3 +540,17 @@ class SymbolicArray:
 
     def __float__(self):
         raise TraceError("cannot coerce a SymbolicArray to float (use tier-2)")
+
+    def __int__(self):
+        raise TraceError("cannot coerce a SymbolicArray to int (use tier-2)")
+
+    def __len__(self):
+        raise TraceError("cannot take len() of a SymbolicArray (use tier-2)")
+
+    def __bool__(self):
+        # without this a SymbolicArray is always truthy, so a data-
+        # dependent branch (`if self.x > 0:`) would trace one arm and
+        # produce silently wrong results instead of falling back
+        raise TraceError(
+            "data-dependent branch on a SymbolicArray (use tier-2)"
+        )

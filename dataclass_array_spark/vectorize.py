@@ -243,7 +243,7 @@ def vectorize_method(
             # two attempts: raw Columns (methods written against F.*),
             # then SymbolicArray wrapping (methods written in numpy
             # style — np.dot/np.sum/arithmetic trace to Catalyst)
-            from dataclass_array_spark.symbolic import SymbolicArray
+            from dataclass_array_spark.symbolic import SymbolicArray, trace_context
 
             trace_failures: list[tuple[str, BaseException]] = []
             for symbolic in (False, True):
@@ -253,7 +253,13 @@ def vectorize_method(
                     m_args, m_kwargs = materialize(
                         lambda prefix, tbl: _ColumnView(tbl, prefix, symbolic=symbolic)
                     )
-                    out = method(view, *m_args, **{**m_kwargs, **statics})
+                    if symbolic:
+                        # np.asarray(field) passes through during the
+                        # trace call only (see symbolic.trace_context)
+                        with trace_context():
+                            out = method(view, *m_args, **{**m_kwargs, **statics})
+                    else:
+                        out = method(view, *m_args, **{**m_kwargs, **statics})
                     out_d = {
                         k: (v.col if isinstance(v, SymbolicArray) else v)
                         for k, v in _normalize_out(out).items()

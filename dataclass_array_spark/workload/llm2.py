@@ -385,17 +385,26 @@ QUERIES["pipeline_pretrain_corpus"] = Query(
 
 # ------------------------------------------------ semantic dedup
 _SD_THRESH = 0.45
+# fixed-k insurance: with k pinned at 8, cluster size grows with the
+# corpus and the within-cluster pair count goes quadratic (sf1: ~2500
+# rows/cluster → ~25M pairs).  The cap bounds pairing to each cluster's
+# 256 lowest ids — k·cap²/2 ≈ 262k pairs at ANY corpus size — mirrored
+# exactly in the oracle.  Inactive below ~2k rows (sf0.01 gate results
+# are unchanged); the k="auto" gate remains the uncapped scale path.
+_SD_CAP = 256
 
 
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: k-means partition + within-
-    cluster cosine pruning (keep lowest vec_id)."""
+    cluster cosine pruning (keep lowest vec_id); fixed k with the
+    max_cluster_size pair cap."""
     from dataclass_array_spark.operators.clustering import semantic_dedup
 
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     return semantic_dedup(
         spread(e), "vec_id", "embedding",
         k=_KM_K, iters=_KM_ITERS, cos_threshold=_SD_THRESH,
+        max_cluster_size=_SD_CAP,
     ).orderBy("vec_id")
 
 
@@ -405,6 +414,7 @@ def _semantic_dedup_oracle() -> str:
     return semantic_dedup_sql(
         "embeddings", "vec_id", "embedding",
         dim=_KM_DIM, k=_KM_K, iters=_KM_ITERS, cos_threshold=_SD_THRESH,
+        max_cluster_size=_SD_CAP,
     )
 
 

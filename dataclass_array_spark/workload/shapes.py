@@ -125,8 +125,11 @@ class EmbeddingV(Embedding):
     @das.vectorize_method
     def positive_dims(self):
         """Scalar-written method (assumes self.shape == ()); auto-batched
-        by the decorator.  Integer output → exact oracle."""
-        return {"n_pos": int(np.sum(np.asarray(self.embedding) > 0))}
+        by the decorator.  Integer output → exact oracle.  The comparison
+        + boolean-sum body tier-1-traces to ``size(filter(col, x -> x >
+        0))`` — pure Catalyst, no Python worker (np.sum over booleans is
+        integer-valued in both tiers)."""
+        return {"n_pos": np.sum(np.asarray(self.embedding) > 0)}
 
 
 def shape_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -773,3 +773,78 @@ SELECT n, ln FROM lnv ORDER BY n
     for n in ns:
         assert got[n] == duck[n], (n, got[n].hex(), duck[n].hex())
         assert abs(got[n] - math.log(n)) <= 5e-16 * max(abs(math.log(n)), 1.0)
+
+
+def test_pair_scoring_arrow_matches_expression(spark):
+    """The Arrow pair scorer must be BIT-IDENTICAL to the fold
+    expression (dim-major accumulation, IEEE sqrt/div) — raw double
+    equality, no tolerance, across knn_join and ivf_topk."""
+    import pandas as pd
+    from dataclass_array_spark.operators.similarity import ivf_topk, knn_join
+
+    rng = np.random.RandomState(47)
+    vecs = rng.randn(80, 16).astype(np.float32)
+    pdf = pd.DataFrame({"id": range(80), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select("id", F.col("v").cast("array<float>").alias("v"))
+
+    kw = dict(n_centroids=6, nprobe=3, k=4, exclude_self=True)
+    expr = knn_join(df, df, "id", "id", "v", score="expression", **kw).toPandas()
+    arrow = knn_join(df, df, "id", "id", "v", score="arrow", **kw).toPandas()
+    pd.testing.assert_frame_equal(expr, arrow)
+    assert (expr.cosine == arrow.cosine).all()  # exact, not allclose
+
+    q = df.filter(F.col("id") < 5)
+    e1 = ivf_topk(q, df, "id", "id", "v", n_centroids=6, nprobe=2, k=4,
+                  score="expression").toPandas()
+    a1 = ivf_topk(q, df, "id", "id", "v", n_centroids=6, nprobe=2, k=4,
+                  score="arrow").toPandas()
+    pd.testing.assert_frame_equal(e1, a1)
+    assert (e1.cosine == a1.cosine).all()
+
+
+def test_knn_join_cogroup_matches_expression(spark):
+    """The cogroup blocked scorer (default path) must be BIT-IDENTICAL
+    to the joined fold-expression path — ids, ranks, and raw cosines —
+    including with a cell cap and self-exclusion."""
+    import pandas as pd
+    from dataclass_array_spark.operators.similarity import knn_join
+
+    rng = np.random.RandomState(53)
+    vecs = rng.randn(90, 16).astype(np.float32)
+    pdf = pd.DataFrame({"id": range(90), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select("id", F.col("v").cast("array<float>").alias("v"))
+    for cap in (None, 7):
+        kw = dict(n_centroids=5, nprobe=2, k=3, exclude_self=True, max_cell_size=cap)
+        expr = knn_join(df, df, "id", "id", "v", score="expression", **kw).toPandas()
+        cg = knn_join(df, df, "id", "id", "v", score="cogroup", **kw).toPandas()
+        pd.testing.assert_frame_equal(expr, cg)
+        assert (expr.cosine == cg.cosine).all(), cap
+
+
+def test_semantic_dedup_cluster_cap_bounds_candidates(spark):
+    """Degenerate corpus (every vector identical → one k-means cluster):
+    the max_cluster_size cap must (a) bound the pair candidates at
+    cap²/2 instead of n²/2 and (b) keep exactly the capped prefix
+    droppable — rows outside the cap survive by construction."""
+    import pandas as pd
+    from dataclass_array_spark.operators.clustering import semantic_dedup
+
+    n, cap = 300, 20
+    v = [0.1 * (d + 1) for d in range(8)]
+    pdf = pd.DataFrame({"id": range(n), "v": [v] * n})
+    df = spark.createDataFrame(pdf).select(
+        "id", F.col("v").cast("array<float>").alias("v")
+    )
+    out = semantic_dedup(
+        df, "id", "v", k=4, iters=1, cos_threshold=0.9, max_cluster_size=cap
+    ).toPandas()
+    kept = sorted(out["id"])
+    # identical vectors: within the capped prefix only id 0 survives;
+    # every row outside the cap is untouchable by the pair step
+    assert kept == [0] + list(range(cap, n))
+
+    # uncapped control: everything collapses to the single lowest id
+    out2 = semantic_dedup(
+        df, "id", "v", k=4, iters=1, cos_threshold=0.9
+    ).toPandas()
+    assert sorted(out2["id"]) == [0]

@@ -166,3 +166,16 @@ def test_lm_quality_vocab_broadcast(spark):
     p = plan(spark, "lm_quality_docs")
     assert "BroadcastHashJoin" in p
     assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_shape_vectorize_stays_jvm_side(spark):
+    # the comparison + boolean-sum body must tier-1-trace to Catalyst
+    # (size(filter(...))) — the per-row Arrow loop is banned here
+    import warnings
+
+    from dataclass_array_spark.vectorize import VectorizeFallbackWarning
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", VectorizeFallbackWarning)
+        p = plan(spark, "shape_vectorize")
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p

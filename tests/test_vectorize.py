@@ -437,3 +437,150 @@ def test_rank3_symbolic_fallback_negative_index(spark):
         f["s"], np.sqrt((v.astype(np.float64) ** 2).sum(1)), rtol=1e-6
     )
     np.testing.assert_allclose(f["last"], T[:, -1], rtol=1e-6)
+
+
+# ---------------------------------------------------------------- booleans
+@das.dataclass_array(broadcast=True, cast_dtype=True)
+class BoolRay(das.DcaTable):
+    """Predicate-style scalar bodies — the reference batches these the
+    same as arithmetic ones (vectorization.py:151-196); tier-1 must
+    compile them to size(filter)/exists/forall, never the row loop."""
+
+    v: f32["*b 4"]
+
+    @das.vectorize_method
+    def stats(self):
+        a = np.asarray(self.v)
+        pos = a > 0
+        return {
+            "n_pos": np.sum(pos),
+            "n_band": np.count_nonzero((a > -1.0) & (a < 1.0)),
+            "any_neg": np.any(a < 0),
+            "all_fin": np.all(a < 1e9),
+            "frac_pos": np.mean(pos),
+            "n_inv": np.sum(~pos),
+        }
+
+
+def _bool_make(spark):
+    rng = np.random.RandomState(7)
+    v = rng.randn(16, 4).astype(np.float32)
+    return BoolRay(spark, v=v), v
+
+
+def test_bool_reductions_tier1_no_fallback(spark):
+    import warnings
+
+    r, v = _bool_make(spark)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", das.VectorizeFallbackWarning)
+        out = r.stats().to_numpy_fields()
+    np.testing.assert_array_equal(out["n_pos"], (v > 0).sum(axis=1))
+    np.testing.assert_array_equal(
+        out["n_band"], ((v > -1.0) & (v < 1.0)).sum(axis=1)
+    )
+    np.testing.assert_array_equal(out["any_neg"], (v < 0).any(axis=1))
+    np.testing.assert_array_equal(out["all_fin"], (v < 1e9).all(axis=1))
+    np.testing.assert_allclose(out["frac_pos"], (v > 0).mean(axis=1))
+    np.testing.assert_array_equal(out["n_inv"], (~(v > 0)).sum(axis=1))
+
+
+def test_bool_plan_is_pure_catalyst(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    r, _ = _bool_make(spark)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        r.stats().df.explain("formatted")
+    p = buf.getvalue()
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_eq_ne_astype_trace(spark):
+    import warnings
+
+    @das.dataclass_array(broadcast=True, cast_dtype=True)
+    class Lab(das.DcaTable):
+        v: f32["*b 4"]
+
+        @das.vectorize_method
+        def marks(self):
+            a = np.asarray(self.v)
+            z = (a == 0.0)
+            return {
+                "n_zero": np.sum(z),
+                "n_nonzero": np.sum(a != 0.0),
+                "as32": (a * 2).astype(np.float32),
+            }
+
+    v = np.array([[0, 1, 0, 2], [3, 0, 0, 0]], dtype=np.float32)
+    t = Lab(spark, v=v)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", das.VectorizeFallbackWarning)
+        out = t.marks().to_numpy_fields()
+    np.testing.assert_array_equal(out["n_zero"], [2, 3])
+    np.testing.assert_array_equal(out["n_nonzero"], [2, 1])
+    np.testing.assert_allclose(out["as32"], v * 2)
+
+
+def test_shift_t2_now_tier1(spark):
+    """np.asarray passthrough promotes the numpy-style add body to
+    tier-1 — same results, no fallback warning."""
+    import warnings
+
+    r = Ray2(spark, pos=np.arange(12, dtype=np.float32).reshape(4, 3))
+    o = Offset(spark, delta=np.ones((4, 3), dtype=np.float32) * 10)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", das.VectorizeFallbackWarning)
+        got = r.shift_t2(o).to_numpy_fields()["p"]
+    np.testing.assert_allclose(
+        got, np.arange(12, dtype=np.float32).reshape(4, 3) + 10
+    )
+
+
+def test_data_dependent_branch_falls_back_not_silently_wrong(spark):
+    """`if self.x > 0:` must NOT trace one arm as always-taken — the
+    SymbolicArray __bool__ guard forces the (correct) tier-2 loop."""
+
+    @das.dataclass_array(broadcast=True, cast_dtype=True)
+    class Branchy(das.DcaTable):
+        v: f32["*b 3"]
+
+        @das.vectorize_method
+        def clipped_sum(self):
+            a = np.asarray(self.v)
+            s = float(np.sum(a))
+            if s > 0:
+                return {"s": s}
+            return {"s": 0.0}
+
+    v = np.array([[1, 2, 3], [-9, 1, 1]], dtype=np.float32)
+    t = Branchy(spark, v=v)
+    with pytest.warns(das.VectorizeFallbackWarning, match="clipped_sum"):
+        out = t.clipped_sum().to_numpy_fields()["s"]
+    np.testing.assert_allclose(out, [6.0, 0.0])
+
+
+def test_tier2_table_arg_roundtrip(spark):
+    """Table-arg binding on the tier-2 path (shift_t2 moved to tier-1,
+    so an intentionally untraceable body keeps this covered)."""
+
+    @das.dataclass_array(broadcast=True, cast_dtype=True)
+    class RayT2(das.DcaTable):
+        pos: f32["*b 3"]
+
+        @das.vectorize_method
+        def shift_loop(self, other):
+            # float() coercion is untraceable by design
+            return {
+                "m": float(np.sum(np.asarray(self.pos) + np.asarray(other.delta)))
+            }
+
+    pos = np.arange(12, dtype=np.float32).reshape(4, 3)
+    delta = np.ones((4, 3), dtype=np.float32)
+    r = RayT2(spark, pos=pos)
+    o = Offset(spark, delta=delta)
+    with pytest.warns(das.VectorizeFallbackWarning, match="shift_loop"):
+        got = r.shift_loop(o).to_numpy_fields()["m"]
+    np.testing.assert_allclose(got, (pos + delta).sum(axis=1))
