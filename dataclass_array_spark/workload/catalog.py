@@ -22,76 +22,31 @@ class Query:
 
 # The driver's per-round correctness gate checks roughly the first 50
 # registry entries, so the window is ROTATED each round to keep every
-# query under recurring driver verification.  Round 5: the 52 queries
-# NOT in the r04 gate file (CORRECTNESS_r04.json) go first — the two
-# queries whose implementations changed this round (median's histogram
-# rewrite rode along in r04's window, but semantic_dedup/kmeans queries
-# and every streaming/tpch/llm entry below were last driver-checked in
-# r02/r03) — followed by the 50 r04-verified entries.  Python dicts
-# preserve insertion order, so this ordering is exactly what
-# ``queries()`` exposes to the driver.
+# query under recurring driver verification.  Round 6 ordering rule
+# (per round-5 ADVICE): queries whose IMPLEMENTATION changed this round
+# go at the very front — regardless of when they were last checked —
+# then the 53 queries that sat out r05 (they were r04-green), then the
+# r05-verified remainder.  Changed this round: the vectorize tracer
+# gained comparison/boolean tracing (shape_vectorize,
+# shape_vectorize_mat share that code path), knn_join moved to cogroup
+# block scoring and ivf/srp to the Arrow pair scorer, and
+# semantic_dedup gained the max_cluster_size pair cap (both gates call
+# the changed operator).  Python dicts preserve insertion order, so
+# this ordering is exactly what ``queries()`` exposes to the driver.
 _PRIORITY: Tuple[str, ...] = (
-    # new in round 5 (needs its first driver verification)
-    "embedding_knn_join",
-    # ---- not in the r04 driver window (52) ----
-    "json_extract_props",
-    "tumbling_hourly_stats",
-    "sliding_hourly_stats",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_waiting_supplier",
-    "order_quantity_arrays",
-    "dedup_ngram_jaccard",
-    "simhash_fingerprints",
-    "text_stats",
-    "lang_id_docs",
-    "doc_fingerprints",
-    "embedding_topk_cosine",
-    "multimodal_metadata",
-    "multimodal_decode",
-    "dedup_apply_minhash",
-    "pipeline_quality_corpus",
-    "chunk_documents",
-    "vocab_top_words",
-    "tfidf_top_terms",
-    "dedup_components",
-    "split_train_val_test",
-    "stratified_sample_docs",
-    "pack_context_windows",
-    "bm25_doc_ranking",
-    "decontam_ngram_overlap",
-    "repetition_filter_docs",
-    "embedding_kmeans_clusters",
-    "domain_mixture_sample",
-    "multimodal_frames",
-    "pipeline_pretrain_corpus",
-    "semantic_dedup_embeddings",
-    "tokenize_docs",
-    "token_rarity_docs",
-    "dedup_minhash_lsh_auto",
-    "streaming_quality_filter",
-    "streaming_tumbling_hourly",
-    "streaming_session_windows",
-    "streaming_dedup_events",
+    # ---- implementations changed in round 6: driver-verify FIRST ----
+    "shape_vectorize",
     "shape_vectorize_mat",
-    "shape_mask_filter",
-    "shape_gather",
-    "shape_transpose",
+    "semantic_dedup_embeddings",
+    "semantic_dedup_auto",
+    "embedding_knn_join",
+    "embedding_ann_ivf",
+    "embedding_ann_srp",
+    # ---- sat out r05 (r04-green), unchanged this round ----
     "shape_slice",
     "shape_concat_mapfield",
-    "shape_vectorize",
-    # ---- r04-verified (50), with this round's changed queries first ----
-    "semantic_dedup_auto",
     "median_quantity_by_flag",
     "approx_sketches",
-    "embedding_ann_srp",
-    "embedding_ann_ivf",
     "streaming_purchase_clicks",
     "lm_quality_docs",
     "streaming_decontam_docs",
@@ -137,6 +92,55 @@ _PRIORITY: Tuple[str, ...] = (
     "string_functions2",
     "asof_purchase_last_click",
     "sessionize_events",
+    # ---- r05-verified, unchanged (overflow the ~50 window; all were
+    # driver-green last round and re-verified locally this session) ----
+    "json_extract_props",
+    "tumbling_hourly_stats",
+    "sliding_hourly_stats",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_waiting_supplier",
+    "order_quantity_arrays",
+    "dedup_ngram_jaccard",
+    "simhash_fingerprints",
+    "text_stats",
+    "lang_id_docs",
+    "doc_fingerprints",
+    "embedding_topk_cosine",
+    "multimodal_metadata",
+    "multimodal_decode",
+    "dedup_apply_minhash",
+    "pipeline_quality_corpus",
+    "chunk_documents",
+    "vocab_top_words",
+    "tfidf_top_terms",
+    "dedup_components",
+    "split_train_val_test",
+    "stratified_sample_docs",
+    "pack_context_windows",
+    "bm25_doc_ranking",
+    "decontam_ngram_overlap",
+    "repetition_filter_docs",
+    "embedding_kmeans_clusters",
+    "domain_mixture_sample",
+    "multimodal_frames",
+    "pipeline_pretrain_corpus",
+    "tokenize_docs",
+    "token_rarity_docs",
+    "dedup_minhash_lsh_auto",
+    "streaming_quality_filter",
+    "streaming_tumbling_hourly",
+    "streaming_session_windows",
+    "streaming_dedup_events",
+    "shape_mask_filter",
+    "shape_gather",
+    "shape_transpose",
 )
 
 

@@ -154,6 +154,7 @@ def streaming_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap operator against the static broadcast eval set, so the
     accumulated streaming output equals the batch result exactly (the
     oracle is the same SQL as the batch decontam gate)."""
+    import glob
     import hashlib
     import os
     import shutil
@@ -174,13 +175,28 @@ def streaming_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = documents_stream(spark, f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % _EVAL_MOD != 0
     )
-    # Deterministic per-sf tmp root, wiped up front: the returned frame
-    # reads {tmp}/out lazily (the caller collects after we return), so
-    # cleanup happens at the NEXT invocation — repeated bench runs reuse
-    # one directory instead of leaking a fresh mkdtemp each time.
+    # Deterministic per-(sf, pid) tmp root, wiped up front: the returned
+    # frame reads {tmp}/out lazily (the caller collects after we
+    # return), so cleanup happens at the NEXT invocation — repeated
+    # bench runs in one process reuse one directory.  The pid in the
+    # tag keeps two CONCURRENT runs over the same sf_dir from rmtree'ing
+    # each other's live checkpoint mid-stream (a plain per-sf tag
+    # reintroduced the collision mkdtemp was immune to); stale dirs
+    # from dead pids are swept opportunistically below.
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    tmp = os.path.join(tempfile.gettempdir(), f"dca-stream-decontam-{tag}")
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"dca-stream-decontam-{tag}-{os.getpid()}"
+    )
     shutil.rmtree(tmp, ignore_errors=True)
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"dca-stream-decontam-{tag}-*")
+    ):
+        try:
+            pid = int(stale.rsplit("-", 1)[-1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     out = decontaminate_stream(
         s, ev, "text", "doc_id",

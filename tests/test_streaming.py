@@ -356,3 +356,27 @@ def test_available_now_incremental_ingest(spark, tmp_path):
     s2 = spark.readStream.schema(schema).parquet(str(src))
     got2 = run_available_now(s2, ckpt, outdir)
     assert sorted(r["doc_id"] for r in got2.collect()) == [1, 2, 3]
+
+
+def test_events_stream_sniff_failure_modes(spark, tmp_path):
+    """Schema-sniff fallback is reserved for 'no files yet' (empty or
+    missing path); any OTHER sniff failure — e.g. a corrupt footer —
+    must raise instead of silently freezing the canonical schema over
+    real-but-unreadable data."""
+    import pytest as _pytest
+
+    from dataclass_array_spark.streaming import events_stream
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    s = events_stream(spark, str(empty))
+    assert len(s.schema) == 7  # canonical fallback applied
+
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "x.parquet").write_text("not parquet")
+    with _pytest.raises(Exception) as exc:
+        events_stream(spark, str(corrupt))
+    assert "AnalysisException" not in type(exc.value).__name__ or "FOOTER" in str(
+        exc.value
+    )
