@@ -122,27 +122,25 @@ def _mean_from_decimal(s, n: int) -> float:
     return (float(fl) + float(s - fl)) / n
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     iters: int = 3,
-    keep_vec: bool = False,
-) -> Tuple[DataFrame, List[List[float]]]:
-    """Lloyd's k-means with deterministic init (first k rows by id).
-
-    Returns ``(assignment_df, centroids)`` where the assignment has
-    ``(id, cluster, dist)`` — ``dist`` the squared L2 distance to the
-    final centroid.  Fixed ``iters`` assignment/update rounds, then one
-    final assignment against the last centroids.
-    """
+) -> List[List[float]]:
+    """Lloyd's k-means centroid training only — deterministic init
+    (first k rows by id), fixed ``iters`` assignment/update rounds.
+    The composition entry point for operators that need trained
+    centroids without a final assignment pass (e.g.
+    :func:`~dataclass_array_spark.operators.similarity.knn_join` with
+    ``centroids="kmeans"``)."""
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     centroids: List[List[float]] = [
         r["v"] for r in vecs.orderBy(id_col).limit(k).collect()
     ]
     if not centroids:
-        raise ValueError("kmeans_assign: input has no rows")
+        raise ValueError("kmeans_fit: input has no rows")
     # clamp: fewer rows than k means fewer init centroids; the
     # empty-cluster carry below indexes centroids[i], so k must not
     # exceed what the init collect actually produced.
@@ -171,6 +169,27 @@ def kmeans_assign(
             by_cid.get(i, centroids[i])  # empty cluster keeps its centroid
             for i in range(k)
         ]
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    keep_vec: bool = False,
+) -> Tuple[DataFrame, List[List[float]]]:
+    """Lloyd's k-means with deterministic init (first k rows by id).
+
+    Returns ``(assignment_df, centroids)`` where the assignment has
+    ``(id, cluster, dist)`` — ``dist`` the squared L2 distance to the
+    final centroid.  Fixed ``iters`` assignment/update rounds (the
+    :func:`kmeans_fit` loop), then one final assignment against the
+    last centroids.
+    """
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
     best = _argmin(F.col("v"), centroids)
     cols = [F.col(id_col), best.cluster.alias("cluster"), best.dist.alias("dist")]
     if keep_vec:

@@ -397,6 +397,8 @@ def knn_join(
     exclude_self: bool = False,
     max_cell_size: int | None = None,
     score: str = "auto",
+    centroids: str = "first",
+    kmeans_iters: int = 3,
 ) -> DataFrame:
     """Large × large kNN JOIN: every LEFT vector gets its cosine top-k
     among RIGHT vectors sharing an IVF cell — with NEITHER side
@@ -437,17 +439,42 @@ def knn_join(
     by id so the stable argsort tie-break equals the window's
     ``(cosine DESC, nid ASC)`` — bit-identical to ``"expression"``
     (the joined fold-expression path, kept for differential tests;
-    differentially verified in tests/test_operators.py)."""
-    cents = (
-        right.orderBy(right_id)
-        .limit(n_centroids)
-        .select(
-            F.col(right_id).alias("cent_id"),
-            F.col(vec_col).cast("array<double>").alias("cent_v"),
-            norm2(F.col(vec_col)).alias("cent_n2"),
+    differentially verified in tests/test_operators.py).
+
+    ``centroids``: ``"first"`` uses the first ``n_centroids`` right
+    vectors by id — deterministic, zero extra jobs, the oracle-friendly
+    default.  ``"kmeans"`` trains real Lloyd's centroids first
+    (:func:`~dataclass_array_spark.operators.clustering.kmeans_fit`,
+    ``kmeans_iters`` rounds, same deterministic init) — better-balanced
+    cells on clustered corpora at the cost of ``kmeans_iters`` extra
+    passes over the right side; cell ids are then 0..n_centroids-1.
+    The centroid squared norm is a sequential left-fold in python —
+    the same IEEE-double fold order as the Spark/DuckDB ``aggregate``/
+    ``list_reduce`` expressions, so both dispatch paths and the SQL
+    oracle rank cells identically."""
+    if centroids == "kmeans":
+        from dataclass_array_spark.operators.clustering import kmeans_fit
+
+        cks = kmeans_fit(right, right_id, vec_col, k=n_centroids, iters=kmeans_iters)
+        cents = []
+        for i, cv in enumerate(cks):
+            s = 0.0
+            for x in cv:
+                s += x * x
+            cents.append({"cent_id": i, "cent_v": cv, "cent_n2": s})
+    elif centroids == "first":
+        cents = (
+            right.orderBy(right_id)
+            .limit(n_centroids)
+            .select(
+                F.col(right_id).alias("cent_id"),
+                F.col(vec_col).cast("array<double>").alias("cent_v"),
+                norm2(F.col(vec_col)).alias("cent_n2"),
+            )
+            .collect()
         )
-        .collect()
-    )
+    else:
+        raise ValueError(f"centroids must be 'first' or 'kmeans', got {centroids!r}")
     l_assigned = (
         assign_cells(left, left_id, vec_col, cents, nprobe=nprobe)
         .withColumnRenamed("__id", "qid")

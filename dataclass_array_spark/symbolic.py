@@ -152,10 +152,25 @@ class SymbolicArray:
         self.is_bool = is_bool
 
     # ---- helpers ----
-    def _binop(self, other: Any, fn, reverse: bool = False):
+    def _num(self) -> "SymbolicArray":
+        """numpy arithmetic treats booleans as 0/1 — coerce a boolean
+        array to long so ``count + (x > 1)`` traces like numpy instead
+        of failing Spark's strict BIGINT+BOOLEAN type check."""
+        if not self.is_bool:
+            return self
+        return SymbolicArray(
+            _nested_map(self.col, self.inner_ndim, lambda c: c.cast("long")),
+            self.inner_ndim,
+        )
+
+    def _binop(self, other: Any, fn, reverse: bool = False, numeric: bool = False):
         """Elementwise fn with numpy broadcasting; operand order is
-        (self, other), or (other, self) when ``reverse``."""
+        (self, other), or (other, self) when ``reverse``.  ``numeric``
+        marks arithmetic context: boolean operands coerce to 0/1."""
+        self = self._num() if numeric else self  # noqa: PLW0642 — local rebind
         if isinstance(other, SymbolicArray):
+            if numeric:
+                other = other._num()
             a, b = (other, self) if reverse else (self, other)
             an, bn = a.inner_ndim, b.inner_ndim
             if an == bn:
@@ -176,9 +191,14 @@ class SymbolicArray:
                 lambda row: F.zip_with(row, v.col, fn)
             )
             return SymbolicArray(F.transform(m.col, g), 2)
+        # 0-d numpy array: numpy scalar-vs-object dispatch (e.g.
+        # ``np.float64(0) > symb``) hands the scalar over as a 0-d
+        # ndarray — unwrap it to its python scalar
+        if isinstance(other, np.ndarray) and other.ndim == 0:
+            other = other.item()
         # plain python scalar (bool first — it's an int subclass)
         if isinstance(other, (bool, np.bool_)):
-            lit = F.lit(bool(other))
+            lit = F.lit(int(other)) if numeric else F.lit(bool(other))
         elif isinstance(other, (int, float, np.floating, np.integer)):
             lit = F.lit(float(other))
         else:
@@ -192,7 +212,8 @@ class SymbolicArray:
     def _matmul(self, other: Any, reverse: bool = False):
         if not isinstance(other, SymbolicArray):
             raise TraceError("matmul requires two symbolic operands")
-        a, b = (other, self) if reverse else (self, other)
+        # numpy: dot of boolean vectors is an integer count
+        a, b = (other._num(), self._num()) if reverse else (self._num(), other._num())
         an, bn = a.inner_ndim, b.inner_ndim
         if an == 1 and bn == 1:
             return SymbolicArray(_dot_fold(a.col, b.col), 0)
@@ -316,35 +337,35 @@ class SymbolicArray:
 
     # ---- python operators ----
     def __add__(self, o):
-        return self._binop(o, lambda a, b: a + b)
+        return self._binop(o, lambda a, b: a + b, numeric=True)
 
     __radd__ = __add__
 
     def __sub__(self, o):
-        return self._binop(o, lambda a, b: a - b)
+        return self._binop(o, lambda a, b: a - b, numeric=True)
 
     def __rsub__(self, o):
-        return self._binop(o, lambda a, b: a - b, reverse=True)
+        return self._binop(o, lambda a, b: a - b, reverse=True, numeric=True)
 
     def __mul__(self, o):
-        return self._binop(o, lambda a, b: a * b)
+        return self._binop(o, lambda a, b: a * b, numeric=True)
 
     __rmul__ = __mul__
 
     def __truediv__(self, o):
-        return self._binop(o, lambda a, b: a / b)
+        return self._binop(o, lambda a, b: a / b, numeric=True)
 
     def __rtruediv__(self, o):
-        return self._binop(o, lambda a, b: a / b, reverse=True)
+        return self._binop(o, lambda a, b: a / b, reverse=True, numeric=True)
 
     def __pow__(self, o):
-        return self._binop(o, lambda a, b: F.pow(a, b))
+        return self._binop(o, lambda a, b: F.pow(a, b), numeric=True)
 
     def __neg__(self):
-        return self._map(lambda c: -c)
+        return self._num()._map(lambda c: -c)
 
     def __abs__(self):
-        return self._map(F.abs)
+        return self._num()._map(F.abs)
 
     def _cmp(self, o, fn):
         r = self._binop(o, fn)
@@ -374,6 +395,8 @@ class SymbolicArray:
     __hash__ = object.__hash__
 
     def _logical(self, o, fn, reverse: bool = False):
+        if isinstance(o, np.ndarray) and o.ndim == 0 and o.dtype.kind == "b":
+            o = bool(o)
         if isinstance(o, SymbolicArray):
             if not (self.is_bool and o.is_bool):
                 raise TraceError("&/|/^ trace only between boolean arrays")
@@ -445,8 +468,10 @@ class SymbolicArray:
         np.multiply: lambda a, b: a * b,
         np.true_divide: lambda a, b: a / b,
         np.power: lambda a, b: F.pow(a, b),
-        np.maximum: F.greatest,
-        np.minimum: F.least,
+        # wrapped in a 2-arg lambda: zip_with inspects its lambda's
+        # signature and rejects the (*cols) varargs of greatest/least
+        np.maximum: lambda a, b: F.greatest(a, b),
+        np.minimum: lambda a, b: F.least(a, b),
     }
     # comparison/logical ufuncs dispatch to the dunders so is_bool
     # propagates (np.greater(a, b) ≡ a > b)
@@ -489,7 +514,7 @@ class SymbolicArray:
         if ufunc in (np.logical_not, np.invert) and len(inputs) == 1:
             return self.__invert__()
         if ufunc in self._UNARY_MAP and len(inputs) == 1:
-            return self._map(self._UNARY_MAP[ufunc])
+            return self._num()._map(self._UNARY_MAP[ufunc])
         if ufunc in self._CMP_UFUNCS and len(inputs) == 2:
             a, b = inputs
             name = self._CMP_UFUNCS[ufunc]
@@ -499,8 +524,8 @@ class SymbolicArray:
         if ufunc in self._UFUNC_MAP and len(inputs) == 2:
             a, b = inputs
             if a is self:
-                return self._binop(b, self._UFUNC_MAP[ufunc])
-            return self._binop(a, self._UFUNC_MAP[ufunc], reverse=True)
+                return self._binop(b, self._UFUNC_MAP[ufunc], numeric=True)
+            return self._binop(a, self._UFUNC_MAP[ufunc], reverse=True, numeric=True)
         raise TraceError(f"unsupported ufunc {ufunc}")
 
     _REDUCTIONS = {np.sum: "sum", np.mean: "mean", np.max: "max", np.amax: "max",

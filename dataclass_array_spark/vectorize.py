@@ -68,7 +68,26 @@ class _NumpyIndexColumn(_ClassicColumn):
     index counts from the end via ``element_at`` (1-based, -1 = last).
     Plain ``Column.getItem`` is 0-based and returns NULL for negative
     indices, so numpy-valid code like ``self.dir[-1]`` would otherwise
-    trace successfully and silently produce all-NULL results."""
+    trace successfully and silently produce all-NULL results.
+
+    ``rank`` is the remaining inner rank; while it's > 0 the column is
+    array-typed, where Spark comparison operators are LEXICOGRAPHIC
+    (arrays are orderable in Spark) — numpy-valid code like
+    ``self.v > self.w`` would trace successfully with silently wrong,
+    non-elementwise semantics.  Comparisons therefore raise at rank > 0
+    so the decorator falls through to the symbolic tier, whose
+    SymbolicArray compiles the elementwise numpy meaning."""
+
+    _dca_rank = 0  # default for instances created by pyspark internals
+
+    def __new__(cls, jc, rank: int = 0):
+        obj = super().__new__(cls)
+        obj._dca_rank = rank
+        return obj
+
+    def __init__(self, jc, rank: int = 0):
+        super().__init__(jc)
+        self._dca_rank = rank
 
     def __getitem__(self, k):
         if isinstance(k, (int, np.integer)) and int(k) < 0:
@@ -79,8 +98,50 @@ class _NumpyIndexColumn(_ClassicColumn):
         # keeps numpy semantics one level down instead of reverting to
         # getItem(-1) -> NULL.
         if isinstance(out, Column) and hasattr(out, "_jc"):
-            return _NumpyIndexColumn(out._jc)
+            return _NumpyIndexColumn(out._jc, max(self._dca_rank - 1, 0))
         return out
+
+    def __array__(self, dtype=None, *a, **k):
+        # np.asarray(array_field) in raw mode would wrap the Column in a
+        # 0-d OBJECT array, where reductions are identity (np.sum of a
+        # 0-d array returns its element) — the trace would succeed with
+        # silently unreduced results.  Refuse at rank > 0 so the
+        # decorator falls through to the symbolic tier.
+        if self._dca_rank:
+            raise TypeError(
+                "np.asarray on an array-typed field doesn't trace in "
+                "raw-Column mode; the symbolic tier handles it"
+            )
+        out = np.empty((), dtype=object)
+        out[()] = self
+        return out
+
+    def _no_lex_cmp(self, name):
+        raise TypeError(
+            f"{name} on an array-typed field would be Spark's lexicographic "
+            "array ordering, not numpy's elementwise comparison — "
+            "raw-Column trace refuses; the symbolic tier handles it"
+        )
+
+    def __gt__(self, o):
+        return self._no_lex_cmp(">") if self._dca_rank else super().__gt__(o)
+
+    def __ge__(self, o):
+        return self._no_lex_cmp(">=") if self._dca_rank else super().__ge__(o)
+
+    def __lt__(self, o):
+        return self._no_lex_cmp("<") if self._dca_rank else super().__lt__(o)
+
+    def __le__(self, o):
+        return self._no_lex_cmp("<=") if self._dca_rank else super().__le__(o)
+
+    def __eq__(self, o):
+        return self._no_lex_cmp("==") if self._dca_rank else super().__eq__(o)
+
+    def __ne__(self, o):
+        return self._no_lex_cmp("!=") if self._dca_rank else super().__ne__(o)
+
+    __hash__ = None  # same as the base Column (unhashable)
 
 
 class _ColumnView:
@@ -102,14 +163,14 @@ class _ColumnView:
                     # numpy-style negative indexing, else `self.mat[-1]`
                     # traces fine and yields silent NULLs.
                     if hasattr(col, "_jc"):
-                        col = _NumpyIndexColumn(col._jc)
+                        col = _NumpyIndexColumn(col._jc, len(spec.inner_shape))
             elif (
                 not symbolic
                 and isinstance(spec, ArraySpec)
                 and spec.inner_shape
             ):
                 if hasattr(col, "_jc"):
-                    col = _NumpyIndexColumn(col._jc)
+                    col = _NumpyIndexColumn(col._jc, len(spec.inner_shape))
                 else:  # Spark Connect Column: no JVM handle to wrap
                     import warnings
 

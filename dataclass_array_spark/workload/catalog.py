@@ -35,6 +35,7 @@ class Query:
 # this ordering is exactly what ``queries()`` exposes to the driver.
 _PRIORITY: Tuple[str, ...] = (
     # ---- implementations changed in round 6: driver-verify FIRST ----
+    "embedding_knn_join_kmeans",  # NEW this round (trained-centroid knn)
     "shape_vectorize",
     "shape_vectorize_mat",
     "semantic_dedup_embeddings",

@@ -570,9 +570,84 @@ FROM r WHERE rnk <= 3 ORDER BY qid, rnk
 """
 
 
+def embedding_knn_join_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join over TRAINED cells: the same large×large retrieval join
+    as ``embedding_knn_join`` but with Lloyd's k-means centroids
+    (``centroids="kmeans"`` — the composition the knn_join docstring
+    promises) instead of the first-n-by-id stand-in.  Balanced cells on
+    clustered corpora; the oracle replays the identical unrolled
+    k-means (decimal-exact means) and then the identical cell-cosine
+    CTEs, so the gate stays value-exact."""
+    from dataclass_array_spark.operators.similarity import knn_join
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = knn_join(
+        e, e, "vec_id", "vec_id", "embedding",
+        n_centroids=8, nprobe=2, k=3, exclude_self=True,
+        centroids="kmeans", kmeans_iters=2,
+    )
+    return out.select(
+        "qid",
+        F.col("rank").cast("long").alias("rnk"),
+        "nid",
+        F.floor(F.col("cosine") * 1e9).cast("long").alias("cos_e9"),
+    )
+
+
+def _knn_join_kmeans_sql() -> str:
+    """Oracle: unrolled k-means (kmeans_sql_ctes, ending at c2 =
+    trained centroids) + the knn_join cell-assignment/scoring CTEs of
+    KNN_JOIN_SQL with c replaced by the trained centroids (cn2 is the
+    same sequential fold the operator computes driver-side)."""
+    from dataclass_array_spark.operators.clustering import kmeans_sql_ctes
+
+    base = kmeans_sql_ctes("embeddings", "vec_id", "embedding", dim=64, k=8, iters=2)
+    return base + f""", n AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(v, v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x) AS n2
+  FROM e
+), cents AS (
+  SELECT cid AS cent_id, cv,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(cv, cv),
+              p -> p[1]*p[2])), (acc, x) -> acc + x) AS cn2
+  FROM c2
+), cells AS (
+  SELECT vec_id, cell, rn FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {_IVF_CELL_DOT} / (sqrt(n.n2) * sqrt(c.cn2)) DESC, c.cent_id) AS rn
+    FROM e JOIN n USING (vec_id) CROSS JOIN cents c
+  )
+), la AS (
+  SELECT vec_id AS qid, cell FROM cells WHERE rn <= 2
+), ra AS (
+  SELECT vec_id AS nid, cell FROM cells WHERE rn = 1
+), scored AS (
+  SELECT la.qid, ra.nid,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(eq.v, ec.v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x)
+           / (sqrt(nq.n2) * sqrt(nc.n2)) AS cosine
+  FROM la JOIN ra USING (cell)
+  JOIN e eq ON eq.vec_id = la.qid JOIN n nq ON nq.vec_id = la.qid
+  JOIN e ec ON ec.vec_id = ra.nid JOIN n nc ON nc.vec_id = ra.nid
+  WHERE la.qid != ra.nid
+), r AS (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+  FROM scored
+)
+SELECT qid, rnk, nid, CAST(FLOOR(cosine * 1e9) AS BIGINT) AS cos_e9
+FROM r WHERE rnk <= 3 ORDER BY qid, rnk
+"""
+
+
 QUERIES["dedup_apply_minhash"] = Query(dedup_apply_minhash, DEDUP_APPLY_SQL, tags=("dedup",))
 QUERIES["embedding_ann_ivf"] = Query(embedding_ann_ivf, IVF_SQL, tags=("similarity", "ann"))
 QUERIES["embedding_knn_join"] = Query(embedding_knn_join, KNN_JOIN_SQL, tags=("similarity", "knn"))
+QUERIES["embedding_knn_join_kmeans"] = Query(
+    embedding_knn_join_kmeans, _knn_join_kmeans_sql(), tags=("similarity", "knn")
+)
 
 
 # ------------------------------------------------ end-to-end pipeline

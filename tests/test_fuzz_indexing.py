@@ -93,36 +93,54 @@ def test_fuzz_basic_indexing(spark, si):
     assert_np_equal(got, {"v": exp})
 
 
-@settings(max_examples=60, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=120, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
 @given(st.data())
 def test_fuzz_mask_and_gather(spark, data):
     shape = data.draw(SHAPES)
     p, v = cached(shape, spark)
     if data.draw(st.booleans(), label="mask?"):
-        # boolean mask over the leading k batch dims
+        # boolean mask over the leading k batch dims; size is sometimes
+        # deliberately wrong so the IndexError surface is fuzzed too
         k = data.draw(st.integers(1, len(shape)), label="mask_rank")
-        mask = np.array(
-            data.draw(
-                st.lists(
-                    st.booleans(),
-                    min_size=int(np.prod(shape[:k])),
-                    max_size=int(np.prod(shape[:k])),
-                ),
-                label="mask",
-            )
-        ).reshape(shape[:k])
-        assert_np_equal(p[mask], {"v": v[mask]})
+        want = int(np.prod(shape[:k]))
+        n = data.draw(
+            st.one_of(st.just(want), st.integers(max(1, want - 2), want + 2)),
+            label="mask_len",
+        )
+        bits = data.draw(
+            st.lists(st.booleans(), min_size=n, max_size=n), label="mask"
+        )
+        if n == want:
+            mask = np.array(bits).reshape(shape[:k])
+            assert_np_equal(p[mask], {"v": v[mask]})
+        else:
+            mask = np.array(bits)  # 1-D, wrong length for axis 0
+            try:
+                exp = v[mask]
+            except IndexError:
+                with pytest.raises(IndexError):
+                    p[mask]
+                return
+            assert_np_equal(p[mask], {"v": exp})
     else:
-        # integer-array gather along axis 0 (1-D or 2-D index array)
+        # integer-array gather along axis 0 (1-D or 2-D index array),
+        # occasionally out of bounds — numpy decides validity
         d0 = shape[0]
         flat = data.draw(
-            st.lists(st.integers(-d0, d0 - 1), min_size=1, max_size=6), label="gather"
+            st.lists(st.integers(-d0 - 1, d0), min_size=1, max_size=6),
+            label="gather",
         )
         if len(flat) % 2 == 0 and data.draw(st.booleans(), label="2d?"):
             g = np.array(flat).reshape(2, -1)
         else:
             g = np.array(flat)
-        assert_np_equal(p[g], {"v": v[g]})
+        try:
+            exp = v[g]
+        except IndexError:
+            with pytest.raises(IndexError):
+                p[g]
+            return
+        assert_np_equal(p[g], {"v": exp})
 
 
 @st.composite
@@ -147,7 +165,7 @@ def reshape_case(draw):
     return shape, f"{' '.join(names)} -> {rhs}", perm, groups
 
 
-@settings(max_examples=60, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=90, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
 @given(reshape_case())
 def test_fuzz_einops_reshape(spark, case):
     shape, pattern, perm, groups = case

@@ -1,0 +1,301 @@
+"""Hypothesis differential fuzzing of the tier-1 symbolic tracer.
+
+The reference's core promise is that ``@vectorize_method`` batches an
+ARBITRARY scalar-written method (`vectorization.py:151-196`; the test
+matrix at `vectorization_test.py:39-106` uses free-form numpy bodies).
+Our tier-1 analog compiles such bodies to Catalyst expressions via
+SymbolicArray (symbolic.py).  This fuzz generates random typed
+expression trees from the supported grammar — arithmetic, comparisons,
+boolean algebra, reductions (incl. boolean ``sum``/``count_nonzero``/
+``any``/``all``), ``np.dot``, indexing, ``np.asarray`` passthrough —
+and asserts BOTH:
+
+1. the trace succeeds (``strict=True``: any silent fallback to the
+   per-row Arrow loop is a test failure, not a warning), and
+2. the Catalyst result is exactly equal to the per-row numpy oracle.
+
+Inputs are small integers stored as float64, and the grammar excludes
+division/sqrt/exp, so every op is exact in IEEE double — comparisons
+are bit-safe and equality is exact, no tolerance needed.
+"""
+
+import numpy as np
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+import dataclass_array_spark as das
+from dataclass_array_spark.core.schema import f64
+
+# The method body under test; swapped per example (driver-side only —
+# tier-1 never ships the closure to an executor).
+_BODY = {"fn": None}
+
+
+@das.dataclass_array(broadcast=True, cast_dtype=True)
+class VT(das.DcaTable):
+    x: f64
+    v: f64["*b 3"]
+
+    @das.vectorize_method(strict=True)
+    def compute(self):
+        return {"r": _BODY["fn"](self)}
+
+
+_N = 7
+
+
+def _data():
+    rng = np.random.RandomState(7)
+    x = rng.randint(-4, 5, size=_N).astype(np.float64)
+    v = rng.randint(-4, 5, size=(_N, 3)).astype(np.float64)
+    # ties + zeros on purpose: max/min/comparison edge cases
+    v[2] = 0.0
+    v[3] = v[1]
+    return x, v
+
+
+_TABLE = {}
+
+
+def table(spark):
+    if "t" not in _TABLE:
+        x, v = _data()
+        _TABLE["t"] = VT(spark, x=x, v=v)
+    return _TABLE["t"]
+
+
+# ---------------------------------------------------------------------------
+# Typed expression grammar.  Node = tuple; first element is the op tag.
+# Types: "s" float scalar, "v" float 3-vector, "bs" bool scalar,
+# "bv" bool 3-vector.
+# ---------------------------------------------------------------------------
+
+_CMPS = [">", ">=", "<", "<=", "==", "!="]
+
+
+def _gen(draw, typ, depth):
+    """Draw an AST of the given type.  Returns (ast, uses_field)."""
+    leaf = depth <= 0 or draw(st.booleans())
+    if typ == "s":
+        if leaf:
+            if draw(st.booleans()):
+                return ("x",), True
+            return ("lit", draw(st.integers(-3, 3))), False
+        op = draw(
+            st.sampled_from(
+                ["add", "sub", "mul", "neg", "abs", "max2", "min2",
+                 "idx", "dot", "sum", "vmax", "vmin", "bsum", "bcnt",
+                 "addb", "mulb"]
+            )
+        )
+        if op in ("addb", "mulb"):
+            # numpy arithmetic over booleans: True behaves as 1
+            a, ua = _gen(draw, "s", depth - 1)
+            b, ub = _gen(draw, "bs", depth - 1)
+            return ("add" if op == "addb" else "mul", a, b), ua or ub
+        if op in ("add", "sub", "mul", "max2", "min2"):
+            a, ua = _gen(draw, "s", depth - 1)
+            b, ub = _gen(draw, "s", depth - 1)
+            return (op, a, b), ua or ub
+        if op in ("neg", "abs"):
+            a, ua = _gen(draw, "s", depth - 1)
+            return (op, a), ua
+        if op == "idx":
+            a, ua = _gen(draw, "v", depth - 1)
+            return (op, a, draw(st.integers(-3, 2))), ua
+        if op == "dot":
+            a, ua = _gen(draw, "v", depth - 1)
+            b, ub = _gen(draw, "v", depth - 1)
+            return (op, a, b), ua or ub
+        if op in ("sum", "vmax", "vmin"):
+            a, ua = _gen(draw, "v", depth - 1)
+            return (op, a), ua
+        # bsum / bcnt: integer count of a boolean vector
+        a, ua = _gen(draw, "bv", depth - 1)
+        return (op, a), ua
+    if typ == "v":
+        if leaf:
+            a = ("v",)
+            if draw(st.booleans()):
+                a = ("asarray", a)  # np.asarray passthrough (trace_context)
+            return a, True
+        op = draw(st.sampled_from(["add", "sub", "mul", "neg", "abs", "max2", "vs"]))
+        if op == "vs":  # vector ⊙ scalar broadcast
+            a, ua = _gen(draw, "v", depth - 1)
+            b, ub = _gen(draw, "s", depth - 1)
+            o2 = draw(st.sampled_from(["add", "mul", "sub"]))
+            return (o2, a, b) if draw(st.booleans()) else (o2, b, a), ua or ub
+        if op in ("neg", "abs"):
+            a, ua = _gen(draw, "v", depth - 1)
+            return (op, a), ua
+        a, ua = _gen(draw, "v", depth - 1)
+        b, ub = _gen(draw, "v", depth - 1)
+        return (op, a, b), ua or ub
+    if typ == "bs":
+        if leaf or depth <= 0:
+            op = draw(st.sampled_from(_CMPS))
+            a, ua = _gen(draw, "s", max(depth - 1, 0))
+            b, ub = _gen(draw, "s", max(depth - 1, 0))
+            return ("cmp", op, a, b), ua or ub
+        op = draw(st.sampled_from(["and", "or", "xor", "not", "any", "all"]))
+        if op == "not":
+            a, ua = _gen(draw, "bs", depth - 1)
+            return (op, a), ua
+        if op in ("any", "all"):
+            a, ua = _gen(draw, "bv", depth - 1)
+            return (op, a), ua
+        a, ua = _gen(draw, "bs", depth - 1)
+        b, ub = _gen(draw, "bs", depth - 1)
+        return (op, a, b), ua or ub
+    # bv: boolean 3-vector
+    if leaf or depth <= 0:
+        op = draw(st.sampled_from(_CMPS))
+        a, ua = _gen(draw, "v", max(depth - 1, 0))
+        if draw(st.booleans()):
+            return ("cmp", op, a, ("lit", draw(st.integers(-2, 2)))), ua
+        b, ub = _gen(draw, "v", max(depth - 1, 0))
+        return ("cmp", op, a, b), ua or ub
+    op = draw(st.sampled_from(["and", "or", "xor", "not"]))
+    if op == "not":
+        a, ua = _gen(draw, "bv", depth - 1)
+        return (op, a), ua
+    a, ua = _gen(draw, "bv", depth - 1)
+    b, ub = _gen(draw, "bv", depth - 1)
+    return (op, a, b), ua or ub
+
+
+def ev(ast, view):
+    """Evaluate an AST against a view — works identically for the
+    symbolic trace view (SymbolicArray fields) and the per-row numpy
+    oracle, because SymbolicArray implements the numpy protocols."""
+    t = ast[0]
+    if t == "x":
+        return view.x
+    if t == "v":
+        return view.v
+    if t == "lit":
+        # np.float64, not float: constant-folded comparisons then yield
+        # np.bool_ (where ~ is logical not) instead of Python bool
+        # (where ~False == -1, which is neither numpy nor traceable)
+        return np.float64(ast[1])
+    if t == "asarray":
+        return np.asarray(ev(ast[1], view))
+    if t == "add":
+        return ev(ast[1], view) + ev(ast[2], view)
+    if t == "sub":
+        return ev(ast[1], view) - ev(ast[2], view)
+    if t == "mul":
+        return ev(ast[1], view) * ev(ast[2], view)
+    if t == "neg":
+        return -ev(ast[1], view)
+    if t == "abs":
+        return abs(ev(ast[1], view))
+    if t == "max2":
+        return np.maximum(ev(ast[1], view), ev(ast[2], view))
+    if t == "min2":
+        return np.minimum(ev(ast[1], view), ev(ast[2], view))
+    if t == "idx":
+        return ev(ast[1], view)[ast[2]]
+    if t == "dot":
+        return np.dot(ev(ast[1], view), ev(ast[2], view))
+    if t == "sum":
+        return np.sum(ev(ast[1], view))
+    if t == "vmax":
+        return np.max(ev(ast[1], view))
+    if t == "vmin":
+        return np.min(ev(ast[1], view))
+    if t == "bsum":
+        return np.sum(ev(ast[1], view))
+    if t == "bcnt":
+        return np.count_nonzero(ev(ast[1], view))
+    if t == "any":
+        return np.any(ev(ast[1], view))
+    if t == "all":
+        return np.all(ev(ast[1], view))
+    if t == "cmp":
+        a, b = ev(ast[2], view), ev(ast[3], view)
+        op = ast[1]
+        if op == ">":
+            return a > b
+        if op == ">=":
+            return a >= b
+        if op == "<":
+            return a < b
+        if op == "<=":
+            return a <= b
+        if op == "==":
+            return a == b
+        return a != b
+    if t == "and":
+        return ev(ast[1], view) & ev(ast[2], view)
+    if t == "or":
+        return ev(ast[1], view) | ev(ast[2], view)
+    if t == "xor":
+        return ev(ast[1], view) ^ ev(ast[2], view)
+    if t == "not":
+        return ~ev(ast[1], view)
+    raise AssertionError(f"unknown node {t}")
+
+
+class _Row:
+    def __init__(self, x, v):
+        self.x = x
+        self.v = v
+
+
+@st.composite
+def out_expr(draw):
+    typ = draw(st.sampled_from(["s", "s", "bs", "v", "bv"]))
+    depth = draw(st.integers(1, 4))
+    ast, uses_field = _gen(draw, typ, depth)
+    if not uses_field:
+        # a constant expression isn't a batched method — regenerate
+        # with a field forced in at the root
+        if typ in ("s", "v"):
+            ast = ("add", ast, ("x",) if typ == "s" else ("v",))
+        elif typ == "bs":
+            ast = ("or", ast, ("cmp", ">", ("x",), ("lit", 0)))
+        else:
+            ast = ("or", ast, ("cmp", ">", ("v",), ("lit", 0)))
+    return ast
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(out_expr())
+def test_fuzz_tier1_trace_matches_numpy(spark, ast):
+    t = table(spark)
+    _BODY["fn"] = lambda view: ev(ast, view)
+    # strict=True: a trace failure raises instead of silently running
+    # the per-row Arrow loop — the grammar must ALWAYS stay tier-1.
+    out = t.compute().to_numpy_fields()["r"]
+    x, v = _data()
+    exp = np.array([ev(ast, _Row(x[i], v[i])) for i in range(_N)])
+    assert out.shape == exp.shape, f"shape {out.shape} != {exp.shape} for {ast}"
+    # exact: all inputs are small integers, all grammar ops are exact
+    # in double (no division/sqrt), so Catalyst and numpy must agree bitwise
+    np.testing.assert_array_equal(
+        np.asarray(out, dtype=np.float64),
+        np.asarray(exp, dtype=np.float64),
+        err_msg=f"ast {ast}",
+    )
+
+
+def test_tier1_plan_has_no_python_stage(spark):
+    """The traced plan must stay JVM-side: no MapInPandas /
+    BatchEvalPython / ArrowEvalPython node anywhere."""
+    t = table(spark)
+    _BODY["fn"] = lambda view: np.sum(np.asarray(view.v) > 0) + (view.x > 1)
+    out = t.compute()
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, f"{bad} found in tier-1 plan:\n{plan}"

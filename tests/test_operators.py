@@ -173,6 +173,27 @@ def test_knn_join_full_probe_equals_brute_force(spark):
     )
 
 
+def test_knn_join_kmeans_full_probe_equals_brute_force(spark):
+    """centroids="kmeans" only changes WHICH cells exist, never the
+    scoring: under full probe the result must still equal
+    brute_force_topk exactly, trained centroids or not."""
+    import pandas as pd
+    from dataclass_array_spark.operators.similarity import brute_force_topk, knn_join
+
+    rng = np.random.RandomState(47)
+    vecs = rng.randn(60, 8).astype(np.float32)
+    pdf = pd.DataFrame({"id": range(60), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select("id", F.col("v").cast("array<float>").alias("v"))
+    exact = brute_force_topk(df, df, "id", "id", "v", k=3).toPandas()
+    joined = knn_join(
+        df, df, "id", "id", "v", n_centroids=4, nprobe=4, k=3, exclude_self=True,
+        centroids="kmeans", kmeans_iters=2,
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), joined.reset_index(drop=True)
+    )
+
+
 def test_assign_cells_udf_matches_expression(spark, monkeypatch):
     """The Arrow numpy cell probe must be BIT-IDENTICAL to the
     expression ranking (dim-major fold order, lower-cid tie-break) for
