@@ -22,7 +22,12 @@ boolean algebra (``> >= < <= == !=``, ``& | ^ ~``) with boolean
 reductions ``np.sum/count_nonzero/any/all/mean`` compiling to
 ``size(filter(...))`` / ``exists`` / ``forall``, ``.astype``,
 ``np.asarray`` passthrough during the trace (see ``trace_context``),
-``np.transpose`` / ``.T``, int indexing, ``np.linalg.norm`` — over scalar fields
+``np.transpose`` / ``.T``, int indexing, ``np.linalg.norm``,
+``np.where`` (``when/otherwise``, numpy dtype rule: bool only when both
+branches are bool), ``np.clip``, ``np.argmax``/``np.argmin`` (first-
+match tie rule via ``array_position``), ``np.floor``/``np.ceil``/
+``np.sign``/``np.rint``/``np.round(decimals=0)`` (half-even →
+``bround``) / ``np.tanh`` — over scalar fields
 (inner_ndim 0), vector fields (inner_ndim 1), and matrix fields
 (inner_ndim 2, e.g. a 3×3 rotation: reference
 `array_dataclass_test.py:78-102` ``Isometrie``).  All folds are
@@ -316,6 +321,50 @@ class SymbolicArray:
             is_bool=(t == "boolean"),
         )
 
+    def clip(self, lo=None, hi=None) -> "SymbolicArray":
+        """numpy ``clip``: ``minimum(maximum(x, lo), hi)`` — the same
+        order, so ``lo > hi`` yields ``hi`` exactly like numpy."""
+
+        def bound(v):
+            if isinstance(v, SymbolicArray):
+                if v.inner_ndim != 0:
+                    raise TraceError("clip bounds must be scalar")
+                return v._num().col
+            if isinstance(v, np.ndarray) and v.ndim == 0:
+                v = v.item()
+            if isinstance(v, (bool, np.bool_, int, float, np.floating, np.integer)):
+                return F.lit(float(v))
+            raise TraceError(f"unsupported clip bound {v!r}")
+
+        lo_c = bound(lo) if lo is not None else None
+        hi_c = bound(hi) if hi is not None else None
+        if lo_c is None and hi_c is None:
+            raise TraceError("clip needs at least one bound")
+
+        def g(c):
+            if lo_c is not None:
+                c = F.greatest(c, lo_c)
+            if hi_c is not None:
+                c = F.least(c, hi_c)
+            return c
+
+        return self._num()._map(g)
+
+    def argmax(self, axis=None):
+        return self._arg_extreme(F.array_max, axis)
+
+    def argmin(self, axis=None):
+        return self._arg_extreme(F.array_min, axis)
+
+    def _arg_extreme(self, f2, axis):
+        """numpy argmax/argmin over a vector field: index of the FIRST
+        extreme element — ``array_position`` finds the first match
+        (numpy's tie rule), 1-based so minus 1."""
+        if self.inner_ndim != 1 or axis not in (None, 0, -1):
+            raise TraceError("argmax/argmin trace only on rank-1 fields")
+        c = self._num().col
+        return SymbolicArray((F.array_position(c, f2(c)) - F.lit(1)).cast("long"), 0)
+
     # numpy-style reduction methods (arr.sum() / arr.any() / ...)
     def sum(self, axis=None):
         return self._reduce("sum", axis)
@@ -501,6 +550,13 @@ class SymbolicArray:
         np.sqrt: F.sqrt,
         np.exp: F.exp,
         np.log: F.log,
+        np.tanh: F.tanh,
+        np.sign: F.signum,
+        # Spark floor/ceil return BIGINT; numpy keeps float64
+        np.floor: lambda c: F.floor(c).cast("double"),
+        np.ceil: lambda c: F.ceil(c).cast("double"),
+        # rint rounds half-to-even — Spark's bround, NOT round (half-up)
+        np.rint: lambda c: F.bround(c, 0),
     }
 
     def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
@@ -532,7 +588,85 @@ class SymbolicArray:
                    np.min: "min", np.amin: "min", np.any: "any", np.all: "all",
                    np.count_nonzero: "countnz"}
 
+    @staticmethod
+    def _where(cond: "SymbolicArray", a, b) -> "SymbolicArray":
+        """``np.where(cond, a, b)`` → ``when(c, a).otherwise(b)``
+        elementwise.  cond must be a traced boolean; each branch is a
+        same-rank SymbolicArray or a scalar (symbolic or literal).
+        Rank ≤ 1 (vector conds zip with vector/scalar branches)."""
+        if not isinstance(cond, SymbolicArray) or not cond.is_bool:
+            raise TraceError("np.where condition must be a traced boolean")
+        r = cond.inner_ndim
+        if r > 1:
+            raise TraceError("np.where traces only rank <= 1 conditions")
+
+        def branch(v, numeric):
+            """→ (col_or_lit, is_vector); ``numeric`` coerces booleans
+            to 0/1 (numpy upcasting when the OTHER branch is numeric)"""
+            if isinstance(v, SymbolicArray):
+                if numeric:
+                    v = v._num()
+                if v.inner_ndim == r and r > 0:
+                    return v.col, True
+                if v.inner_ndim == 0:
+                    return v.col, False
+                raise TraceError("np.where branch rank mismatch")
+            if isinstance(v, np.ndarray) and v.ndim == 0:
+                v = v.item()
+            if isinstance(v, (bool, np.bool_)) and not numeric:
+                return F.lit(bool(v)), False
+            if isinstance(v, (bool, np.bool_, int, float, np.floating, np.integer)):
+                return F.lit(float(v)), False
+            raise TraceError(f"unsupported np.where branch {v!r}")
+
+        def is_boolish(v):
+            if isinstance(v, SymbolicArray):
+                return v.is_bool
+            if isinstance(v, np.ndarray) and v.ndim == 0:
+                v = v.item()
+            return isinstance(v, (bool, np.bool_))
+
+        # numpy dtype rule: bool result only when BOTH branches are bool
+        both_bool = is_boolish(a) and is_boolish(b)
+        ac, avec = branch(a, numeric=not both_bool)
+        bc, bvec = branch(b, numeric=not both_bool)
+        if r == 0:
+            return SymbolicArray(
+                F.when(cond.col, ac).otherwise(bc), 0, is_bool=both_bool
+            )
+        if avec and bvec:
+            paired = F.zip_with(ac, bc, lambda x, y: F.struct(x.alias("a"), y.alias("b")))
+            out = F.zip_with(
+                cond.col, paired, lambda c, s: F.when(c, s["a"]).otherwise(s["b"])
+            )
+        elif avec:
+            out = F.zip_with(cond.col, ac, lambda c, x: F.when(c, x).otherwise(bc))
+        elif bvec:
+            out = F.zip_with(cond.col, bc, lambda c, y: F.when(c, ac).otherwise(y))
+        else:
+            out = F.transform(cond.col, lambda c: F.when(c, ac).otherwise(bc))
+        return SymbolicArray(out, 1, is_bool=both_bool)
+
     def __array_function__(self, func, types, args, kwargs):
+        if func is np.where and len(args) == 3 and not kwargs:
+            return SymbolicArray._where(*args)
+        if func is np.clip and len(args) >= 1 and isinstance(args[0], SymbolicArray):
+            lo = args[1] if len(args) > 1 else kwargs.pop("a_min", None)
+            hi = args[2] if len(args) > 2 else kwargs.pop("a_max", None)
+            return args[0].clip(lo, hi)
+        if func in (np.round, np.around) and args and isinstance(args[0], SymbolicArray):
+            dec = kwargs.pop("decimals", args[1] if len(args) > 1 else 0)
+            if dec != 0 or kwargs:
+                # binary-double rounding at decimals>0 differs subtly
+                # between engines — refuse rather than near-miss
+                raise TraceError("np.round traces only with decimals=0")
+            return args[0]._num()._map(lambda c: F.bround(c, 0))
+        if func in (np.argmax, np.argmin) and args and isinstance(args[0], SymbolicArray):
+            axis = kwargs.pop("axis", args[1] if len(args) > 1 else None)
+            if kwargs:
+                raise TraceError(f"unsupported argmax/argmin kwargs {kwargs}")
+            f2 = F.array_max if func is np.argmax else F.array_min
+            return args[0]._arg_extreme(f2, axis)
         if func in (np.dot, np.matmul) and len(args) == 2:
             a, b = args
             if isinstance(a, SymbolicArray):

@@ -90,9 +90,25 @@ def _gen(draw, typ, depth):
             st.sampled_from(
                 ["add", "sub", "mul", "neg", "abs", "max2", "min2",
                  "idx", "dot", "sum", "vmax", "vmin", "bsum", "bcnt",
-                 "addb", "mulb"]
+                 "addb", "mulb", "floor", "ceil", "sign", "rint",
+                 "clip", "where_s", "argmax", "argmin"]
             )
         )
+        if op in ("floor", "ceil", "sign", "rint"):
+            a, ua = _gen(draw, "s", depth - 1)
+            return (op, a), ua
+        if op == "clip":
+            a, ua = _gen(draw, "s", depth - 1)
+            lo = draw(st.integers(-2, 2))
+            return (op, a, lo, lo + draw(st.integers(-1, 3))), ua
+        if op == "where_s":
+            c, uc = _gen(draw, "bs", depth - 1)
+            a, ua = _gen(draw, "s", depth - 1)
+            b, ub = _gen(draw, "s", depth - 1)
+            return ("where", c, a, b), uc or ua or ub
+        if op in ("argmax", "argmin"):
+            a, ua = _gen(draw, "v", depth - 1)
+            return (op, a), ua
         if op in ("addb", "mulb"):
             # numpy arithmetic over booleans: True behaves as 1
             a, ua = _gen(draw, "s", depth - 1)
@@ -124,7 +140,24 @@ def _gen(draw, typ, depth):
             if draw(st.booleans()):
                 a = ("asarray", a)  # np.asarray passthrough (trace_context)
             return a, True
-        op = draw(st.sampled_from(["add", "sub", "mul", "neg", "abs", "max2", "vs"]))
+        op = draw(
+            st.sampled_from(
+                ["add", "sub", "mul", "neg", "abs", "max2", "vs",
+                 "clipv", "wherev", "floor", "sign"]
+            )
+        )
+        if op in ("floor", "sign"):
+            a, ua = _gen(draw, "v", depth - 1)
+            return (op, a), ua
+        if op == "clipv":
+            a, ua = _gen(draw, "v", depth - 1)
+            lo = draw(st.integers(-2, 2))
+            return ("clip", a, lo, lo + draw(st.integers(-1, 3))), ua
+        if op == "wherev":
+            c, uc = _gen(draw, "bv", depth - 1)
+            a, ua = _gen(draw, "v" if draw(st.booleans()) else "s", depth - 1)
+            b, ub = _gen(draw, "v" if draw(st.booleans()) else "s", depth - 1)
+            return ("where", c, a, b), uc or ua or ub
         if op == "vs":  # vector ⊙ scalar broadcast
             a, ua = _gen(draw, "v", depth - 1)
             b, ub = _gen(draw, "s", depth - 1)
@@ -209,6 +242,22 @@ def ev(ast, view):
         return np.max(ev(ast[1], view))
     if t == "vmin":
         return np.min(ev(ast[1], view))
+    if t == "floor":
+        return np.floor(ev(ast[1], view))
+    if t == "ceil":
+        return np.ceil(ev(ast[1], view))
+    if t == "sign":
+        return np.sign(ev(ast[1], view))
+    if t == "rint":
+        return np.rint(ev(ast[1], view))
+    if t == "clip":
+        return np.clip(ev(ast[1], view), float(ast[2]), float(ast[3]))
+    if t == "where":
+        return np.where(ev(ast[1], view), ev(ast[2], view), ev(ast[3], view))
+    if t == "argmax":
+        return np.argmax(ev(ast[1], view))
+    if t == "argmin":
+        return np.argmin(ev(ast[1], view))
     if t == "bsum":
         return np.sum(ev(ast[1], view))
     if t == "bcnt":
