@@ -67,7 +67,16 @@ def _argmin_cluster(vec: Column, centroids: List[List[float]]) -> Column:
 # Arrow round-trip (PERF.md round-2 note).  Both paths are bit-identical
 # (same left-to-right fold order, same first-min tie-break) —
 # tests/test_operators.py::test_kmeans_udf_path_matches_expression_path.
-_ARGMIN_UDF_THRESHOLD = 4096
+# Crossover re-measured round 7 at sf0.1 with per-gate isolated warm
+# runs (the round-2 note turned out to be ordering noise): k=32·dim=64
+# = 2048 literals: 18.8 s expression vs 7.8 s Arrow (semantic_dedup_auto);
+# k=8·dim=64 = 512: 8.2-9.3 s expression vs 6.0-6.9 s Arrow
+# (semantic_dedup_embeddings), 4x warm wins for Arrow on
+# embedding_kmeans_clusters too — the old 4096 cutoff mispriced
+# plan-compile, which is paid PER Lloyd iteration.  256 keeps only
+# genuinely tiny centroid sets (unit fixtures, k·dim ≤ a few dozen) on
+# the in-scan expression.
+_ARGMIN_UDF_THRESHOLD = 256
 
 
 def _argmin_udf(centroids: List[List[float]]):
@@ -128,47 +137,89 @@ def kmeans_fit(
     vec_col: str,
     k: int = 8,
     iters: int = 3,
+    train_limit: "int | None" = None,
+    _vecs: "DataFrame | None" = None,
 ) -> List[List[float]]:
     """Lloyd's k-means centroid training only — deterministic init
     (first k rows by id), fixed ``iters`` assignment/update rounds.
     The composition entry point for operators that need trained
     centroids without a final assignment pass (e.g.
     :func:`~dataclass_array_spark.operators.similarity.knn_join` with
-    ``centroids="kmeans"``)."""
-    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    centroids: List[List[float]] = [
-        r["v"] for r in vecs.orderBy(id_col).limit(k).collect()
-    ]
-    if not centroids:
-        raise ValueError("kmeans_fit: input has no rows")
-    # clamp: fewer rows than k means fewer init centroids; the
-    # empty-cluster carry below indexes centroids[i], so k must not
-    # exceed what the init collect actually produced.
-    k = min(k, len(centroids))
-    dim = len(centroids[0])
-    for _ in range(iters):
-        # per-dim columns instead of posexplode: the update shuffle
-        # carries k rows per partition (map-side combined), not k*dim
-        assigned = vecs.select(
-            _argmin(F.col("v"), centroids).cluster.alias("cluster"),
-            *[F.element_at("v", d + 1).alias(f"d{d}") for d in range(dim)],
-        )
-        # plain decimal sums only — the floor-split runs on the driver
-        # over k rows (less codegen than 64 floor-split trees per plan)
-        rows = assigned.groupBy("cluster").agg(
-            F.count("*").alias("_n"),
-            *[F.sum(F.col(f"d{d}").cast(_DEC)).alias(f"s{d}") for d in range(dim)],
-        ).collect()
-        by_cid = {
-            r["cluster"]: [
-                _mean_from_decimal(r[f"s{d}"], r["_n"]) for d in range(dim)
-            ]
-            for r in rows
-        }
-        centroids = [
-            by_cid.get(i, centroids[i])  # empty cluster keeps its centroid
-            for i in range(k)
+    ``centroids="kmeans"``).
+
+    ``train_limit``: train on the ``train_limit`` LOWEST-id rows only
+    (a deterministic, oracle-replayable sample — the standard IVF
+    recipe: centroids are k×dim doubles of metadata, so learning them
+    from a bounded subset instead of ``iters`` full-corpus passes loses
+    nothing at scale).  The sample is one ``TakeOrderedAndProject``
+    (map-side partial top-m, single reduce) materialized ONCE and
+    cached; each Lloyd round then runs over the cached m rows, so the
+    corpus is scanned exactly once no matter how many iterations.  With
+    ``train_limit >= n`` this degrades gracefully to full training
+    (LIMIT past the row count is a no-op in Spark and DuckDB alike —
+    the oracle mirrors it verbatim, ``kmeans_sql_ctes(train_limit=)``).
+    ``None`` keeps full-corpus training, with the casted vecs frame
+    cached across iterations when ``iters > 1``.  Keep ``train_limit``
+    modest (≤ ~1M — it is a SAMPLE: ~100×k rows suffice): the top-m
+    pass holds an m-sized bounded priority queue per task
+    (TakeOrderedAndProject), so an absurdly large limit costs memory,
+    not correctness.
+
+    ``_vecs``: internal — a pre-built/pre-cached ``(id, v)`` frame to
+    train over, letting callers (``kmeans_assign``) share one cached
+    frame between training and the final assignment pass.
+    """
+    vecs = (
+        _vecs
+        if _vecs is not None
+        else df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    )
+    train = vecs
+    if train_limit is not None:
+        train = vecs.orderBy(id_col).limit(int(train_limit))
+    # cache whatever frame the Lloyd rounds iterate over: the sampled
+    # frame always (it is re-read iters times and driver-bounded), the
+    # full frame only when there is more than one pass to amortize.
+    own_cache = train_limit is not None or (iters > 1 and _vecs is None)
+    if own_cache:
+        train = train.persist()
+    try:
+        centroids: List[List[float]] = [
+            r["v"] for r in train.orderBy(id_col).limit(k).collect()
         ]
+        if not centroids:
+            raise ValueError("kmeans_fit: input has no rows")
+        # clamp: fewer rows than k means fewer init centroids; the
+        # empty-cluster carry below indexes centroids[i], so k must not
+        # exceed what the init collect actually produced.
+        k = min(k, len(centroids))
+        dim = len(centroids[0])
+        for _ in range(iters):
+            # per-dim columns instead of posexplode: the update shuffle
+            # carries k rows per partition (map-side combined), not k*dim
+            assigned = train.select(
+                _argmin(F.col("v"), centroids).cluster.alias("cluster"),
+                *[F.element_at("v", d + 1).alias(f"d{d}") for d in range(dim)],
+            )
+            # plain decimal sums only — the floor-split runs on the driver
+            # over k rows (less codegen than 64 floor-split trees per plan)
+            rows = assigned.groupBy("cluster").agg(
+                F.count("*").alias("_n"),
+                *[F.sum(F.col(f"d{d}").cast(_DEC)).alias(f"s{d}") for d in range(dim)],
+            ).collect()
+            by_cid = {
+                r["cluster"]: [
+                    _mean_from_decimal(r[f"s{d}"], r["_n"]) for d in range(dim)
+                ]
+                for r in rows
+            }
+            centroids = [
+                by_cid.get(i, centroids[i])  # empty cluster keeps its centroid
+                for i in range(k)
+            ]
+    finally:
+        if own_cache:
+            train.unpersist()
     return centroids
 
 
@@ -179,17 +230,39 @@ def kmeans_assign(
     k: int = 8,
     iters: int = 3,
     keep_vec: bool = False,
+    train_limit: "int | None" = None,
 ) -> Tuple[DataFrame, List[List[float]]]:
     """Lloyd's k-means with deterministic init (first k rows by id).
 
     Returns ``(assignment_df, centroids)`` where the assignment has
     ``(id, cluster, dist)`` — ``dist`` the squared L2 distance to the
     final centroid.  Fixed ``iters`` assignment/update rounds (the
-    :func:`kmeans_fit` loop), then one final assignment against the
-    last centroids.
+    :func:`kmeans_fit` loop, over the full corpus or a deterministic
+    lowest-id ``train_limit`` sample), then one final assignment
+    against the last centroids.  The casted ``(id, v)`` frame is built
+    ONCE, cached for the duration of training when the Lloyd rounds
+    re-read it, and reused by the final assignment — the corpus parquet
+    is decoded once, not ``iters + 1`` times.
     """
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    # full-corpus training re-reads vecs every Lloyd round — cache it
+    # for the duration of training (sampled training caches its own
+    # tiny subset inside kmeans_fit instead).  Unpersisting BEFORE the
+    # final assignment is built is safe and leak-free: unpersist only
+    # drops blocks, the final job recomputes from lineage — one scan,
+    # which a corpus-sized output pass needs anyway.  Net scans:
+    # 1 (cache fill) + 1 (final) instead of iters + 1.
+    train_cache = train_limit is None and iters >= 1
+    if train_cache:
+        vecs = vecs.persist()
+    try:
+        centroids = kmeans_fit(
+            df, id_col, vec_col, k=k, iters=iters,
+            train_limit=train_limit, _vecs=vecs,
+        )
+    finally:
+        if train_cache:
+            vecs.unpersist()
     best = _argmin(F.col("v"), centroids)
     cols = [F.col(id_col), best.cluster.alias("cluster"), best.dist.alias("dist")]
     if keep_vec:
@@ -205,6 +278,7 @@ def kmeans_sql_ctes(
     dim: int,
     k: "int | str" = 8,
     iters: int = 3,
+    train_limit: "int | None" = None,
 ) -> str:
     """DuckDB CTE chain for the unrolled k-means (assignment -> per-dim
     mean -> centroid carry), ending at ``afinal(vec_id, cid, dist)``;
@@ -213,32 +287,45 @@ def kmeans_sql_ctes(
     ``k`` may be a SQL scalar-subquery string (e.g. ``"(SELECT
     (COUNT(*) + 63) // 64 FROM t)"``) for data-dependent k — the oracle
     counterpart of :func:`semantic_dedup`'s ``k="auto"``; DuckDB's LIMIT
-    accepts subquery expressions."""
+    accepts subquery expressions.
+
+    ``train_limit`` mirrors :func:`kmeans_fit`'s sampled training: the
+    Lloyd rounds (assignment + mean updates) run over ``et`` — the
+    ``train_limit`` lowest-id rows — while ``afinal`` still assigns the
+    FULL corpus against the trained centroids.  ``None`` keeps ``et``
+    = ``e`` (full training), leaving all pre-existing oracles
+    value-identical."""
     fold = (
         "list_reduce(list_prepend(0.0, list_transform(list_zip(e.v, c.cv), "
         "p -> (p[1]-p[2])*(p[1]-p[2]))), (acc, x) -> acc + x)"
     )
 
-    def assign(ci: str) -> str:
+    def assign(ci: str, src: str = "e") -> str:
         return f"""(
   SELECT vec_id, cid, dist FROM (
     SELECT vec_id, cid, dist,
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
     FROM (SELECT e.{id_col} AS vec_id, c.cid, {fold} AS dist
-          FROM e CROSS JOIN {ci} c)
+          FROM {src} e CROSS JOIN {ci} c)
   ) WHERE rn = 1
 )"""
 
+    if train_limit is None:
+        et = "SELECT * FROM e"
+    else:
+        et = f"SELECT * FROM e ORDER BY {id_col} LIMIT {int(train_limit)}"
     parts = [
         f"""WITH e AS (
   SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+), et AS (
+  {et}
 ), c0 AS (
   SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cid, v AS cv
-  FROM (SELECT {id_col}, v FROM e ORDER BY {id_col} LIMIT {k})
+  FROM (SELECT {id_col}, v FROM et ORDER BY {id_col} LIMIT {k})
 )"""
     ]
     for i in range(iters):
-        parts.append(f", a{i} AS {assign(f'c{i}')}")
+        parts.append(f", a{i} AS {assign(f'c{i}', src='et')}")
         parts.append(
             f""", m{i} AS (
   SELECT cid, list(m ORDER BY dim) AS cv FROM (
@@ -246,7 +333,7 @@ def kmeans_sql_ctes(
            (CAST(FLOOR(s) AS DOUBLE) + CAST(s - FLOOR(s) AS DOUBLE)) / cnt AS m
     FROM (SELECT a.cid, gs.i AS dim,
                  SUM(CAST(e.v[gs.i] AS DECIMAL(38,9))) AS s, COUNT(*) AS cnt
-          FROM a{i} a JOIN e ON e.{id_col} = a.vec_id,
+          FROM a{i} a JOIN et e ON e.{id_col} = a.vec_id,
                generate_series(1, {dim}) gs(i)
           GROUP BY a.cid, gs.i)
   ) GROUP BY cid
@@ -266,10 +353,11 @@ def kmeans_sql(
     dim: int,
     k: int = 8,
     iters: int = 3,
+    train_limit: "int | None" = None,
 ) -> str:
     """DuckDB oracle for :func:`kmeans_assign` final assignments."""
     return (
-        kmeans_sql_ctes(table, id_col, vec_col, dim, k, iters)
+        kmeans_sql_ctes(table, id_col, vec_col, dim, k, iters, train_limit)
         + f"""
 SELECT vec_id AS {id_col}, CAST(cid AS BIGINT) AS cluster,
        CAST(FLOOR(dist * 1e9) AS BIGINT) AS dist_e9
@@ -286,6 +374,8 @@ def semantic_dedup(
     cos_threshold: float = 0.45,
     target_cluster_size: int = 256,
     max_cluster_size: "int | None" = None,
+    train_limit: "int | None" = None,
+    pin: str = "local",
 ) -> DataFrame:
     """SemDeDup: k-means partition, then drop within-cluster cosine
     near-duplicates (keep the lowest id of each near-dup pair).
@@ -309,15 +399,39 @@ def semantic_dedup(
     documented recall trade on oversized clusters, deterministic.  The
     capping window runs on the cluster key the self-join shuffles on.
 
+    ``train_limit`` samples k-means training to the lowest-id rows
+    (see :func:`kmeans_fit`); ``pin`` picks how the assignment frame is
+    materialized before fanning out into the self-join and anti-join —
+    ``"local"`` (executor-memory localCheckpoint, fast) vs
+    ``"reliable"`` (checkpoint dir, survives executor loss — the right
+    choice for long 100 TB runs; see
+    :func:`~dataclass_array_spark.core.table.pin_materialization`).
+
     Returns ``(id, cluster)`` of surviving rows.
     """
+    from dataclass_array_spark.core.table import pin_materialization
     from dataclass_array_spark.operators.similarity import cosine, norm2
 
+    # one casted vecs frame feeds the auto-k count, every Lloyd round,
+    # and the final assignment — built and cached ONCE (the count job
+    # doubles as the cache materialization instead of being an extra
+    # full pass over the raw input).
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    vecs = vecs.persist()
     if k == "auto":
-        n = df.count()
+        n = vecs.count()
         k = max(1, -(-n // target_cluster_size))  # ceil div
-    assign, _ = kmeans_assign(df, id_col, vec_col, k, iters, keep_vec=True)
-    assign = assign.withColumn("n2", norm2(F.col("v"))).localCheckpoint(eager=True)
+    centroids = kmeans_fit(
+        df, id_col, vec_col, k=k, iters=iters,
+        train_limit=train_limit, _vecs=vecs,
+    )
+    best = _argmin(F.col("v"), centroids)
+    assign = vecs.select(
+        F.col(id_col), best.cluster.alias("cluster"), best.dist.alias("dist"),
+        F.col("v"),
+    )
+    assign = pin_materialization(assign.withColumn("n2", norm2(F.col("v"))), pin)
+    vecs.unpersist()  # pinned assignment supersedes the training cache
     pairable = assign
     if max_cluster_size is not None:
         wclus = Window.partitionBy("cluster").orderBy(id_col)
@@ -353,9 +467,11 @@ def semantic_dedup_sql(
     iters: int = 3,
     cos_threshold: float = 0.45,
     max_cluster_size: "int | None" = None,
+    train_limit: "int | None" = None,
 ) -> str:
     """DuckDB oracle for :func:`semantic_dedup` (incl. the
-    ``max_cluster_size`` pair cap — lowest ids per cluster pair up)."""
+    ``max_cluster_size`` pair cap — lowest ids per cluster pair up —
+    and ``train_limit`` sampled training)."""
     dot = (
         "list_reduce(list_prepend(0.0, list_transform(list_zip(ea.v, eb.v), "
         "p -> p[1]*p[2])), (acc, x) -> acc + x)"
@@ -376,7 +492,7 @@ def semantic_dedup_sql(
     else:
         pairable = "\n, pairable AS (SELECT vec_id, cid FROM afinal)"
     return (
-        kmeans_sql_ctes(table, id_col, vec_col, dim, k, iters)
+        kmeans_sql_ctes(table, id_col, vec_col, dim, k, iters, train_limit)
         + pairable
         + f"""
 , n AS (SELECT {id_col} AS nid, {n2} AS n2 FROM e)

@@ -17,21 +17,34 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    pin: str = "local",
 ) -> DataFrame:
     """→ (node, component) where component = min node id reachable.
 
     Min-label propagation: every node repeatedly adopts the smallest
     label among itself and its neighbors until no label changes.
+
+    ``pin`` selects how the per-iteration materializations are pinned:
+    ``"local"`` (executor-memory localCheckpoint — fast, but an
+    executor loss mid-loop kills the job because the truncated lineage
+    cannot recompute) vs ``"reliable"`` (checkpoint dir — survives
+    executor loss; the right mode for long 100 TB dedup runs).  See
+    :func:`~dataclass_array_spark.core.table.pin_materialization`.
     """
-    sym = (
+    from dataclass_array_spark.core.table import pin_materialization
+
+    sym = pin_materialization(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+        .distinct(),
         # materialize ONCE: every iteration joins against the edge set,
         # and without this the (possibly expensive) upstream lineage —
         # e.g. a whole MinHash pipeline — re-executes per iteration
-        .localCheckpoint(eager=True)
+        pin,
     )
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -52,13 +65,13 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            # checkpoint BEFORE the convergence count: the count and the
-            # next iteration then share one materialization instead of
-            # executing the join/agg pipeline twice per iteration (the
-            # count would otherwise materialize it, and the next
-            # iteration would recompute it from lineage)
-            .localCheckpoint(eager=True)
         )
+        # checkpoint BEFORE the convergence count: the count and the
+        # next iteration then share one materialization instead of
+        # executing the join/agg pipeline twice per iteration (the
+        # count would otherwise materialize it, and the next
+        # iteration would recompute it from lineage)
+        new_labels = pin_materialization(new_labels, pin)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")

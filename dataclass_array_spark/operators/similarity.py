@@ -94,12 +94,20 @@ def _srp_signs(p: int, dim: int) -> list[float]:
     ]
 
 
-def srp_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+def srp_signature(
+    vec: Column, dim: int, n_planes: int = 16, planes: "list | None" = None
+) -> Column:
     """Signed-random-projection signature: deterministic md5-derived
-    hyperplanes, engine-portable and reproducible across runs."""
+    hyperplanes, engine-portable and reproducible across runs.
+    ``planes`` overrides the md5 signs with explicit hyperplane
+    component lists (e.g. data-trained planes — see
+    :func:`srp_lsh_topk` ``planes="kmeans"``)."""
 
     def plane_dot(p: int) -> Column:
-        signs = F.lit(_srp_signs(p, dim))
+        signs = F.lit(
+            [float(x) for x in planes[p]] if planes is not None
+            else _srp_signs(p, dim)
+        )
         return F.aggregate(
             F.zip_with(vec.cast("array<double>"), signs, lambda x, s: x * s),
             F.lit(0.0),
@@ -126,20 +134,46 @@ def srp_lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     score: str = "auto",
+    planes: str = "random",
+    kmeans_iters: int = 2,
+    kmeans_train_limit: "int | None" = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the SRP bucket (equi-join on
-    the signature — a plain hash shuffle instead of a cross join)."""
+    the signature — a plain hash shuffle instead of a cross join).
+
+    ``planes="random"`` (default, oracle-replayable) uses md5-derived
+    ±1 hyperplanes.  ``planes="kmeans"`` trains ``n_planes + 1``
+    Lloyd's centroids on the corpus (sampled via
+    ``kmeans_train_limit`` — one bounded pass, see
+    :func:`~dataclass_array_spark.operators.clustering.kmeans_fit`) and
+    uses consecutive centroid DIFFERENCES as hyperplanes — the learned-
+    LSH construction: each plane bisects a pair of real cluster
+    centers, so co-cluster vectors land in the same bucket far more
+    often than under data-blind random planes.  Bucketing/scoring are
+    otherwise identical; deterministic given the corpus."""
+    plane_list = None
+    if planes == "kmeans":
+        cents = _trained_cents(
+            corpus, corpus_id, vec_col, n_planes + 1, kmeans_iters,
+            kmeans_train_limit,
+        )
+        plane_list = [
+            [a - b for a, b in zip(cents[p]["cent_v"], cents[p + 1]["cent_v"])]
+            for p in range(n_planes)
+        ]
+    elif planes != "random":
+        raise ValueError(f"planes must be 'random' or 'kmeans', got {planes!r}")
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(vec_col).alias("qv"),
         norm2(F.col(vec_col)).alias("qn2"),
-        srp_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+        srp_signature(F.col(vec_col), dim, n_planes, plane_list).alias("bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("nid"),
         F.col(vec_col).alias("cv"),
         norm2(F.col(vec_col)).alias("cn2"),
-        srp_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+        srp_signature(F.col(vec_col), dim, n_planes, plane_list).alias("bucket"),
     )
     # bucket-collision candidates are corpus-scale → "auto" = Arrow
     scored = _score_pairs(
@@ -385,6 +419,35 @@ def _cell_block_topk(
     )
 
 
+def _trained_cents(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    iters: int,
+    train_limit: "int | None",
+) -> list:
+    """Lloyd's-trained IVF centroids in the ``cents`` row shape the
+    cell-assignment paths consume (``cent_id``/``cent_v``/``cent_n2``).
+    ``cent_n2`` is a sequential left-fold in python — the same
+    IEEE-double fold order as the Spark/DuckDB ``aggregate``/
+    ``list_reduce`` norms, so expression, Arrow, and SQL-oracle cell
+    rankings all agree bit-for-bit."""
+    from dataclass_array_spark.operators.clustering import kmeans_fit
+
+    cks = kmeans_fit(
+        corpus, id_col, vec_col, k=n_centroids, iters=iters,
+        train_limit=train_limit,
+    )
+    cents = []
+    for i, cv in enumerate(cks):
+        s = 0.0
+        for x in cv:
+            s += x * x
+        cents.append({"cent_id": i, "cent_v": cv, "cent_n2": s})
+    return cents
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -399,6 +462,7 @@ def knn_join(
     score: str = "auto",
     centroids: str = "first",
     kmeans_iters: int = 3,
+    kmeans_train_limit: "int | None" = None,
 ) -> DataFrame:
     """Large × large kNN JOIN: every LEFT vector gets its cosine top-k
     among RIGHT vectors sharing an IVF cell — with NEITHER side
@@ -446,22 +510,20 @@ def knn_join(
     default.  ``"kmeans"`` trains real Lloyd's centroids first
     (:func:`~dataclass_array_spark.operators.clustering.kmeans_fit`,
     ``kmeans_iters`` rounds, same deterministic init) — better-balanced
-    cells on clustered corpora at the cost of ``kmeans_iters`` extra
-    passes over the right side; cell ids are then 0..n_centroids-1.
-    The centroid squared norm is a sequential left-fold in python —
-    the same IEEE-double fold order as the Spark/DuckDB ``aggregate``/
-    ``list_reduce`` expressions, so both dispatch paths and the SQL
-    oracle rank cells identically."""
+    cells on clustered corpora; cell ids are then 0..n_centroids-1.
+    ``kmeans_train_limit`` bounds training to the lowest-id sample
+    (kmeans_fit's sampled Lloyd's — ONE top-m pass over the right side
+    learns the centroids instead of ``kmeans_iters`` full scans;
+    centroids are k×dim doubles of metadata, so a bounded sample is the
+    standard IVF recipe and the 100 TB path).  The centroid squared
+    norm is a sequential left-fold in python — the same IEEE-double
+    fold order as the Spark/DuckDB ``aggregate``/``list_reduce``
+    expressions, so both dispatch paths and the SQL oracle rank cells
+    identically."""
     if centroids == "kmeans":
-        from dataclass_array_spark.operators.clustering import kmeans_fit
-
-        cks = kmeans_fit(right, right_id, vec_col, k=n_centroids, iters=kmeans_iters)
-        cents = []
-        for i, cv in enumerate(cks):
-            s = 0.0
-            for x in cv:
-                s += x * x
-            cents.append({"cent_id": i, "cent_v": cv, "cent_n2": s})
+        cents = _trained_cents(
+            right, right_id, vec_col, n_centroids, kmeans_iters, kmeans_train_limit
+        )
     elif centroids == "first":
         cents = (
             right.orderBy(right_id)
@@ -526,11 +588,23 @@ def ivf_topk(
     nprobe: int = 2,
     k: int = 5,
     score: str = "auto",
+    centroids: str = "first",
+    kmeans_iters: int = 3,
+    kmeans_train_limit: "int | None" = None,
 ) -> DataFrame:
-    """IVF-style ANN: deterministic centroids (the first ``n_centroids``
-    corpus vectors — a real deployment would k-means them), every vector
-    assigned to its nearest centroid, and each query probes its
-    ``nprobe`` nearest cells.
+    """IVF-style ANN: deterministic centroids, every vector assigned to
+    its nearest centroid, and each query probes its ``nprobe`` nearest
+    cells.
+
+    ``centroids="first"`` (the oracle-friendly default) uses the first
+    ``n_centroids`` corpus vectors by id — zero extra jobs.
+    ``centroids="kmeans"`` trains real Lloyd's centroids first
+    (:func:`~dataclass_array_spark.operators.clustering.kmeans_fit`,
+    ``kmeans_iters`` rounds over the ``kmeans_train_limit`` lowest-id
+    sample — one bounded top-m pass, not full-corpus scans) for
+    better-balanced cells on clustered corpora; cell ids are then
+    0..n_centroids-1.  Cell ranking, scoring, and tie-breaks are
+    identical in both modes — only the cell boundaries move.
 
     Scale shape: the centroids (n_centroids × dim doubles) are collected
     once on the driver and inlined as literals, so the billion-vector
@@ -540,16 +614,24 @@ def ivf_topk(
     join followed by a full ``Window.partitionBy(id)`` shuffle).  Search
     is then a broadcast equi-join on cell id, and the only shuffle left
     is the per-query top-k over the candidate set."""
-    cents = (
-        corpus.orderBy(corpus_id)
-        .limit(n_centroids)
-        .select(
-            F.col(corpus_id).alias("cent_id"),
-            F.col(vec_col).cast("array<double>").alias("cent_v"),
-            norm2(F.col(vec_col)).alias("cent_n2"),
+    if centroids == "kmeans":
+        cents = _trained_cents(
+            corpus, corpus_id, vec_col, n_centroids, kmeans_iters,
+            kmeans_train_limit,
         )
-        .collect()
-    )
+    elif centroids == "first":
+        cents = (
+            corpus.orderBy(corpus_id)
+            .limit(n_centroids)
+            .select(
+                F.col(corpus_id).alias("cent_id"),
+                F.col(vec_col).cast("array<double>").alias("cent_v"),
+                norm2(F.col(vec_col)).alias("cent_n2"),
+            )
+            .collect()
+        )
+    else:
+        raise ValueError(f"centroids must be 'first' or 'kmeans', got {centroids!r}")
     c_assigned = (
         assign_cells(corpus, corpus_id, vec_col, cents, nprobe=1)
         .withColumnRenamed("__id", "nid")

@@ -570,21 +570,34 @@ FROM r WHERE rnk <= 3 ORDER BY qid, rnk
 """
 
 
+_KNN_TRAIN_LIMIT = 256  # sampled Lloyd's: train on the 256 lowest ids
+# 64 cells — SAME cell count as the first-n embedding_knn_join gate, so
+# the two gates differ only in how centroids are chosen and their
+# per-cell block sizes stay bounded alike (8 cells at sf1 meant ~2.5k
+# rows/cell → 100M block cosines; 64 keeps it ~300/cell).
+_KNN_KM_CELLS = 64
+
+
 def embedding_knn_join_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN join over TRAINED cells: the same large×large retrieval join
     as ``embedding_knn_join`` but with Lloyd's k-means centroids
     (``centroids="kmeans"`` — the composition the knn_join docstring
-    promises) instead of the first-n-by-id stand-in.  Balanced cells on
-    clustered corpora; the oracle replays the identical unrolled
-    k-means (decimal-exact means) and then the identical cell-cosine
-    CTEs, so the gate stays value-exact."""
+    promises) instead of the first-n-by-id stand-in.  Training is
+    SAMPLED (``kmeans_train_limit`` lowest-id rows, one bounded
+    top-m pass instead of ``iters`` full-corpus scans — the 100 TB
+    recipe: centroids are metadata, the corpus is not); the limit binds
+    even at sf0.01 (256 < 500 rows), so the oracle replays the
+    identical sampled training (``et`` CTE), then the identical
+    cell-cosine CTEs — the gate stays value-exact AND exercises the
+    sampling."""
     from dataclass_array_spark.operators.similarity import knn_join
 
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     out = knn_join(
         e, e, "vec_id", "vec_id", "embedding",
-        n_centroids=8, nprobe=2, k=3, exclude_self=True,
+        n_centroids=_KNN_KM_CELLS, nprobe=2, k=3, exclude_self=True,
         centroids="kmeans", kmeans_iters=2,
+        kmeans_train_limit=_KNN_TRAIN_LIMIT,
     )
     return out.select(
         "qid",
@@ -601,7 +614,10 @@ def _knn_join_kmeans_sql() -> str:
     same sequential fold the operator computes driver-side)."""
     from dataclass_array_spark.operators.clustering import kmeans_sql_ctes
 
-    base = kmeans_sql_ctes("embeddings", "vec_id", "embedding", dim=64, k=8, iters=2)
+    base = kmeans_sql_ctes(
+        "embeddings", "vec_id", "embedding", dim=64, k=_KNN_KM_CELLS, iters=2,
+        train_limit=_KNN_TRAIN_LIMIT,
+    )
     return base + f""", n AS (
   SELECT vec_id,
          list_reduce(list_prepend(0.0, list_transform(list_zip(v, v),

@@ -1,6 +1,8 @@
 """Operator unit tests on small in-memory frames: as-of join vs pandas
 merge_asof, sessionize, top-k, dedup, similarity."""
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -604,6 +606,9 @@ def test_kmeans_udf_path_matches_expression_path(spark, monkeypatch):
     from dataclass_array_spark.operators import clustering
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # k=6·dim=64 = 384 literals sits above the (round-7 re-measured)
+    # default threshold — force the expression path explicitly
+    monkeypatch.setattr(clustering, "_ARGMIN_UDF_THRESHOLD", 10**9)
     expr_out, expr_cents = clustering.kmeans_assign(
         e, "vec_id", "embedding", k=6, iters=2
     )
@@ -869,3 +874,196 @@ def test_semantic_dedup_cluster_cap_bounds_candidates(spark):
         df, "id", "v", k=4, iters=1, cos_threshold=0.9
     ).toPandas()
     assert sorted(out2["id"]) == [0]
+
+
+def test_kmeans_fit_train_limit_equals_subset_training(spark):
+    """Sampled training (train_limit=m) must produce EXACTLY the
+    centroids of full training over the m lowest-id rows — the sample
+    is a deterministic prefix, not an approximation of one."""
+    from dataclass_array_spark.operators.clustering import kmeans_fit
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m = 64
+    sampled = kmeans_fit(e, "vec_id", "embedding", k=4, iters=2, train_limit=m)
+    prefix_ids = [r["vec_id"] for r in e.orderBy("vec_id").limit(m).collect()]
+    subset = e.filter(F.col("vec_id").isin(prefix_ids))
+    full_on_subset = kmeans_fit(subset, "vec_id", "embedding", k=4, iters=2)
+    assert sampled == full_on_subset
+    # a limit past the row count degrades to full training
+    assert kmeans_fit(
+        e, "vec_id", "embedding", k=4, iters=2, train_limit=5000
+    ) == kmeans_fit(e, "vec_id", "embedding", k=4, iters=2)
+
+
+def test_kmeans_sampled_training_duckdb_oracle(spark):
+    """kmeans_assign(train_limit=m) with m BINDING (m < n) must match
+    the DuckDB unrolled-CTE oracle's `et`-sampled replay value-exactly:
+    trained centroids from the sample, final assignment over the full
+    corpus."""
+    import duckdb
+
+    from dataclass_array_spark.operators.clustering import kmeans_assign, kmeans_sql
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    e = spark.read.parquet(path)
+    out, _ = kmeans_assign(e, "vec_id", "embedding", k=4, iters=2, train_limit=100)
+    got = {
+        r["vec_id"]: (r["cluster"], math.floor(r["dist"] * 1e9))
+        for r in out.collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    sql = kmeans_sql("embeddings", "vec_id", "embedding", dim=64, k=4, iters=2,
+                     train_limit=100)
+    want = {vid: (cid, d9) for vid, cid, d9 in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_connected_components_pin_modes(spark):
+    """pin="reliable" (checkpoint-dir, cluster-durable) must agree with
+    the default executor-memory pin, and bogus modes must raise."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from dataclass_array_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 3, 10, 21, 20], "id_b": [2, 3, 4, 11, 22, 21]})
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    for pin in ("local", "reliable"):
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(edges, pin=pin).collect()
+        }
+        assert got == want, pin
+    with _pytest.raises(ValueError, match="pin"):
+        connected_components(edges, pin="bogus").collect()
+
+
+def test_semantic_dedup_pin_and_train_limit(spark):
+    """semantic_dedup: the reliable pin and sampled training must keep
+    survivors identical to the defaults on a corpus where the training
+    sample still sees every planted cluster."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.clustering import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(4, 8)
+    vecs = (np.repeat(base, 30, axis=0) + 0.01 * rng.randn(120, 8)).astype(
+        np.float32
+    )
+    pdf = pd.DataFrame({"id": range(120), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select(
+        "id", F.col("v").cast("array<float>").alias("v")
+    )
+    # ids are round-robin across clusters (np.repeat groups them — shuffle
+    # deterministically so a 40-row prefix covers all 4 clusters)
+    df = df.withColumn("id", (F.col("id") * 7 % 120))
+    baseline = sorted(
+        r["id"] for r in semantic_dedup(df, "id", "v", k=4, iters=2,
+                                        cos_threshold=0.95).collect()
+    )
+    reliable = sorted(
+        r["id"] for r in semantic_dedup(df, "id", "v", k=4, iters=2,
+                                        cos_threshold=0.95, pin="reliable").collect()
+    )
+    assert baseline == reliable
+    # sampled training changes centroids (different training set) but the
+    # operator must stay deterministic and keep the lowest id per
+    # near-dup group
+    sampled = semantic_dedup(
+        df, "id", "v", k=4, iters=2, cos_threshold=0.95, train_limit=40
+    )
+    s1 = sorted(r["id"] for r in sampled.collect())
+    s2 = sorted(
+        r["id"]
+        for r in semantic_dedup(
+            df, "id", "v", k=4, iters=2, cos_threshold=0.95, train_limit=40
+        ).collect()
+    )
+    assert s1 == s2 and len(s1) > 0
+
+
+def test_ivf_topk_trained_centroids_recall(spark):
+    """centroids="kmeans" (sampled Lloyd's) must score/tie-break exactly
+    like "first" — only cell boundaries move — so under full probe both
+    equal brute force; under partial probe trained cells' recall on
+    planted clusters must be no worse than data-blind first-n cells."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(101)
+    base = rng.randn(8, 8)
+    vecs = (np.repeat(base, 10, axis=0) + 0.01 * rng.randn(80, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"id": range(80), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select(
+        "id", F.col("v").cast("array<float>").alias("v")
+    )
+    exact = brute_force_topk(df, df, "id", "id", "v", k=3).toPandas()
+
+    def recall(out):
+        return sum(
+            len(set(exact[exact.qid == q].nid) & set(out[out.qid == q].nid))
+            for q in range(80)
+        ) / len(exact)
+
+    full_trained = ivf_topk(
+        df, df, "id", "id", "v", n_centroids=4, nprobe=4, k=3,
+        centroids="kmeans", kmeans_iters=2, kmeans_train_limit=40,
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), full_trained.reset_index(drop=True)
+    )
+    first = ivf_topk(df, df, "id", "id", "v", n_centroids=8, nprobe=2, k=3).toPandas()
+    trained = ivf_topk(
+        df, df, "id", "id", "v", n_centroids=8, nprobe=2, k=3,
+        centroids="kmeans", kmeans_iters=2, kmeans_train_limit=40,
+    ).toPandas()
+    assert recall(trained) >= recall(first) - 1e-9
+
+
+def test_srp_lsh_trained_planes_recall(spark):
+    """planes="kmeans" (centroid-difference hyperplanes) must bucket
+    planted clusters at least as well as data-blind md5 planes."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.similarity import (
+        brute_force_topk,
+        srp_lsh_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, 8)
+    vecs = (np.repeat(base, 5, axis=0) + 0.01 * rng.randn(100, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"id": range(100), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select(
+        "id", F.col("v").cast("array<float>").alias("v")
+    )
+    exact = brute_force_topk(df, df, "id", "id", "v", k=3).toPandas()
+
+    def recall(out):
+        return sum(
+            len(set(exact[exact.qid == q].nid) & set(out[out.qid == q].nid))
+            for q in range(100)
+        ) / len(exact)
+
+    random_planes = srp_lsh_topk(
+        df, df, "id", "id", "v", dim=8, k=3, n_planes=4
+    ).toPandas()
+    trained_planes = srp_lsh_topk(
+        df, df, "id", "id", "v", dim=8, k=3, n_planes=4,
+        planes="kmeans", kmeans_iters=2, kmeans_train_limit=50,
+    ).toPandas()
+    assert recall(trained_planes) >= recall(random_planes) - 1e-9
+    # determinism: trained planes reproduce exactly
+    rerun = srp_lsh_topk(
+        df, df, "id", "id", "v", dim=8, k=3, n_planes=4,
+        planes="kmeans", kmeans_iters=2, kmeans_train_limit=50,
+    ).toPandas()
+    pd.testing.assert_frame_equal(trained_planes, rerun)
