@@ -118,13 +118,22 @@ def minhash_lsh_pairs(
 
     Plan shape (the part that must survive 100 TB):
     1. signatures: narrow, in-scan.
-    2. band explode: rows × ``bands`` (small constant).
+    2. band explode: rows × ``bands`` (small constant) — ids and band
+       signatures ONLY.  The shingle arrays (≈ the document's own size)
+       do NOT ride this explode: through round 6 they did, which
+       replicated every document's full shingle set ``bands``× into the
+       band shuffle and again on both sides of the candidate join — at
+       100 TB that payload dominates the corpus volume.
     3. self-join on (band, signature): shuffle on a uniform hash key —
        this is the ONLY quadratic-risk step and banding keeps buckets
-       tiny by construction *for distinct-ish corpora*.
-    4. verify on the candidate set only (array_intersect of the two
-       shingle sets, carried through the join — no second shuffle of the
-       corpus).
+       tiny by construction *for distinct-ish corpora*.  Exchange rows
+       are now (doc_id, band, sig) — fixed-width, array-free
+       (plan-asserted in tests/test_plans.py).
+    4. verify on the DEDUPED candidate set only: join the (id_a, id_b)
+       pairs back to the ``doc_id → shingles`` frame once per side —
+       two plain equi-joins on doc_id whose payload is ONE copy of each
+       participating document's shingles, instead of ``bands`` copies
+       through the band shuffle.  Same pairs, same jaccard.
 
     ``max_bucket_size`` guards step 3 against degenerate corpora: a
     viral document duplicated millions of times puts every copy in the
@@ -169,8 +178,8 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select(
-        "doc_id", "shingles", F.explode(F.array(*band_cols)).alias("bs")
-    ).select("doc_id", "shingles", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     if max_bucket_size == "auto":
         hist = (
             banded.groupBy("band", "sig")
@@ -197,7 +206,7 @@ def minhash_lsh_pairs(
         ).drop("_bn")
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -207,11 +216,13 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verify join-back: one shingles copy per participating doc per side
+    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    cand = ids.join(sh_a, on="id_a").join(sh_b, on="id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

@@ -179,3 +179,29 @@ def test_shape_vectorize_stays_jvm_side(spark):
         warnings.simplefilter("error", VectorizeFallbackWarning)
         p = plan(spark, "shape_vectorize")
     assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_minhash_band_shuffle_carries_no_shingles(spark):
+    """Round-7 scale fix: the ×bands band-bucket exchange must carry
+    (doc_id, band, sig) only — the shingle ARRAYS reach the verify step
+    via a single per-side equi-join-back (sh_a/sh_b), never through the
+    band explode.  A regression that re-attaches `shingles` to the
+    banded frame multiplies the candidate-join shuffle payload by
+    `bands` at 100 TB."""
+    import re
+
+    for q in ("dedup_minhash_lsh", "dedup_minhash_lsh_auto"):
+        p = plan(spark, q)
+        # every Exchange/BroadcastExchange node section: if it moves the
+        # banded frame (band + sig attributes), its input set must not
+        # include the shingles array
+        for sect in re.split(r"\n\n", p):
+            first = sect.strip().splitlines()[0] if sect.strip() else ""
+            if "Exchange" not in first:
+                continue
+            inp = "\n".join(l for l in sect.splitlines() if l.startswith("Input"))
+            # no exchange may move the array under its banding name at
+            # all (the verify copies are the renamed sh_a/sh_b, shipped
+            # once per side); in particular the banded (band, sig)
+            # exchange stays fixed-width
+            assert "shingles#" not in inp, (q, sect)
