@@ -27,12 +27,24 @@ reductions ``np.sum/count_nonzero/any/all/mean`` compiling to
 branches are bool), ``np.clip``, ``np.argmax``/``np.argmin`` (first-
 match tie rule via ``array_position``), ``np.floor``/``np.ceil``/
 ``np.sign``/``np.rint``/``np.round(decimals=0)`` (half-even →
-``bround``) / ``np.tanh`` — over scalar fields
+``bround``) / ``np.tanh``, and Python scalar coercion ``float(x)`` /
+``int(x)`` on 0-d results (trace-window builtins stand-ins — see
+``trace_context``) — over scalar fields
 (inner_ndim 0), vector fields (inner_ndim 1), and matrix fields
 (inner_ndim 2, e.g. a 3×3 rotation: reference
 `array_dataclass_test.py:78-102` ``Isometrie``).  All folds are
 sequential left-folds (``F.aggregate``), bit-identical to DuckDB's
 ``list_reduce(list_prepend(0.0, ...))``.
+
+NaN parity (round 7): traced expressions follow NUMPY/IEEE NaN
+semantics even where Spark SQL's differ (Spark orders NaN largest and
+makes ``NaN = NaN`` true).  Guarded: comparisons (False on NaN, True
+for ``!=``), ``np.minimum``, ``np.clip``, min-reductions, ``argmin``,
+``np.floor``/``np.ceil`` (BIGINT NaN→0 / ±inf clamp).  Already-correct
+by Spark's own behavior: ``maximum``/``greatest``, max-reductions,
+``argmax`` (first-NaN), ``bround``, ``signum``, arithmetic folds.
+Differentially fuzzed with NaN-bearing corpora in
+tests/test_fuzz_vectorize.py.
 """
 
 from __future__ import annotations
@@ -62,17 +74,77 @@ _NP_TO_SPARK = {
 
 _trace_patch_lock = threading.Lock()
 
+_REAL_FLOAT, _REAL_INT = float, int
+
+
+class _CoercionMeta(type):
+    """Metaclass for the trace-window ``float``/``int`` stand-ins:
+    ``isinstance``/``issubclass`` against the stand-in delegate to the
+    REAL builtin, so library code running concurrently with a trace
+    (``isinstance(v, float)``) sees unchanged semantics."""
+
+    def __instancecheck__(cls, inst):
+        return isinstance(inst, cls._real)
+
+    def __subclasscheck__(cls, sub):
+        return issubclass(sub, cls._real)
+
+
+class _TraceFloat(float, metaclass=_CoercionMeta):
+    """``float(x)`` during a trace: a 0-d SymbolicArray stays symbolic
+    (cast to double — numpy's ``float(np.float32(v))`` widening), so
+    reference-style bodies that round-trip scalars through ``float``
+    (`vectorization_test.py:39-106`) keep compiling to Catalyst.
+    ``__new__`` may return any object, so non-symbolic inputs coerce
+    through the real ``float`` unchanged."""
+
+    _real = _REAL_FLOAT
+
+    def __new__(cls, x=0.0):
+        if isinstance(x, SymbolicArray):
+            if x.inner_ndim != 0:
+                raise TraceError("float() of a non-scalar SymbolicArray")
+            return SymbolicArray(x.col.cast("double"), 0)
+        return _REAL_FLOAT(x)
+
+
+class _TraceInt(int, metaclass=_CoercionMeta):
+    """``int(x)`` during a trace: 0-d SymbolicArray → ``cast('long')``
+    — Spark's double→long cast truncates toward zero exactly like
+    ``int(np.float64(v))``."""
+
+    _real = _REAL_INT
+
+    def __new__(cls, x=0, *a, **k):
+        if isinstance(x, SymbolicArray):
+            if a or k:
+                raise TraceError("int(symbolic, base=...) is unsupported")
+            if x.inner_ndim != 0:
+                raise TraceError("int() of a non-scalar SymbolicArray")
+            return SymbolicArray(x.col.cast("long"), 0)
+        return _REAL_INT(x, *a, **k)
+
 
 @contextlib.contextmanager
 def trace_context():
     """Driver-side patch active only while the tier-1 symbolic trace
     calls the user method: ``np.asarray``/``np.array``/``np.asanyarray``
     pass a SymbolicArray through (honoring ``dtype=`` via ``astype``)
-    instead of raising in ``__array__``.  The reference's scalar methods
-    are written numpy-first (`vectorization_test.py:39-106` bodies use
-    ``np.asarray`` freely), so without this every such body lands on the
-    tier-2 per-row loop.  The patch is process-local, driver-only, and
-    reverted in ``finally`` — executor-side tier-2 code never sees it."""
+    instead of raising in ``__array__``, and the ``float``/``int``
+    builtins pass a 0-d SymbolicArray through as a Catalyst cast (they
+    cannot be taught per-object: CPython requires ``__float__`` to
+    return a real float, so ``float(symb)`` would otherwise force the
+    tier-2 loop for every reference-style body that mixes Python
+    scalars with field math).  The reference's scalar methods are
+    written numpy-first (`vectorization_test.py:39-106` bodies use
+    ``np.asarray``/``float`` freely), so without this every such body
+    lands on the tier-2 per-row loop.  The patch is process-local,
+    driver-only, lock-serialized, and reverted in ``finally`` —
+    executor-side tier-2 code never sees it; the stand-ins delegate
+    isinstance/issubclass and all non-symbolic calls to the real
+    builtins."""
+    import builtins
+
     orig = {n: getattr(np, n) for n in ("asarray", "array", "asanyarray", "ascontiguousarray")}
 
     def _passthrough(name):
@@ -88,11 +160,39 @@ def trace_context():
     with _trace_patch_lock:
         for n in orig:
             setattr(np, n, _passthrough(n))
+        builtins.float, builtins.int = _TraceFloat, _TraceInt
         try:
             yield
         finally:
+            builtins.float, builtins.int = _REAL_FLOAT, _REAL_INT
             for n, f in orig.items():
                 setattr(np, n, f)
+
+
+def _nan_minimum(a: Column, b: Column) -> Column:
+    """numpy ``minimum``: NaN in EITHER operand propagates.  Spark's
+    ``least`` treats NaN as the LARGEST value (``least(NaN, x) = x``) —
+    a silent wrong value on NaN input, so guard explicitly.  Only the
+    isnan probes cast to double; the value branches keep the operands'
+    own type (integer minimum stays integral)."""
+    return (
+        F.when(F.isnan(a.cast("double")), a)
+        .when(F.isnan(b.cast("double")), b)
+        .otherwise(F.least(a, b))
+    )
+
+
+def _nan_int_round(c: Column, fn) -> Column:
+    """numpy ``floor``/``ceil``: stay float64, pass non-finite and
+    huge values through.  Spark's floor/ceil return BIGINT — NaN
+    silently becomes 0 and ±inf / |x| ≥ 2⁶³ clamp to Long bounds.
+    Doubles with |x| ≥ 2⁶³ are already integers (and NaN/±inf must
+    survive), so pass them through unchanged and only round the
+    in-range finite values."""
+    cd = c.cast("double")
+    return F.when(
+        F.isnan(cd) | (F.abs(cd) >= F.lit(float(2**63))), cd
+    ).otherwise(fn(c).cast("double"))
 
 
 def _fold_sum(arr: Column) -> Column:
@@ -286,9 +386,15 @@ class SymbolicArray:
                 return _fold_sum(arr)
             if elem_fn == "mean":
                 return _fold_sum(arr) / F.size(arr).cast("double")
+            # numpy max/min PROPAGATE NaN.  Spark ranks NaN largest, so
+            # array_max already returns the NaN (correct by
+            # coincidence) but array_min would skip it — guard.
             if elem_fn == "max":
                 return F.array_max(arr)
-            return F.array_min(arr)
+            return F.when(
+                F.exists(arr, lambda x: F.isnan(x.cast("double"))),
+                F.lit(float("nan")),
+            ).otherwise(F.array_min(arr))
 
         if n == 1:
             if axis not in (None, 0, -1):
@@ -296,9 +402,13 @@ class SymbolicArray:
             return SymbolicArray(red1(self.col), 0, is_bool=bool_out)
         # rank 2
         if axis is None:
-            if elem_fn in ("max", "min") and not bool_in:
-                f2 = F.array_max if elem_fn == "max" else F.array_min
-                return SymbolicArray(f2(F.transform(self.col, f2)), 0)
+            if elem_fn == "max" and not bool_in:
+                # nested array_max — NaN-correct (Spark ranks NaN
+                # largest = numpy propagation); min flattens into the
+                # NaN-guarded red1 path instead
+                return SymbolicArray(
+                    F.array_max(F.transform(self.col, F.array_max)), 0
+                )
             flat = F.flatten(self.col)
             return SymbolicArray(red1(flat), 0, is_bool=bool_out)
         if axis in (1, -1):
@@ -311,6 +421,12 @@ class SymbolicArray:
 
     def astype(self, dtype) -> "SymbolicArray":
         """numpy ``.astype`` — an elementwise Catalyst cast."""
+        # inside the trace window `float`/`int` resolve to the stand-in
+        # classes — map them to the dtypes the real builtins mean
+        if dtype is _TraceFloat:
+            dtype = np.float64
+        elif dtype is _TraceInt:
+            dtype = np.int64
         key = np.dtype(dtype).name
         if key not in _NP_TO_SPARK:
             raise TraceError(f"astype({dtype!r}) has no Spark cast")
@@ -323,30 +439,46 @@ class SymbolicArray:
 
     def clip(self, lo=None, hi=None) -> "SymbolicArray":
         """numpy ``clip``: ``minimum(maximum(x, lo), hi)`` — the same
-        order, so ``lo > hi`` yields ``hi`` exactly like numpy."""
+        order, so ``lo > hi`` yields ``hi`` exactly like numpy.
+
+        NaN semantics match numpy too: NaN in the VALUE or either BOUND
+        propagates (``maximum``/``minimum`` propagate NaN).  Spark's
+        greatest/least rank NaN largest — unguarded,
+        ``least(greatest(NaN, lo), hi)`` yields ``hi``, a silent wrong
+        value — so any-NaN short-circuits to NaN explicitly.  Known-
+        finite literal bounds skip their probe driver-side."""
 
         def bound(v):
+            """→ (column, may_be_nan)"""
             if isinstance(v, SymbolicArray):
                 if v.inner_ndim != 0:
                     raise TraceError("clip bounds must be scalar")
-                return v._num().col
+                return v._num().col, True
             if isinstance(v, np.ndarray) and v.ndim == 0:
                 v = v.item()
             if isinstance(v, (bool, np.bool_, int, float, np.floating, np.integer)):
-                return F.lit(float(v))
+                fv = float(v)
+                return F.lit(fv), fv != fv
             raise TraceError(f"unsupported clip bound {v!r}")
 
-        lo_c = bound(lo) if lo is not None else None
-        hi_c = bound(hi) if hi is not None else None
+        lo_c, lo_nan = bound(lo) if lo is not None else (None, False)
+        hi_c, hi_nan = bound(hi) if hi is not None else (None, False)
         if lo_c is None and hi_c is None:
             raise TraceError("clip needs at least one bound")
 
         def g(c):
+            cd = c.cast("double")
+            nan_cond = F.isnan(cd)
+            if lo_nan:
+                nan_cond = nan_cond | F.isnan(lo_c.cast("double"))
+            if hi_nan:
+                nan_cond = nan_cond | F.isnan(hi_c.cast("double"))
+            out = c
             if lo_c is not None:
-                c = F.greatest(c, lo_c)
+                out = F.greatest(out, lo_c)
             if hi_c is not None:
-                c = F.least(c, hi_c)
-            return c
+                out = F.least(out, hi_c)
+            return F.when(nan_cond, cd).otherwise(out)
 
         return self._num()._map(g)
 
@@ -359,11 +491,24 @@ class SymbolicArray:
     def _arg_extreme(self, f2, axis):
         """numpy argmax/argmin over a vector field: index of the FIRST
         extreme element — ``array_position`` finds the first match
-        (numpy's tie rule), 1-based so minus 1."""
+        (numpy's tie rule), 1-based so minus 1.
+
+        NaN: numpy returns the index of the FIRST NaN for both argmax
+        and argmin (NaN propagates as the extreme).  For argmax Spark
+        agrees by coincidence (array_max ranks NaN largest and
+        ``NaN = NaN`` is true in array_position, so the first NaN is
+        found); for argmin array_min would skip NaN — guard with an
+        explicit first-NaN position."""
         if self.inner_ndim != 1 or axis not in (None, 0, -1):
             raise TraceError("argmax/argmin trace only on rank-1 fields")
         c = self._num().col
-        return SymbolicArray((F.array_position(c, f2(c)) - F.lit(1)).cast("long"), 0)
+        pos = F.array_position(c, f2(c))
+        if f2 is F.array_min:
+            nan_pos = F.array_position(
+                F.transform(c, lambda x: F.isnan(x.cast("double"))), F.lit(True)
+            )
+            pos = F.when(nan_pos > 0, nan_pos).otherwise(pos)
+        return SymbolicArray((pos - F.lit(1)).cast("long"), 0)
 
     # numpy-style reduction methods (arr.sum() / arr.any() / ...)
     def sum(self, axis=None):
@@ -416,8 +561,20 @@ class SymbolicArray:
     def __abs__(self):
         return self._num()._map(F.abs)
 
-    def _cmp(self, o, fn):
-        r = self._binop(o, fn)
+    def _cmp(self, o, fn, nan_result: bool = False):
+        """IEEE/numpy comparison semantics: any NaN operand makes the
+        comparison False (True only for ``!=``).  Spark SQL instead
+        ORDERS NaN largest and makes ``NaN = NaN`` true — silent wrong
+        booleans on NaN input — so guard explicitly.  The isnan probes
+        constant-fold away for literal operands."""
+
+        def guarded(a, b):
+            return F.when(
+                F.isnan(a.cast("double")) | F.isnan(b.cast("double")),
+                F.lit(bool(nan_result)),
+            ).otherwise(fn(a, b))
+
+        r = self._binop(o, guarded)
         r.is_bool = True
         return r
 
@@ -437,7 +594,7 @@ class SymbolicArray:
         return self._cmp(o, lambda a, b: a == b)
 
     def __ne__(self, o):
-        return self._cmp(o, lambda a, b: a != b)
+        return self._cmp(o, lambda a, b: a != b, nan_result=True)
 
     # __eq__ above would otherwise drop default hashability (the tracer
     # itself stores SymbolicArrays in containers)
@@ -518,9 +675,12 @@ class SymbolicArray:
         np.true_divide: lambda a, b: a / b,
         np.power: lambda a, b: F.pow(a, b),
         # wrapped in a 2-arg lambda: zip_with inspects its lambda's
-        # signature and rejects the (*cols) varargs of greatest/least
+        # signature and rejects the (*cols) varargs of greatest/least.
+        # greatest is numpy-correct on NaN as-is (Spark ranks NaN
+        # largest, so greatest(NaN, x) = NaN = numpy maximum); least
+        # is NOT (least(NaN, x) = x) — hence the guarded _nan_minimum.
         np.maximum: lambda a, b: F.greatest(a, b),
-        np.minimum: lambda a, b: F.least(a, b),
+        np.minimum: _nan_minimum,
     }
     # comparison/logical ufuncs dispatch to the dunders so is_bool
     # propagates (np.greater(a, b) ≡ a > b)
@@ -551,11 +711,14 @@ class SymbolicArray:
         np.exp: F.exp,
         np.log: F.log,
         np.tanh: F.tanh,
-        np.sign: F.signum,
-        # Spark floor/ceil return BIGINT; numpy keeps float64
-        np.floor: lambda c: F.floor(c).cast("double"),
-        np.ceil: lambda c: F.ceil(c).cast("double"),
-        # rint rounds half-to-even — Spark's bround, NOT round (half-up)
+        np.sign: F.signum,  # signum(NaN) = NaN — numpy-correct as-is
+        # Spark floor/ceil return BIGINT (NaN→0, ±inf/huge→Long bounds)
+        # — the guard keeps float64 semantics: NaN/±inf/|x|≥2⁶³ pass
+        # through (probed this round: floor(NaN)=0, floor(1e300)=2⁶³-1)
+        np.floor: lambda c: _nan_int_round(c, F.floor),
+        np.ceil: lambda c: _nan_int_round(c, F.ceil),
+        # rint rounds half-to-even — Spark's bround, NOT round (half-up);
+        # bround(NaN)=NaN, bround(inf)=inf — numpy-correct as-is
         np.rint: lambda c: F.bround(c, 0),
     }
 
@@ -594,6 +757,13 @@ class SymbolicArray:
         elementwise.  cond must be a traced boolean; each branch is a
         same-rank SymbolicArray or a scalar (symbolic or literal).
         Rank ≤ 1 (vector conds zip with vector/scalar branches)."""
+        # a constant-folded condition (comparison of two literals in
+        # the body) arrives as a plain numpy bool — lift it to a
+        # literal boolean column (numpy accepts scalar conds)
+        if isinstance(cond, np.ndarray) and cond.ndim == 0:
+            cond = cond.item()
+        if isinstance(cond, (bool, np.bool_)):
+            cond = SymbolicArray(F.lit(bool(cond)), 0, is_bool=True)
         if not isinstance(cond, SymbolicArray) or not cond.is_bool:
             raise TraceError("np.where condition must be a traced boolean")
         r = cond.inner_ndim

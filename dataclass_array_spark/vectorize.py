@@ -301,13 +301,19 @@ def vectorize_method(
                 return m_args, m_kwargs
 
             # ---- Tier 1: Column tracing ----
-            # two attempts: raw Columns (methods written against F.*),
-            # then SymbolicArray wrapping (methods written in numpy
-            # style — np.dot/np.sum/arithmetic trace to Catalyst)
+            # two attempts: SymbolicArray wrapping first (methods
+            # written in numpy style — np.dot/np.sum/arithmetic trace
+            # to Catalyst with NUMPY semantics, incl. the IEEE NaN
+            # guards), then raw Columns (methods written against F.*,
+            # which by definition want Spark SQL semantics).  Symbolic
+            # goes first because operator-only bodies (`self.x > 0`)
+            # are valid in BOTH modes yet mean numpy: under raw
+            # Columns a NaN would order largest (Spark) instead of
+            # comparing false (numpy) — a silent wrong boolean.
             from dataclass_array_spark.symbolic import SymbolicArray, trace_context
 
             trace_failures: list[tuple[str, BaseException]] = []
-            for symbolic in (False, True):
+            for symbolic in (True, False):
                 mode = "symbolic-numpy" if symbolic else "raw-Column"
                 try:
                     view = _ColumnView(self, symbolic=symbolic)

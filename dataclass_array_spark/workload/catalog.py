@@ -22,28 +22,88 @@ class Query:
 
 # The driver's per-round correctness gate checks roughly the first 50
 # registry entries, so the window is ROTATED each round to keep every
-# query under recurring driver verification.  Round 6 ordering rule
-# (per round-5 ADVICE): queries whose IMPLEMENTATION changed this round
+# query under recurring driver verification.  Round 7 ordering (the
+# round-6 rule, kept): queries whose IMPLEMENTATION changed this round
 # go at the very front — regardless of when they were last checked —
-# then the 53 queries that sat out r05 (they were r04-green), then the
-# r05-verified remainder.  Changed this round: the vectorize tracer
-# gained comparison/boolean tracing (shape_vectorize,
-# shape_vectorize_mat share that code path), knn_join moved to cogroup
-# block scoring and ivf/srp to the Arrow pair scorer, and
-# semantic_dedup gained the max_cluster_size pair cap (both gates call
-# the changed operator).  Python dicts preserve insertion order, so
-# this ordering is exactly what ``queries()`` exposes to the driver.
+# then the 54 queries that sat out the r06 window (all local-green this
+# session), then the r06-driver-verified remainder.  Changed this
+# round: kmeans_fit gained sampled training + cached Lloyd frames (all
+# four clustering/SemDeDup gates), minhash_lsh_pairs dropped the
+# shingle payload from the band shuffle (three minhash gates),
+# connected_components gained pin= (dedup_components), the vectorize
+# tracer gained float()/int() coercion + IEEE NaN parity (both shape
+# gates), and knn_join/ivf_topk/srp_lsh_topk gained trained-centroid
+# options (three ANN gates).  Python dicts preserve insertion order,
+# so this ordering is exactly what ``queries()`` exposes to the driver.
 _PRIORITY: Tuple[str, ...] = (
-    # ---- implementations changed in round 6: driver-verify FIRST ----
-    "embedding_knn_join_kmeans",  # NEW this round (trained-centroid knn)
-    "shape_vectorize",
-    "shape_vectorize_mat",
+    # ---- implementations changed in round 7: driver-verify FIRST
+    # (sampled k-means training + cached Lloyd frames, MinHash band-
+    # payload fix, pin= plumbing, NaN-parity + float()/int() tracing,
+    # trained-centroid ANN options) ----
+    "embedding_knn_join_kmeans",
     "semantic_dedup_embeddings",
     "semantic_dedup_auto",
+    "embedding_kmeans_clusters",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_auto",
+    "dedup_apply_minhash",
+    "dedup_components",
+    "shape_vectorize",
+    "shape_vectorize_mat",
     "embedding_knn_join",
     "embedding_ann_ivf",
     "embedding_ann_srp",
-    # ---- sat out r05 (r04-green), unchanged this round ----
+    # ---- sat out r06 (r05/local-green), unchanged this round ----
+    "corr_price_quantity",
+    "pii_scrub_docs",
+    "merge_upsert_customers",
+    "join_variants_nulls",
+    "string_functions2",
+    "asof_purchase_last_click",
+    "sessionize_events",
+    "json_extract_props",
+    "tumbling_hourly_stats",
+    "sliding_hourly_stats",
+    "dedup_exact_docs",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_waiting_supplier",
+    "order_quantity_arrays",
+    "dedup_ngram_jaccard",
+    "simhash_fingerprints",
+    "text_stats",
+    "lang_id_docs",
+    "doc_fingerprints",
+    "embedding_topk_cosine",
+    "multimodal_metadata",
+    "multimodal_decode",
+    "pipeline_quality_corpus",
+    "chunk_documents",
+    "vocab_top_words",
+    "tfidf_top_terms",
+    "split_train_val_test",
+    "stratified_sample_docs",
+    "pack_context_windows",
+    "bm25_doc_ranking",
+    "decontam_ngram_overlap",
+    "repetition_filter_docs",
+    "domain_mixture_sample",
+    "multimodal_frames",
+    "pipeline_pretrain_corpus",
+    "tokenize_docs",
+    "token_rarity_docs",
+    "streaming_quality_filter",
+    "streaming_tumbling_hourly",
+    "streaming_session_windows",
+    "streaming_dedup_events",
+    "shape_mask_filter",
+    "shape_gather",
+    "shape_transpose",
+    # ---- r06-driver-verified, unchanged (overflow the ~50 window) ----
     "shape_slice",
     "shape_concat_mapfield",
     "median_quantity_by_flag",
@@ -86,62 +146,6 @@ _PRIORITY: Tuple[str, ...] = (
     "unpivot_part_metrics",
     "salted_revenue_by_flag",
     "ntile_price_quartiles",
-    "corr_price_quantity",
-    "pii_scrub_docs",
-    "merge_upsert_customers",
-    "join_variants_nulls",
-    "string_functions2",
-    "asof_purchase_last_click",
-    "sessionize_events",
-    # ---- r05-verified, unchanged (overflow the ~50 window; all were
-    # driver-green last round and re-verified locally this session) ----
-    "json_extract_props",
-    "tumbling_hourly_stats",
-    "sliding_hourly_stats",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_waiting_supplier",
-    "order_quantity_arrays",
-    "dedup_ngram_jaccard",
-    "simhash_fingerprints",
-    "text_stats",
-    "lang_id_docs",
-    "doc_fingerprints",
-    "embedding_topk_cosine",
-    "multimodal_metadata",
-    "multimodal_decode",
-    "dedup_apply_minhash",
-    "pipeline_quality_corpus",
-    "chunk_documents",
-    "vocab_top_words",
-    "tfidf_top_terms",
-    "dedup_components",
-    "split_train_val_test",
-    "stratified_sample_docs",
-    "pack_context_windows",
-    "bm25_doc_ranking",
-    "decontam_ngram_overlap",
-    "repetition_filter_docs",
-    "embedding_kmeans_clusters",
-    "domain_mixture_sample",
-    "multimodal_frames",
-    "pipeline_pretrain_corpus",
-    "tokenize_docs",
-    "token_rarity_docs",
-    "dedup_minhash_lsh_auto",
-    "streaming_quality_filter",
-    "streaming_tumbling_hourly",
-    "streaming_session_windows",
-    "streaming_dedup_events",
-    "shape_mask_filter",
-    "shape_gather",
-    "shape_transpose",
 )
 
 

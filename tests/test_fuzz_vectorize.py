@@ -17,6 +17,14 @@ and asserts BOTH:
 Inputs are small integers stored as float64, and the grammar excludes
 division/sqrt/exp, so every op is exact in IEEE double — comparisons
 are bit-safe and equality is exact, no tolerance needed.
+
+Round-7 additions: a FRACTIONAL corpus (k/4 grid — quarters and the
+x.5 halfway cases that distinguish bround's half-even from half-up;
+still exact in double, so equality stays bitwise), a NaN/±inf corpus
+(the tracer pins numpy/IEEE NaN semantics where Spark's differ —
+comparisons, minimum, clip, min-reductions, argmin, floor/ceil), and
+``float()``/``int()`` scalar-coercion nodes (the trace-window builtins
+stand-ins — mixed scalar/array bodies like the reference's).
 """
 
 import numpy as np
@@ -49,24 +57,40 @@ class VT(das.DcaTable):
 _N = 7
 
 
-def _data():
+def _data(kind="int"):
     rng = np.random.RandomState(7)
     x = rng.randint(-4, 5, size=_N).astype(np.float64)
     v = rng.randint(-4, 5, size=(_N, 3)).astype(np.float64)
     # ties + zeros on purpose: max/min/comparison edge cases
     v[2] = 0.0
     v[3] = v[1]
+    if kind == "frac":
+        # k/4 grid: quarters + x.5 halfway points (bround half-even
+        # territory), still exactly representable in double
+        x = rng.randint(-10, 11, size=_N).astype(np.float64) / 4.0
+        v = rng.randint(-10, 11, size=(_N, 3)).astype(np.float64) / 4.0
+        x[0], x[1] = 0.5, -1.5  # guaranteed halfway cases
+        v[2] = [0.5, 1.5, 2.5]
+        v[3] = v[1]
+    elif kind == "nan":
+        x = x / 4.0
+        v = v / 4.0
+        x[0] = np.nan
+        x[4] = np.inf
+        v[1, 0] = np.nan
+        v[2] = [np.nan, -np.inf, 0.5]
+        v[5, 2] = np.inf
     return x, v
 
 
 _TABLE = {}
 
 
-def table(spark):
-    if "t" not in _TABLE:
-        x, v = _data()
-        _TABLE["t"] = VT(spark, x=x, v=v)
-    return _TABLE["t"]
+def table(spark, kind="int"):
+    if kind not in _TABLE:
+        x, v = _data(kind)
+        _TABLE[kind] = VT(spark, x=x, v=v)
+    return _TABLE[kind]
 
 
 # ---------------------------------------------------------------------------
@@ -91,10 +115,11 @@ def _gen(draw, typ, depth):
                 ["add", "sub", "mul", "neg", "abs", "max2", "min2",
                  "idx", "dot", "sum", "vmax", "vmin", "bsum", "bcnt",
                  "addb", "mulb", "floor", "ceil", "sign", "rint",
-                 "clip", "where_s", "argmax", "argmin"]
+                 "clip", "where_s", "argmax", "argmin",
+                 "pyfloat", "pyint"]
             )
         )
-        if op in ("floor", "ceil", "sign", "rint"):
+        if op in ("floor", "ceil", "sign", "rint", "pyfloat", "pyint"):
             a, ua = _gen(draw, "s", depth - 1)
             return (op, a), ua
         if op == "clip":
@@ -250,6 +275,12 @@ def ev(ast, view):
         return np.sign(ev(ast[1], view))
     if t == "rint":
         return np.rint(ev(ast[1], view))
+    if t == "pyfloat":
+        # under trace_context `float` is the stand-in: 0-d symbolic
+        # passes through as a double cast; numpy-side it's real float()
+        return float(ev(ast[1], view))
+    if t == "pyint":
+        return int(ev(ast[1], view))
     if t == "clip":
         return np.clip(ev(ast[1], view), float(ast[2]), float(ast[3]))
     if t == "where":
@@ -314,6 +345,32 @@ def out_expr(draw):
     return ast
 
 
+def _run_example(spark, ast, kind, skip_oracle_errors=False):
+    t = table(spark, kind)
+    _BODY["fn"] = lambda view: ev(ast, view)
+    x, v = _data(kind)
+    try:
+        exp = np.array([ev(ast, _Row(x[i], v[i])) for i in range(_N)])
+    except (ValueError, OverflowError):
+        if skip_oracle_errors:
+            # int(NaN)/int(inf) raise in numpy — examples where the
+            # scalar program itself is erroneous are out of scope
+            return
+        raise
+    # strict=True: a trace failure raises instead of silently running
+    # the per-row Arrow loop — the grammar must ALWAYS stay tier-1.
+    out = t.compute().to_numpy_fields()["r"]
+    assert out.shape == exp.shape, f"shape {out.shape} != {exp.shape} for {ast}"
+    # exact: inputs sit on an exact-in-double grid and all grammar ops
+    # are exact (no division/sqrt), so Catalyst and numpy must agree
+    # bitwise — including NaN placement (equal_nan)
+    np.testing.assert_array_equal(
+        np.asarray(out, dtype=np.float64),
+        np.asarray(exp, dtype=np.float64),
+        err_msg=f"ast {ast}",
+    )
+
+
 @settings(
     max_examples=120,
     deadline=None,
@@ -322,21 +379,35 @@ def out_expr(draw):
 )
 @given(out_expr())
 def test_fuzz_tier1_trace_matches_numpy(spark, ast):
-    t = table(spark)
-    _BODY["fn"] = lambda view: ev(ast, view)
-    # strict=True: a trace failure raises instead of silently running
-    # the per-row Arrow loop — the grammar must ALWAYS stay tier-1.
-    out = t.compute().to_numpy_fields()["r"]
-    x, v = _data()
-    exp = np.array([ev(ast, _Row(x[i], v[i])) for i in range(_N)])
-    assert out.shape == exp.shape, f"shape {out.shape} != {exp.shape} for {ast}"
-    # exact: all inputs are small integers, all grammar ops are exact
-    # in double (no division/sqrt), so Catalyst and numpy must agree bitwise
-    np.testing.assert_array_equal(
-        np.asarray(out, dtype=np.float64),
-        np.asarray(exp, dtype=np.float64),
-        err_msg=f"ast {ast}",
-    )
+    _run_example(spark, ast, "int")
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(out_expr())
+def test_fuzz_tier1_fractional_corpus(spark, ast):
+    """Quarters + x.5 halfway values: exercises bround half-even,
+    floor/ceil on fractional input, clip interior hits, and int()
+    truncation — regimes the integer corpus never reaches."""
+    _run_example(spark, ast, "frac")
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(out_expr())
+def test_fuzz_tier1_nan_corpus(spark, ast):
+    """NaN/±inf corpus: every guarded op (comparisons, minimum, clip,
+    min-reductions, argmin, floor/ceil) must place NaNs exactly where
+    numpy does — Spark's native NaN ordering would not."""
+    _run_example(spark, ast, "nan", skip_oracle_errors=True)
 
 
 def test_tier1_plan_has_no_python_stage(spark):
@@ -348,3 +419,50 @@ def test_tier1_plan_has_no_python_stage(spark):
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, f"{bad} found in tier-1 plan:\n{plan}"
+
+
+def test_rint_half_even_boundaries(spark):
+    """Targeted x.5 cases: np.rint rounds half-to-even — Spark bround,
+    NOT round (half-up).  Exact equality per value."""
+    vals = np.array([0.5, 1.5, 2.5, 3.5, -0.5, -1.5, -2.5, 0.25, -0.75],
+                    dtype=np.float64)
+    t = VT(spark, x=vals, v=np.zeros((len(vals), 3)))
+    _BODY["fn"] = lambda view: np.rint(view.x)
+    got = t.compute().to_numpy_fields()["r"]
+    np.testing.assert_array_equal(got, np.rint(vals))
+
+
+def test_nan_semantics_targeted(spark):
+    """Pinned NaN semantics where Spark SQL and numpy disagree: each
+    guarded op placed against its numpy oracle on a NaN/inf vector."""
+    nan, inf = np.nan, np.inf
+    x = np.array([nan, 2.0, -1.0, inf, -inf], dtype=np.float64)
+    v = np.array(
+        [[nan, 1.0, 2.0], [3.0, nan, -1.0], [1.0, 2.0, 3.0],
+         [inf, -inf, nan], [0.5, -0.5, 1.5]],
+        dtype=np.float64,
+    )
+    t = VT(spark, x=x, v=v)
+    cases = {
+        "cmp_gt": lambda view: view.x > 0.0,       # NaN > 0 is False
+        "cmp_le": lambda view: view.x <= 0.0,      # NaN <= 0 is False
+        "cmp_ne": lambda view: view.x != view.x,   # NaN != NaN is True
+        "minimum": lambda view: np.minimum(view.x, 0.0),  # propagates NaN
+        "maximum": lambda view: np.maximum(view.x, 0.0),
+        "clip": lambda view: np.clip(view.x, -1.0, 1.0),  # NaN stays NaN
+        "floor": lambda view: np.floor(view.x),    # NaN/±inf unchanged
+        "ceil": lambda view: np.ceil(view.x),
+        "vmin": lambda view: np.min(view.v),       # NaN propagates
+        "vmax": lambda view: np.max(view.v),
+        "argmin": lambda view: np.argmin(view.v),  # first-NaN index
+        "argmax": lambda view: np.argmax(view.v),
+    }
+    for name, fn in cases.items():
+        _BODY["fn"] = fn
+        got = t.compute().to_numpy_fields()["r"]
+        exp = np.array([fn(_Row(x[i], v[i])) for i in range(len(x))])
+        np.testing.assert_array_equal(
+            np.asarray(got, dtype=np.float64),
+            np.asarray(exp, dtype=np.float64),
+            err_msg=name,
+        )
