@@ -52,6 +52,7 @@ _PRIORITY: Tuple[str, ...] = (
     "shape_vectorize_mat",
     "embedding_knn_join",
     "embedding_ann_ivf",
+    "embedding_ann_ivf_kmeans",  # NEW round 7: trained-cell IVF, exact oracle
     "embedding_ann_srp",
     # ---- sat out r06 (r05/local-green), unchanged this round ----
     "corr_price_quantity",

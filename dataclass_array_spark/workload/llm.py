@@ -658,7 +658,83 @@ FROM r WHERE rnk <= 3 ORDER BY qid, rnk
 """
 
 
+def embedding_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED cells: ``ivf_topk(centroids="kmeans")``
+    with sampled Lloyd's training (one bounded top-m pass — the
+    production IVF recipe the plain gate's docstring concedes).  The
+    oracle replays the identical sampled k-means (``et`` CTE,
+    decimal-exact means) and then the identical cell-cosine CTEs, so
+    the trained path is value-exact under the driver gate, not just
+    recall-floor tested."""
+    from dataclass_array_spark.operators.similarity import ivf_topk
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    out = ivf_topk(
+        q, e, "vec_id", "vec_id", "embedding", n_centroids=16, nprobe=4, k=5,
+        centroids="kmeans", kmeans_iters=2, kmeans_train_limit=_KNN_TRAIN_LIMIT,
+    )
+    return out.select(
+        "qid",
+        F.col("rank").cast("long").alias("rnk"),
+        "nid",
+        F.floor(F.col("cosine") * 1e9).cast("long").alias("cos_e9"),
+    )
+
+
+def _ivf_kmeans_sql() -> str:
+    """Oracle: sampled unrolled k-means (ending at c2 = trained
+    centroids) + the IVF_SQL cell/scoring CTEs against them."""
+    from dataclass_array_spark.operators.clustering import kmeans_sql_ctes
+
+    base = kmeans_sql_ctes(
+        "embeddings", "vec_id", "embedding", dim=64, k=16, iters=2,
+        train_limit=_KNN_TRAIN_LIMIT,
+    )
+    return base + f""", n AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(v, v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x) AS n2
+  FROM e
+), cents AS (
+  SELECT cid AS cent_id, cv,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(cv, cv),
+              p -> p[1]*p[2])), (acc, x) -> acc + x) AS cn2
+  FROM c2
+), cells AS (
+  SELECT vec_id, cell, rn FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {_IVF_CELL_DOT} / (sqrt(n.n2) * sqrt(c.cn2)) DESC, c.cent_id) AS rn
+    FROM e JOIN n USING (vec_id) CROSS JOIN cents c
+  )
+), ca AS (
+  SELECT vec_id AS nid, cell FROM cells WHERE rn = 1
+), qa AS (
+  SELECT vec_id AS qid, cell FROM cells WHERE rn <= 4 AND vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT qa.qid, ca.nid,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(eq.v, ec.v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x)
+           / (sqrt(nq.n2) * sqrt(nc.n2)) AS cosine
+  FROM qa JOIN ca USING (cell)
+  JOIN e eq ON eq.vec_id = qa.qid JOIN n nq ON nq.vec_id = qa.qid
+  JOIN e ec ON ec.vec_id = ca.nid JOIN n nc ON nc.vec_id = ca.nid
+  WHERE qa.qid != ca.nid
+), r AS (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+  FROM scored
+)
+SELECT qid, rnk, nid, CAST(FLOOR(cosine * 1e9) AS BIGINT) AS cos_e9
+FROM r WHERE rnk <= 5 ORDER BY qid, rnk
+"""
+
+
 QUERIES["dedup_apply_minhash"] = Query(dedup_apply_minhash, DEDUP_APPLY_SQL, tags=("dedup",))
+QUERIES["embedding_ann_ivf_kmeans"] = Query(
+    embedding_ann_ivf_kmeans, _ivf_kmeans_sql(), tags=("similarity", "ann")
+)
 QUERIES["embedding_ann_ivf"] = Query(embedding_ann_ivf, IVF_SQL, tags=("similarity", "ann"))
 QUERIES["embedding_knn_join"] = Query(embedding_knn_join, KNN_JOIN_SQL, tags=("similarity", "knn"))
 QUERIES["embedding_knn_join_kmeans"] = Query(
