@@ -131,9 +131,22 @@ def minhash_lsh_pairs(
        (plan-asserted in tests/test_plans.py).
     4. verify on the DEDUPED candidate set only: join the (id_a, id_b)
        pairs back to the ``doc_id → shingles`` frame once per side —
-       two plain equi-joins on doc_id whose payload is ONE copy of each
+       two equi-joins on doc_id whose payload is ONE copy of each
        participating document's shingles, instead of ``bands`` copies
-       through the band shuffle.  Same pairs, same jaccard.
+       through the band shuffle.  Same pairs, same jaccard.  Measured
+       design choices (sf1, round 7): the shingle frame is RECOMPUTED
+       per consumer, not pinned — the scan+shingle pipeline is an
+       in-scan codegen expression (~1 s per pass at sf1) while
+       materializing the fat string arrays costs ~4 s
+       (localCheckpoint serialize) and caches corpus-sized state; and
+       both verify joins carry explicit ``shuffle_hash`` hints —
+       without them AQE broadcast-built the FAT shingle side (8.7 s);
+       a broadcast of the id pairs is fastest locally (4.4 s) but a
+       candidate list is corpus-scale in the worst case, so the hash
+       join with the SMALL/bounded build side (id pairs resp. one
+       per-partition slice of the shingle frame) is the 100 TB-safe
+       shape (4.9-5.2 s) — no sort of array rows, no driver-sized
+       broadcast.
 
     ``max_bucket_size`` guards step 3 against degenerate corpora: a
     viral document duplicated millions of times puts every copy in the
@@ -219,10 +232,15 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verify join-back: one shingles copy per participating doc per side
+    # verify join-back: one shingles copy per participating doc per
+    # side.  shuffle_hash hints pin the build sides to the SMALL /
+    # bounded frames (see docstring) — AQE otherwise broadcast-builds
+    # the fat array side.
     sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    cand = ids.join(sh_a, on="id_a").join(sh_b, on="id_b")
+    cand = ids.hint("shuffle_hash").join(sh_a, on="id_a").join(
+        sh_b.hint("shuffle_hash"), on="id_b"
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

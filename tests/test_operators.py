@@ -1067,3 +1067,31 @@ def test_srp_lsh_trained_planes_recall(spark):
         planes="kmeans", kmeans_iters=2, kmeans_train_limit=50,
     ).toPandas()
     pd.testing.assert_frame_equal(trained_planes, rerun)
+
+
+def test_semantic_dedup_sampled_training_duckdb_oracle(spark):
+    """semantic_dedup(train_limit=m) with m BINDING must match the
+    semantic_dedup_sql oracle's et-sampled replay value-exactly —
+    covers the train_limit pass-through in the oracle builder."""
+    import duckdb
+
+    from dataclass_array_spark.operators.clustering import (
+        semantic_dedup,
+        semantic_dedup_sql,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    e = spark.read.parquet(path)
+    out = semantic_dedup(
+        e, "vec_id", "embedding", k=4, iters=2, cos_threshold=0.45,
+        train_limit=100,
+    )
+    got = sorted((r["vec_id"], r["cluster"]) for r in out.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    sql = semantic_dedup_sql(
+        "embeddings", "vec_id", "embedding", dim=64, k=4, iters=2,
+        cos_threshold=0.45, train_limit=100,
+    )
+    want = sorted((vid, cid) for vid, cid in con.execute(sql).fetchall())
+    assert got == want
