@@ -131,6 +131,62 @@ def _mean_from_decimal(s, n: int) -> float:
     return (float(fl) + float(s - fl)) / n
 
 
+# Sampled training at or below this many rows runs Lloyd's ON THE
+# DRIVER over the one collected sample (65536×64 doubles = 32 MB —
+# driver metadata) instead of scheduling iters tiny Spark jobs against
+# the cached subset: the cluster does ONE TakeOrderedAndProject job
+# total.  The driver loop is a bit-exact replica of the distributed
+# path (same dim-major double accumulation, first-min ties, and the
+# same shortest-string double→DECIMAL(38,9) HALF_UP cast chain —
+# CPython ``repr`` and the JVM's ``Double.toString`` both emit the
+# shortest round-tripping decimal string), differential-tested in
+# tests/test_operators.py::test_kmeans_driver_path_matches_distributed
+# and proven against DuckDB by every sampled-training oracle gate.
+_DRIVER_TRAIN_LIMIT = 65536
+
+_DEC_Q = None  # lazy Decimal quantum
+
+
+def _kmeans_fit_driver(
+    vlist: List[List[float]], k: int, iters: int
+) -> List[List[float]]:
+    """Driver-side Lloyd's over an id-ordered sample (see
+    ``_DRIVER_TRAIN_LIMIT``)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    global _DEC_Q
+    if _DEC_Q is None:
+        _DEC_Q = Decimal(1).scaleb(-9)
+    V = np.asarray(vlist, dtype=np.float64)
+    n, dim = V.shape
+    k = min(k, n)
+    cents = [list(map(float, row)) for row in V[:k]]
+    # the engine casts each double to DECIMAL(38,9) BEFORE summing;
+    # precompute the quantized decimals once (exact addition after)
+    D = [
+        [Decimal(repr(float(x))).quantize(_DEC_Q, ROUND_HALF_UP) for x in row]
+        for row in vlist
+    ]
+    for _ in range(iters):
+        C = np.asarray(cents, dtype=np.float64)
+        acc = np.zeros((n, k), dtype=np.float64)
+        for d in range(dim):
+            diff = V[:, d, None] - C[None, :, d]
+            acc += diff * diff
+        cid = np.argmin(acc, axis=1)  # first-min = lower cluster id
+        for i in range(k):
+            members = [D[r] for r in range(n) if cid[r] == i]
+            if not members:
+                continue  # empty cluster keeps its centroid
+            cents[i] = [
+                _mean_from_decimal(
+                    sum((row[d] for row in members), Decimal(0)), len(members)
+                )
+                for d in range(dim)
+            ]
+    return cents
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str,
@@ -177,6 +233,14 @@ def kmeans_fit(
     train = vecs
     if train_limit is not None:
         train = vecs.orderBy(id_col).limit(int(train_limit))
+        if train_limit <= _DRIVER_TRAIN_LIMIT:
+            # sample is driver-bounded metadata: collect it once and run
+            # the Lloyd rounds locally — ONE cluster job regardless of
+            # iters (bit-exact replica, see _kmeans_fit_driver)
+            vlist = [list(r["v"]) for r in train.collect()]
+            if not vlist:
+                raise ValueError("kmeans_fit: input has no rows")
+            return _kmeans_fit_driver(vlist, k, iters)
     # cache whatever frame the Lloyd rounds iterate over: the sampled
     # frame always (it is re-read iters times and driver-bounded), the
     # full frame only when there is more than one pass to amortize.
@@ -279,6 +343,8 @@ def kmeans_sql_ctes(
     k: "int | str" = 8,
     iters: int = 3,
     train_limit: "int | None" = None,
+    prefix: str = "",
+    vec_expr: "str | None" = None,
 ) -> str:
     """DuckDB CTE chain for the unrolled k-means (assignment -> per-dim
     mean -> centroid carry), ending at ``afinal(vec_id, cid, dist)``;
@@ -294,13 +360,22 @@ def kmeans_sql_ctes(
     ``train_limit`` lowest-id rows — while ``afinal`` still assigns the
     FULL corpus against the trained centroids.  ``None`` keeps ``et``
     = ``e`` (full training), leaving all pre-existing oracles
-    value-identical."""
+    value-identical.
+
+    ``prefix`` prepends every CTE name (``{prefix}e``, ``{prefix}c0``,
+    …) so several chains can coexist in ONE ``WITH`` — the product-
+    quantization oracle runs one chain per subspace.  Only the FIRST
+    chain keeps the ``WITH`` keyword; callers strip it from subsequent
+    chains (see ``workload.llm2._pq_sql``).  ``vec_expr`` overrides the
+    default ``CAST(vec_col AS DOUBLE[])`` vector expression (e.g. a
+    DuckDB list slice for a PQ subspace)."""
+    p = prefix
     fold = (
         "list_reduce(list_prepend(0.0, list_transform(list_zip(e.v, c.cv), "
         "p -> (p[1]-p[2])*(p[1]-p[2]))), (acc, x) -> acc + x)"
     )
 
-    def assign(ci: str, src: str = "e") -> str:
+    def assign(ci: str, src: str) -> str:
         return f"""(
   SELECT vec_id, cid, dist FROM (
     SELECT vec_id, cid, dist,
@@ -311,38 +386,39 @@ def kmeans_sql_ctes(
 )"""
 
     if train_limit is None:
-        et = "SELECT * FROM e"
+        et = f"SELECT * FROM {p}e"
     else:
-        et = f"SELECT * FROM e ORDER BY {id_col} LIMIT {int(train_limit)}"
+        et = f"SELECT * FROM {p}e ORDER BY {id_col} LIMIT {int(train_limit)}"
+    ve = vec_expr if vec_expr is not None else f"CAST({vec_col} AS DOUBLE[])"
     parts = [
-        f"""WITH e AS (
-  SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
-), et AS (
+        f"""WITH {p}e AS (
+  SELECT {id_col}, {ve} AS v FROM {table}
+), {p}et AS (
   {et}
-), c0 AS (
+), {p}c0 AS (
   SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cid, v AS cv
-  FROM (SELECT {id_col}, v FROM et ORDER BY {id_col} LIMIT {k})
+  FROM (SELECT {id_col}, v FROM {p}et ORDER BY {id_col} LIMIT {k})
 )"""
     ]
     for i in range(iters):
-        parts.append(f", a{i} AS {assign(f'c{i}', src='et')}")
+        parts.append(f", {p}a{i} AS {assign(f'{p}c{i}', src=f'{p}et')}")
         parts.append(
-            f""", m{i} AS (
+            f""", {p}m{i} AS (
   SELECT cid, list(m ORDER BY dim) AS cv FROM (
     SELECT cid, dim,
            (CAST(FLOOR(s) AS DOUBLE) + CAST(s - FLOOR(s) AS DOUBLE)) / cnt AS m
     FROM (SELECT a.cid, gs.i AS dim,
                  SUM(CAST(e.v[gs.i] AS DECIMAL(38,9))) AS s, COUNT(*) AS cnt
-          FROM a{i} a JOIN et e ON e.{id_col} = a.vec_id,
+          FROM {p}a{i} a JOIN {p}et e ON e.{id_col} = a.vec_id,
                generate_series(1, {dim}) gs(i)
           GROUP BY a.cid, gs.i)
   ) GROUP BY cid
-), c{i + 1} AS (
+), {p}c{i + 1} AS (
   SELECT c.cid, COALESCE(m.cv, c.cv) AS cv
-  FROM c{i} c LEFT JOIN m{i} m ON m.cid = c.cid
+  FROM {p}c{i} c LEFT JOIN {p}m{i} m ON m.cid = c.cid
 )"""
         )
-    parts.append(f", afinal AS {assign(f'c{iters}')}")
+    parts.append(f", {p}afinal AS {assign(f'{p}c{iters}', src=f'{p}e')}")
     return "".join(parts)
 
 

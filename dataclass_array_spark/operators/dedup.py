@@ -356,3 +356,76 @@ def drop_near_duplicates(
     with a lower-id doc is dropped regardless of chains."""
     drops = pairs.select(F.col(id_b).alias(id_col)).distinct()
     return df.join(drops, on=id_col, how="left_anti")
+
+
+def dedup_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 20,
+) -> DataFrame:
+    """Chunk-level exact dedup — the C4 "deduplicate at the line level"
+    rule generalized to fixed token windows: split every document into
+    non-overlapping ``chunk_size``-token chunks, keep only the globally
+    FIRST occurrence (lowest ``(id, chunk_idx)``) of each distinct
+    chunk, and report per document how much survived.
+
+    Returns ``(id, n_chunks, n_kept, kept_md5)`` where ``kept_md5``
+    fingerprints the document's surviving text (kept chunks re-joined
+    in order; empty string when everything was seen before).
+
+    Scale shape: chunking is an in-scan expression; the ONLY shuffle of
+    chunk text is the first-occurrence window on ``chunk_md5`` — a
+    uniformly distributed 128-bit key (no skew, no self-join, never
+    all-pairs), exactly the hash-partition a 100 TB line-dedup needs.
+    The per-doc reassembly groups on ``id``, carrying one row per chunk
+    with a boolean instead of the chunk text (the md5 and kept flag are
+    enough to rebuild counts; text rides only for kept chunks).
+    """
+    from dataclass_array_spark.operators.text import chunk_tokens
+    from pyspark.sql import Window
+
+    ch = df.select(
+        F.col(id_col),
+        F.explode(chunk_tokens(F.col(text_col), chunk_size, 0)).alias("c"),
+    ).select(
+        F.col(id_col),
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+    )
+    w = Window.partitionBy("chunk_md5").orderBy(F.col(id_col), F.col("chunk_id"))
+    flagged = ch.withColumn("rn", F.row_number().over(w)).select(
+        F.col(id_col),
+        "chunk_id",
+        (F.col("rn") == 1).alias("kept"),
+        F.when(F.col("rn") == 1, F.col("chunk_text")).alias("kept_text"),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.filter(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("kept"),
+                                        F.struct(
+                                            F.col("chunk_id"), F.col("kept_text")
+                                        ),
+                                    )
+                                )
+                            ),
+                            lambda s: s.isNotNull(),
+                        ),
+                        lambda s: s["kept_text"],
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+    )

@@ -40,6 +40,9 @@ _PRIORITY: Tuple[str, ...] = (
     # (sampled k-means training + cached Lloyd frames, MinHash band-
     # payload fix, pin= plumbing, NaN-parity + float()/int() tracing,
     # trained-centroid ANN options) ----
+    "embedding_ann_pq",  # NEW round 7: product-quantization ADC, exact oracle
+    "embedding_ann_ivf_pq",  # NEW round 7: FAISS-style IVFADC, exact oracle
+    "dedup_chunks_exact",  # NEW round 7: chunk-level (C4 line) dedup
     "embedding_knn_join_kmeans",
     "semantic_dedup_embeddings",
     "semantic_dedup_auto",
@@ -157,7 +160,7 @@ def _collect() -> Dict[str, Query]:
     # fewer queries instead of a failure.
     for modname in (
         "tpch", "tpch2", "tpch3", "relational", "relational2",
-        "events", "llm", "llm2", "streaming", "shapes",
+        "events", "llm", "llm2", "llm3", "streaming", "shapes",
     ):
         mod = __import__(
             f"dataclass_array_spark.workload.{modname}", fromlist=["QUERIES"]

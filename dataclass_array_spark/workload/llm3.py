@@ -1,0 +1,261 @@
+"""Training-data pipeline queries, part 3: product-quantization ANN
+(compressed-corpus similarity search) and chunk-level exact dedup
+(the C4 line-dedup rule over token windows).
+
+Same contract as :mod:`workload.llm`: every query binds an operator to
+the driver tables and carries a value-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataclass_array_spark.operators import text as tx
+from dataclass_array_spark.workload.base import load_tables
+from dataclass_array_spark.workload.catalog import Query
+
+_SQL_TOKS = tx.SQL_TOKENS.format(t="text")
+
+# ------------------------------------------------ PQ / ADC ANN
+_N_QUERIES = 10          # same query slice as the other ANN gates
+_DIM = 64
+_PQ_M = 8                # 8 subspaces x 8 dims: 256 B -> 8 B per vector
+_PQ_CODES = 8
+_PQ_ITERS = 2
+_PQ_TRAIN = 256          # binds even at sf0.01 (256 < 500 rows)
+_PQ_K = 5
+
+
+def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace codebooks trained with
+    sampled Lloyd's (one bounded top-m pass), corpus stored as m code
+    ids (32× compression — the form a 100 TB embedding store keeps
+    resident), queries scored by asymmetric distance against codes
+    only.  Codebook training, encoding ties, and the blocked ADC fold
+    order are all deterministic, so the DuckDB oracle replays the whole
+    pipeline value-exactly (``_pq_sql``)."""
+    from dataclass_array_spark.operators.pq import pq_fit, pq_topk
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cbs = pq_fit(
+        e, "vec_id", "embedding", dim=_DIM, m=_PQ_M, codes=_PQ_CODES,
+        iters=_PQ_ITERS, train_limit=_PQ_TRAIN,
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    out = pq_topk(
+        q, e, "vec_id", "vec_id", "embedding", cbs, k=_PQ_K, exclude_self=True
+    )
+    return out.select(
+        "qid",
+        F.col("rank").cast("long").alias("rnk"),
+        "nid",
+        F.floor(F.col("dist") * 1e9).cast("long").alias("dist_e9"),
+    )
+
+
+def _pq_parts():
+    """Shared oracle fragments for the PQ gates: one prefixed unrolled-
+    k-means CTE chain PER SUBSPACE (``s{j}_…``, each over the DuckDB
+    list slice of the embedding), the ``enc`` CTE joining the per-
+    subspace ``afinal`` code assignments, the codebook joins, and the
+    blocked ADC distance expression (per-subspace folds summed
+    left-to-right — the association order `operators/pq.py` uses)."""
+    from dataclass_array_spark.operators.clustering import kmeans_sql_ctes
+
+    d = _DIM // _PQ_M
+    chains = []
+    for j in range(_PQ_M):
+        lo, hi = j * d + 1, (j + 1) * d
+        c = kmeans_sql_ctes(
+            "embeddings", "vec_id", "embedding", dim=d, k=_PQ_CODES,
+            iters=_PQ_ITERS, train_limit=_PQ_TRAIN, prefix=f"s{j}_",
+            vec_expr=f"CAST(embedding AS DOUBLE[])[{lo}:{hi}]",
+        )
+        chains.append(c if j == 0 else ", " + c[len("WITH ") :])
+    enc_cols = ", ".join(f"s{j}.cid AS c{j}" for j in range(_PQ_M))
+    enc_joins = " ".join(
+        f"JOIN s{j}_afinal s{j} ON s{j}.vec_id = s0.vec_id"
+        for j in range(1, _PQ_M)
+    )
+    enc_cte = f"""enc AS (
+  SELECT s0.vec_id, {enc_cols}
+  FROM s0_afinal s0 {enc_joins}
+)"""
+    cb_joins = "\n  ".join(
+        f"JOIN s{j}_c{_PQ_ITERS} cb{j} ON cb{j}.cid = enc.c{j}"
+        for j in range(_PQ_M)
+    )
+
+    def dist(qalias: str) -> str:
+        terms = []
+        for j in range(_PQ_M):
+            lo, hi = j * d + 1, (j + 1) * d
+            terms.append(
+                f"list_reduce(list_prepend(0.0, list_transform("
+                f"list_zip({qalias}.v[{lo}:{hi}], cb{j}.cv), "
+                f"p -> (p[1]-p[2])*(p[1]-p[2]))), (acc, x) -> acc + x)"
+            )
+        return "\n         + ".join(terms)
+
+    return "".join(chains), enc_cte, cb_joins, dist
+
+
+def _pq_sql() -> str:
+    """Oracle for :func:`embedding_ann_pq` — brute-force ADC."""
+    chains, enc_cte, cb_joins, dist = _pq_parts()
+    return chains + f"""
+, fe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+, {enc_cte}
+, q AS (SELECT vec_id AS qid, v FROM fe WHERE vec_id < {_N_QUERIES})
+, scored AS (
+  SELECT q.qid, enc.vec_id AS nid,
+         {dist('q')} AS dist
+  FROM q CROSS JOIN enc
+  {cb_joins}
+  WHERE q.qid != enc.vec_id
+), r AS (
+  SELECT qid, nid, dist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rnk
+  FROM scored
+)
+SELECT qid, rnk, nid, CAST(FLOOR(dist * 1e9) AS BIGINT) AS dist_e9
+FROM r WHERE rnk <= {_PQ_K} ORDER BY qid, rnk
+"""
+
+
+# ------------------------------------------------ IVF-PQ (FAISS IVFADC)
+_IVFPQ_CELLS = 16
+_IVFPQ_NPROBE = 4
+
+_IVF_CELL_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip(fe.v, c.cv), "
+    "p -> p[1]*p[2])), (acc, x) -> acc + x)"
+)
+
+
+def embedding_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFADC composition): first-n IVF cells
+    prune candidates, sampled-trained PQ codebooks score them via ADC.
+    One fused corpus pass produces ``(id, cell, codes)`` — the entire
+    resident index at scale; cells, codes, and the blocked fold order
+    are all deterministic so the oracle replays the pipeline
+    value-exactly."""
+    from dataclass_array_spark.operators.pq import ivf_pq_topk, pq_fit
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cbs = pq_fit(
+        e, "vec_id", "embedding", dim=_DIM, m=_PQ_M, codes=_PQ_CODES,
+        iters=_PQ_ITERS, train_limit=_PQ_TRAIN,
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    out = ivf_pq_topk(
+        q, e, "vec_id", "vec_id", "embedding", cbs,
+        n_centroids=_IVFPQ_CELLS, nprobe=_IVFPQ_NPROBE, k=_PQ_K,
+    )
+    return out.select(
+        "qid",
+        F.col("rank").cast("long").alias("rnk"),
+        "nid",
+        F.floor(F.col("dist") * 1e9).cast("long").alias("dist_e9"),
+    )
+
+
+def _ivf_pq_sql() -> str:
+    """Oracle for :func:`embedding_ann_ivf_pq`: the IVF cell CTEs of
+    ``workload.llm.IVF_SQL`` (first-n centroids, cosine cell ranking,
+    corpus rn=1 / queries rn<=nprobe) over the PQ chains, candidates
+    scored by the blocked ADC distance."""
+    chains, enc_cte, cb_joins, dist = _pq_parts()
+    return chains + f"""
+, fe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+, fn AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(v, v),
+              p -> p[1]*p[2])), (acc, x) -> acc + x) AS n2
+  FROM fe
+), c AS (
+  SELECT fe.vec_id AS cent_id, fe.v AS cv, fn.n2 AS cn2
+  FROM fe JOIN fn USING (vec_id) ORDER BY vec_id LIMIT {_IVFPQ_CELLS}
+), cells AS (
+  SELECT vec_id, cell, rn FROM (
+    SELECT fe.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY fe.vec_id ORDER BY
+             {_IVF_CELL_DOT} / (sqrt(fn.n2) * sqrt(c.cn2)) DESC, c.cent_id) AS rn
+    FROM fe JOIN fn USING (vec_id) CROSS JOIN c
+  )
+), ca AS (
+  SELECT vec_id AS nid, cell FROM cells WHERE rn = 1
+), qa AS (
+  SELECT vec_id AS qid, cell FROM cells WHERE rn <= {_IVFPQ_NPROBE}
+    AND vec_id < {_N_QUERIES}
+), {enc_cte}
+, scored AS (
+  SELECT qa.qid, ca.nid,
+         {dist('qq')} AS dist
+  FROM qa JOIN ca USING (cell)
+  JOIN enc ON enc.vec_id = ca.nid
+  JOIN fe qq ON qq.vec_id = qa.qid
+  {cb_joins}
+  WHERE qa.qid != ca.nid
+), r AS (
+  SELECT qid, nid, dist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rnk
+  FROM scored
+)
+SELECT qid, rnk, nid, CAST(FLOOR(dist * 1e9) AS BIGINT) AS dist_e9
+FROM r WHERE rnk <= {_PQ_K} ORDER BY qid, rnk
+"""
+
+
+# ------------------------------------------------ chunk-level dedup
+_CHUNK_DEDUP_SIZE = 20
+
+
+def dedup_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup over the corpus: every 20-token window
+    kept only at its globally first occurrence; per-doc survival stats
+    + an md5 of the surviving text."""
+    from dataclass_array_spark.operators.dedup import dedup_chunks
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return dedup_chunks(
+        d, "doc_id", "text", chunk_size=_CHUNK_DEDUP_SIZE
+    ).orderBy("doc_id")
+
+
+_CS = _CHUNK_DEDUP_SIZE
+CHUNK_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), ch AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(floor((len(toks)-1)/{_CS}) AS INT))) AS chunk_id
+  FROM toks WHERE len(toks) > 0
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         array_to_string(toks[(chunk_id*{_CS}+1):(chunk_id*{_CS}+{_CS})], ' ') AS chunk_text
+  FROM ch
+), flagged AS (
+  SELECT doc_id, chunk_id, chunk_text,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                            ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(
+         string_agg(chunk_text, ' ' ORDER BY chunk_id) FILTER (WHERE rn = 1),
+         '')) AS kept_md5
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "embedding_ann_pq": Query(embedding_ann_pq, _pq_sql(), tags=("similarity", "ann", "pq")),
+    "embedding_ann_ivf_pq": Query(
+        embedding_ann_ivf_pq, _ivf_pq_sql(), tags=("similarity", "ann", "pq")
+    ),
+    "dedup_chunks_exact": Query(dedup_chunks_docs, CHUNK_DEDUP_SQL, tags=("dedup", "text")),
+}

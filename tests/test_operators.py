@@ -1095,3 +1095,108 @@ def test_semantic_dedup_sampled_training_duckdb_oracle(spark):
     )
     want = sorted((vid, cid) for vid, cid in con.execute(sql).fetchall())
     assert got == want
+
+
+def test_pq_fit_matches_sliced_kmeans(spark):
+    """Each PQ subspace codebook must equal kmeans_fit run on the
+    manually sliced vector frame — pq_fit inherits init/tie/mean
+    semantics from kmeans_fit rather than re-implementing them."""
+    from dataclass_array_spark.operators.clustering import kmeans_fit
+    from dataclass_array_spark.operators.pq import pq_fit
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = pq_fit(
+        e, "vec_id", "embedding", dim=64, m=4, codes=4, iters=2, train_limit=100
+    )
+    assert len(cbs) == 4 and all(len(cb) == 4 for cb in cbs)
+    sliced = e.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 17, 16).alias("v"),
+    )
+    want = kmeans_fit(sliced, "vec_id", "v", k=4, iters=2, train_limit=100)
+    assert cbs[1] == want
+
+
+def test_pq_encode_expr_matches_arrow(spark, monkeypatch):
+    """The unrolled expression encoder and the Arrow kernel must agree
+    bit-for-bit (same dim-major fold, same first-min tie-break)."""
+    import dataclass_array_spark.operators.pq as pqmod
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = pqmod.pq_fit(
+        e, "vec_id", "embedding", dim=64, m=4, codes=4, iters=1, train_limit=50
+    )
+    monkeypatch.setattr(pqmod, "_ARGMIN_UDF_THRESHOLD", 10**9)
+    expr = {
+        r["vec_id"]: list(r["codes"])
+        for r in pqmod.pq_encode(e, "vec_id", "embedding", cbs).collect()
+    }
+    monkeypatch.setattr(pqmod, "_ARGMIN_UDF_THRESHOLD", 0)
+    arrow = {
+        r["vec_id"]: list(r["codes"])
+        for r in pqmod.pq_encode(e, "vec_id", "embedding", cbs).collect()
+    }
+    assert expr == arrow
+
+
+def test_pq_topk_recall(spark):
+    """ADC top-k on planted clusters: same-cluster jittered copies map
+    to the same codes, so the approximate neighbors must overlap the
+    exact L2 neighbors substantially."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.pq import pq_fit, pq_topk
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(10, 8)
+    vecs = (np.repeat(base, 5, axis=0) + 0.01 * rng.randn(50, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"id": range(50), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select(
+        "id", F.col("v").cast("array<float>").alias("v")
+    )
+    cbs = pq_fit(df, "id", "v", dim=8, m=2, codes=16, iters=3)
+    q = df.filter(F.col("id") < 5)
+    approx = pq_topk(q, df, "id", "id", "v", cbs, k=3, exclude_self=True).toPandas()
+    V = vecs.astype(np.float64)
+    hits = 0
+    for qid in range(5):
+        d2 = ((V - V[qid]) ** 2).sum(axis=1)
+        d2[qid] = np.inf
+        exact = set(np.argsort(d2, kind="stable")[:3])
+        hits += len(exact & set(approx[approx.qid == qid].nid))
+    assert hits >= 0.6 * 15, hits
+
+
+def test_dedup_chunks_survival(spark):
+    """A doc that repeats another doc's chunks verbatim keeps nothing;
+    unique docs keep everything; partial overlap keeps the unique tail."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.dedup import dedup_chunks
+
+    a = " ".join(f"w{i}" for i in range(8))          # 2 chunks of 4
+    b = " ".join(f"x{i}" for i in range(8))          # unique
+    c = a                                             # full dup of a
+    d = a + " " + " ".join(f"y{i}" for i in range(4))  # 2 dup + 1 unique
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3, 4], "text": [a, b, c, d]})
+    )
+    got = {
+        r["id"]: (r["n_chunks"], r["n_kept"])
+        for r in dedup_chunks(df, "id", "text", chunk_size=4).collect()
+    }
+    assert got == {1: (2, 2), 2: (2, 2), 3: (2, 0), 4: (3, 1)}
+
+
+def test_kmeans_driver_path_matches_distributed(spark, monkeypatch):
+    """Sampled training now runs Lloyd's on the driver (one cluster job);
+    it must be bit-identical to the distributed cached-sample path —
+    same dim-major accumulation, first-min ties, and double→DECIMAL(38,9)
+    HALF_UP cast chain."""
+    import dataclass_array_spark.operators.clustering as cl
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    driver = cl.kmeans_fit(e, "vec_id", "embedding", k=5, iters=3, train_limit=120)
+    monkeypatch.setattr(cl, "_DRIVER_TRAIN_LIMIT", 0)
+    dist = cl.kmeans_fit(e, "vec_id", "embedding", k=5, iters=3, train_limit=120)
+    assert driver == dist

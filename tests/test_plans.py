@@ -205,3 +205,47 @@ def test_minhash_band_shuffle_carries_no_shingles(spark):
             # once per side); in particular the banded (band, sig)
             # exchange stays fixed-width
             assert "shingles#" not in inp, (q, sect)
+
+
+def test_pq_encode_no_shuffle(spark):
+    # PQ encoding is the compression pass a 100 TB corpus runs once:
+    # it must stay a narrow in-scan projection (either the unrolled
+    # argmin expression or one ArrowEvalPython node), never a join or
+    # a shuffle.
+    from dataclass_array_spark.operators.pq import pq_encode, pq_fit
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cbs = pq_fit(e, "vec_id", "embedding", dim=64, m=4, codes=4, iters=1,
+                 train_limit=50)
+    df = pq_encode(e, "vec_id", "embedding", cbs)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p and "Join" not in p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_pq_topk_broadcast_and_single_qid_shuffle(spark):
+    # ADC scoring: queries broadcast (nested-loop — there is no equi
+    # key), the encoded corpus side never moves, and the only hash
+    # shuffle partitions candidates by qid for the top-k window.
+    import re
+
+    from pyspark.sql import functions as F
+    from dataclass_array_spark.operators.pq import pq_fit, pq_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cbs = pq_fit(e, "vec_id", "embedding", dim=64, m=4, codes=4, iters=1,
+                 train_limit=50)
+    q = e.filter(F.col("vec_id") < 3)
+    df = pq_topk(q, e, "vec_id", "vec_id", "embedding", cbs, k=3,
+                 exclude_self=True)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    shuffles = re.findall(r"Exchange hashpartitioning\((\w+)", p)
+    assert all(s.startswith("qid") for s in shuffles), shuffles
