@@ -366,7 +366,7 @@ def kmeans_sql_ctes(
     …) so several chains can coexist in ONE ``WITH`` — the product-
     quantization oracle runs one chain per subspace.  Only the FIRST
     chain keeps the ``WITH`` keyword; callers strip it from subsequent
-    chains (see ``workload.llm2._pq_sql``).  ``vec_expr`` overrides the
+    chains (see ``workload.llm3._pq_sql``).  ``vec_expr`` overrides the
     default ``CAST(vec_col AS DOUBLE[])`` vector expression (e.g. a
     DuckDB list slice for a PQ subspace)."""
     p = prefix

@@ -429,3 +429,98 @@ def dedup_chunks(
             ).alias("kept_md5"),
         )
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: banded Hamming-ball candidates +
+    popcount verify — completes the SimHash family from fingerprints
+    (:func:`simhash`) to an actual dedup join.
+
+    Soundness (pigeonhole): two fingerprints within ``max_hamming <
+    bands`` bits of each other differ in fewer bits than there are
+    disjoint ``n_bits/bands``-bit slices, so at least one slice is
+    IDENTICAL — the banded equi-join generates every candidate in the
+    Hamming ball, and ``bit_count(xor)`` verifies exactly.
+
+    Scale shape (same discipline as :func:`minhash_lsh_pairs`): the
+    fingerprint is one in-scan fold; the band explode carries
+    ``(doc_id, fp, band, key)`` — fixed-width, 8-byte fp, no text, no
+    arrays — and the ONLY shuffle is the self-join on the uniform
+    ``(band, key)`` hash key.  The fp rides the band rows (unlike
+    MinHash's shingle arrays it costs nothing), so verification needs
+    no join-back.  ``max_bucket_size`` drops oversized (band, key)
+    buckets before the join — the degenerate-corpus guard, same window-
+    on-the-join-key trick as MinHash (exchange reused, no extra
+    shuffle); mirror any cap into the oracle.
+    """
+    if n_bits % bands:
+        raise ValueError(f"n_bits={n_bits} not divisible by bands={bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs < bands={bands} for the "
+            "pigeonhole guarantee (some slice must be untouched)"
+        )
+    w = n_bits // bands
+    mask = (1 << w) - 1
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    fp = df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash(F.col(text_col), n_bits).alias("fp"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("fp", b * w).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = fp.select(
+        "doc_id", "fp", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id", "fp",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wn = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_bn", F.count("*").over(wn))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

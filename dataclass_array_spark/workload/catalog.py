@@ -43,6 +43,8 @@ _PRIORITY: Tuple[str, ...] = (
     "embedding_ann_pq",  # NEW round 7: product-quantization ADC, exact oracle
     "embedding_ann_ivf_pq",  # NEW round 7: FAISS-style IVFADC, exact oracle
     "dedup_chunks_exact",  # NEW round 7: chunk-level (C4 line) dedup
+    "dedup_simhash_pairs",  # NEW round 7: banded Hamming SimHash join
+    "dedup_apply_simhash",  # NEW round 7: SimHash pairs -> surviving corpus
     "embedding_knn_join_kmeans",
     "semantic_dedup_embeddings",
     "semantic_dedup_auto",

@@ -1,6 +1,7 @@
 """Training-data pipeline queries, part 3: product-quantization ANN
-(compressed-corpus similarity search) and chunk-level exact dedup
-(the C4 line-dedup rule over token windows).
+(compressed-corpus similarity search, plain and IVF-composed),
+chunk-level exact dedup (the C4 line-dedup rule over token windows),
+and banded-Hamming SimHash near-dup pairs.
 
 Same contract as :mod:`workload.llm`: every query binds an operator to
 the driver tables and carries a value-exact DuckDB oracle.
@@ -259,3 +260,86 @@ QUERIES = {
     ),
     "dedup_chunks_exact": Query(dedup_chunks_docs, CHUNK_DEDUP_SQL, tags=("dedup", "text")),
 }
+
+
+# ------------------------------------------------ SimHash near-dup pairs
+_SH_BITS, _SH_BANDS, _SH_HAMMING, _SH_CAP = 48, 4, 3, 64
+_SH_W = _SH_BITS // _SH_BANDS
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming-ball candidates
+    (pigeonhole: <=3 differing bits across 4 disjoint 12-bit slices
+    leaves at least one slice identical) + popcount verify."""
+    from dataclass_array_spark.operators.dedup import simhash_pairs
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return simhash_pairs(
+        d, "doc_id", "text", n_bits=_SH_BITS, bands=_SH_BANDS,
+        max_hamming=_SH_HAMMING, max_bucket_size=_SH_CAP,
+    )
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS hv FROM tok
+), votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, generate_series(0,{_SH_BITS - 1}) AS g(j) GROUP BY doc_id, j
+), fpr AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp
+  FROM votes GROUP BY doc_id
+), fp2 AS (
+  SELECT d.doc_id, COALESCE(fpr.fp, 0) AS fp
+  FROM documents d LEFT JOIN fpr ON fpr.doc_id = d.doc_id
+), banded AS (
+  SELECT doc_id, fp, g.b AS band, (fp >> (g.b * {_SH_W})) & {(1 << _SH_W) - 1} AS key
+  FROM fp2, generate_series(0,{_SH_BANDS - 1}) AS g(b)
+  QUALIFY COUNT(*) OVER (PARTITION BY g.b, (fp >> (g.b * {_SH_W})) & {(1 << _SH_W) - 1}) <= {_SH_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {_SH_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+QUERIES["dedup_simhash_pairs"] = Query(
+    dedup_simhash_pairs, SIMHASH_PAIRS_SQL, tags=("dedup", "simhash")
+)
+
+
+def dedup_apply_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SimHash dedup: banded-Hamming pairs → drop the
+    higher-id member of every pair → surviving corpus (keep-lowest
+    needs no transitive closure)."""
+    from dataclass_array_spark.operators.dedup import (
+        drop_near_duplicates,
+        simhash_pairs,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = simhash_pairs(
+        d, "doc_id", "text", n_bits=_SH_BITS, bands=_SH_BANDS,
+        max_hamming=_SH_HAMMING, max_bucket_size=_SH_CAP,
+    )
+    kept = drop_near_duplicates(d, pairs, "doc_id")
+    return kept.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+SIMHASH_APPLY_SQL = f"""
+WITH pairs AS ({SIMHASH_PAIRS_SQL.replace('ORDER BY id_a, id_b', '')})
+SELECT doc_id, source, lang FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)
+ORDER BY doc_id
+"""
+
+QUERIES["dedup_apply_simhash"] = Query(
+    dedup_apply_simhash, SIMHASH_APPLY_SQL, tags=("dedup", "simhash")
+)

@@ -1200,3 +1200,29 @@ def test_kmeans_driver_path_matches_distributed(spark, monkeypatch):
     monkeypatch.setattr(cl, "_DRIVER_TRAIN_LIMIT", 0)
     dist = cl.kmeans_fit(e, "vec_id", "embedding", k=5, iters=3, train_limit=120)
     assert driver == dist
+
+
+def test_simhash_pairs_planted(spark):
+    """Identical docs must pair at hamming 0; unrelated docs (disjoint
+    vocabularies — expected ~n_bits/2 apart) must not pair.  All hashes
+    are md5-derived, so the fixture is deterministic forever."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.dedup import simhash_pairs
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta theta",   # dup of 1
+        3: "one two three four five six seven eight",
+        4: "one two three four five six seven eight",         # dup of 3
+        5: "lorem ipsum dolor sit amet consectetur adipiscing elit",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, "id", "text").collect()
+    }
+    assert got.get((1, 2)) == 0 and got.get((3, 4)) == 0
+    assert all(p in {(1, 2), (3, 4)} for p in got), got

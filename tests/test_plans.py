@@ -249,3 +249,29 @@ def test_pq_topk_broadcast_and_single_qid_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in p
     shuffles = re.findall(r"Exchange hashpartitioning\((\w+)", p)
     assert all(s.startswith("qid") for s in shuffles), shuffles
+
+
+def test_ivf_pq_fused_scan_no_extra_shuffle(spark):
+    # IVF-PQ: cell assignment + PQ encoding fuse into ONE corpus scan
+    # projection (no exchange between them), the search join on cell is
+    # a broadcast hash join (queries are the small side), and the only
+    # hash shuffle partitions candidates by qid for the top-k window.
+    import re
+
+    from pyspark.sql import functions as F
+    from dataclass_array_spark.operators.pq import ivf_pq_topk, pq_fit
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cbs = pq_fit(e, "vec_id", "embedding", dim=64, m=4, codes=4, iters=1,
+                 train_limit=50)
+    q = e.filter(F.col("vec_id") < 3)
+    df = ivf_pq_topk(q, e, "vec_id", "vec_id", "embedding", cbs,
+                     n_centroids=4, nprobe=2, k=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    shuffles = re.findall(r"Exchange hashpartitioning\((\w+)", p)
+    assert all(s.startswith("qid") for s in shuffles), shuffles
