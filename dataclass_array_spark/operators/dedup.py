@@ -524,3 +524,138 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    store_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+    shingle_k: int = 3,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """Incremental (batch-vs-store) dedup — the daily-crawl shape: flag
+    every NEW document that duplicates the EXISTING corpus, exactly
+    (content fingerprint) or nearly (MinHash bands + Jaccard verify).
+    Returns one row per new doc: ``(id, exact_dup, near_dup)``.
+
+    Scale shape: the store is orders of magnitude larger than the batch
+    and is NEVER self-joined — both probes are equi-joins on uniform
+    hash keys (the content fingerprint, resp. the (band, sig) bucket)
+    that a production store would serve from a pre-bucketed,
+    incrementally-maintained signature table; batch-internal duplicates
+    are deliberately out of scope (that is :func:`minhash_lsh_pairs` /
+    :func:`exact_dedup` on the batch).  Only matched candidates ever
+    carry shingle arrays (join-back verify with shuffle_hash hints, the
+    same design as :func:`minhash_lsh_pairs`).  ``max_bucket_size``
+    caps (band, sig) buckets over the UNION's band rows — a viral doc
+    may live on either side — on the same key the join shuffles on.
+    """
+    from dataclass_array_spark.operators.text import md5_fingerprint
+
+    rows_per_band = n_hashes // bands
+    par = new_df.sparkSession.sparkContext.defaultParallelism
+    tagged = (
+        new_df.select(
+            F.lit("n").alias("side"),
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("__t"),
+        )
+        .unionByName(
+            store_df.select(
+                F.lit("s").alias("side"),
+                F.col(id_col).alias("doc_id"),
+                F.col(text_col).alias("__t"),
+            )
+        )
+        .repartition(par)
+    )
+    base = tagged.select(
+        "side",
+        "doc_id",
+        md5_fingerprint(F.col("__t")).alias("fp"),
+        word_shingles(F.col("__t"), shingle_k).alias("shingles"),
+    )
+    new_ids = base.filter(F.col("side") == "n").select("doc_id")
+    exact = (
+        base.filter(F.col("side") == "n")
+        .select("doc_id", "fp")
+        .join(
+            base.filter(F.col("side") == "s").select("fp").distinct(),
+            on="fp",
+            how="left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    sig = base.filter(F.size("shingles") > 0).select(
+        "side", "doc_id", *minhash_signature(F.col("shingles"), n_hashes)
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ":", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "side", "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select(
+        "side", "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "sig")
+        banded = (
+            banded.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    nb = banded.filter(F.col("side") == "n").select(
+        F.col("doc_id").alias("nid"), "band", "sig"
+    )
+    sb = banded.filter(F.col("side") == "s").select(
+        F.col("doc_id").alias("sid"), "band", "sig"
+    )
+    cand = (
+        nb.join(sb, on=["band", "sig"])
+        .select("nid", "sid")
+        .dropDuplicates(["nid", "sid"])
+    )
+    sh_n = base.filter(F.col("side") == "n").select(
+        F.col("doc_id").alias("nid"), F.col("shingles").alias("sh_n")
+    )
+    sh_s = base.filter(F.col("side") == "s").select(
+        F.col("doc_id").alias("sid"), F.col("shingles").alias("sh_s")
+    )
+    paired = cand.hint("shuffle_hash").join(sh_n, on="nid").join(
+        sh_s.hint("shuffle_hash"), on="sid"
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_s"))
+    union = F.size("sh_n") + F.size("sh_s") - inter
+    near = (
+        paired.select(
+            "nid", (inter.cast("double") / union.cast("double")).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("nid").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        new_ids.join(
+            exact.withColumn("__e", F.lit(True)), on="doc_id", how="left"
+        )
+        .join(near.withColumn("__n", F.lit(True)), on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__e"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("__n"), F.lit(False)).alias("near_dup"),
+        )
+        .orderBy("doc_id")
+    )

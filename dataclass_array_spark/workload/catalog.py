@@ -27,9 +27,11 @@ class Query:
 # go at the very front — regardless of when they were last checked —
 # then the 54 queries that sat out the r06 window (all local-green this
 # session), then the r06-driver-verified remainder.  Changed this
-# round: kmeans_fit gained sampled training + cached Lloyd frames (all
-# four clustering/SemDeDup gates), minhash_lsh_pairs dropped the
-# shingle payload from the band shuffle (three minhash gates),
+# round: five NEW gates (PQ/IVF-PQ ANN, chunk-level dedup, SimHash
+# banded pairs + apply), kmeans_fit gained sampled training + cached
+# Lloyd frames + the driver-side Lloyd fast path (all four
+# clustering/SemDeDup gates), minhash_lsh_pairs dropped the shingle
+# payload from the band shuffle (three minhash gates),
 # connected_components gained pin= (dedup_components), the vectorize
 # tracer gained float()/int() coercion + IEEE NaN parity (both shape
 # gates), and knn_join/ivf_topk/srp_lsh_topk gained trained-centroid
@@ -45,6 +47,7 @@ _PRIORITY: Tuple[str, ...] = (
     "dedup_chunks_exact",  # NEW round 7: chunk-level (C4 line) dedup
     "dedup_simhash_pairs",  # NEW round 7: banded Hamming SimHash join
     "dedup_apply_simhash",  # NEW round 7: SimHash pairs -> surviving corpus
+    "dedup_incremental_docs",  # NEW round 7: batch-vs-store dedup flags
     "embedding_knn_join_kmeans",
     "semantic_dedup_embeddings",
     "semantic_dedup_auto",

@@ -343,3 +343,90 @@ ORDER BY doc_id
 QUERIES["dedup_apply_simhash"] = Query(
     dedup_apply_simhash, SIMHASH_APPLY_SQL, tags=("dedup", "simhash")
 )
+
+
+# ------------------------------------------------ incremental dedup
+_INC_MOD = 3          # doc_id % 3 == 0 is the "new batch", rest the store
+_INC_THRESH = 0.3
+_INC_CAP = 64
+
+
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch against the existing corpus:
+    every new doc flagged exact-dup (content fingerprint seen in the
+    store) and/or near-dup (MinHash band candidate vs the store,
+    Jaccard-verified).  The store is never self-joined."""
+    from dataclass_array_spark.operators.dedup import dedup_incremental
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    new = d.filter(F.col("doc_id") % _INC_MOD == 0)
+    store = d.filter(F.col("doc_id") % _INC_MOD != 0)
+    return dedup_incremental(
+        new, store, "doc_id", "text",
+        n_hashes=16, bands=4, threshold=_INC_THRESH,
+        max_bucket_size=_INC_CAP,
+    )
+
+
+def _inc_sql() -> str:
+    from dataclass_array_spark.workload.llm import _MH_EXPR
+
+    fp_expr = tx.sql_md5_fingerprint("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), fps AS (
+  SELECT doc_id, {fp_expr} AS fp FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+        list_transform(generate_series(1, len(toks)-2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [] END) AS sh
+    FROM toks)
+), sig AS (
+  SELECT doc_id, {_MH_EXPR}
+  FROM sh GROUP BY doc_id
+), bands0 AS (
+  SELECT doc_id, band,
+         CASE band
+           WHEN 0 THEN mh0||':'||mh1||':'||mh2||':'||mh3
+           WHEN 1 THEN mh4||':'||mh5||':'||mh6||':'||mh7
+           WHEN 2 THEN mh8||':'||mh9||':'||mh10||':'||mh11
+           ELSE mh12||':'||mh13||':'||mh14||':'||mh15 END AS sig
+  FROM sig, generate_series(0,3) AS g(band)
+), bands AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bn
+    FROM bands0)
+  WHERE bn <= {_INC_CAP}
+), cand AS (
+  SELECT DISTINCT n.doc_id AS nid, s.doc_id AS sid
+  FROM bands n JOIN bands s ON n.band = s.band AND n.sig = s.sig
+  WHERE n.doc_id % {_INC_MOD} = 0 AND s.doc_id % {_INC_MOD} != 0
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.nid, c.sid, COUNT(*) AS ni FROM cand c
+  JOIN sh sa ON sa.doc_id = c.nid
+  JOIN sh sb ON sb.doc_id = c.sid AND sb.sh = sa.sh
+  GROUP BY c.nid, c.sid
+), near AS (
+  SELECT DISTINCT i.nid AS doc_id FROM inter i
+  JOIN counts ca ON ca.doc_id = i.nid
+  JOIN counts cb ON cb.doc_id = i.sid
+  WHERE CAST(i.ni AS DOUBLE)/(ca.n + cb.n - i.ni) >= {_INC_THRESH}
+), exact AS (
+  SELECT DISTINCT n.doc_id FROM fps n JOIN fps s ON s.fp = n.fp
+  WHERE n.doc_id % {_INC_MOD} = 0 AND s.doc_id % {_INC_MOD} != 0
+)
+SELECT d.doc_id,
+       d.doc_id IN (SELECT doc_id FROM exact) AS exact_dup,
+       d.doc_id IN (SELECT doc_id FROM near) AS near_dup
+FROM documents d WHERE d.doc_id % {_INC_MOD} = 0 ORDER BY d.doc_id
+"""
+
+
+QUERIES["dedup_incremental_docs"] = Query(
+    dedup_incremental_docs, _inc_sql(), tags=("dedup", "incremental")
+)

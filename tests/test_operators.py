@@ -1226,3 +1226,57 @@ def test_simhash_pairs_planted(spark):
     }
     assert got.get((1, 2)) == 0 and got.get((3, 4)) == 0
     assert all(p in {(1, 2), (3, 4)} for p in got), got
+
+
+def test_dedup_incremental_planted(spark):
+    """New batch vs store: exact copies flag exact_dup (and near),
+    near-copies (one token changed) flag near_dup only, fresh docs flag
+    neither.  Batch-internal duplicates must NOT flag (store-only
+    comparison by design)."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.dedup import dedup_incremental
+
+    store_texts = {
+        100: "the quick brown fox jumps over the lazy dog today",
+        101: "pack my box with five dozen liquor jugs tonight",
+        102: "sphinx of black quartz judge my vow quickly now",
+    }
+    new_texts = {
+        1: "the quick brown fox jumps over the lazy dog today",   # exact
+        2: "the quick brown fox jumps over the lazy cat today",   # near
+        3: "completely fresh unrelated words nothing shared here at all",
+        4: "completely fresh unrelated words nothing shared here at all",  # dup of 3 (batch-internal)
+    }
+    mk = lambda d: spark.createDataFrame(
+        pd.DataFrame({"id": list(d), "text": list(d.values())})
+    )
+    got = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup"])
+        for r in dedup_incremental(
+            mk(new_texts), mk(store_texts), "id", "text", threshold=0.3
+        ).collect()
+    }
+    assert got[1] == (True, True)
+    assert got[2] == (False, True)
+    assert got[3] == (False, False) and got[4] == (False, False)
+
+
+def test_pq_fit_driver_path_matches_distributed(spark, monkeypatch):
+    """pq_fit's one-collect driver training must be bit-identical to the
+    distributed cached-sample path (which itself defers to kmeans_fit
+    per subspace)."""
+    import dataclass_array_spark.operators.pq as pqmod
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    driver = pqmod.pq_fit(
+        e, "vec_id", "embedding", dim=64, m=4, codes=4, iters=2, train_limit=100
+    )
+    monkeypatch.setattr(pqmod, "_DRIVER_TRAIN_LIMIT", 0)
+    import dataclass_array_spark.operators.clustering as cl
+
+    monkeypatch.setattr(cl, "_DRIVER_TRAIN_LIMIT", 0)
+    dist = pqmod.pq_fit(
+        e, "vec_id", "embedding", dim=64, m=4, codes=4, iters=2, train_limit=100
+    )
+    assert driver == dist
