@@ -392,19 +392,27 @@ _SD_THRESH = 0.45
 # exactly in the oracle.  Inactive below ~2k rows (sf0.01 gate results
 # are unchanged); the k="auto" gate remains the uncapped scale path.
 _SD_CAP = 256
+# sampled Lloyd's for the fixed-k gate: 256 lowest ids (binds at
+# sf0.01, so sampling itself is driver-verified; 32×k for k=8 — ample).
+# Training runs on the driver (clustering._DRIVER_TRAIN_LIMIT), so
+# SemDeDup's cluster step costs ONE TakeOrdered job + one corpus-wide
+# assignment instead of iters full passes.  The k="auto" gate keeps
+# FULL distributed training — auto-k can exceed any fixed sample and
+# that path needs recurring driver coverage too.
+_SD_TRAIN = 256
 
 
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: k-means partition + within-
-    cluster cosine pruning (keep lowest vec_id); fixed k with the
-    max_cluster_size pair cap."""
+    """SemDeDup over the embeddings table: k-means partition (sampled
+    driver-side Lloyd training) + within-cluster cosine pruning (keep
+    lowest vec_id); fixed k with the max_cluster_size pair cap."""
     from dataclass_array_spark.operators.clustering import semantic_dedup
 
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     return semantic_dedup(
         spread(e), "vec_id", "embedding",
         k=_KM_K, iters=_KM_ITERS, cos_threshold=_SD_THRESH,
-        max_cluster_size=_SD_CAP,
+        max_cluster_size=_SD_CAP, train_limit=_SD_TRAIN,
     ).orderBy("vec_id")
 
 
@@ -414,7 +422,7 @@ def _semantic_dedup_oracle() -> str:
     return semantic_dedup_sql(
         "embeddings", "vec_id", "embedding",
         dim=_KM_DIM, k=_KM_K, iters=_KM_ITERS, cos_threshold=_SD_THRESH,
-        max_cluster_size=_SD_CAP,
+        max_cluster_size=_SD_CAP, train_limit=_SD_TRAIN,
     )
 
 
