@@ -262,9 +262,14 @@ def _cell_candidates(vec_double: Column, n2: Column, cents) -> Column:
 # assignment is replaced by an Arrow numpy probe — same rationale and
 # same bit-exactness discipline as clustering._ARGMIN_UDF_THRESHOLD
 # (plan compile cost grows with literal count; the cosine-to-centroid
-# expression is ~3x the argmin's nodes per centroid, so the cutoff is
-# lower).  16x64 IVF gates stay on the plan-asserted expression path.
-_ASSIGN_UDF_THRESHOLD = 1024
+# expression is ~3x the argmin's nodes per centroid).  Re-measured
+# round 7 after the k-means threshold finding: at 16×64 = 1024 literals
+# the Arrow probe wins 1.0-1.7 s vs 3.1-3.4 s warm on the sf0.1 IVF
+# gate — the literal tree's analysis+codegen is paid per plan and was
+# mispriced here exactly as it was for the argmin.  256 keeps only
+# genuinely tiny centroid sets (unit fixtures / 4-cell plan tests) on
+# the in-scan expression.
+_ASSIGN_UDF_THRESHOLD = 256
 
 
 def _cells_udf(cents, nprobe: int):
