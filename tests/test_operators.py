@@ -1280,3 +1280,41 @@ def test_pq_fit_driver_path_matches_distributed(spark, monkeypatch):
         e, "vec_id", "embedding", dim=64, m=4, codes=4, iters=2, train_limit=100
     )
     assert driver == dist
+
+
+def test_ivf_pq_topk_kmeans_cells_recall(spark):
+    """ivf_pq_topk(centroids="kmeans"): trained cells must retrieve the
+    planted-cluster neighbors at least as well as data-blind first-n
+    cells (the same bar the other trained-centroid modes meet)."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.pq import ivf_pq_topk, pq_fit
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(8, 8)
+    vecs = (np.repeat(base, 8, axis=0) + 0.01 * rng.randn(64, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"id": range(64), "v": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf).select(
+        "id", F.col("v").cast("array<float>").alias("v")
+    )
+    cbs = pq_fit(df, "id", "v", dim=8, m=2, codes=16, iters=2)
+    q = df.filter(F.col("id") < 6)
+    V = vecs.astype(np.float64)
+    exact = {}
+    for qid in range(6):
+        d2 = ((V - V[qid]) ** 2).sum(axis=1)
+        d2[qid] = np.inf
+        exact[qid] = set(np.argsort(d2, kind="stable")[:3])
+
+    def recall(mode):
+        out = ivf_pq_topk(
+            q, df, "id", "id", "v", cbs, n_centroids=8, nprobe=2, k=3,
+            centroids=mode, kmeans_iters=2, kmeans_train_limit=32,
+        ).toPandas()
+        return sum(
+            len(exact[qid] & set(out[out.qid == qid].nid)) for qid in range(6)
+        )
+
+    r_first, r_kmeans = recall("first"), recall("kmeans")
+    assert r_kmeans >= r_first - 1  # trained cells no worse (1-hit jitter slack)
+    assert r_kmeans >= 0.5 * 18
