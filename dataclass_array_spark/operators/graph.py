@@ -82,3 +82,66 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over an edge list (multi-edges become integer
+    weights): fixed ``iters`` power-iteration rounds of
+    ``r'(v) = (1-d)/N + d · Σ_{u→v} r(u)·w_uv / W_u``.
+    Returns ``(node, r)``.
+
+    Cross-engine exactness: the per-node incoming sum is a SORTED
+    left-to-right double fold (``sort_array(collect_list)`` by source
+    id → ``F.aggregate``; ``list(c ORDER BY u)`` → ``list_reduce`` in
+    the oracle) — deterministic float addition, no decimal casts of
+    computed doubles (Spark's double→decimal cast is string-based and
+    diverges from DuckDB's on non-representable values — see
+    PERF.md).  All literals evaluate as doubles on both sides.
+
+    Scale shape: each iteration is one equi-join of the rank vector to
+    the (u, v, w, W) edge frame on ``u`` plus one aggregation shuffled
+    on ``v`` — the standard distributed power iteration.  The ordered
+    fold gathers a hub's in-contributions into one array; at extreme
+    in-degrees a production run would trade this determinism for a
+    plain ``sum`` (order-free but run-to-run float-stable only per
+    plan) — the fold is the oracle-exactness path.  Dangling nodes
+    (no out-edges) leak their mass, the simple standard variant; both
+    engines implement the same choice.
+    """
+    u, v = F.col(src).alias("node"), F.col(dst).alias("node")
+    nodes = edges.select(u).union(edges.select(v)).distinct()
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: no edges")
+    w = edges.groupBy(F.col(src).alias("u"), F.col(dst).alias("v")).agg(
+        F.count("*").alias("w")
+    )
+    outw = w.groupBy("u").agg(F.sum("w").alias("wtot"))
+    wn = w.join(outw, on="u")
+    comp = 1.0 - damping
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r"))
+    for _ in range(iters):
+        contribs = wn.join(ranks, wn["u"] == ranks["node"]).select(
+            "v", "u", ((F.col("r") * F.col("w")) / F.col("wtot")).alias("c")
+        )
+        sums = contribs.groupBy("v").agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct(F.col("u"), F.col("c")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("s")
+        )
+        ranks = nodes.join(sums, nodes["node"] == sums["v"], "left").select(
+            "node",
+            (
+                F.lit(comp) / F.lit(n)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks

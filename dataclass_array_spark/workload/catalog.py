@@ -48,6 +48,8 @@ _PRIORITY: Tuple[str, ...] = (
     "dedup_simhash_pairs",  # NEW round 7: banded Hamming SimHash join
     "dedup_apply_simhash",  # NEW round 7: SimHash pairs -> surviving corpus
     "dedup_incremental_docs",  # NEW round 7: batch-vs-store dedup flags
+    "fuzzy_join_part_names",  # NEW round 7: edit-distance string join
+    "pagerank_event_hotspots",  # NEW round 7: weighted PageRank, exact oracle
     "embedding_knn_join_kmeans",
     "semantic_dedup_embeddings",
     "semantic_dedup_auto",

@@ -430,3 +430,131 @@ FROM documents d WHERE d.doc_id % {_INC_MOD} = 0 ORDER BY d.doc_id
 QUERIES["dedup_incremental_docs"] = Query(
     dedup_incremental_docs, _inc_sql(), tags=("dedup", "incremental")
 )
+
+
+# ------------------------------------------------ fuzzy string join
+_FJ_K, _FJ_Q, _FJ_CAP = 2, 2, 1000
+
+
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join over the distinct part-name vocabulary:
+    all name pairs within Levenshtein distance 2, candidates from a
+    q-gram inverted index (never all-pairs), verified by the exact DP
+    distance — identical integers in Spark and DuckDB."""
+    from dataclass_array_spark.operators.fuzzy import edit_distance_join
+
+    p = load_tables(spark, sf_dir, ["part"])["part"]
+    return edit_distance_join(
+        p, "p_name", k=_FJ_K, q=_FJ_Q, max_gram_freq=_FJ_CAP
+    )
+
+
+FUZZY_JOIN_SQL = f"""
+WITH n AS (
+  SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL
+), grams AS (
+  SELECT s, len(s) AS ln, g FROM (
+    SELECT s, len(s) AS len_s,
+           unnest(CASE WHEN len(s) >= {_FJ_Q} THEN
+             list_distinct(list_transform(generate_series(1, len(s) - {_FJ_Q - 1}),
+                           i -> substr(s, i, {_FJ_Q})))
+           ELSE [] END) AS g
+    FROM n) t(s, ln, g)
+), capped AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= {_FJ_CAP}
+), gi AS (
+  SELECT grams.s, grams.ln, grams.g FROM grams JOIN capped USING (g)
+), cand AS (
+  SELECT DISTINCT a.s AS name_a, b.s AS name_b
+  FROM gi a JOIN gi b
+    ON a.g = b.g AND a.s < b.s AND abs(a.ln - b.ln) <= {_FJ_K}
+)
+SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= {_FJ_K}
+ORDER BY name_a, name_b
+"""
+
+QUERIES["fuzzy_join_part_names"] = Query(
+    fuzzy_join_part_names, FUZZY_JOIN_SQL, tags=("fuzzy", "join")
+)
+
+
+# ------------------------------------------------ PageRank (event graph)
+_PR_ITERS, _PR_D = 3, 0.85
+
+
+def pagerank_event_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the per-user event-transition graph: consecutive
+    events by (ts, event_id) induce k→k edges (k = the JSON props key);
+    3 damped power-iteration rounds rank the hotspot states.  The
+    ordered-fold contribution sums make the oracle value-exact."""
+    from pyspark.sql import Window
+
+    from dataclass_array_spark.operators.graph import pagerank
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select("user_id", "ts_us", "event_id", k.alias("k")).withColumn(
+        "pk", F.lag("k").over(w)
+    )
+    edges = seq.filter(F.col("pk").isNotNull()).select(
+        F.col("pk").alias("src"), F.col("k").alias("dst")
+    )
+    pr = pagerank(edges, "src", "dst", iters=_PR_ITERS, damping=_PR_D)
+    return pr.select(
+        "node", F.floor(F.col("r") * 1e9).cast("long").alias("pr_e9")
+    ).orderBy("node")
+
+
+def _pagerank_sql() -> str:
+    comp = repr(1.0 - _PR_D)  # 1-0.85 evaluated in binary, string-exact
+    d = repr(_PR_D)
+    parts = [f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT user_id, k,
+         LAG(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pk
+  FROM ev
+), edges AS (
+  SELECT pk AS u, k AS v FROM seq WHERE pk IS NOT NULL
+), nodes AS (
+  SELECT u AS node FROM edges UNION SELECT v FROM edges
+), w AS (
+  SELECT u, v, COUNT(*) AS w FROM edges GROUP BY u, v
+), ow AS (
+  SELECT u, SUM(w) AS wtot FROM w GROUP BY u
+), wn AS (
+  SELECT w.u, w.v, w.w, ow.wtot FROM w JOIN ow USING (u)
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), r0 AS (
+  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r FROM nodes
+)"""]
+    for i in range(_PR_ITERS):
+        parts.append(f""", c{i} AS (
+  SELECT wn.v, wn.u, (r.r * wn.w) / wn.wtot AS c
+  FROM wn JOIN r{i} r ON r.node = wn.u
+), s{i} AS (
+  SELECT v, list_reduce(list_prepend(0.0, list(c ORDER BY u)),
+                        (acc, x) -> acc + x) AS s
+  FROM c{i} GROUP BY v
+), r{i + 1} AS (
+  SELECT n.node,
+         CAST('{comp}' AS DOUBLE) / (SELECT n FROM nn)
+           + CAST('{d}' AS DOUBLE) * COALESCE(s.s, CAST(0 AS DOUBLE)) AS r
+  FROM nodes n LEFT JOIN s{i} s ON s.v = n.node
+)""")
+    parts.append(f"""
+SELECT node, CAST(FLOOR(r * 1e9) AS BIGINT) AS pr_e9
+FROM r{_PR_ITERS} ORDER BY node
+""")
+    return "".join(parts)
+
+
+QUERIES["pagerank_event_hotspots"] = Query(
+    pagerank_event_hotspots, _pagerank_sql(), tags=("graph", "pagerank")
+)

@@ -1318,3 +1318,45 @@ def test_ivf_pq_topk_kmeans_cells_recall(spark):
     r_first, r_kmeans = recall("first"), recall("kmeans")
     assert r_kmeans >= r_first - 1  # trained cells no worse (1-hit jitter slack)
     assert r_kmeans >= 0.5 * 18
+
+
+def test_edit_distance_join_planted(spark):
+    """Known pairs at dist 1/2 are found; strings beyond k are not;
+    duplicated carrier rows collapse to the distinct-name pair set."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.fuzzy import edit_distance_join
+
+    names = ["cold ring", "old ring", "gold ring", "red bolt", "red bolt",
+             "blue anvil", "xylophone"]
+    df = spark.createDataFrame(pd.DataFrame({"nm": names}))
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in edit_distance_join(df, "nm", k=2).collect()
+    }
+    assert got[("cold ring", "old ring")] == 1
+    assert got[("gold ring", "old ring")] == 1
+    assert got[("cold ring", "gold ring")] == 1
+    assert all("red bolt" not in p and "xylophone" not in p for p in got), got
+
+
+def test_pagerank_star_graph(spark):
+    """On a star graph (everyone links to the hub, hub links back to
+    one spoke), the hub must rank highest, the linked-back spoke second,
+    and total mass stays <= 1 (dangling leakage only)."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.graph import pagerank
+
+    edges = pd.DataFrame(
+        {"src": [1, 2, 3, 4, 0], "dst": [0, 0, 0, 0, 1]}
+    )
+    out = {
+        r["node"]: r["r"]
+        for r in pagerank(
+            spark.createDataFrame(edges), "src", "dst", iters=5
+        ).collect()
+    }
+    assert max(out, key=out.get) == 0
+    assert out[1] > out[2] and abs(out[2] - out[3]) < 1e-15
+    assert sum(out.values()) <= 1.0 + 1e-9
