@@ -179,10 +179,12 @@ def pq_encode(
     return df.select(F.col(id_col), _encode_col(vec, codebooks).alias("codes"))
 
 
-def _adc_dist(qv: Column, codes: Column, codebooks: Codebooks) -> Column:
-    """Asymmetric distance: Σ_j ||q_j − CB[j][codes[j]]||², subspace
+def _adc_expr(qv: Column, codes: Column, codebooks: Codebooks) -> Column:
+    """Unrolled ADC expression: Σ_j ||q_j − CB[j][codes[j]]||², subspace
     terms summed left-to-right, each term a dim-major sequential fold —
-    the association order the oracle mirrors."""
+    the association order the oracle mirrors.  Plan size grows with
+    m×codes×d literals; the Arrow kernel below takes over past the
+    threshold (real PQ deployments use codes=256 → 16k+ literals)."""
     m = len(codebooks)
     d = len(codebooks[0][0])
     total = None
@@ -197,6 +199,46 @@ def _adc_dist(qv: Column, codes: Column, codebooks: Codebooks) -> Column:
         t = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
         total = t if total is None else total + t
     return total
+
+
+def _adc_udf(codebooks: Codebooks):
+    """Arrow-batched ADC scorer — bit-exact replica of :func:`_adc_expr`:
+    each subspace term accumulates dim-major from +0.0 (the sequential
+    fold order) and terms add in subspace order (``0 + t0 + t1 + …``
+    equals ``t0 + t1 + …`` exactly — squares are non-negative, so no
+    −0 edge).  O(1) plan size in m×codes×d."""
+    CBs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+    @F.pandas_udf("double")
+    def dist(qv: pd.Series, codes: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series([], dtype=np.float64)
+        Q = np.stack(qv.to_numpy()).astype(np.float64, copy=False)
+        C = np.stack(codes.to_numpy()).astype(np.int64, copy=False)
+        total = np.zeros(len(Q), dtype=np.float64)
+        off = 0
+        for j, CB in enumerate(CBs):
+            cent = CB[C[:, j]]
+            t = np.zeros(len(Q), dtype=np.float64)
+            for dd in range(CB.shape[1]):
+                diff = Q[:, off + dd] - cent[:, dd]
+                t += diff * diff
+            total += t
+            off += CB.shape[1]
+        return pd.Series(total)
+
+    return dist
+
+
+def _adc_dist(qv: Column, codes: Column, codebooks: Codebooks) -> Column:
+    """Dispatch: unrolled expression (tiny codebooks, JITs into the
+    stage) vs Arrow kernel (O(1) plan size) — the same threshold
+    machinery as encoding and k-means, bit-identical both ways
+    (tests/test_operators.py::test_pq_adc_expr_matches_arrow)."""
+    m = len(codebooks)
+    if m * len(codebooks[0]) * len(codebooks[0][0]) <= _ARGMIN_UDF_THRESHOLD:
+        return _adc_expr(qv, codes, codebooks)
+    return _adc_udf(codebooks)(qv, codes)
 
 
 def pq_topk(

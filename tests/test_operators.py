@@ -1360,3 +1360,30 @@ def test_pagerank_star_graph(spark):
     assert max(out, key=out.get) == 0
     assert out[1] > out[2] and abs(out[2] - out[3]) < 1e-15
     assert sum(out.values()) <= 1.0 + 1e-9
+
+
+def test_pq_adc_expr_matches_arrow(spark, monkeypatch):
+    """The unrolled ADC expression and the Arrow scorer must agree
+    bit-for-bit (same blocked fold order) on full top-k output."""
+    import dataclass_array_spark.operators.pq as pqmod
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = pqmod.pq_fit(
+        e, "vec_id", "embedding", dim=64, m=4, codes=4, iters=1, train_limit=50
+    )
+    q = e.filter(F.col("vec_id") < 5)
+
+    def run():
+        return {
+            (r["qid"], r["rank"]): (r["nid"], r["dist"])
+            for r in pqmod.pq_topk(
+                q, e, "vec_id", "vec_id", "embedding", cbs, k=4,
+                exclude_self=True,
+            ).collect()
+        }
+
+    monkeypatch.setattr(pqmod, "_ARGMIN_UDF_THRESHOLD", 10**9)
+    expr = run()
+    monkeypatch.setattr(pqmod, "_ARGMIN_UDF_THRESHOLD", 0)
+    arrow = run()
+    assert expr == arrow
