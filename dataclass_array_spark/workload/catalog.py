@@ -50,6 +50,7 @@ _PRIORITY: Tuple[str, ...] = (
     "dedup_incremental_docs",  # NEW round 7: batch-vs-store dedup flags
     "fuzzy_join_part_names",  # NEW round 7: edit-distance string join
     "pagerank_event_hotspots",  # NEW round 7: weighted PageRank, exact oracle
+    "text_cluster_topics",  # NEW round 7: vocab features -> k-means topics
     "embedding_knn_join_kmeans",
     "semantic_dedup_embeddings",
     "semantic_dedup_auto",

@@ -558,3 +558,105 @@ FROM r{_PR_ITERS} ORDER BY node
 QUERIES["pagerank_event_hotspots"] = Query(
     pagerank_event_hotspots, _pagerank_sql(), tags=("graph", "pagerank")
 )
+
+
+# ------------------------------------------------ text topic clustering
+_TC_VOCAB = 32       # feature dims: top-32 corpus words (tf DESC, word)
+_TC_K = 4
+_TC_ITERS = 2
+_TC_TRAIN = 256      # sampled (driver-side) Lloyd training; binds at sf0.01
+
+
+def text_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end in-engine text clustering: corpus vocabulary (top-32
+    words) → per-doc term-count feature vector → k-means topic
+    assignment.  Feature components are integer counts (exactly
+    double- and decimal-representable), so the whole composition —
+    vocab ranking, vector assembly, sampled Lloyd training, final
+    assignment — replays value-exactly in the oracle."""
+    from pyspark.sql import Window
+
+    from dataclass_array_spark.operators.clustering import kmeans_assign
+    from dataclass_array_spark.operators.text import build_vocab, tokens
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    vocab = build_vocab(d, "text", size=_TC_VOCAB)  # (t, tid)
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    counts = (
+        tok.join(F.broadcast(vocab), on="t")
+        .groupBy("doc_id", "tid")
+        .agg(F.count("*").alias("c"))
+    )
+    # dense 32-dim vector per doc (docs with no vocab hits -> zeros)
+    filled = (
+        d.select("doc_id")
+        .join(
+            counts.groupBy("doc_id").agg(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("tid"), F.col("c")))
+                    )
+                ).alias("m")
+            ),
+            on="doc_id",
+            how="left",
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_TC_VOCAB - 1)),
+                lambda i: F.coalesce(
+                    F.try_element_at("m", i.cast("long")), F.lit(0)
+                ).cast("double"),
+            ).alias("v"),
+        )
+    )
+    out, _ = kmeans_assign(
+        filled, "doc_id", "v", k=_TC_K, iters=_TC_ITERS, train_limit=_TC_TRAIN
+    )
+    return out.select(
+        "doc_id",
+        F.col("cluster"),
+        F.floor(F.col("dist") * 1e9).cast("long").alias("dist_e9"),
+    ).orderBy("doc_id")
+
+
+def _text_cluster_sql() -> str:
+    from dataclass_array_spark.operators.clustering import kmeans_sql_ctes
+
+    km = kmeans_sql_ctes(
+        "docvecs", "doc_id", "v", dim=_TC_VOCAB, k=_TC_K, iters=_TC_ITERS,
+        train_limit=_TC_TRAIN, vec_expr="v",
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), words AS (
+  SELECT doc_id, unnest(toks) AS t FROM toks
+), vocab AS (
+  SELECT t, row_number() OVER (ORDER BY COUNT(*) DESC, t) - 1 AS tid
+  FROM words GROUP BY t
+  ORDER BY COUNT(*) DESC, t LIMIT {_TC_VOCAB}
+), counts AS (
+  SELECT w.doc_id, v.tid, COUNT(*) AS c
+  FROM words w JOIN vocab v USING (t)
+  GROUP BY w.doc_id, v.tid
+), grid AS (
+  SELECT d.doc_id, gs.i AS tid
+  FROM documents d, generate_series(0, {_TC_VOCAB - 1}) gs(i)
+), docvecs AS (
+  SELECT g.doc_id, list(CAST(COALESCE(c.c, 0) AS DOUBLE) ORDER BY g.tid) AS v
+  FROM grid g LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.tid = g.tid
+  GROUP BY g.doc_id
+), {km[len("WITH ") :]}
+SELECT vec_id AS doc_id, CAST(cid AS BIGINT) AS cluster,
+       CAST(FLOOR(dist * 1e9) AS BIGINT) AS dist_e9
+FROM afinal ORDER BY vec_id
+"""
+
+
+QUERIES["text_cluster_topics"] = Query(
+    text_cluster_topics, _text_cluster_sql(), tags=("text", "clustering", "pipeline")
+)
