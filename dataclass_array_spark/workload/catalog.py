@@ -51,6 +51,8 @@ _PRIORITY: Tuple[str, ...] = (
     "fuzzy_join_part_names",  # NEW round 7: edit-distance string join
     "pagerank_event_hotspots",  # NEW round 7: weighted PageRank, exact oracle
     "text_cluster_topics",  # NEW round 7: vocab features -> k-means topics
+    "triangle_counts_events",  # NEW round 7: once-each triangle enumeration
+    "funnel_conversion_events",  # NEW round 7: ordered-funnel analysis
     "embedding_knn_join_kmeans",
     "semantic_dedup_embeddings",
     "semantic_dedup_auto",

@@ -660,3 +660,124 @@ FROM afinal ORDER BY vec_id
 QUERIES["text_cluster_topics"] = Query(
     text_cluster_topics, _text_cluster_sql(), tags=("text", "clustering", "pipeline")
 )
+
+
+# ------------------------------------------------ triangle counting
+def triangle_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected event-transition
+    graph (same k→k edges as the PageRank gate): two vertex-keyed
+    equi-joins enumerate each triangle once (u<v<w)."""
+    from pyspark.sql import Window
+
+    from dataclass_array_spark.operators.graph import triangle_counts
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select("user_id", "ts_us", "event_id", k.alias("k")).withColumn(
+        "pk", F.lag("k").over(w)
+    )
+    edges = seq.filter(F.col("pk").isNotNull()).select(
+        F.col("pk").alias("src"), F.col("k").alias("dst")
+    )
+    return triangle_counts(edges, "src", "dst")
+
+
+TRIANGLES_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT user_id, k,
+         LAG(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pk
+  FROM ev
+), und AS (
+  SELECT DISTINCT LEAST(pk, k) AS u, GREATEST(pk, k) AS v
+  FROM seq WHERE pk IS NOT NULL AND LEAST(pk, k) < GREATEST(pk, k)
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+), n AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+)
+SELECT node, COUNT(*) AS n_tri FROM n GROUP BY node ORDER BY node
+"""
+
+QUERIES["triangle_counts_events"] = Query(
+    triangle_counts_events, TRIANGLES_SQL, tags=("graph",)
+)
+
+
+# ------------------------------------------------ funnel analysis
+_FUNNEL = ("view", "click", "purchase")
+
+
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase): per user, the
+    timestamp of the first view, the first click strictly after it, and
+    the first purchase strictly after that.  Each step is one equi-join
+    on the user key + a min aggregation — the co-partitioned funnel
+    shape that scales to event streams (no window over the whole event
+    history, no per-user sorting beyond the aggregations)."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    ev = e.select("user_id", "ts_us", "event_type")
+    users = ev.select("user_id").distinct()
+    s1 = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == _FUNNEL[1])
+        .join(s1, on="user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == _FUNNEL[2])
+        .join(s2, on="user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3")
+        .orderBy("user_id")
+    )
+
+
+FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+), s1 AS (
+  SELECT user_id, MIN(ts_us) AS t1 FROM ev
+  WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts_us) AS t2
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts_us > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts_us) AS t3
+  FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts_us > s2.t2
+  GROUP BY e.user_id
+)
+SELECT u.user_id, s1.t1, s2.t2, s3.t3
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+ORDER BY u.user_id
+"""
+
+QUERIES["funnel_conversion_events"] = Query(
+    funnel_conversion_events, FUNNEL_SQL, tags=("events", "funnel")
+)

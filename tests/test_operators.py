@@ -1387,3 +1387,21 @@ def test_pq_adc_expr_matches_arrow(spark, monkeypatch):
     monkeypatch.setattr(pqmod, "_ARGMIN_UDF_THRESHOLD", 0)
     arrow = run()
     assert expr == arrow
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: nodes {1,2,3,4} with (1,2)(1,3)(2,3)(2,4)(3,4)
+    has exactly two triangles (1,2,3) and (2,3,4); multi-edges and
+    reversed duplicates collapse."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.graph import triangle_counts
+
+    edges = pd.DataFrame(
+        {"src": [1, 3, 2, 2, 4, 2, 9], "dst": [2, 1, 3, 4, 3, 1, 9]}
+    )
+    got = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts(spark.createDataFrame(edges)).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
