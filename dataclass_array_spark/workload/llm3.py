@@ -781,3 +781,150 @@ ORDER BY u.user_id
 QUERIES["funnel_conversion_events"] = Query(
     funnel_conversion_events, FUNNEL_SQL, tags=("events", "funnel")
 )
+
+
+# ------------------------------------------------ time-series gap fill
+_HOUR_US = 3_600_000_000
+
+
+def gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly gap fill with last-observation-carried-forward:
+    build each user's dense hour grid (min..max event hour), take the
+    hour's LAST event value where one exists, carry it forward through
+    empty hours.  Carried values are copied, never recomputed — exact
+    cross-engine.  Scale shape: one (user, hour) aggregation + one
+    per-user sequence explode + one LOCF window over (user, hour) —
+    everything partitions on the user key."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    ev = e.select(
+        "user_id",
+        F.expr(f"ts_us DIV {_HOUR_US}").alias("hour"),
+        "ts_us", "event_id", "value",
+    )
+    w_last = Window.partitionBy("user_id", "hour").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    hourly = (
+        ev.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", F.col("value").alias("v"))
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    w_locf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.join(hourly, on=["user_id", "hour"], how="left").select(
+        "user_id",
+        "hour",
+        F.col("v"),
+        F.last("v", ignorenulls=True).over(w_locf).alias("filled_value"),
+    )
+    # per-user rollup keeps the gate output user-sized while the LOCF
+    # window still runs over the full dense grid; the series fingerprint
+    # is an integer sum (order-free exact) of floor(filled * 1e6)
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.count("v").alias("n_observed"),
+            F.sum(
+                F.floor(F.col("filled_value") * 1e6).cast("long")
+            ).alias("series_fp"),
+        )
+        .orderBy("user_id")
+    )
+
+
+GAP_FILL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {_HOUR_US} AS hour,
+         epoch_us(ts) AS ts_us, event_id, value
+  FROM events
+), hourly AS (
+  SELECT user_id, hour, value AS v FROM (
+    SELECT user_id, hour, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, hour
+                              ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1
+), span AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM ev GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM span
+)
+, filled AS (
+  SELECT g.user_id, g.hour, h.v,
+         LAST_VALUE(h.v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour
+)
+SELECT user_id, COUNT(*) AS n_hours, COUNT(v) AS n_observed,
+       CAST(SUM(CAST(FLOOR(filled_value * 1e6) AS BIGINT)) AS BIGINT) AS series_fp
+FROM filled GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["gap_fill_events"] = Query(
+    gap_fill_events, GAP_FILL_SQL, tags=("events", "timeseries")
+)
+
+
+# ------------------------------------------------ cohort retention
+_WEEK_US = 7 * 86_400_000_000
+
+
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users cohorted by their first
+    signup week; per (cohort_week, week_offset) the count of distinct
+    cohort members active that week.  Two aggregations + one equi-join
+    on the user key."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    ev = e.select(
+        "user_id",
+        F.expr(f"ts_us DIV {_WEEK_US}").alias("week"),
+        "event_type",
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    return (
+        ev.join(cohort, on="user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .select(
+            "user_id", "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {_WEEK_US} AS week, event_type FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN cohort c USING (user_id)
+WHERE e.week >= c.cohort_week
+GROUP BY c.cohort_week, week_offset
+ORDER BY c.cohort_week, week_offset
+"""
+
+QUERIES["cohort_retention_events"] = Query(
+    cohort_retention_events, COHORT_SQL, tags=("events", "cohort")
+)
