@@ -1,7 +1,10 @@
-"""Training-data pipeline queries, part 3: product-quantization ANN
-(compressed-corpus similarity search, plain and IVF-composed),
-chunk-level exact dedup (the C4 line-dedup rule over token windows),
-and banded-Hamming SimHash near-dup pairs.
+"""Round-7 query extensions: product-quantization ANN (plain and
+IVF-composed), chunk-level exact dedup (the C4 line-dedup rule over
+token windows), banded-Hamming SimHash near-dup pairs + apply,
+incremental batch-vs-store dedup, fuzzy edit-distance string join,
+graph analytics (weighted PageRank, triangle counting), in-engine text
+topic clustering, ordered-funnel analysis, time-series gap fill, and
+cohort retention.
 
 Same contract as :mod:`workload.llm`: every query binds an operator to
 the driver tables and carries a value-exact DuckDB oracle.
