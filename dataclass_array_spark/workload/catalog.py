@@ -53,6 +53,9 @@ _PRIORITY: Tuple[str, ...] = (
     "text_cluster_topics",  # NEW round 7: vocab features -> k-means topics
     "triangle_counts_events",  # NEW round 7: once-each triangle enumeration
     "funnel_conversion_events",  # NEW round 7: ordered-funnel analysis
+    "gap_fill_events",  # NEW round 7: dense-grid LOCF
+    "cohort_retention_events",  # NEW round 7: cohort matrix
+    "dq_validate_orders",  # NEW round 7: data-quality checks
     "embedding_knn_join_kmeans",
     "semantic_dedup_embeddings",
     "semantic_dedup_auto",

@@ -931,3 +931,65 @@ ORDER BY c.cohort_week, week_offset
 QUERIES["cohort_retention_events"] = Query(
     cohort_retention_events, COHORT_SQL, tags=("events", "cohort")
 )
+
+
+# ------------------------------------------------ data-quality checks
+def dq_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality report over orders: row presence,
+    key uniqueness, FK completeness, value range, and referential
+    integrity against customer — single-table metrics share ONE
+    aggregation pass; the referential check is a counted left-anti
+    join."""
+    from dataclass_array_spark.operators.dq import (
+        dq_metrics,
+        dq_report,
+        referential_violations,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    o, c = t["orders"], t["customer"]
+    metrics = dq_metrics(
+        o,
+        {
+            "row_count": F.count("*"),
+            "o_orderkey_dups": F.count("*") - F.countDistinct("o_orderkey"),
+            "o_custkey_nulls": F.count("*") - F.count("o_custkey"),
+            "o_totalprice_negative": F.count_if(F.col("o_totalprice") < 0),
+            "o_orderdate_nulls": F.count("*") - F.count("o_orderdate"),
+        },
+    )
+    ref = referential_violations(
+        o, c, "o_custkey", "c_custkey", "orders_customer_orphans"
+    )
+    return dq_report(metrics, ref, zero_ok=("row_count",))
+
+
+DQ_ORDERS_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS row_count,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS o_orderkey_dups,
+         COUNT(*) - COUNT(o_custkey) AS o_custkey_nulls,
+         COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) AS o_totalprice_negative,
+         COUNT(*) - COUNT(o_orderdate) AS o_orderdate_nulls
+  FROM orders
+), ref AS (
+  SELECT COUNT(*) AS n FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+), r AS (
+  SELECT 'row_count' AS check, row_count AS observed FROM m
+  UNION ALL SELECT 'o_orderkey_dups', o_orderkey_dups FROM m
+  UNION ALL SELECT 'o_custkey_nulls', o_custkey_nulls FROM m
+  UNION ALL SELECT 'o_totalprice_negative', o_totalprice_negative FROM m
+  UNION ALL SELECT 'o_orderdate_nulls', o_orderdate_nulls FROM m
+  UNION ALL SELECT 'orders_customer_orphans', n FROM ref
+)
+SELECT "check", CAST(observed AS BIGINT) AS observed,
+       CASE WHEN "check" = 'row_count' THEN observed > 0
+            ELSE observed = 0 END AS passed
+FROM r ORDER BY "check"
+"""
+
+QUERIES["dq_validate_orders"] = Query(
+    dq_validate_orders, DQ_ORDERS_SQL, tags=("quality", "validation")
+)
