@@ -74,3 +74,74 @@ def dq_report(*parts: DataFrame, zero_ok: "tuple[str, ...]" = ()) -> DataFrame:
         .otherwise(F.col("observed") == 0)
         .alias("passed"),
     ).orderBy("check")
+
+
+def profile_columns(df: DataFrame, cols: "list[str]") -> DataFrame:
+    """Column profiler: one aggregation pass over ``df`` producing a
+    ``(col, n_rows, n_nulls, n_distinct, min_v, max_v)`` row per
+    column.  min/max are normalized to exact longs by dtype — integers
+    as-is, doubles floor-scaled ×1e6, timestamps as epoch micros,
+    strings NULL (lexicographic extremes are a separate string-typed
+    concern) — so the report is value-exact cross-engine.  The
+    distinct counts share the single pass (Catalyst expands the scan
+    once per distinct aggregate, still one shuffle stage)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampType,
+        TimestampNTZType,
+    )
+
+    def scaled(c: str):
+        t = df.schema[c].dataType
+        col = F.col(c)
+        if isinstance(t, (IntegerType, LongType, ShortType)):
+            return F.min(col).cast("long"), F.max(col).cast("long")
+        if isinstance(t, (DoubleType, FloatType)):
+            return (
+                F.floor(F.min(col) * 1e6).cast("long"),
+                F.floor(F.max(col) * 1e6).cast("long"),
+            )
+        if isinstance(t, (TimestampType, TimestampNTZType)):
+            # NTZ needs a cast first (session TZ is pinned UTC, so the
+            # cast is a pure reinterpretation — same epoch both engines)
+            return (
+                F.unix_micros(F.min(col).cast("timestamp")).cast("long"),
+                F.unix_micros(F.max(col).cast("timestamp")).cast("long"),
+            )
+        if isinstance(t, StringType):
+            return F.lit(None).cast("long"), F.lit(None).cast("long")
+        raise ValueError(f"profile_columns: unsupported dtype {t} for {c}")
+
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        mn, mx = scaled(c)
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            mn.alias(f"{c}__mn"),
+            mx.alias(f"{c}__mx"),
+        ]
+    agg = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_v"),
+                F.col(f"{c}__mx").alias("max_v"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("p"))
+        .select("p.col", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_v", "p.max_v")
+        .orderBy("col")
+    )

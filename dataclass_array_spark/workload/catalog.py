@@ -56,6 +56,7 @@ _PRIORITY: Tuple[str, ...] = (
     "gap_fill_events",  # NEW round 7: dense-grid LOCF
     "cohort_retention_events",  # NEW round 7: cohort matrix
     "dq_validate_orders",  # NEW round 7: data-quality checks
+    "profile_lineitem",  # NEW round 7: single-pass column profiler
     "embedding_knn_join_kmeans",
     "semantic_dedup_embeddings",
     "semantic_dedup_auto",

@@ -993,3 +993,48 @@ FROM r ORDER BY "check"
 QUERIES["dq_validate_orders"] = Query(
     dq_validate_orders, DQ_ORDERS_SQL, tags=("quality", "validation")
 )
+
+
+# ------------------------------------------------ column profiling
+_PROFILE_COLS = (
+    "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+    "l_returnflag", "l_shipdate",
+)
+
+
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of lineitem: row/null/distinct counts
+    plus dtype-normalized exact min/max (ints as-is, doubles ×1e6
+    floored, timestamps as epoch micros, strings null)."""
+    from dataclass_array_spark.operators.dq import profile_columns
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return profile_columns(li, list(_PROFILE_COLS))
+
+
+def _profile_sql() -> str:
+    specs = {
+        "l_orderkey": ("MIN(l_orderkey)", "MAX(l_orderkey)"),
+        "l_linenumber": ("MIN(l_linenumber)", "MAX(l_linenumber)"),
+        "l_quantity": ("FLOOR(MIN(l_quantity) * 1e6)", "FLOOR(MAX(l_quantity) * 1e6)"),
+        "l_extendedprice": (
+            "FLOOR(MIN(l_extendedprice) * 1e6)",
+            "FLOOR(MAX(l_extendedprice) * 1e6)",
+        ),
+        "l_returnflag": ("NULL", "NULL"),
+        "l_shipdate": ("epoch_us(MIN(l_shipdate))", "epoch_us(MAX(l_shipdate))"),
+    }
+    selects = [
+        f"""SELECT '{c}' AS col, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST({mn} AS BIGINT) AS min_v, CAST({mx} AS BIGINT) AS max_v
+FROM lineitem"""
+        for c, (mn, mx) in specs.items()
+    ]
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY col"
+
+
+QUERIES["profile_lineitem"] = Query(
+    profile_lineitem, _profile_sql(), tags=("quality", "profiling")
+)
