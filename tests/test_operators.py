@@ -1405,3 +1405,66 @@ def test_triangle_counts_known_graph(spark):
         for r in triangle_counts(spark.createDataFrame(edges)).collect()
     }
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_dq_report_flags(spark):
+    """Constructed violations must flag: a dup key, a null FK, an
+    orphan FK; row_count passes on presence."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.dq import (
+        dq_metrics,
+        dq_report,
+        referential_violations,
+    )
+
+    child = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 1, 2, 3], "fk": [10.0, 10.0, None, 99.0]})
+    )
+    parent = spark.createDataFrame(pd.DataFrame({"pk": [10.0, 20.0]}))
+    m = dq_metrics(
+        child,
+        {
+            "row_count": F.count("*"),
+            "id_dups": F.count("*") - F.countDistinct("id"),
+            "fk_nulls": F.count("*") - F.count("fk"),
+        },
+    )
+    ref = referential_violations(child, parent, "fk", "pk", "orphans")
+    got = {
+        r["check"]: (r["observed"], r["passed"])
+        for r in dq_report(m, ref, zero_ok=("row_count",)).collect()
+    }
+    assert got == {
+        "row_count": (4, True),
+        "id_dups": (1, False),
+        "fk_nulls": (1, False),
+        "orphans": (1, False),
+    }
+
+
+def test_profile_columns_exact(spark):
+    """Profiler stats on a known frame: nulls, distincts, and the
+    dtype-normalized min/max (double floor-scaled, string null)."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.dq import profile_columns
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": [1, 2, 2, None],
+                "b": [0.5, -1.25, 3.0, 3.0],
+                "s": ["x", "y", None, "y"],
+            }
+        )
+    ).select(F.col("a").cast("long").alias("a"), "b", "s")
+    got = {
+        r["col"]: (
+            r["n_rows"], r["n_nulls"], r["n_distinct"], r["min_v"], r["max_v"]
+        )
+        for r in profile_columns(df, ["a", "b", "s"]).collect()
+    }
+    assert got["a"] == (4, 1, 2, 1, 2)
+    assert got["b"] == (4, 0, 3, -1250000, 3000000)
+    assert got["s"] == (4, 1, 2, None, None)
