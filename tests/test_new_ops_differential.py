@@ -1,0 +1,196 @@
+"""Differential tests for the round-7 operator family: each operator is
+checked against an independent brute-force / pure-Python oracle on
+randomized (fixed-seed, derandomized) inputs — the same strategy the
+indexing/vectorize fuzz suites use against numpy.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_join_vs_bruteforce(spark):
+    """Random word-ish corpus (every string >= q*(k+1) chars, no gram
+    cap): the q-gram candidate join must find EXACTLY the brute-force
+    pair set with identical distances."""
+    rng = random.Random(17)
+    alphabet = "abcdef"
+    base = ["".join(rng.choice(alphabet) for _ in range(8)) for _ in range(30)]
+    # plant near pairs: single-char mutations and one insertion
+    strings = set(base)
+    for s in base[:10]:
+        strings.add("a" + s[1:])          # substitution at pos 0
+        strings.add(s + "x")              # insertion at end
+    strings = sorted(strings)
+    df = spark.createDataFrame(pd.DataFrame({"s": strings}))
+
+    from dataclass_array_spark.operators.fuzzy import edit_distance_join
+
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in edit_distance_join(df, "s", k=2, q=2).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(strings, 2):
+        d = _levenshtein(a, b)
+        if d <= 2:
+            want[(a, b)] = d
+    assert got == want
+
+
+def test_triangle_counts_vs_bruteforce(spark):
+    """Random G(n=18, p=0.3): per-node triangle counts must equal the
+    itertools enumeration over the undirected simple graph."""
+    rng = random.Random(23)
+    nodes = list(range(18))
+    und = {
+        (u, v)
+        for u, v in itertools.combinations(nodes, 2)
+        if rng.random() < 0.3
+    }
+    edges = pd.DataFrame(
+        {
+            # feed reversed / duplicated / self-loop noise
+            "src": [v for _, v in und] + [u for u, _ in und] + [5],
+            "dst": [u for u, _ in und] + [v for _, v in und] + [5],
+        }
+    )
+    from dataclass_array_spark.operators.graph import triangle_counts
+
+    got = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts(spark.createDataFrame(edges)).collect()
+    }
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    assert got == want
+
+
+def test_pagerank_vs_python_replica(spark):
+    """pagerank must match a pure-Python float replica that mirrors the
+    exact operation order (contribution (r*w)/W, sums folded in src
+    order, comp/n + d*s) bit-for-bit."""
+    rng = random.Random(31)
+    edges = [(rng.randrange(12), rng.randrange(12)) for _ in range(60)]
+    pdf = pd.DataFrame({"src": [a for a, _ in edges], "dst": [b for _, b in edges]})
+
+    from dataclass_array_spark.operators.graph import pagerank
+
+    got = {
+        r["node"]: r["r"]
+        for r in pagerank(
+            spark.createDataFrame(pdf), "src", "dst", iters=3, damping=0.85
+        ).collect()
+    }
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    w: dict[tuple[int, int], int] = {}
+    for a, b in edges:
+        w[(a, b)] = w.get((a, b), 0) + 1
+    wtot: dict[int, int] = {}
+    for (a, _), c in w.items():
+        wtot[a] = wtot.get(a, 0) + c
+    comp = 1.0 - 0.85
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        incoming: dict[int, list[tuple[int, float]]] = {}
+        for (a, b), c in w.items():
+            incoming.setdefault(b, []).append((a, (r[a] * c) / wtot[a]))
+        nxt = {}
+        for v in nodes:
+            s = 0.0
+            for _, c in sorted(incoming.get(v, [])):
+                s = s + c
+            nxt[v] = comp / n + 0.85 * s
+        r = nxt
+    assert got == r
+
+
+def test_dedup_chunks_vs_python_oracle(spark):
+    """Chunk survival counts must equal a pure-Python first-occurrence
+    pass over the same non-overlapping token windows."""
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 25)))
+        for i in range(40)
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": list(texts), "text": list(texts.values())})
+    )
+    from dataclass_array_spark.operators.dedup import dedup_chunks
+
+    got = {
+        r["id"]: (r["n_chunks"], r["n_kept"])
+        for r in dedup_chunks(df, "id", "text", chunk_size=4).collect()
+    }
+    seen: set[str] = set()
+    want = {}
+    for i in sorted(texts):
+        toks = texts[i].split()
+        chunks = [
+            " ".join(toks[j : j + 4]) for j in range(0, len(toks), 4)
+        ]
+        kept = 0
+        for ch in chunks:
+            if ch not in seen:
+                seen.add(ch)
+                kept += 1
+        want[i] = (len(chunks), kept)
+    assert got == want
+
+
+def test_simhash_pairs_complete_within_ball(spark):
+    """Banding soundness end-to-end: with no bucket cap, the banded
+    join must return EXACTLY the pairs whose fingerprints are within
+    max_hamming (computed from the operator's own fingerprints)."""
+    rng = random.Random(53)
+    vocab = [f"t{i}" for i in range(30)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 15)))
+        for i in range(30)
+    }
+    # plant exact dups so hamming-0 pairs exist
+    texts[100] = texts[0]
+    texts[101] = texts[1]
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": list(texts), "text": list(texts.values())})
+    )
+    from dataclass_array_spark.operators.dedup import simhash, simhash_pairs
+
+    fps = {
+        r["id"]: r["fp"]
+        for r in df.select(
+            "id", simhash(F.col("text"), 48).alias("fp")
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, "id", "text", n_bits=48, bands=4,
+                               max_hamming=3).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        h = bin(fps[a] ^ fps[b]).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want
+    assert (0, 100) in got and got[(0, 100)] == 0
