@@ -223,17 +223,19 @@ def build_vocab(df, text_col: str, size: int = 500):
     """Frequency-ranked vocabulary of whitespace tokens:
     ``(t, tid)`` with ids 0..size-1 assigned by (count DESC, token ASC)
     — fully tie-broken, so the mapping is deterministic.  One explode +
-    one aggregation; the result is dimension-table-sized (broadcast it
-    into :func:`tokenize_with_vocab`)."""
-    from pyspark.sql import Window
-
+    one aggregation, then a TakeOrderedAndProject top-``size`` (map-side
+    bounded heaps, single reduce) with the ids assigned on the driver —
+    a vocabulary is dimension-table-sized by definition.  (This
+    replaced a global ``row_number`` window: at corpus scale the
+    distinct-token frame is tens of millions of rows and an
+    unpartitioned window sorts ALL of it on one task.)  Broadcast the
+    result into :func:`tokenize_with_vocab`."""
     tok = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
     vc = tok.groupBy("t").count()
-    w = Window.orderBy(F.desc("count"), F.asc("t"))
-    return (
-        vc.withColumn("tid", F.row_number().over(w) - 1)
-        .filter(F.col("tid") < size)
-        .select("t", F.col("tid").cast("long").alias("tid"))
+    top = vc.orderBy(F.desc("count"), F.asc("t")).limit(int(size)).collect()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r["t"], i) for i, r in enumerate(top)], "t string, tid long"
     )
 
 
