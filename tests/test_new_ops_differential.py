@@ -194,3 +194,59 @@ def test_simhash_pairs_complete_within_ball(spark):
             want[(a, b)] = h
     assert got == want
     assert (0, 100) in got and got[(0, 100)] == 0
+
+
+def test_edit_distance_join_gram_cap_subset(spark):
+    """A binding gram-frequency cap may only REMOVE pairs (never add or
+    change distances), and uncapped results must be unaffected by a
+    non-binding cap."""
+    rng = random.Random(61)
+    strings = sorted(
+        {"".join(rng.choice("abc") for _ in range(7)) for _ in range(40)}
+    )
+    df = spark.createDataFrame(pd.DataFrame({"s": strings}))
+
+    from dataclass_array_spark.operators.fuzzy import edit_distance_join
+
+    def run(cap):
+        return {
+            (r["name_a"], r["name_b"]): r["dist"]
+            for r in edit_distance_join(df, "s", k=2, q=2, max_gram_freq=cap).collect()
+        }
+
+    uncapped = run(None)
+    loose = run(10**6)
+    tight = run(5)
+    assert loose == uncapped
+    assert set(tight) <= set(uncapped)
+    assert all(uncapped[p] == d for p, d in tight.items())
+
+
+def test_dedup_incremental_vs_python_oracle(spark):
+    """Exact-dup flags must match a pure-Python normalized-fingerprint
+    pass (near-dup recall is banding-dependent, but near_dup must be
+    True for every exact dup — identical shingle sets collide in every
+    band)."""
+    rng = random.Random(71)
+    vocab = [f"v{i}" for i in range(15)]
+    store = {
+        100 + i: " ".join(rng.choice(vocab) for _ in range(10)) for i in range(20)
+    }
+    new = {i: " ".join(rng.choice(vocab) for _ in range(10)) for i in range(10)}
+    new[50] = store[100]          # planted exact dup
+    new[51] = store[101]
+    mk = lambda d: spark.createDataFrame(
+        pd.DataFrame({"id": list(d), "text": list(d.values())})
+    )
+    from dataclass_array_spark.operators.dedup import dedup_incremental
+
+    got = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup"])
+        for r in dedup_incremental(mk(new), mk(store), "id", "text").collect()
+    }
+    norm = lambda t: " ".join(t.lower().split())
+    store_fps = {norm(t) for t in store.values()}
+    for i, t in new.items():
+        assert got[i][0] == (norm(t) in store_fps), i
+        if got[i][0]:
+            assert got[i][1], f"exact dup {i} must also be a near dup"
