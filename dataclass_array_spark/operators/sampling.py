@@ -213,3 +213,48 @@ FROM {table} d JOIN r USING ({domain_col})
 WHERE ({b}) < CAST(FLOOR(rate * {PPM}) AS BIGINT)
 ORDER BY d.{key_col}
 """
+
+
+def budget_select(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score: Column,
+    n_tokens: Column,
+    budget: int,
+) -> DataFrame:
+    """Quality-ranked selection under a per-group token budget — the
+    data-curation step that picks each domain's best documents until
+    the domain's token allowance is spent (mixture weights × token
+    budgets is how pre-training corpora are actually assembled).
+
+    Per group: rank by ``(score DESC, id)`` (fully tie-broken), take
+    the running token sum, keep every document whose INCLUSIVE
+    cumulative count fits ``budget``.  Returns
+    ``(id, group, n_tokens, cum_tokens)`` for the kept set.
+
+    Scale shape: one hash shuffle on the group key and one windowed
+    running sum per group — no global sort, no driver materialization;
+    groups are processed independently, so skewed domains parallelize
+    across their own partitions' window frames only as far as the
+    group's size (the same bound any per-domain budget semantics
+    implies).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        score.alias("__score"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("__score"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, group_col, "n_tokens", "cum_tokens")
+    )

@@ -57,6 +57,7 @@ _PRIORITY: Tuple[str, ...] = (
     "cohort_retention_events",  # NEW round 7: cohort matrix
     "dq_validate_orders",  # NEW round 7: data-quality checks
     "profile_lineitem",  # NEW round 7: single-pass column profiler
+    "budget_select_docs",  # NEW round 7: per-source token-budget curation
     "embedding_knn_join_kmeans",
     "semantic_dedup_embeddings",
     "semantic_dedup_auto",

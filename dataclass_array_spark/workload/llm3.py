@@ -1038,3 +1038,44 @@ FROM lineitem"""
 QUERIES["profile_lineitem"] = Query(
     profile_lineitem, _profile_sql(), tags=("quality", "profiling")
 )
+
+
+# ------------------------------------------------ token-budget curation
+_BUDGET_TOKENS = 800  # binds at sf0.01 (sources carry ~1.1-1.6k tokens there)
+
+
+def budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget curation: rank each source's documents
+    by the quality heuristic (ties → doc_id), keep documents while the
+    source's running token total fits the budget."""
+    from dataclass_array_spark.operators.sampling import budget_select
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return budget_select(
+        d, "doc_id", "source",
+        score=tx.quality_score(F.col("text")),
+        n_tokens=tx.token_count(F.col("text")),
+        budget=_BUDGET_TOKENS,
+    ).orderBy("doc_id")
+
+
+def _budget_select_sql() -> str:
+    q = tx.sql_quality("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, {q} AS q, len({_SQL_TOKS}) AS n FROM documents
+), r AS (
+  SELECT doc_id, source, n,
+         SUM(n) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM r WHERE cum <= {_BUDGET_TOKENS} ORDER BY doc_id
+"""
+
+
+QUERIES["budget_select_docs"] = Query(
+    budget_select_docs, _budget_select_sql(), tags=("sampling", "curation")
+)
