@@ -1468,3 +1468,32 @@ def test_profile_columns_exact(spark):
     assert got["a"] == (4, 1, 2, 1, 2)
     assert got["b"] == (4, 0, 3, -1250000, 3000000)
     assert got["s"] == (4, 1, 2, None, None)
+
+
+def test_budget_select_edges(spark):
+    """Inclusive budget semantics and tie-breaks: a doc is kept iff the
+    running total INCLUDING it fits; equal scores rank by id."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4],
+                "g": ["a", "a", "a", "b"],
+                "q": [2.0, 2.0, 1.0, 5.0],
+                "n": [3, 3, 3, 100],
+            }
+        )
+    )
+    got = {
+        r["id"]: r["cum_tokens"]
+        for r in budget_select(
+            df, "id", "g", score=F.col("q"), n_tokens=F.col("n"), budget=6
+        ).collect()
+    }
+    # group a: ids 1,2 (score tie -> id order) fill the budget exactly;
+    # id 3 would exceed it.  group b: the single 100-token doc exceeds
+    # the budget outright and is dropped.
+    assert got == {1: 3, 2: 6}
