@@ -90,6 +90,8 @@ def pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    fold_buckets: "int | None" = None,
+    exact: bool = True,
 ) -> DataFrame:
     """Weighted PageRank over an edge list (multi-edges become integer
     weights): fixed ``iters`` power-iteration rounds of
@@ -106,13 +108,29 @@ def pagerank(
 
     Scale shape: each iteration is one equi-join of the rank vector to
     the (u, v, w, W) edge frame on ``u`` plus one aggregation shuffled
-    on ``v`` — the standard distributed power iteration.  The ordered
-    fold gathers a hub's in-contributions into one array; at extreme
-    in-degrees a production run would trade this determinism for a
-    plain ``sum`` (order-free but run-to-run float-stable only per
-    plan) — the fold is the oracle-exactness path.  Dangling nodes
-    (no out-edges) leak their mass, the simple standard variant; both
-    engines implement the same choice.
+    on ``v`` — the standard distributed power iteration.  Three
+    deterministic→cheap choices for the per-node incoming sum:
+
+    - ``fold_buckets=None, exact=True`` (flat fold): one ordered fold
+      per destination — a hub's whole in-neighborhood becomes ONE
+      array row, the classic ``collect_list`` skew hazard at power-law
+      in-degrees.  Fine on bounded-degree graphs.
+    - ``fold_buckets=B, exact=True`` (two-level fold — the 100 TB
+      deterministic path): contributions first fold per
+      ``(v, pmod(u, B))`` sub-bucket (ordered by ``u``), then the B
+      partials fold in bucket order.  Every array is bounded —
+      ~in-degree/B at level 1 and ≤ B at level 2 — while float
+      addition stays fully deterministic for a given B.  The
+      association order differs from the flat fold, so the oracle
+      must mirror the SAME bucketing (``pagerank_sql`` does).
+    - ``exact=False``: plain ``F.sum`` — no arrays at all, the
+      cheapest production mode; partial-aggregation order makes it
+      run-to-run float-stable only per plan, so it cannot back a
+      value-exact oracle (differential-tested against the folds to
+      ~1e-12 relative instead).
+
+    Dangling nodes (no out-edges) leak their mass, the simple standard
+    variant; both engines implement the same choice.
     """
     u, v = F.col(src).alias("node"), F.col(dst).alias("node")
     nodes = edges.select(u).union(edges.select(v)).distinct()
@@ -125,18 +143,31 @@ def pagerank(
     outw = w.groupBy("u").agg(F.sum("w").alias("wtot"))
     wn = w.join(outw, on="u")
     comp = 1.0 - damping
+
+    def _ordered_fold(key_col: str, val_col: str):
+        return F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(key_col), F.col(val_col)))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x[val_col],
+        )
+
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r"))
     for _ in range(iters):
         contribs = wn.join(ranks, wn["u"] == ranks["node"]).select(
             "v", "u", ((F.col("r") * F.col("w")) / F.col("wtot")).alias("c")
         )
-        sums = contribs.groupBy("v").agg(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct(F.col("u"), F.col("c")))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["c"],
-            ).alias("s")
-        )
+        if not exact:
+            sums = contribs.groupBy("v").agg(F.sum("c").alias("s"))
+        elif fold_buckets is not None:
+            B = int(fold_buckets)
+            partials = contribs.groupBy(
+                "v", F.pmod(F.col("u"), F.lit(B)).alias("bkt")
+            ).agg(_ordered_fold("u", "c").alias("p"))
+            sums = partials.groupBy("v").agg(_ordered_fold("bkt", "p").alias("s"))
+        else:
+            sums = contribs.groupBy("v").agg(_ordered_fold("u", "c").alias("s"))
         ranks = nodes.join(sums, nodes["node"] == sums["v"], "left").select(
             "node",
             (
@@ -147,21 +178,18 @@ def pagerank(
     return ranks
 
 
-def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+def _oriented_edges(
+    edges: DataFrame, src: str, dst: str, orient: str
 ) -> DataFrame:
-    """Per-node triangle counts over the undirected simple graph induced
-    by the edge list (multi-edges collapse, self-loops drop).
-    Returns ``(node, n_tri)`` for every node in at least one triangle.
+    """Canonical distinct simple edges, oriented low→high under the
+    chosen key — ``(a, b, kb)`` where ``kb`` is the orientation key of
+    the head (used to order a wedge's two out-neighbors).
 
-    Scale shape: edges are canonically oriented ``u < v`` and each
-    triangle is enumerated exactly once as ``u < v < w`` via two
-    equi-joins — (u,v)⋈(v,w) builds wedges keyed on the middle vertex,
-    (u,w) closes them.  Both joins are hash-partitioned on a vertex
-    id; no cross join, no per-node adjacency materialization.  (The
-    classic hub-degree refinement — orient by degree instead of id so
-    wedge counts are minimized — drops in here by swapping the
-    orientation key; id orientation keeps the oracle trivial.)
+    ``orient="id"``: key = node id.  ``orient="degree"``: key =
+    ``(degree, id)`` over the undirected simple graph — every edge
+    points toward its higher-degree endpoint, so a node's out-degree
+    is O(√m) on ANY graph and hub wedge fan-out collapses (a pure-star
+    hub has out-degree ≤ 1 regardless of its id).
     """
     und = (
         edges.select(
@@ -171,21 +199,77 @@ def triangle_counts(
         .filter(F.col("u") < F.col("v"))
         .distinct()
     )
-    e1 = und.alias("e1")
-    e2 = und.alias("e2")
-    e3 = und.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+    if orient == "id":
+        return und.select(
+            F.col("u").alias("a"), F.col("v").alias("b"),
+            F.struct(F.col("v").alias("k")).alias("kb"),
         )
-        .select(
-            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
-            F.col("e2.v").alias("c"),
-        )
+    if orient != "degree":
+        raise ValueError(f"triangle_counts: unknown orient {orient!r}")
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
     )
-    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    keyed = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), on="u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), on="v")
+    )
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    return keyed.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(ku < kv, kv).otherwise(ku).alias("kb"),
+    )
+
+
+def _wedges(oriented: DataFrame) -> DataFrame:
+    """Open wedges ``(x, y, z)``: two oriented edges sharing source
+    ``x`` with ``key(y) < key(z)`` — each candidate triangle appears
+    exactly once, rooted at its lowest-key vertex."""
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    return e1.join(
+        e2,
+        (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.kb") < F.col("e2.kb")),
+    ).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+        F.col("e2.b").alias("z"),
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    orient: str = "degree",
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph induced
+    by the edge list (multi-edges collapse, self-loops drop).
+    Returns ``(node, n_tri)`` for every node in at least one triangle.
+
+    Scale shape: edges are oriented low→high under the ``orient`` key
+    and each triangle is enumerated exactly once via two equi-joins —
+    edges sharing a source form wedges ``(x, y, z)`` with
+    ``key(y) < key(z)``, and the oriented edge ``(y, z)`` closes them.
+    Both joins are hash-partitioned on a vertex id; no cross join, no
+    per-node adjacency materialization.  ``orient="degree"`` (default)
+    points every edge at its higher-``(degree, id)`` endpoint — the
+    classic hub refinement: out-degrees are O(√m), so a hub's wedge
+    fan-out is bounded no matter its in-degree (a pure star generates
+    ZERO wedges instead of Θ(leaves²)).  The triangle SET is
+    orientation-invariant, so both modes return identical counts and
+    the id-orientation oracle stays valid; ``orient="id"`` remains for
+    the differential test.
+    """
+    oriented = _oriented_edges(edges, src, dst, orient)
+    # a wedge (x,y,z) has key(y) < key(z), so its closing undirected
+    # edge {y,z} is stored oriented exactly as (y, z)
+    e3 = oriented.alias("e3")
+    tri = _wedges(oriented).join(
+        e3,
+        (F.col("y") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+    ).select("x", "y", "z")
+    nodes = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
     return (
         nodes.groupBy("node")
         .agg(F.count("*").cast("long").alias("n_tri"))

@@ -484,13 +484,17 @@ QUERIES["fuzzy_join_part_names"] = Query(
 
 # ------------------------------------------------ PageRank (event graph)
 _PR_ITERS, _PR_D = 3, 0.85
+_PR_B = 8  # two-level fold sub-buckets (pmod(u, B)); mirrored in the oracle
 
 
 def pagerank_event_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the per-user event-transition graph: consecutive
     events by (ts, event_id) induce k→k edges (k = the JSON props key);
     3 damped power-iteration rounds rank the hotspot states.  The
-    ordered-fold contribution sums make the oracle value-exact."""
+    TWO-LEVEL ordered contribution fold (sub-bucket by ``pmod(u, 8)``,
+    fold per bucket by ``u``, then fold the 8 partials in bucket
+    order — the hub-safe deterministic mode) is mirrored bucket-for-
+    bucket in the oracle, keeping it value-exact."""
     from pyspark.sql import Window
 
     from dataclass_array_spark.operators.graph import pagerank
@@ -504,7 +508,10 @@ def pagerank_event_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = seq.filter(F.col("pk").isNotNull()).select(
         F.col("pk").alias("src"), F.col("k").alias("dst")
     )
-    pr = pagerank(edges, "src", "dst", iters=_PR_ITERS, damping=_PR_D)
+    pr = pagerank(
+        edges, "src", "dst", iters=_PR_ITERS, damping=_PR_D,
+        fold_buckets=_PR_B,
+    )
     return pr.select(
         "node", F.floor(F.col("r") * 1e9).cast("long").alias("pr_e9")
     ).orderBy("node")
@@ -541,10 +548,15 @@ WITH ev AS (
         parts.append(f""", c{i} AS (
   SELECT wn.v, wn.u, (r.r * wn.w) / wn.wtot AS c
   FROM wn JOIN r{i} r ON r.node = wn.u
+), p{i} AS (
+  SELECT v, ((u % {_PR_B}) + {_PR_B}) % {_PR_B} AS bkt,
+         list_reduce(list_prepend(0.0, list(c ORDER BY u)),
+                     (acc, x) -> acc + x) AS p
+  FROM c{i} GROUP BY v, ((u % {_PR_B}) + {_PR_B}) % {_PR_B}
 ), s{i} AS (
-  SELECT v, list_reduce(list_prepend(0.0, list(c ORDER BY u)),
+  SELECT v, list_reduce(list_prepend(0.0, list(p ORDER BY bkt)),
                         (acc, x) -> acc + x) AS s
-  FROM c{i} GROUP BY v
+  FROM p{i} GROUP BY v
 ), r{i + 1} AS (
   SELECT n.node,
          CAST('{comp}' AS DOUBLE) / (SELECT n FROM nn)

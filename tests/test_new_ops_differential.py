@@ -250,3 +250,137 @@ def test_dedup_incremental_vs_python_oracle(spark):
         assert got[i][0] == (norm(t) in store_fps), i
         if got[i][0]:
             assert got[i][1], f"exact dup {i} must also be a near dup"
+
+
+def test_pagerank_fold_modes_agree(spark):
+    """The three aggregation modes — flat ordered fold, two-level
+    bucketed fold (hub-safe), and plain sum — are different float
+    association orders of the same math: they must agree to ~1e-12
+    relative on a random graph, and the two deterministic folds must
+    each be self-reproducible."""
+    from dataclass_array_spark.operators.graph import pagerank
+
+    rng = random.Random(53)
+    edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(150)]
+    pdf = pd.DataFrame({"src": [a for a, _ in edges], "dst": [b for _, b in edges]})
+    df = spark.createDataFrame(pdf)
+
+    def run(**kw):
+        return {
+            r["node"]: r["r"]
+            for r in pagerank(df, "src", "dst", iters=3, **kw).collect()
+        }
+
+    flat = run()
+    two = run(fold_buckets=4)
+    plain = run(exact=False)
+    assert set(flat) == set(two) == set(plain)
+    for v in flat:
+        assert abs(flat[v] - two[v]) <= 1e-12 * max(1.0, abs(flat[v]))
+        assert abs(flat[v] - plain[v]) <= 1e-12 * max(1.0, abs(flat[v]))
+    # determinism of the bucketed fold: bit-identical on a re-run
+    assert run(fold_buckets=4) == two
+
+
+def test_pagerank_two_level_fold_handles_negative_ids(spark):
+    """pmod bucketing must place negative source ids in [0, B) — the
+    oracle mirror ((u % B) + B) % B is the contract."""
+    from dataclass_array_spark.operators.graph import pagerank
+
+    edges = [(-7, 1), (-3, 1), (2, 1), (5, 1), (1, -7)]
+    pdf = pd.DataFrame({"src": [a for a, _ in edges], "dst": [b for _, b in edges]})
+    df = spark.createDataFrame(pdf)
+    flat = {
+        r["node"]: r["r"] for r in pagerank(df, iters=2).collect()
+    }
+    two = {
+        r["node"]: r["r"]
+        for r in pagerank(df, iters=2, fold_buckets=3).collect()
+    }
+    assert set(flat) == set(two)
+    for v in flat:
+        assert abs(flat[v] - two[v]) <= 1e-14 * max(1.0, abs(flat[v]))
+
+
+def test_triangle_orientations_agree_and_degree_bounds_wedges(spark):
+    """The triangle SET is orientation-invariant (degree vs id modes
+    return identical counts), and on a mid-id star hub the degree
+    orientation generates ZERO wedges where id orientation generates
+    Θ((leaves/2)²) — the hub-safety claim, asserted on actual wedge
+    row counts."""
+    from dataclass_array_spark.operators.graph import (
+        _oriented_edges, _wedges, triangle_counts,
+    )
+
+    # star: hub id 50 in the middle of leaf ids 0..39 and 60..99,
+    # plus one triangle off to the side so counts are non-trivial
+    hub_edges = [(i, 50) for i in range(40)] + [(50, j) for j in range(60, 100)]
+    tri_edges = [(200, 201), (201, 202), (200, 202)]
+    edges = hub_edges + tri_edges
+    pdf = pd.DataFrame({"src": [a for a, _ in edges], "dst": [b for _, b in edges]})
+    df = spark.createDataFrame(pdf)
+
+    by_deg = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts(df, orient="degree").collect()
+    }
+    by_id = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts(df, orient="id").collect()
+    }
+    assert by_deg == by_id == {200: 1, 201: 1, 202: 1}
+
+    wedges_id = _wedges(_oriented_edges(df, "src", "dst", "id")).count()
+    wedges_deg = _wedges(_oriented_edges(df, "src", "dst", "degree")).count()
+    # id orientation points the 40 high-id leaves' edges OUT of the
+    # mid-id hub, rooting C(40,2)=780 wedges there (+1 triangle wedge);
+    # degree orientation points every star edge AT the hub, so only the
+    # triangle wedge remains
+    assert wedges_id == 780 + 1
+    assert wedges_deg == 1
+
+
+def test_fuzzy_prefix_filter_same_pairs_fewer_candidates(spark):
+    """Prefix filtering must keep the verified pair set identical while
+    strictly shrinking the inverted index on a corpus with a shared
+    hot gram (the docstring's losslessness proof, asserted)."""
+    from dataclass_array_spark.operators.fuzzy import (
+        _gram_index, edit_distance_join,
+    )
+
+    rng = random.Random(71)
+    alphabet = "abcdefgh"
+    # every string shares the hot prefix "zz" (a high-frequency gram)
+    base = [
+        "zz" + "".join(rng.choice(alphabet) for _ in range(10))
+        for _ in range(40)
+    ]
+    strings = set(base)
+    for s in base[:15]:
+        strings.add(s[:-1] + "q")   # substitution -> distance-1 pair
+    strings = sorted(strings)
+    df = spark.createDataFrame(pd.DataFrame({"s": strings}))
+
+    def pairs(prefix_filter):
+        return {
+            (r["name_a"], r["name_b"]): r["dist"]
+            for r in edit_distance_join(
+                df, "s", k=2, q=2, prefix_filter=prefix_filter
+            ).collect()
+        }
+
+    got = pairs(True)
+    assert got == pairs(False)
+    # ground truth
+    want = {}
+    for a, b in itertools.combinations(strings, 2):
+        d = _levenshtein(a, b)
+        if d <= 2:
+            want[(a, b)] = d
+    assert got == want
+
+    full = _gram_index(df, "s", 2, 2, None, False).count()
+    pref = _gram_index(df, "s", 2, 2, None, True).count()
+    # 12-13 char strings have ~11 distinct grams; prefixes keep k*q+1=5
+    assert pref < full
+    assert pref <= 5 * len(strings)
