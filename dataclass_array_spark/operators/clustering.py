@@ -147,11 +147,45 @@ _DRIVER_TRAIN_LIMIT = 65536
 _DEC_Q = None  # lazy Decimal quantum
 
 
+def _collect_train_sample(
+    vecs: DataFrame, id_col: str, train_limit: "int | None", who: str
+) -> "List[List[float]] | None":
+    """The ONE driver-dispatch predicate + sample collection shared by
+    every sampled-training consumer (:func:`kmeans_fit`,
+    ``pq.pq_fit``): when sampled training is requested AND the sample
+    is driver-bounded (``train_limit <= _DRIVER_TRAIN_LIMIT``), run one
+    ``TakeOrderedAndProject`` job and return the ``train_limit``
+    LOWEST-id vectors in id order; otherwise ``None`` (the caller keeps
+    the distributed path).  Centralized so the dispatch condition and
+    the sample semantics cannot drift between consumers."""
+    if train_limit is None or train_limit > _DRIVER_TRAIN_LIMIT:
+        return None
+    rows = [
+        list(r["v"])
+        for r in vecs.orderBy(id_col).limit(int(train_limit)).collect()
+    ]
+    if not rows:
+        raise ValueError(f"{who}: input has no rows")
+    return rows
+
+
 def _kmeans_fit_driver(
     vlist: List[List[float]], k: int, iters: int
 ) -> List[List[float]]:
     """Driver-side Lloyd's over an id-ordered sample (see
-    ``_DRIVER_TRAIN_LIMIT``)."""
+    ``_DRIVER_TRAIN_LIMIT``).
+
+    Bit-exactness note: the double→DECIMAL(38,9) replica below leans on
+    CPython ``repr`` and the JVM's ``Double.toString`` both emitting the
+    SHORTEST round-tripping decimal string (Spark's cast goes through
+    ``BigDecimal.valueOf(double)``).  That is guaranteed on JDK ≥ 19
+    (Ryu, JDK-4511638); earlier JDKs may print extra digits for a
+    measure-zero set of doubles sitting exactly on a half-ulp boundary,
+    where the HALF_UP quantize could round differently.  This repo pins
+    Java 17 in CI and the differential tests + every sampled-training
+    oracle gate cover the fixture data; a JDK downgrade below 17 or a
+    fixture with adversarial half-boundary doubles should re-run
+    ``test_kmeans_driver_path_matches_distributed`` first."""
     from decimal import ROUND_HALF_UP, Decimal
 
     global _DEC_Q
@@ -232,15 +266,13 @@ def kmeans_fit(
     )
     train = vecs
     if train_limit is not None:
+        # sample is driver-bounded metadata: collect it once and run
+        # the Lloyd rounds locally — ONE cluster job regardless of
+        # iters (bit-exact replica, see _kmeans_fit_driver)
+        sample = _collect_train_sample(vecs, id_col, train_limit, "kmeans_fit")
+        if sample is not None:
+            return _kmeans_fit_driver(sample, k, iters)
         train = vecs.orderBy(id_col).limit(int(train_limit))
-        if train_limit <= _DRIVER_TRAIN_LIMIT:
-            # sample is driver-bounded metadata: collect it once and run
-            # the Lloyd rounds locally — ONE cluster job regardless of
-            # iters (bit-exact replica, see _kmeans_fit_driver)
-            vlist = [list(r["v"]) for r in train.collect()]
-            if not vlist:
-                raise ValueError("kmeans_fit: input has no rows")
-            return _kmeans_fit_driver(vlist, k, iters)
     # cache whatever frame the Lloyd rounds iterate over: the sampled
     # frame always (it is re-read iters times and driver-bounded), the
     # full frame only when there is more than one pass to amortize.
@@ -441,6 +473,347 @@ FROM afinal ORDER BY vec_id"""
     )
 
 
+# ---------------------------------------------------------------------------
+# Two-level (coarse -> fine) clustering: the 100 TB path for auto-k.
+#
+# Single-level k="auto" sets k = ceil(n / target_cluster_size), and the k
+# centroids are driver state shipped into the argmin closure — at 10^11
+# docs that is ~4x10^8 centroids (~200 GB), not metadata.  The two-level
+# shape keeps driver state bounded for ANY corpus:
+#
+# - COARSE: one sampled kmeans_fit with k_coarse centroids (k_coarse is
+#   capped — sqrt(k) clamped to auto_k_cap — so this stays driver
+#   metadata), then a zero-shuffle argmin assigns every row a cell.
+# - FINE: each cell trains its own ceil(n_cell / target) centroids from
+#   the cell's lowest-id sample INSIDE applyInPandas — fine centroids
+#   are a distributed (cell, fine, cv) DataFrame that never lands on
+#   the driver.
+# - ASSIGN: rows join their cell's centroid matrix (one hash join on
+#   the cell key) and an Arrow argmin picks the fine cluster.  Per-task
+#   state is one cell's k_fine x dim matrix, not the global centroid set.
+#
+# Every stage replays value-exactly in DuckDB (kmeans_two_level_sql_ctes):
+# the coarse chain is the proven kmeans_sql_ctes, each cell's fine chain
+# is the same generator filtered to that cell with a data-dependent
+# LIMIT k, and the in-worker Lloyd is _kmeans_fit_driver — the bit-exact
+# decimal replica already differential-tested against the engine.
+# ---------------------------------------------------------------------------
+
+
+def _auto_k_plan(
+    n: int, target_cluster_size: int, cap: int
+) -> Tuple[str, int]:
+    """The auto-k sizing policy: ``("single", k)`` while the flat
+    centroid set stays driver-bounded (``k <= cap``), else
+    ``("two_level", k_coarse)`` with ``k_coarse = min(ceil(sqrt(k)),
+    cap)`` — so the driver NEVER holds more than ``cap`` centroids no
+    matter the corpus size (tests assert this for n up to 10^13)."""
+    import math
+
+    k = max(1, -(-int(n) // int(target_cluster_size)))
+    if k <= cap:
+        return ("single", k)
+    # exact integer ceil(sqrt(k)) — no float rounding for huge k
+    k_coarse = math.isqrt(k - 1) + 1
+    return ("two_level", min(max(1, k_coarse), cap))
+
+
+def _argmin_matrix_udf():
+    """Arrow-batched argmin of each row against ITS OWN centroid matrix
+    column (array<array<double>>, the row's cell codebook).  Bit-exact
+    replica of the per-cell fold chain: dim-major ``acc += diff^2``
+    (the sequential-fold double order) and ``np.argmin`` first-min
+    (lower fine id wins ties).  Rows arrive cell-clustered from the
+    join, so the per-batch loop vectorizes over one cell at a time."""
+
+    @F.pandas_udf("struct<fine: bigint, dist: double>")
+    def assign(cell: pd.Series, v: pd.Series, cm: pd.Series) -> pd.DataFrame:
+        if not len(v):
+            return pd.DataFrame({"fine": [], "dist": []})
+        out_f = np.empty(len(v), dtype=np.int64)
+        out_d = np.empty(len(v), dtype=np.float64)
+        cells = cell.to_numpy()
+        for c in pd.unique(cell):
+            idx = np.nonzero(cells == c)[0]
+            C = np.stack(cm.iloc[idx[0]]).astype(np.float64, copy=False)
+            V = np.stack(v.iloc[idx].to_numpy()).astype(np.float64, copy=False)
+            acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+            for d in range(C.shape[1]):
+                diff = V[:, d, None] - C[None, :, d]
+                acc += diff * diff
+            fi = np.argmin(acc, axis=1)
+            out_f[idx] = fi
+            out_d[idx] = acc[np.arange(len(idx)), fi]
+        return pd.DataFrame({"fine": out_f, "dist": out_d})
+
+    return assign
+
+
+def kmeans_assign_two_level(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_coarse: int,
+    iters: int = 3,
+    target_cluster_size: int = 256,
+    coarse_train_limit: "int | None" = None,
+    fine_train_limit: int = 4096,
+    keep_vec: bool = False,
+    pin: str = "local",
+) -> DataFrame:
+    """Two-level k-means assignment → ``(id, cell, fine, dist[, v])``.
+
+    ``cell`` is the coarse cluster (trained by :func:`kmeans_fit`,
+    driver-bounded ``k_coarse`` centroids), ``fine`` the within-cell
+    cluster: each cell trains ``ceil(n_cell / target_cluster_size)``
+    centroids over its ``fine_train_limit`` LOWEST-id rows inside
+    ``applyInPandas`` (the bit-exact :func:`_kmeans_fit_driver`
+    replica), so expected fine cluster size ≈ ``target_cluster_size``
+    regardless of corpus size while the driver never sees a fine
+    centroid.  Size ``fine_train_limit`` ≥ ~a few × the expected
+    per-cell k — it is a training SAMPLE, the standard IVF recipe.
+
+    Scale audit: one corpus scan for coarse assignment (zero-shuffle
+    argmin), one shuffle on ``cell`` for the per-cell sample window,
+    one bounded ``applyInPandas`` over samples, one hash join of rows
+    to their cell's centroid matrix + Arrow argmin.  No driver-side
+    state grows with n.
+    """
+    from dataclass_array_spark.core.table import pin_materialization
+
+    target = int(target_cluster_size)
+    fit_iters = int(iters)
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    vecs = vecs.persist()
+    try:
+        coarse = kmeans_fit(
+            df, id_col, vec_col, k=k_coarse, iters=iters,
+            train_limit=coarse_train_limit, _vecs=vecs,
+        )
+        cells = vecs.select(
+            F.col(id_col),
+            _argmin(F.col("v"), coarse).cluster.alias("cell"),
+            F.col("v"),
+        )
+        # feeds cell counts + the sample window + the final assignment:
+        # pin so the coarse argmin runs once, not three times
+        cells = pin_materialization(cells, pin)
+    finally:
+        vecs.unpersist()
+    cnt = cells.groupBy("cell").agg(F.count("*").alias("_n"))
+    wcell = Window.partitionBy("cell").orderBy(id_col)
+    sample = (
+        cells.withColumn("_rn", F.row_number().over(wcell))
+        .filter(F.col("_rn") <= int(fine_train_limit))
+        .drop("_rn")
+        .join(F.broadcast(cnt), on="cell")
+    )
+
+    def _train(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        n_cell = int(pdf["_n"].iloc[0])
+        kf = max(1, -(-n_cell // target))
+        cents = _kmeans_fit_driver(
+            [list(row) for row in pdf["v"]], kf, fit_iters
+        )
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])] * len(cents),
+                "fine": list(range(len(cents))),
+                "cv": cents,
+            }
+        )
+
+    fine_cents = sample.groupBy("cell").applyInPandas(
+        _train, "cell bigint, fine bigint, cv array<double>"
+    )
+    cmats = fine_cents.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("fine", "cv"))),
+            lambda x: x["cv"],
+        ).alias("cm")
+    )
+    best = _argmin_matrix_udf()(F.col("cell"), F.col("v"), F.col("cm"))
+    cols = [
+        F.col(id_col), F.col("cell"),
+        F.col("_b").fine.alias("fine"), F.col("_b").dist.alias("dist"),
+    ]
+    if keep_vec:
+        cols.append(F.col("v"))
+    return (
+        cells.join(cmats, on="cell")
+        .withColumn("_b", best)
+        .select(*cols)
+    )
+
+
+def kmeans_two_level_sql_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k_coarse: int,
+    iters: int = 3,
+    target_cluster_size: int = 256,
+    coarse_train_limit: "int | None" = None,
+    fine_train_limit: int = 4096,
+    vec_expr: "str | None" = None,
+) -> str:
+    """DuckDB CTE chain replaying :func:`kmeans_assign_two_level`,
+    ending at ``tl_afinal(vec_id, cell, fine, dist)``: the coarse
+    :func:`kmeans_sql_ctes` chain (prefix ``g``) plus one fine chain
+    per cell (prefix ``f{i}_``) whose input is the cell's rows and
+    whose ``k`` is the data-dependent ``ceil(n_cell / target)`` LIMIT
+    subquery.  ``k_coarse`` must be a literal — the per-cell unrolling
+    is static SQL."""
+    target = int(target_cluster_size)
+    sql = kmeans_sql_ctes(
+        table, id_col, vec_col, dim, k=k_coarse, iters=iters,
+        train_limit=coarse_train_limit, prefix="g", vec_expr=vec_expr,
+    )
+    for i in range(int(k_coarse)):
+        p = f"f{i}_"
+        sub = (
+            f"(SELECT e.{id_col} AS {id_col}, e.v AS v FROM ge e "
+            f"JOIN gafinal a ON a.vec_id = e.{id_col} WHERE a.cid = {i})"
+        )
+        fine_k = f"(SELECT (COUNT(*) + {target - 1}) // {target} FROM {p}e)"
+        chain = kmeans_sql_ctes(
+            sub, id_col, "v", dim, k=fine_k, iters=iters,
+            train_limit=fine_train_limit, prefix=p, vec_expr="v",
+        )
+        sql += ", " + chain[len("WITH ") :]
+    union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, CAST({i} AS BIGINT) AS cell, "
+        f"CAST(cid AS BIGINT) AS fine, dist FROM f{i}_afinal"
+        for i in range(int(k_coarse))
+    )
+    return sql + f", tl_afinal AS (\n  {union}\n)"
+
+
+def semantic_dedup_two_level(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_coarse: int,
+    iters: int = 3,
+    cos_threshold: float = 0.45,
+    target_cluster_size: int = 256,
+    max_cluster_size: "int | None" = None,
+    coarse_train_limit: "int | None" = None,
+    fine_train_limit: int = 4096,
+    pin: str = "local",
+) -> DataFrame:
+    """SemDeDup over the two-level partition: cosine near-duplicates
+    are pruned WITHIN each ``(cell, fine)`` cluster (keep the lowest
+    id).  Returns ``(id, cell, fine)`` of surviving rows.  Same
+    pairing/anti-join shape as :func:`semantic_dedup`, shuffled on the
+    composite cluster key; ``max_cluster_size`` caps each fine
+    cluster's pairing set exactly as the single-level cap does."""
+    from dataclass_array_spark.core.table import pin_materialization
+    from dataclass_array_spark.operators.similarity import cosine, norm2
+
+    assign = kmeans_assign_two_level(
+        df, id_col, vec_col, k_coarse, iters=iters,
+        target_cluster_size=target_cluster_size,
+        coarse_train_limit=coarse_train_limit,
+        fine_train_limit=fine_train_limit, keep_vec=True, pin=pin,
+    )
+    assign = pin_materialization(
+        assign.withColumn("n2", norm2(F.col("v"))), pin
+    )
+    pairable = assign
+    if max_cluster_size is not None:
+        wclus = Window.partitionBy("cell", "fine").orderBy(id_col)
+        pairable = (
+            assign.withColumn("__rn", F.row_number().over(wclus))
+            .filter(F.col("__rn") <= max_cluster_size)
+            .drop("__rn")
+        )
+    a, b = pairable.alias("a"), pairable.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.fine") == F.col("b.fine"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"b.{id_col}").alias("_drop_id"),
+        cosine(
+            F.col("a.v"), F.col("b.v"), F.col("a.n2"), F.col("b.n2")
+        ).alias("cos"),
+    )
+    drops = pairs.filter(F.col("cos") >= cos_threshold).select("_drop_id").distinct()
+    return (
+        assign.join(drops, assign[id_col] == drops["_drop_id"], "left_anti")
+        .select(id_col, "cell", "fine")
+    )
+
+
+def semantic_dedup_two_level_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k_coarse: int,
+    iters: int = 3,
+    cos_threshold: float = 0.45,
+    target_cluster_size: int = 256,
+    max_cluster_size: "int | None" = None,
+    coarse_train_limit: "int | None" = None,
+    fine_train_limit: int = 4096,
+) -> str:
+    """DuckDB oracle for :func:`semantic_dedup_two_level`."""
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(ea.v, eb.v), "
+        "p -> p[1]*p[2])), (acc, x) -> acc + x)"
+    )
+    n2 = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(v, v), "
+        "p -> p[1]*p[2])), (acc, x) -> acc + x)"
+    )
+    if max_cluster_size is not None:
+        pairable = f"""
+, pairable AS (
+  SELECT vec_id, cell, fine FROM (
+    SELECT vec_id, cell, fine,
+           ROW_NUMBER() OVER (PARTITION BY cell, fine ORDER BY vec_id) AS rn
+    FROM tl_afinal
+  ) WHERE rn <= {int(max_cluster_size)}
+)"""
+    else:
+        pairable = "\n, pairable AS (SELECT vec_id, cell, fine FROM tl_afinal)"
+    return (
+        kmeans_two_level_sql_ctes(
+            table, id_col, vec_col, dim, k_coarse, iters=iters,
+            target_cluster_size=target_cluster_size,
+            coarse_train_limit=coarse_train_limit,
+            fine_train_limit=fine_train_limit,
+        )
+        + pairable
+        + f"""
+, n AS (SELECT {id_col} AS nid, {n2} AS n2 FROM ge)
+, pairs AS (
+  SELECT b.vec_id AS drop_id,
+         {dot} / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+  FROM pairable a
+  JOIN pairable b ON a.cell = b.cell AND a.fine = b.fine
+                 AND a.vec_id < b.vec_id
+  JOIN ge ea ON ea.{id_col} = a.vec_id
+  JOIN ge eb ON eb.{id_col} = b.vec_id
+  JOIN n na ON na.nid = a.vec_id
+  JOIN n nb ON nb.nid = b.vec_id
+)
+SELECT a.vec_id AS {id_col}, a.cell, a.fine
+FROM tl_afinal a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs p WHERE p.cos >= {cos_threshold} AND p.drop_id = a.vec_id
+)
+ORDER BY 1"""
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -452,6 +825,7 @@ def semantic_dedup(
     max_cluster_size: "int | None" = None,
     train_limit: "int | None" = None,
     pin: str = "local",
+    auto_k_cap: int = 65536,
 ) -> DataFrame:
     """SemDeDup: k-means partition, then drop within-cluster cosine
     near-duplicates (keep the lowest id of each near-dup pair).
@@ -464,6 +838,14 @@ def semantic_dedup(
     ~target²/2 regardless of corpus size (one extra count job).  The
     assignment frame is checkpointed once and feeds both sides of the
     self-join plus the survivor anti-join.
+
+    ``auto_k_cap`` bounds the driver: auto-k grows linearly with the
+    corpus, and past the cap the flat centroid set would stop being
+    driver metadata — so :func:`_auto_k_plan` switches to the
+    TWO-LEVEL coarse→fine partition (:func:`semantic_dedup_two_level`,
+    ``k_coarse = min(ceil(sqrt(k)), cap)``) whose driver state is
+    bounded by the cap for ANY corpus size.  On that path the returned
+    ``cluster`` is the composite ``cell * 2^32 + fine``.
 
     ``max_cluster_size`` is the fixed-k insurance (the MinHash
     ``max_bucket_size`` pattern, dedup.py): when k is pinned and the
@@ -496,7 +878,28 @@ def semantic_dedup(
     vecs = vecs.persist()
     if k == "auto":
         n = vecs.count()
-        k = max(1, -(-n // target_cluster_size))  # ceil div
+        mode, sized = _auto_k_plan(n, target_cluster_size, auto_k_cap)
+        if mode == "two_level":
+            # the flat centroid set would exceed the driver budget:
+            # switch to the coarse->fine partition (driver holds only
+            # the <= auto_k_cap coarse centroids; fine centroids stay a
+            # distributed frame).  Composite cluster id keeps the
+            # (id, cluster) return contract: cell * 2^32 + fine.
+            vecs.unpersist()
+            out = semantic_dedup_two_level(
+                df, id_col, vec_col, k_coarse=sized, iters=iters,
+                cos_threshold=cos_threshold,
+                target_cluster_size=target_cluster_size,
+                max_cluster_size=max_cluster_size,
+                coarse_train_limit=train_limit, pin=pin,
+            )
+            return out.select(
+                F.col(id_col),
+                (F.col("cell") * F.lit(2 ** 32) + F.col("fine"))
+                .cast("long")
+                .alias("cluster"),
+            )
+        k = sized
     centroids = kmeans_fit(
         df, id_col, vec_col, k=k, iters=iters,
         train_limit=train_limit, _vecs=vecs,

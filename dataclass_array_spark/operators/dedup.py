@@ -372,7 +372,11 @@ def dedup_chunks(
 
     Returns ``(id, n_chunks, n_kept, kept_md5)`` where ``kept_md5``
     fingerprints the document's surviving text (kept chunks re-joined
-    in order; empty string when everything was seen before).
+    in order; empty string when everything was seen before).  EVERY
+    distinct input id gets a row: token-less documents (empty/
+    whitespace/NULL text) report ``(id, 0, 0, md5(''))`` instead of
+    silently vanishing from corpus-wide survival stats (the explode
+    would otherwise drop them — round-7 ADVICE).
 
     Scale shape: chunking is an in-scan expression; the ONLY shuffle of
     chunk text is the first-occurrence window on ``chunk_md5`` — a
@@ -401,7 +405,7 @@ def dedup_chunks(
         (F.col("rn") == 1).alias("kept"),
         F.when(F.col("rn") == 1, F.col("chunk_text")).alias("kept_text"),
     )
-    return (
+    stats = (
         flagged.groupBy(id_col)
         .agg(
             F.count("*").alias("n_chunks"),
@@ -428,6 +432,14 @@ def dedup_chunks(
                 )
             ).alias("kept_md5"),
         )
+    )
+    # token-less docs produced no chunk rows — join back so the
+    # survival report covers every distinct input id
+    return df.select(F.col(id_col)).distinct().join(stats, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_chunks"), F.lit(0).cast("long")).alias("n_chunks"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
     )
 
 

@@ -55,8 +55,8 @@ from pyspark.sql import functions as F
 
 from dataclass_array_spark.operators.clustering import (
     _ARGMIN_UDF_THRESHOLD,
-    _DRIVER_TRAIN_LIMIT,
     _argmin_cluster,
+    _collect_train_sample,
     _kmeans_fit_driver,
     kmeans_fit,
 )
@@ -88,16 +88,12 @@ def pq_fit(
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    if train_limit is not None and train_limit <= _DRIVER_TRAIN_LIMIT:
-        # the sample is driver-bounded metadata: ONE TakeOrdered job,
-        # then all m Lloyd loops run locally (bit-exact replica of the
-        # distributed path — clustering._kmeans_fit_driver)
-        rows = [
-            list(r["v"])
-            for r in vecs.orderBy(id_col).limit(int(train_limit)).collect()
-        ]
-        if not rows:
-            raise ValueError("pq_fit: input has no rows")
+    # the driver-dispatch predicate + sample collection are SHARED with
+    # kmeans_fit (clustering._collect_train_sample) so the condition
+    # and sample semantics cannot drift; PQ's one deliberate difference
+    # remains that all m subspace Lloyd loops share the single collect.
+    rows = _collect_train_sample(vecs, id_col, train_limit, "pq_fit")
+    if rows is not None:
         return [
             _kmeans_fit_driver(
                 [row[j * d : (j + 1) * d] for row in rows], codes, iters

@@ -205,8 +205,14 @@ def chunk_tokens(text: Column, chunk_size: int, overlap: int) -> Column:
         n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
             F.floor((n - 1) / F.lit(stride)).cast("int") + 1
         )
+        # guard the zero-token case: sequence(0, -1) is a DESCENDING
+        # [0, -1] in Spark, which minted two garbage chunks for empty/
+        # NULL documents (caught by the round-8 empty-doc contract)
+        idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
         return F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
+            idx,
             lambda i: F.struct(
                 i.alias("chunk_id"),
                 F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_size)).alias(

@@ -464,6 +464,89 @@ QUERIES["semantic_dedup_auto"] = Query(
 )
 
 
+# Two-level (coarse -> fine) clustering — the 100 TB auto-k path: the
+# driver holds only the k_coarse coarse centroids; each cell trains its
+# own ceil(n_cell/target) fine centroids inside applyInPandas and rows
+# join their cell's centroid matrix for the final Arrow argmin.  Gate
+# constants are sized so every stage BINDS at sf0.01 (500 rows): cells
+# ~167 rows > fine_train_limit=64 (sampling exercised), fine k ~6.
+_TL_KC = 3
+_TL_ITERS = 2
+_TL_TARGET = 32
+_TL_CTL = 128   # coarse_train_limit (binds: 128 < 500)
+_TL_FTL = 64    # fine_train_limit  (binds: 64 < ~167 rows/cell)
+
+
+def embedding_kmeans_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level k-means assignment over the embeddings table — coarse
+    sampled training + per-cell fine training (applyInPandas Lloyd
+    replica) + matrix-argmin fine assignment, all value-exact vs the
+    per-cell unrolled decimal CTE chains."""
+    from dataclass_array_spark.operators.clustering import kmeans_assign_two_level
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = kmeans_assign_two_level(
+        spread(e), "vec_id", "embedding", k_coarse=_TL_KC, iters=_TL_ITERS,
+        target_cluster_size=_TL_TARGET, coarse_train_limit=_TL_CTL,
+        fine_train_limit=_TL_FTL,
+    )
+    return out.select(
+        "vec_id", "cell", "fine",
+        F.floor(F.col("dist") * 1e9).cast("long").alias("dist_e9"),
+    ).orderBy("vec_id")
+
+
+def _kmeans_two_level_oracle() -> str:
+    from dataclass_array_spark.operators.clustering import kmeans_two_level_sql_ctes
+
+    return kmeans_two_level_sql_ctes(
+        "embeddings", "vec_id", "embedding", dim=_KM_DIM, k_coarse=_TL_KC,
+        iters=_TL_ITERS, target_cluster_size=_TL_TARGET,
+        coarse_train_limit=_TL_CTL, fine_train_limit=_TL_FTL,
+    ) + """
+SELECT vec_id, cell, fine, CAST(FLOOR(dist * 1e9) AS BIGINT) AS dist_e9
+FROM tl_afinal ORDER BY vec_id"""
+
+
+QUERIES["embedding_kmeans_two_level"] = Query(
+    embedding_kmeans_two_level, _kmeans_two_level_oracle(),
+    tags=("clustering", "two-level"),
+)
+
+
+def semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the two-level partition: within-(cell, fine)
+    cosine pruning, keep-lowest-id — the bounded-driver shape
+    semantic_dedup(k="auto") switches to past auto_k_cap."""
+    from dataclass_array_spark.operators import clustering
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return clustering.semantic_dedup_two_level(
+        spread(e), "vec_id", "embedding", k_coarse=_TL_KC, iters=_TL_ITERS,
+        cos_threshold=_SD_THRESH, target_cluster_size=_TL_TARGET,
+        coarse_train_limit=_TL_CTL, fine_train_limit=_TL_FTL,
+    ).orderBy("vec_id")
+
+
+def _semantic_dedup_two_level_oracle() -> str:
+    from dataclass_array_spark.operators.clustering import (
+        semantic_dedup_two_level_sql,
+    )
+
+    return semantic_dedup_two_level_sql(
+        "embeddings", "vec_id", "embedding", dim=_KM_DIM, k_coarse=_TL_KC,
+        iters=_TL_ITERS, cos_threshold=_SD_THRESH,
+        target_cluster_size=_TL_TARGET, coarse_train_limit=_TL_CTL,
+        fine_train_limit=_TL_FTL,
+    )
+
+
+QUERIES["semantic_dedup_two_level"] = Query(
+    semantic_dedup_two_level, _semantic_dedup_two_level_oracle(),
+    tags=("dedup", "clustering", "two-level"),
+)
+
+
 # ------------------------------------------------ LM quality (perplexity-style)
 def lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc unigram-LM cross-entropy (nats/token) — the

@@ -246,13 +246,21 @@ WITH toks AS (
                             ORDER BY doc_id, chunk_id) AS rn
   FROM chunks
 )
-SELECT doc_id,
-       COUNT(*) AS n_chunks,
-       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       md5(COALESCE(
-         string_agg(chunk_text, ' ' ORDER BY chunk_id) FILTER (WHERE rn = 1),
-         '')) AS kept_md5
-FROM flagged GROUP BY doc_id ORDER BY doc_id
+, stats AS (
+  SELECT doc_id,
+         COUNT(*) AS n_chunks,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         md5(COALESCE(
+           string_agg(chunk_text, ' ' ORDER BY chunk_id) FILTER (WHERE rn = 1),
+           '')) AS kept_md5
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(s.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(s.kept_md5, md5('')) AS kept_md5
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN stats s USING (doc_id) ORDER BY d.doc_id
 """
 
 

@@ -1272,7 +1272,10 @@ def test_pq_fit_driver_path_matches_distributed(spark, monkeypatch):
     driver = pqmod.pq_fit(
         e, "vec_id", "embedding", dim=64, m=4, codes=4, iters=2, train_limit=100
     )
-    monkeypatch.setattr(pqmod, "_DRIVER_TRAIN_LIMIT", 0)
+    # ONE dispatch site since round 8: pq_fit shares clustering's
+    # _collect_train_sample, so patching the clustering limit flips
+    # BOTH consumers to the distributed path (the drift the shared
+    # helper exists to prevent)
     import dataclass_array_spark.operators.clustering as cl
 
     monkeypatch.setattr(cl, "_DRIVER_TRAIN_LIMIT", 0)
@@ -1497,3 +1500,129 @@ def test_budget_select_edges(spark):
     # id 3 would exceed it.  group b: the single 100-token doc exceeds
     # the budget outright and is dropped.
     assert got == {1: 3, 2: 6}
+
+
+def test_auto_k_plan_bounds_driver_centroids():
+    """The auto-k sizing policy must keep driver-held centroid count
+    <= auto_k_cap for ANY corpus size — the round-7 100 TB blocker."""
+    from dataclass_array_spark.operators.clustering import _auto_k_plan
+
+    cap = 65536
+    for n in (1, 100, 10**6, 10**9, 10**11, 10**13):
+        mode, sized = _auto_k_plan(n, 256, cap)
+        assert sized <= cap, (n, mode, sized)
+        if mode == "single":
+            assert sized == max(1, -(-n // 256))
+        else:
+            # two-level: driver holds only the coarse set
+            import math
+            k = max(1, -(-n // 256))
+            assert k > cap
+            assert sized == min(math.isqrt(k - 1) + 1, cap)
+    # boundary: exactly cap stays single-level
+    assert _auto_k_plan(256 * 65536, 256, cap) == ("single", 65536)
+    assert _auto_k_plan(256 * 65536 + 1, 256, cap)[0] == "two_level"
+
+
+def test_semantic_dedup_auto_delegates_to_two_level(spark):
+    """Past auto_k_cap, semantic_dedup(k='auto') must switch to the
+    two-level partition: composite cluster ids, exact duplicates still
+    dropped keep-lowest, and the survivor set valid."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8)).astype(np.float64)
+    vecs = [list(map(float, base[i % 20] * (1.0 + 0.3 * (i // 20)))) for i in range(40)]
+    # ids 100..103 are EXACT copies of id 0's vector (same argmin path
+    # -> same (cell, fine) cluster -> cosine 1.0 pairs)
+    dup = list(map(float, base[0]))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(40)) + [100, 101, 102, 103],
+            "embedding": [np.array(v) for v in vecs] + [np.array(dup)] * 4,
+        }
+    )
+    # vec 0 uses base[0] scaled 1.0 -> identical to dup rows
+    df = spark.createDataFrame(pdf)
+
+    from dataclass_array_spark.operators.clustering import semantic_dedup
+
+    surv = semantic_dedup(
+        df, "vec_id", "embedding", k="auto", iters=2, cos_threshold=0.999,
+        target_cluster_size=4, auto_k_cap=2,  # ceil(44/4)=11 > 2 -> two-level
+    ).collect()
+    ids = {r["vec_id"] for r in surv}
+    assert 0 in ids
+    assert ids.isdisjoint({100, 101, 102, 103})  # exact dups of id 0 dropped
+    assert ids <= set(range(40)) | {100, 101, 102, 103}
+    # composite labels decompose into (cell < k_coarse=2, fine >= 0)
+    for r in surv:
+        cell, fine = divmod(r["cluster"], 2 ** 32)
+        assert 0 <= cell < 2 and fine >= 0
+
+
+def test_two_level_assignment_structure(spark):
+    """kmeans_assign_two_level: every input row gets exactly one
+    (cell, fine) pair, cells < k_coarse, and each row's dist equals the
+    squared L2 distance to SOME fine centroid of its cell (sanity via
+    non-negativity + reproducibility)."""
+    from dataclass_array_spark.operators.clustering import kmeans_assign_two_level
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = kmeans_assign_two_level(
+        e, "vec_id", "embedding", k_coarse=3, iters=2,
+        target_cluster_size=32, coarse_train_limit=128, fine_train_limit=64,
+    )
+    rows = out.collect()
+    assert len(rows) == e.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    assert all(0 <= r["cell"] < 3 for r in rows)
+    assert all(r["fine"] >= 0 and r["dist"] >= 0.0 for r in rows)
+    # deterministic end to end
+    again = {
+        (r["vec_id"], r["cell"], r["fine"], r["dist"])
+        for r in kmeans_assign_two_level(
+            e, "vec_id", "embedding", k_coarse=3, iters=2,
+            target_cluster_size=32, coarse_train_limit=128,
+            fine_train_limit=64,
+        ).collect()
+    }
+    assert again == {(r["vec_id"], r["cell"], r["fine"], r["dist"]) for r in rows}
+
+
+def test_chunk_tokens_empty_and_null_text(spark):
+    """sequence(0, -1) is DESCENDING in Spark — zero-token documents
+    must produce an EMPTY chunk array, not two garbage chunks
+    (round-8 regression)."""
+    from dataclass_array_spark.operators.text import chunk_tokens
+
+    pdf = pd.DataFrame({"t": ["", "   ", None, "a b c"]})
+    rows = (
+        spark.createDataFrame(pdf)
+        .select(F.size(chunk_tokens(F.col("t"), 2, 0)).alias("n"))
+        .collect()
+    )
+    assert [r["n"] for r in rows] == [0, 0, 0, 2]
+
+
+def test_dedup_chunks_reports_tokenless_docs(spark):
+    """Token-less documents must appear in the survival report as
+    (id, 0, 0, md5('')) instead of silently vanishing (round-7
+    ADVICE)."""
+    import hashlib
+
+    from dataclass_array_spark.operators.dedup import dedup_chunks
+
+    pdf = pd.DataFrame(
+        {"id": [1, 2, 3], "t": ["alpha beta gamma", "", "alpha beta gamma"]}
+    )
+    out = {
+        r["id"]: (r["n_chunks"], r["n_kept"], r["kept_md5"])
+        for r in dedup_chunks(
+            spark.createDataFrame(pdf), "id", "t", chunk_size=2
+        ).collect()
+    }
+    emp = hashlib.md5(b"").hexdigest()
+    assert out[2] == (0, 0, emp)
+    assert out[1][0] == 2 and out[1][1] == 2
+    assert out[3] == (2, 0, emp)
