@@ -466,3 +466,117 @@ def test_nan_semantics_targeted(spark):
             np.asarray(exp, dtype=np.float64),
             err_msg=name,
         )
+
+
+# ------------------------------------------------------------------
+# Transcendental ufuncs (round 8): these trace tier-1 to the 1:1
+# Catalyst functions.  JVM Math.* and numpy's platform libm are NOT
+# bit-identical (neither library is correctly rounded), so this class
+# asserts the documented contract instead: <= 4 ulp on finite values
+# and EXACT IEEE special placement (NaN/±inf positions and signs,
+# including the _ieee_log domain-boundary guard where raw Spark
+# returns NULL).  The bitwise grammar fuzz above deliberately keeps
+# excluding these ops.
+
+_TRANS_UNARY = [
+    np.sin, np.cos, np.tan, np.arcsin, np.arccos, np.arctan,
+    np.sinh, np.cosh, np.tanh, np.exp, np.expm1,
+    np.log, np.log10, np.log2, np.log1p,
+    np.cbrt, np.sqrt, np.radians, np.degrees,
+]
+
+
+def _assert_ulp(got, want, n_ulp=4, ctx=""):
+    import math
+
+    got = np.asarray(got, dtype=np.float64)
+    want = np.asarray(want, dtype=np.float64)
+    assert got.shape == want.shape
+    assert np.array_equal(np.isnan(got), np.isnan(want)), (
+        f"NaN placement differs {ctx}"
+    )
+    inf_g, inf_w = np.isinf(got), np.isinf(want)
+    assert np.array_equal(inf_g, inf_w) and np.array_equal(
+        got[inf_g], want[inf_w]
+    ), f"inf placement/sign differs {ctx}"
+    ok = np.isfinite(got) & np.isfinite(want)
+    for g, w in zip(got[ok], want[ok]):
+        u = math.ulp(max(abs(g), abs(w))) or 5e-324
+        assert abs(g - w) <= n_ulp * u, f"{ctx}: {g!r} vs {w!r} > {n_ulp} ulp"
+
+
+def _trans_corpus():
+    rng = np.random.RandomState(83)
+    xs = np.concatenate(
+        [
+            rng.randn(40),
+            rng.randn(20) * 100.0,
+            rng.uniform(-1.0, 1.0, 30),
+            rng.uniform(0.0, 1e-8, 10),
+            rng.uniform(1e8, 1e16, 10),
+            # domain boundaries + specials: log(±0) = -inf, log(<0) =
+            # NaN, log1p(-1) = -inf, arcsin(|x|>1) = NaN, overflow->inf
+            np.array(
+                [0.0, -0.0, 1.0, -1.0, 0.5, -0.5, 2.0, -2.0, np.pi,
+                 -np.pi, 1e300, -1e300, 1e-300, np.inf, -np.inf, np.nan]
+            ),
+        ]
+    )
+    return xs
+
+
+def test_transcendental_ufuncs_trace_tier1_within_ulp(spark):
+    import warnings
+
+    xs = _trans_corpus()
+    t = VT(spark, x=xs, v=np.zeros((len(xs), 3)))
+    for nf in _TRANS_UNARY:
+        _BODY["fn"] = lambda view, nf=nf: nf(view.x)
+        out = t.compute().to_numpy_fields()["r"]  # strict=True: MUST trace
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            want = nf(xs)
+        _assert_ulp(out, want, ctx=nf.__name__)
+
+
+def test_transcendental_binaries_trace_tier1_within_ulp(spark):
+    import warnings
+
+    xs = _trans_corpus()
+    t = VT(spark, x=xs, v=np.zeros((len(xs), 3)))
+    cases = [
+        ("atan2_fwd", lambda view: np.arctan2(view.x, view.x * 0.3 + 0.1),
+         lambda x: np.arctan2(x, x * 0.3 + 0.1)),
+        ("atan2_rev", lambda view: np.arctan2(np.float64(0.5), view.x),
+         lambda x: np.arctan2(0.5, x)),
+        ("hypot_fwd", lambda view: np.hypot(view.x, view.x - 1.0),
+         lambda x: np.hypot(x, x - 1.0)),
+        ("hypot_rev", lambda view: np.hypot(np.float64(2.0), view.x),
+         lambda x: np.hypot(2.0, x)),
+    ]
+    for name, body, oracle in cases:
+        _BODY["fn"] = body
+        out = t.compute().to_numpy_fields()["r"]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            want = oracle(xs)
+        _assert_ulp(out, want, ctx=name)
+
+
+def test_transcendental_vector_elementwise(spark):
+    """Vector-rank coverage: the same ufuncs map elementwise over
+    array fields through the zip_with machinery."""
+    import warnings
+
+    rng = np.random.RandomState(19)
+    v = rng.randn(9, 3)
+    v[0] = [0.0, -1.0, np.nan]
+    v[1] = [np.inf, -np.inf, 0.5]
+    t = VT(spark, x=np.zeros(9), v=v)
+    for nf in (np.sin, np.log, np.cosh, np.log1p):
+        _BODY["fn"] = lambda view, nf=nf: np.sum(nf(view.v))
+        out = t.compute().to_numpy_fields()["r"]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            want = np.array([np.sum(nf(v[i])) for i in range(len(v))])
+        _assert_ulp(out, want, n_ulp=16, ctx=f"vec_{nf.__name__}")

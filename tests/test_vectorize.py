@@ -27,10 +27,11 @@ class Ray(das.DcaTable):
 
     @das.vectorize_method
     def dir_norm2_t2(self):
-        # np.sin is deliberately unmapped in the tracer: forces the
-        # tier-2 mapInPandas per-row execution (float() now traces)
+        # np.arcsinh is deliberately unmapped in the tracer (np.sin
+        # traces tier-1 since round 8): forces the tier-2 mapInPandas
+        # per-row execution (float() now traces)
         d = np.asarray(self.dir)
-        return {"n2": float(np.dot(d, d) + 0.0 * np.sin(d).sum())}
+        return {"n2": float(np.dot(d, d) + 0.0 * np.arcsinh(d).sum())}
 
     @das.vectorize_method
     def scaled_t2(self, factor):
@@ -364,9 +365,9 @@ def test_strict_raises_on_untraceable(spark):
 
         @das.vectorize_method(strict=True)
         def norm2(self):
-            # np.sin is unmapped → untraceable, and strict=True must
-            # surface that as a TraceError instead of falling back
-            return {"n2": float(np.sin(np.asarray(self.dir)).sum())}
+            # np.arcsinh is unmapped → untraceable, and strict=True
+            # must surface that as a TraceError instead of falling back
+            return {"n2": float(np.arcsinh(np.asarray(self.dir)).sum())}
 
     r = StrictRay(spark, dir=np.ones((4, 3), dtype=np.float32))
     with pytest.raises(TraceError, match="norm2"):
