@@ -178,6 +178,96 @@ def pagerank(
     return ranks
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    pin: str = "local",
+) -> DataFrame:
+    """The k-core of the undirected simple graph (multi-edges collapse,
+    self-loops drop): iteratively peel nodes of degree < k until every
+    remaining node has degree ≥ k.  Returns ``(node, deg)`` with
+    ``deg`` the node's degree INSIDE the core (all ≥ k).
+
+    Scale shape: each peel round is one degree aggregation (shuffle on
+    the node id, map-side combined) + two semi-joins filtering the
+    edge list to surviving endpoints — never an adjacency
+    materialization.  The edge frame is pinned per round (the
+    :func:`connected_components` pattern) so lineage stays flat;
+    convergence needs at most O(peeling depth) rounds, which is tiny
+    on real graphs (the degeneracy ordering peels in waves).
+    """
+    from dataclass_array_spark.core.table import pin_materialization
+
+    und = pin_materialization(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct(),
+        pin,
+    )
+    cur = und
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = pin_materialization(
+            cur.join(keep.withColumnRenamed("node", "u"), on="u", how="semi")
+            .join(keep.withColumnRenamed("node", "v"), on="v", how="semi")
+            .select("u", "v"),
+            pin,
+        )
+        removed = cur.count() - nxt.count()
+        cur = nxt
+        if removed == 0:
+            break
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .orderBy("node")
+    )
+
+
+def k_core_sql(edges_cte: str, k: int, rounds: int = 12) -> str:
+    """DuckDB replay of :func:`k_core` as ``rounds`` unconditional peel
+    rounds (a converged core is a fixed point, so extra rounds are
+    no-ops; the Spark side iterates to convergence and the gate's
+    fixture converges well within ``rounds``).  ``edges_cte`` must
+    yield ``(u, v)`` canonical distinct undirected edges.  Ends at
+    ``SELECT node, deg`` of the core.  Every per-round CTE is marked
+    ``AS MATERIALIZED``: each ``e{{i}}`` is referenced twice (degree
+    count + next round), so DuckDB's default CTE inlining would expand
+    the chain into 2^rounds scans of the base table."""
+    parts = [f"WITH e0 AS MATERIALIZED ({edges_cte})"]
+    for i in range(rounds):
+        parts.append(f""", d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}
+  ) GROUP BY node
+), s{i} AS MATERIALIZED (
+  SELECT node FROM d{i} WHERE deg >= {int(k)}
+), e{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i} e
+  JOIN s{i} a ON a.node = e.u
+  JOIN s{i} b ON b.node = e.v
+)""")
+    parts.append(f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds}
+) GROUP BY node ORDER BY node""")
+    return "".join(parts)
+
+
 def _oriented_edges(
     edges: DataFrame, src: str, dst: str, orient: str
 ) -> DataFrame:

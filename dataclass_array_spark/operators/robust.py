@@ -1,0 +1,149 @@
+"""Robust per-group statistics: exact median / MAD outlier detection —
+the data-quality screen (drop rows beyond ``k`` median-absolute-
+deviations from their group's median) that survives heavy-tailed
+columns where mean/stddev z-scores break.
+
+Exactness: medians use the VALUE-HISTOGRAM two-middle-rows rule (the
+``median_quantity_by_flag`` machinery — engine ``median()``
+implementations differ in interpolation; the two-middle-rows convention
+cannot), with DECIMAL middle sums and a single double division.
+Deviations ``abs(x - med)`` and the threshold compare ``dev > k * mad``
+are plain double ops identical across engines, so the whole report is
+value-exact vs DuckDB.
+
+Scale shape: each median pass shuffles ONE row per distinct (group,
+value) pair with map-side partial counts — the histogram form suits the
+discrete/low-cardinality numeric columns this screen is typically run
+on (quantities, counts, scores); for continuous high-cardinality
+columns bucketize first (``F.round``/``F.floor`` to the precision that
+matters) or reach for ``approx_percentile`` — an EXACT median of a
+truly continuous 100 TB column is a histogram the size of the distinct
+set on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(25,6)"
+
+
+def _hist_median(df: DataFrame, group_col: str, value: Column, out: str) -> DataFrame:
+    """Exact per-group median of ``value`` via the cumulative value
+    histogram → ``(group_col, out)``.  Two-middle-rows: a middle value
+    covered twice gets weight 2, and ``double(2v)/2 == double(v)/1``
+    exactly, so the weighted form is bit-identical to the oracle's
+    ROW_NUMBER middle-rows form."""
+    hist = df.groupBy(F.col(group_col), value.alias("_val")).agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("_val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(group_col)
+    h = (
+        hist.select(
+            group_col, "_val", "cnt",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wall).alias("n"),
+        )
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+        .withColumn("p1", F.expr("(n + 1) div 2"))
+        .withColumn("p2", F.expr("(n + 2) div 2"))
+    )
+    in_range = lambda p: (p > F.col("prev")) & (p <= F.col("cum"))  # noqa: E731
+    mid = h.withColumn(
+        "w",
+        F.when(in_range(F.col("p1")), 1).otherwise(0)
+        + F.when(in_range(F.col("p2")), 1).otherwise(0),
+    ).filter(F.col("w") > 0)
+    return mid.groupBy(group_col).agg(
+        (
+            F.sum(F.col("_val").cast(_DEC) * F.col("w")).cast("double")
+            / F.sum("w")
+        ).alias(out)
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group MAD outlier report → ``(group, median, mad,
+    n_outliers, n_rows)``: rows with ``abs(x − median) > k · MAD`` are
+    outliers (MAD = median of absolute deviations from the group
+    median; the classic robust screen — unlike stddev, one huge value
+    cannot drag the threshold).
+
+    Two histogram-median passes (values, then deviations) + one count
+    aggregation; the group medians are joined back broadcast (one row
+    per group — dimension-sized by definition).
+    """
+    med = _hist_median(df, group_col, F.col(value_col), "med")
+    dev = df.join(F.broadcast(med), on=group_col).select(
+        group_col,
+        F.col(value_col).alias("_x"),
+        F.abs(F.col(value_col) - F.col("med")).alias("_dev"),
+        "med",
+    )
+    mad = _hist_median(dev, group_col, F.col("_dev"), "mad")
+    flagged = dev.join(F.broadcast(mad), on=group_col)
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.first("med").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("_dev") > F.lit(float(k)) * F.col("mad"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def mad_outliers_sql(
+    table: str, group_col: str, value_col: str, k: float,
+    order_cols: "list[str]",
+) -> str:
+    """DuckDB oracle for :func:`mad_outliers`.  ``order_cols`` is a
+    full tie-break suffix for the ROW_NUMBER orderings (value ties are
+    interchangeable for the median VALUE, but deterministic plans are
+    cheaper to debug)."""
+    oc = ", ".join(order_cols)
+
+    def med_cte(src: str, val: str, name: str) -> str:
+        return f"""{name}_r AS (
+  SELECT {group_col}, {val} AS v,
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+                            ORDER BY {val}, {oc}) AS rn,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS n
+  FROM {src}
+), {name} AS (
+  SELECT {group_col},
+         CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m
+  FROM {name}_r
+  WHERE rn*2 = n OR rn*2 = n + 1 OR rn*2 = n + 2
+  GROUP BY {group_col}
+)"""
+
+    return f"""
+WITH {med_cte(table, value_col, "med")}
+, dev AS (
+  SELECT t.{group_col}, t.{value_col} AS x,
+         abs(t.{value_col} - med.m) AS d, med.m AS med, {oc}
+  FROM {table} t JOIN med ON med.{group_col} = t.{group_col}
+), {med_cte("dev", "d", "mad")}
+SELECT d.{group_col}, d.med AS median, mad.m AS mad,
+       CAST(SUM(CASE WHEN d.d > {k!r} * mad.m THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM dev d JOIN mad ON mad.{group_col} = d.{group_col}
+GROUP BY d.{group_col}, d.med, mad.m
+ORDER BY d.{group_col}"""

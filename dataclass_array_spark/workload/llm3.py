@@ -1099,3 +1099,129 @@ FROM r WHERE cum <= {_BUDGET_TOKENS} ORDER BY doc_id
 QUERIES["budget_select_docs"] = Query(
     budget_select_docs, _budget_select_sql(), tags=("sampling", "curation")
 )
+
+
+# ------------------------------------------------ k-core (round 8)
+_KCORE_K = 45
+
+
+def kcore_user_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the bipartite user↔state interaction graph (user_id on
+    one side, the JSON props key offset by 10^6 on the other): peel
+    iteratively until every surviving node touches ≥ 45 surviving
+    partners.  k=45 peels ~31 nodes through several cascade rounds at
+    sf0.01 — real iterative behavior, converged well inside the
+    oracle's 12 unrolled rounds."""
+    from dataclass_array_spark.operators.graph import k_core
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    edges = (
+        e.select(F.col("user_id").alias("src"), (F.lit(1000000) + k).alias("dst"))
+        .filter(F.col("dst").isNotNull())
+    )
+    return k_core(edges, k=_KCORE_K, src="src", dst="dst")
+
+
+def _kcore_sql() -> str:
+    from dataclass_array_spark.operators.graph import k_core_sql
+
+    edges = """
+  SELECT DISTINCT LEAST(u0, v0) AS u, GREATEST(u0, v0) AS v FROM (
+    SELECT user_id AS u0,
+           1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS v0
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+  )"""
+    return k_core_sql(edges, _KCORE_K, rounds=12)
+
+
+QUERIES["kcore_user_states"] = Query(
+    kcore_user_states, _kcore_sql(), tags=("graph", "kcore")
+)
+
+
+# ------------------------------------------------ MAD outliers (round 8)
+_MAD_K = 1.8
+
+
+def outlier_mad_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag robust outlier screen on l_quantity: exact
+    histogram medians (two-middle-rows rule) for both the median and
+    the MAD, then count rows beyond 1.8 MADs."""
+    from dataclass_array_spark.operators.robust import mad_outliers
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    out = mad_outliers(li, "l_returnflag", "l_quantity", k=_MAD_K)
+    return out.select(
+        "l_returnflag",
+        F.floor(F.col("median") * 1e9).cast("long").alias("median_e9"),
+        F.floor(F.col("mad") * 1e9).cast("long").alias("mad_e9"),
+        "n_outliers",
+        "n_rows",
+    )
+
+
+def _mad_sql() -> str:
+    from dataclass_array_spark.operators.robust import mad_outliers_sql
+
+    inner = mad_outliers_sql(
+        "lineitem", "l_returnflag", "l_quantity", k=_MAD_K,
+        order_cols=["l_orderkey", "l_linenumber"],
+    )
+    return f"""
+SELECT l_returnflag,
+       CAST(FLOOR(median * 1e9) AS BIGINT) AS median_e9,
+       CAST(FLOOR(mad * 1e9) AS BIGINT) AS mad_e9,
+       n_outliers, n_rows
+FROM ({inner}) ORDER BY l_returnflag"""
+
+
+QUERIES["outlier_mad_quantity"] = Query(
+    outlier_mad_quantity, _mad_sql(), tags=("stats", "quality")
+)
+
+
+# ------------------------------------------------ record linkage (round 8)
+_LK_FIELDS = [
+    ("p_name", "token_jaccard", 0.6),
+    ("p_type", "exact", 0.25),
+    ("p_size", "exact", 0.15),
+]
+_LK_THRESH = 0.7
+_LK_CAP = 120
+
+
+def linkage_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over parts: block on p_brand, score
+    0.6·token-jaccard(name) + 0.25·[type equal] + 0.15·[size equal],
+    keep pairs ≥ 0.7 — the Fellegi-Sunter-style weighted-comparator
+    linkage, never all-pairs."""
+    from dataclass_array_spark.operators.linkage import blocked_linkage
+
+    p = load_tables(spark, sf_dir, ["part"])["part"]
+    out = blocked_linkage(
+        p, "p_partkey", "p_brand", _LK_FIELDS, _LK_THRESH,
+        max_block_size=_LK_CAP,
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.floor(F.col("score") * 1e9).cast("long").alias("score_e9"),
+    )
+
+
+def _linkage_sql() -> str:
+    from dataclass_array_spark.operators.linkage import blocked_linkage_sql
+
+    inner = blocked_linkage_sql(
+        "part", "p_partkey", "p_brand", _LK_FIELDS, _LK_THRESH,
+        max_block_size=_LK_CAP,
+    )
+    return f"""
+SELECT id_a, id_b, CAST(FLOOR(score * 1e9) AS BIGINT) AS score_e9
+FROM ({inner}) ORDER BY id_a, id_b"""
+
+
+QUERIES["linkage_part_entities"] = Query(
+    linkage_part_entities, _linkage_sql(), tags=("linkage", "dedup")
+)

@@ -384,3 +384,133 @@ def test_fuzzy_prefix_filter_same_pairs_fewer_candidates(spark):
     # 12-13 char strings have ~11 distinct grams; prefixes keep k*q+1=5
     assert pref < full
     assert pref <= 5 * len(strings)
+
+
+def test_k_core_vs_bruteforce(spark):
+    """Random G(20, 0.25) + planted clique: k_core must equal the
+    classic iterative python peel for several k."""
+    from dataclass_array_spark.operators.graph import k_core
+
+    rng = random.Random(97)
+    nodes = list(range(20))
+    und = {
+        (u, v)
+        for u, v in itertools.combinations(nodes, 2)
+        if rng.random() < 0.25
+    }
+    und |= set(itertools.combinations([2, 5, 7, 11, 13], 2))  # 5-clique
+    pdf = pd.DataFrame(
+        {
+            "src": [u for u, _ in und] + [9],  # + self-loop noise
+            "dst": [v for _, v in und] + [9],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def peel(k):
+        cur = set(und)
+        while True:
+            deg: dict[int, int] = {}
+            for u, v in cur:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            nxt = {(u, v) for u, v in cur if u in keep and v in keep}
+            if nxt == cur:
+                return deg if cur else {}
+            cur = nxt
+
+    for k in (2, 3, 4):
+        want_deg = peel(k)
+        want = {n: d for n, d in want_deg.items() if d >= k}
+        got = {
+            r["node"]: r["deg"] for r in k_core(df, k=k).collect()
+        }
+        assert got == want, (k, got, want)
+
+
+def test_mad_outliers_vs_numpy(spark):
+    """mad_outliers must reproduce the numpy two-middle-rows replica
+    (median of sorted values, MAD of deviations, strict > threshold)."""
+    from dataclass_array_spark.operators.robust import mad_outliers
+
+    rng = np.random.default_rng(11)
+    groups, vals = [], []
+    for g, (n, spread) in enumerate([(37, 5), (50, 20), (8, 2)]):
+        x = np.round(rng.normal(100 * g, spread, n), 1)
+        x[:2] = 100 * g + 40 * spread  # planted outliers
+        groups += [f"g{g}"] * n
+        vals += list(x)
+    pdf = pd.DataFrame({"grp": groups, "val": vals})
+    got = {
+        r["grp"]: (r["median"], r["mad"], r["n_outliers"], r["n_rows"])
+        for r in mad_outliers(
+            spark.createDataFrame(pdf), "grp", "val", k=2.5
+        ).collect()
+    }
+
+    # replica mirrors the engine's (and oracle's) DECIMAL(25,6)
+    # middle-sum chain: each middle value is quantized HALF_UP at 1e-6
+    # before the sum, the sum converts to double, ONE division follows
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = lambda x: Decimal(repr(float(x))).quantize(  # noqa: E731
+        Decimal("1e-6"), ROUND_HALF_UP
+    )
+
+    def two_mid(xs):
+        s = sorted(xs)
+        n = len(s)
+        return float(q6(s[(n - 1) // 2]) + q6(s[n // 2])) / 2
+
+    for g in ("g0", "g1", "g2"):
+        xs = [v for gg, v in zip(groups, vals) if gg == g]
+        med = two_mid(xs)
+        devs = [abs(x - med) for x in xs]
+        mad = two_mid(devs)
+        n_out = sum(1 for d in devs if d > 2.5 * mad)
+        gm, gmad, gn, gtot = got[g]
+        assert gm == med and gmad == mad, (g, got[g], med, mad)
+        assert gn == n_out and gtot == len(xs), (g, got[g])
+
+
+def test_blocked_linkage_vs_bruteforce(spark):
+    """blocked_linkage must equal the brute-force python scoring over
+    within-block pairs (jaccard over distinct tokens, exact fields,
+    left-associated weighted sum)."""
+    from dataclass_array_spark.operators.linkage import blocked_linkage
+
+    rng = random.Random(3)
+    words = ["red", "blue", "dim", "hot", "cold", "iron", "wool", "silk"]
+    rows = []
+    for i in range(60):
+        rows.append(
+            {
+                "id": i,
+                "blk": f"B{rng.randrange(4)}",
+                "name": " ".join(rng.sample(words, 3)),
+                "typ": rng.choice(["a", "b"]),
+                "size": rng.randrange(3),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    fields = [("name", "token_jaccard", 0.5), ("typ", "exact", 0.3),
+              ("size", "exact", 0.2)]
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in blocked_linkage(
+            spark.createDataFrame(pdf), "id", "blk", fields, threshold=0.55
+        ).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(rows, 2):
+        if a["blk"] != b["blk"]:
+            continue
+        ta, tb = set(a["name"].split()), set(b["name"].split())
+        s = 0.0
+        s = s + 0.5 * (len(ta & tb) / len(ta | tb))
+        s = s + 0.3 * (1.0 if a["typ"] == b["typ"] else 0.0)
+        s = s + 0.2 * (1.0 if a["size"] == b["size"] else 0.0)
+        if s >= 0.55:
+            want[(a["id"], b["id"])] = s
+    assert got == want

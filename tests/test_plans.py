@@ -275,3 +275,67 @@ def test_ivf_pq_fused_scan_no_extra_shuffle(spark):
     assert "BroadcastHashJoin" in p
     shuffles = re.findall(r"Exchange hashpartitioning\((\w+)", p)
     assert all(s.startswith("qid") for s in shuffles), shuffles
+
+
+def test_linkage_blocking_is_equi_join(spark):
+    """Record linkage must candidate-generate through a HASH join on
+    the block key — a cartesian/nested-loop here is the all-pairs
+    failure the blocking exists to prevent."""
+    p = plan(spark, "linkage_part_entities")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # the block-key equi-join survives optimization
+
+
+def test_kcore_no_cartesian(spark):
+    """Every k-core peel round is degree-agg + two semi joins on the
+    node id; no round may degrade to a nested-loop join.  The gate
+    frame's plan is truncated by the per-round pin, so one round is
+    rebuilt here un-pinned (same expressions as graph.k_core's loop)
+    to inspect the full lineage."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    p = plan(spark, "kcore_user_states")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    und = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            F.col("user_id").alias("u"),
+            (F.lit(1000000)
+             + F.get_json_object(F.col("props"), "$.k").cast("long")).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    keep = deg.filter(F.col("deg") >= 45).select("node")
+    nxt = (
+        und.join(keep.withColumnRenamed("node", "u"), on="u", how="semi")
+        .join(keep.withColumnRenamed("node", "v"), on="v", how="semi")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        nxt.explain("formatted")
+    round_plan = buf.getvalue()
+    assert "LeftSemi" in round_plan
+    assert "CartesianProduct" not in round_plan
+    assert "BroadcastNestedLoopJoin" not in round_plan
+
+
+def test_mad_outliers_medians_broadcast_back(spark):
+    """The per-group median/MAD frames are dimension-sized (one row
+    per group) and must join back BROADCAST — a shuffle join on the
+    group key would re-shuffle the full fact table twice."""
+    p = plan(spark, "outlier_mad_quantity")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
