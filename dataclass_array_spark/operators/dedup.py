@@ -671,3 +671,87 @@ def dedup_incremental(
         )
         .orderBy("doc_id")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 16,
+) -> DataFrame:
+    """Exact SUBSTRING-level duplication report (the "Deduplicating
+    Training Data Makes Language Models Better" measurement, token
+    granularity): hash every ROLLING ``span_len``-token window, find
+    windows occurring more than once corpus-wide, and report per
+    document how many of its tokens are covered by at least one
+    duplicated window (overlapping windows merged into maximal spans).
+
+    Returns ``(id, n_tokens, dup_tokens)`` for every distinct input id
+    — token-less and short (< ``span_len`` tokens) documents report
+    ``dup_tokens = 0``.  All-integer output, value-exact cross-engine.
+
+    Scale shape: the rolling-window explode emits ~n_tokens rows per
+    doc but each row is ONE md5 (the window text never leaves the
+    scan); duplicate detection is a count aggregation on the uniform
+    128-bit key (no skew, no self-join); only DUPLICATED window
+    positions shuffle back per doc for the interval merge — a window
+    partitioned by doc id whose running-max-end/new-group flags are
+    the classic O(n log n) merge, embarrassingly parallel across docs.
+    This measures and localizes duplication; combine with
+    :func:`dedup_chunks` (first-occurrence windows) to REMOVE it.
+    """
+    from dataclass_array_spark.operators.text import tokens
+    from pyspark.sql import Window
+
+    L = int(span_len)
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    n = F.size("toks")
+    # rolling windows (guarded like chunk_tokens: sequence(1, 0) would
+    # be a descending [1, 0] — docs with n < L emit NO windows)
+    win = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= L,
+                F.transform(
+                    F.sequence(F.lit(1), n - (L - 1)),
+                    lambda i: F.struct(
+                        (i - 1).alias("start"),
+                        F.md5(F.concat_ws(" ", F.slice("toks", i, L))).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<start:int,h:string>>"))
+        ).alias("w"),
+    ).select(F.col(id_col), F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+    dup_keys = win.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    dup = win.join(dup_keys.select("h"), on="h").select(id_col, "start")
+    wprev = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = Window.partitionBy(id_col).orderBy("start")
+    grouped = (
+        dup.withColumn(
+            "newg",
+            F.when(
+                F.col("start")
+                > F.coalesce(F.max(F.col("start") + L).over(wprev), F.lit(-1)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("g", F.sum("newg").over(wrun))
+    )
+    iv = grouped.groupBy(id_col, "g").agg(
+        (F.max("start") + L - F.min("start")).alias("len")
+    )
+    cov = iv.groupBy(id_col).agg(F.sum("len").alias("dup_tokens"))
+    return (
+        toks.select(F.col(id_col), n.cast("long").alias("n_tokens"))
+        .join(cov, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )

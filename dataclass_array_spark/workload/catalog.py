@@ -36,6 +36,7 @@ class Query:
 # ``queries()`` exposes to the driver.
 _PRIORITY: Tuple[str, ...] = (
     # ---- implementations changed/new in round 8: verify FIRST ----
+    "duplicate_spans_docs",
     "embedding_kmeans_two_level",
     "semantic_dedup_two_level",
     "kcore_user_states",

@@ -1225,3 +1225,59 @@ FROM ({inner}) ORDER BY id_a, id_b"""
 QUERIES["linkage_part_entities"] = Query(
     linkage_part_entities, _linkage_sql(), tags=("linkage", "dedup")
 )
+
+
+# ------------------------------------------------ duplicate spans (round 8)
+_SPAN_L = 8
+
+
+def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication report: rolling 8-token windows
+    hashed corpus-wide; per-doc tokens covered by a window that occurs
+    more than once (overlaps merged into maximal spans).  All-integer
+    output — value-exact."""
+    from dataclass_array_spark.operators.dedup import duplicate_spans
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return duplicate_spans(d, "doc_id", "text", span_len=_SPAN_L).orderBy(
+        "doc_id"
+    )
+
+
+_SPAN_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), w AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS start,
+         md5(array_to_string(toks[i:i+{_SPAN_L - 1}], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(toks) - {_SPAN_L - 1})) AS g(i)
+  WHERE len(toks) >= {_SPAN_L}
+), dupkeys AS (
+  SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1
+), dup AS (
+  SELECT w.doc_id, w.start FROM w JOIN dupkeys USING (h)
+), flagged AS (
+  SELECT doc_id, start,
+         CASE WHEN start > COALESCE(
+             MAX(start + {_SPAN_L}) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 1 ELSE 0 END AS newg
+  FROM dup
+), grp AS (
+  SELECT doc_id, start,
+         SUM(newg) OVER (PARTITION BY doc_id ORDER BY start) AS g
+  FROM flagged
+), iv AS (
+  SELECT doc_id, MAX(start) + {_SPAN_L} - MIN(start) AS len
+  FROM grp GROUP BY doc_id, g
+), cov AS (
+  SELECT doc_id, SUM(len) AS dup_tokens FROM iv GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM toks t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id
+"""
+
+QUERIES["duplicate_spans_docs"] = Query(
+    duplicate_spans_docs, _SPAN_SQL, tags=("dedup", "text", "spans")
+)

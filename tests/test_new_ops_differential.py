@@ -514,3 +514,55 @@ def test_blocked_linkage_vs_bruteforce(spark):
         if s >= 0.55:
             want[(a["id"], b["id"])] = s
     assert got == want
+
+
+def test_duplicate_spans_vs_bruteforce(spark):
+    """duplicate_spans must equal a pure-python rolling-window +
+    interval-merge replica, including overlap merging, short docs, and
+    docs fully covered by duplicated text."""
+    from dataclass_array_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 30)))
+        for i in range(30)
+    }
+    texts[100] = texts[0]                      # full-document duplicate
+    texts[101] = texts[1] + " zz qq " + texts[2]   # spliced duplication
+    L = 4
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        r["id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in duplicate_spans(df, "id", "text", span_len=L).collect()
+    }
+
+    windows: dict[str, int] = {}
+    toks = {i: t.split() for i, t in texts.items()}
+    for i, ts in toks.items():
+        for j in range(len(ts) - L + 1):
+            w = " ".join(ts[j : j + L])
+            windows[w] = windows.get(w, 0) + 1
+    want = {}
+    for i, ts in toks.items():
+        starts = [
+            j
+            for j in range(len(ts) - L + 1)
+            if windows[" ".join(ts[j : j + L])] > 1
+        ]
+        covered = 0
+        cur_s = cur_e = None
+        for s in starts:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                cur_s, cur_e = s, s + L
+            else:
+                cur_e = max(cur_e, s + L)
+        if cur_e is not None:
+            covered += cur_e - cur_s
+        want[i] = (len(ts), covered)
+    assert got == want
+    assert got[100][1] == got[100][0]  # full duplicate fully covered
