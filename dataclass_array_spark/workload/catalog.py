@@ -37,6 +37,7 @@ class Query:
 _PRIORITY: Tuple[str, ...] = (
     # ---- implementations changed/new in round 8: verify FIRST ----
     "duplicate_spans_docs",
+    "linkage_entity_clusters",
     "embedding_kmeans_two_level",
     "semantic_dedup_two_level",
     "kcore_user_states",

@@ -1281,3 +1281,68 @@ FROM toks t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id
 QUERIES["duplicate_spans_docs"] = Query(
     duplicate_spans_docs, _SPAN_SQL, tags=("dedup", "text", "spans")
 )
+
+
+# ------------------------------------------ entity clusters (round 8)
+def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution pipeline: blocked weighted linkage
+    pairs → connected components (transitive closure) → canonical
+    entity per cluster (lowest key) with the cluster size.  One
+    composition of `blocked_linkage` + `connected_components` — the
+    shape a master-data dedup actually ships."""
+    from dataclass_array_spark.operators.graph import connected_components
+    from dataclass_array_spark.operators.linkage import blocked_linkage
+
+    p = load_tables(spark, sf_dir, ["part"])["part"]
+    pairs = blocked_linkage(
+        p, "p_partkey", "p_brand", _LK_FIELDS, _LK_THRESH,
+        max_block_size=_LK_CAP,
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    sizes = cc.groupBy("comp").agg(F.count("*").cast("long").alias("n_members"))
+    return (
+        cc.join(sizes, on="comp")
+        .select(
+            F.col("node").cast("long").alias("p_partkey"),
+            F.col("comp").cast("long").alias("entity_id"),
+            "n_members",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def _linkage_clusters_sql() -> str:
+    from dataclass_array_spark.operators.linkage import blocked_linkage_sql
+
+    inner = blocked_linkage_sql(
+        "part", "p_partkey", "p_brand", _LK_FIELDS, _LK_THRESH,
+        max_block_size=_LK_CAP,
+    ).replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS entity_id FROM reach GROUP BY u
+),
+sizes AS (
+  SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY entity_id
+)
+SELECT c.node AS p_partkey, c.entity_id, s.n_members
+FROM comp c JOIN sizes s USING (entity_id)
+ORDER BY p_partkey
+"""
+
+
+QUERIES["linkage_entity_clusters"] = Query(
+    linkage_entity_clusters, _linkage_clusters_sql(),
+    tags=("linkage", "graph", "dedup"),
+)

@@ -339,3 +339,34 @@ def test_mad_outliers_medians_broadcast_back(spark):
     p = plan(spark, "outlier_mad_quantity")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_two_level_assignment_plan_shape(spark):
+    """kmeans_assign_two_level's physical plan must keep the 100 TB
+    shape: per-cell sample via WindowGroupLimit (map-side limit before
+    the cell exchange), per-cell Lloyd as ONE FlatMapGroupsInPandas,
+    final argmin as an ArrowEvalPython over a hash join — never a
+    cartesian."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dataclass_array_spark.operators.clustering import (
+        kmeans_assign_two_level,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = kmeans_assign_two_level(
+        e, "vec_id", "embedding", k_coarse=3, iters=2,
+        target_cluster_size=32, coarse_train_limit=128, fine_train_limit=64,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p        # bounded per-cell sample
+    # one fine-training pass (formatted explain prints each node twice:
+    # once in the tree, once in the detail section)
+    assert p.count("FlatMapGroupsInPandas") == 2
+    assert "ArrowEvalPython" in p         # matrix argmin, not per-row python
+    assert "BroadcastNestedLoopJoin" not in p
