@@ -100,8 +100,13 @@ def main() -> int:
     spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in TABLES:
+        # Spark-written tables are DIRECTORIES named *.parquet (the
+        # generated sf1 set) — DuckDB needs the inner-file glob there
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
