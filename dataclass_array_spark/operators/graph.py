@@ -178,6 +178,88 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    pin: str = "local",
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected simple graph: every node starts as its own label and,
+    each round, adopts the most frequent label among its neighbors —
+    ties broken toward the SMALLEST label, so the whole run is
+    deterministic (classic LPA is random-order; this is the
+    reproducible variant a data pipeline needs).  Fixed ``rounds``
+    (labels can oscillate on bipartite structures, so a fixed horizon
+    is the honest contract; 3-5 rounds dominate real clustering).
+    Returns ``(node, label)``.
+
+    Scale shape per round: one equi-join of the label vector to the
+    symmetric edge list on the neighbor id, one (node, label) count
+    aggregation, one per-node argmax — all shuffled on node ids,
+    map-side combined; per-iteration pin keeps lineage flat (the
+    :func:`connected_components` pattern).
+    """
+    from dataclass_array_spark.core.table import pin_materialization
+
+    sym = pin_materialization(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        .distinct(),
+        pin,
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(int(rounds)):
+        neigh = sym.join(labels, sym.v == labels.node).select("u", "lbl")
+        counts = neigh.groupBy("u", "lbl").agg(F.count("*").alias("c"))
+        # argmax with smallest-label ties: max(struct(c, -lbl))
+        best = counts.groupBy("u").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("b")
+        )
+        labels = pin_materialization(
+            best.select(
+                F.col("u").alias("node"), (-F.col("b.neg")).alias("lbl")
+            ),
+            pin,
+        )
+    return labels.orderBy("node")
+
+
+def label_propagation_sql(edges_cte: str, rounds: int = 4) -> str:
+    """DuckDB replay of :func:`label_propagation` — ``rounds`` unrolled
+    MATERIALIZED rounds (each label frame is referenced by the next
+    round's join; default CTE inlining would go exponential).
+    ``edges_cte`` must yield canonical distinct undirected ``(u, v)``
+    with ``u != v``.  Ends at ``SELECT node, lbl``."""
+    parts = [f"""WITH und AS MATERIALIZED ({edges_cte}),
+sym AS MATERIALIZED (
+  SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und
+), l0 AS MATERIALIZED (
+  SELECT node, node AS lbl FROM (SELECT DISTINCT u AS node FROM sym)
+)"""]
+    for i in range(int(rounds)):
+        parts.append(f""", c{i} AS MATERIALIZED (
+  SELECT e.u, l.lbl, COUNT(*) AS c
+  FROM sym e JOIN l{i} l ON l.node = e.v
+  GROUP BY e.u, l.lbl
+), l{i + 1} AS MATERIALIZED (
+  SELECT u AS node, lbl FROM (
+    SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT node, lbl FROM l{int(rounds)} ORDER BY node""")
+    return "".join(parts)
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -147,3 +147,102 @@ SELECT d.{group_col}, d.med AS median, mad.m AS mad,
 FROM dev d JOIN mad ON mad.{group_col} = d.{group_col}
 GROUP BY d.{group_col}, d.med, mad.m
 ORDER BY d.{group_col}"""
+
+
+def _hist_rank_value(
+    df: DataFrame, group_col: str, value: Column, q: float, out: str
+) -> DataFrame:
+    """Exact per-group NEAREST-RANK quantile (rank = ``ceil(q·n)``,
+    no interpolation — the convention both engines compute identically
+    from the same doubles) via the cumulative value histogram →
+    ``(group_col, out)``."""
+    hist = df.groupBy(F.col(group_col), value.alias("_val")).agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("_val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(group_col)
+    h = (
+        hist.select(
+            group_col, "_val", "cnt",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wall).alias("n"),
+        )
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+        .withColumn("p", F.greatest(F.ceil(F.lit(float(q)) * F.col("n")), F.lit(1)))
+    )
+    return (
+        h.filter((F.col("p") > F.col("prev")) & (F.col("p") <= F.col("cum")))
+        .select(F.col(group_col), F.col("_val").alias(out))
+    )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization report → ``(group, lo, hi, n_lo, n_hi,
+    sum_winsorized)``: values below the exact nearest-rank ``q_lo``
+    quantile clamp up to it, above ``q_hi`` clamp down; the winsorized
+    decimal-exact sum is what a robust mean/total uses.  The two
+    quantile frames are one histogram pass each and join back
+    broadcast (dimension-sized).  Same scale caveat as
+    :func:`mad_outliers`: the histogram carries one row per distinct
+    (group, value) pair — bucketize continuous columns first."""
+    lo = _hist_rank_value(df, group_col, F.col(value_col), q_lo, "lo")
+    hi = _hist_rank_value(df, group_col, F.col(value_col), q_hi, "hi")
+    j = df.join(F.broadcast(lo), on=group_col).join(F.broadcast(hi), on=group_col)
+    v = F.col(value_col)
+    w = F.when(v < F.col("lo"), F.col("lo")).when(v > F.col("hi"), F.col("hi")).otherwise(v)
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.sum(F.when(v < F.col("lo"), 1).otherwise(0)).cast("long").alias("n_lo"),
+            F.sum(F.when(v > F.col("hi"), 1).otherwise(0)).cast("long").alias("n_hi"),
+            F.sum(w.cast(_DEC)).cast("double").alias("sum_winsorized"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def winsorize_sql(
+    table: str, group_col: str, value_col: str, q_lo: float, q_hi: float,
+    order_cols: "list[str]",
+) -> str:
+    """DuckDB oracle for :func:`winsorize_stats` (nearest-rank
+    quantiles via ROW_NUMBER; identical double ``ceil(q*n)`` ranks)."""
+    oc = ", ".join(order_cols)
+
+    def qcte(q: float, name: str) -> str:
+        return f"""{name} AS (
+  SELECT {group_col}, v AS {name}_v FROM (
+    SELECT {group_col}, {value_col} AS v,
+           ROW_NUMBER() OVER (PARTITION BY {group_col}
+                              ORDER BY {value_col}, {oc}) AS rn,
+           COUNT(*) OVER (PARTITION BY {group_col}) AS n
+    FROM {table}
+  ) WHERE rn = GREATEST(CAST(ceil({q!r} * n) AS BIGINT), 1)
+)"""
+
+    return f"""
+WITH {qcte(q_lo, "qlo")}, {qcte(q_hi, "qhi")}
+SELECT t.{group_col}, qlo.qlo_v AS lo, qhi.qhi_v AS hi,
+       CAST(SUM(CASE WHEN t.{value_col} < qlo.qlo_v THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       CAST(SUM(CASE WHEN t.{value_col} > qhi.qhi_v THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       CAST(SUM(CAST(CASE WHEN t.{value_col} < qlo.qlo_v THEN qlo.qlo_v
+                          WHEN t.{value_col} > qhi.qhi_v THEN qhi.qhi_v
+                          ELSE t.{value_col} END AS DECIMAL(25,6))) AS DOUBLE)
+         AS sum_winsorized
+FROM {table} t
+JOIN qlo ON qlo.{group_col} = t.{group_col}
+JOIN qhi ON qhi.{group_col} = t.{group_col}
+GROUP BY t.{group_col}, qlo.qlo_v, qhi.qhi_v
+ORDER BY t.{group_col}"""

@@ -38,6 +38,8 @@ _PRIORITY: Tuple[str, ...] = (
     # ---- implementations changed/new in round 8: verify FIRST ----
     "duplicate_spans_docs",
     "linkage_entity_clusters",
+    "winsorize_price_stats",
+    "community_user_states",
     "embedding_kmeans_two_level",
     "semantic_dedup_two_level",
     "kcore_user_states",

@@ -1346,3 +1346,87 @@ QUERIES["linkage_entity_clusters"] = Query(
     linkage_entity_clusters, _linkage_clusters_sql(),
     tags=("linkage", "graph", "dedup"),
 )
+
+
+# ------------------------------------------------ winsorization (round 8)
+_WZ_QLO, _WZ_QHI = 0.05, 0.95
+
+
+def winsorize_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag winsorized price totals: exact nearest-rank
+    p05/p95 via the value histogram, tails clamped, decimal-exact
+    winsorized sum — the robust-total screen for heavy-tailed value
+    columns."""
+    from dataclass_array_spark.operators.robust import winsorize_stats
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    out = winsorize_stats(
+        li, "l_returnflag", "l_extendedprice", q_lo=_WZ_QLO, q_hi=_WZ_QHI
+    )
+    return out.select(
+        "l_returnflag",
+        F.floor(F.col("lo") * 1e9).cast("long").alias("lo_e9"),
+        F.floor(F.col("hi") * 1e9).cast("long").alias("hi_e9"),
+        "n_lo", "n_hi",
+        F.floor(F.col("sum_winsorized") * 1e6).cast("long").alias("sum_e6"),
+    )
+
+
+def _winsorize_sql() -> str:
+    from dataclass_array_spark.operators.robust import winsorize_sql
+
+    inner = winsorize_sql(
+        "lineitem", "l_returnflag", "l_extendedprice", _WZ_QLO, _WZ_QHI,
+        order_cols=["l_orderkey", "l_linenumber"],
+    )
+    return f"""
+SELECT l_returnflag,
+       CAST(FLOOR(lo * 1e9) AS BIGINT) AS lo_e9,
+       CAST(FLOOR(hi * 1e9) AS BIGINT) AS hi_e9,
+       n_lo, n_hi,
+       CAST(FLOOR(sum_winsorized * 1e6) AS BIGINT) AS sum_e6
+FROM ({inner}) ORDER BY l_returnflag"""
+
+
+QUERIES["winsorize_price_stats"] = Query(
+    winsorize_price_stats, _winsorize_sql(), tags=("stats", "quality")
+)
+
+
+# ------------------------------------------------ LPA communities (round 8)
+_LPA_ROUNDS = 4
+
+
+def community_user_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities over the bipartite
+    user↔state graph, 4 synchronous rounds (smallest-label ties).  The
+    dense synthetic graph collapses to the two bipartition labels —
+    the unit suite proves community RECOVERY on planted clusters; this
+    gate proves the round arithmetic value-exactly."""
+    from dataclass_array_spark.operators.graph import label_propagation
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    edges = (
+        e.select(F.col("user_id").alias("src"), (F.lit(1000000) + k).alias("dst"))
+        .filter(F.col("dst").isNotNull())
+    )
+    return label_propagation(edges, rounds=_LPA_ROUNDS).select(
+        "node", F.col("lbl").cast("long").alias("lbl")
+    )
+
+
+def _lpa_sql() -> str:
+    from dataclass_array_spark.operators.graph import label_propagation_sql
+
+    edges = """
+  SELECT DISTINCT user_id AS u,
+         1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+    return label_propagation_sql(edges, rounds=_LPA_ROUNDS)
+
+
+QUERIES["community_user_states"] = Query(
+    community_user_states, _lpa_sql(), tags=("graph", "community")
+)

@@ -566,3 +566,73 @@ def test_duplicate_spans_vs_bruteforce(spark):
         want[i] = (len(ts), covered)
     assert got == want
     assert got[100][1] == got[100][0]  # full duplicate fully covered
+
+
+def test_label_propagation_recovers_planted_communities(spark):
+    """Two dense 12-cliques joined by ONE bridge edge: LPA must label
+    each clique by its minimum node id within 4 rounds, and the result
+    must be deterministic across runs."""
+    from dataclass_array_spark.operators.graph import label_propagation
+
+    a = list(range(0, 12))
+    b = list(range(100, 112))
+    edges = (
+        list(itertools.combinations(a, 2))
+        + list(itertools.combinations(b, 2))
+        + [(11, 100)]  # bridge
+    )
+    pdf = pd.DataFrame({"src": [u for u, _ in edges], "dst": [v for _, v in edges]})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(df, rounds=4).collect()
+    }
+    assert all(got[n] == 0 for n in a), got
+    assert all(got[n] == 100 for n in b), got
+    again = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(df, rounds=4).collect()
+    }
+    assert again == got
+
+
+def test_winsorize_stats_vs_numpy(spark):
+    """winsorize_stats must match the nearest-rank numpy replica:
+    lo/hi at ranks ceil(q*n), clamp counts, decimal-exact sum."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dataclass_array_spark.operators.robust import winsorize_stats
+
+    rng = np.random.default_rng(5)
+    groups, vals = [], []
+    for g, n in (("a", 41), ("b", 100), ("c", 7)):
+        x = np.round(rng.normal(50, 10, n), 2)
+        x[0], x[1] = 500.0, -500.0  # extreme tails
+        groups += [g] * n
+        vals += list(x)
+    pdf = pd.DataFrame({"grp": groups, "val": vals})
+    got = {
+        r["grp"]: (r["lo"], r["hi"], r["n_lo"], r["n_hi"], r["sum_winsorized"])
+        for r in winsorize_stats(
+            spark.createDataFrame(pdf), "grp", "val", q_lo=0.1, q_hi=0.9
+        ).collect()
+    }
+    q6 = lambda x: Decimal(repr(float(x))).quantize(  # noqa: E731
+        Decimal("1e-6"), ROUND_HALF_UP
+    )
+    import math
+
+    for g in ("a", "b", "c"):
+        xs = sorted(v for gg, v in zip(groups, vals) if gg == g)
+        n = len(xs)
+        lo = xs[max(1, math.ceil(0.1 * n)) - 1]
+        hi = xs[max(1, math.ceil(0.9 * n)) - 1]
+        n_lo = sum(1 for v in xs if v < lo)
+        n_hi = sum(1 for v in xs if v > hi)
+        s = float(
+            sum((q6(min(max(v, lo), hi)) for v in xs), Decimal(0))
+        )
+        glo, ghi, gnlo, gnhi, gsum = got[g]
+        assert glo == lo and ghi == hi, (g, got[g], lo, hi)
+        assert gnlo == n_lo and gnhi == n_hi
+        assert gsum == s, (g, gsum, s)
