@@ -258,3 +258,88 @@ def budget_select(
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, group_col, "n_tokens", "cum_tokens")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    n: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): every row gets the key
+    ``ln(u_i) / w_i`` with ``u_i`` a deterministic md5-uniform in
+    (0, 1]; the ``n`` LARGEST keys are exactly a weighted sample
+    without replacement.  Heavier rows draw keys nearer 0 and win more
+    often; the same ``(id, salt)`` always draws the same u, so the
+    sample is reproducible AND oracle-replayable (``ln`` is the
+    engine-portable ``text.ln_exact`` fixed-order series, not libm).
+
+    Returns ``(id, w, key_e9)`` of the selected rows.  Rows with
+    non-positive weight are excluded (zero-weight rows must never be
+    sampled; the filter is mirrored in the oracle).
+
+    Scale shape: key assignment is in-scan; selection is one global
+    top-n — ``TakeOrderedAndProject`` (map-side bounded heaps, single
+    reduce), no full sort.  This is the primitive behind
+    mixture-weighted corpus subsampling when the PER-ROW weight
+    matters (temperature mixtures reweight whole domains;
+    ``budget_select`` ranks by quality — this samples proportionally).
+    """
+    from dataclass_array_spark.operators.text import LN2_DOUBLE, ln_exact
+
+    w = weight.cast("double")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )  # 60-bit uniform in [1, 2^60]: u = h / 2^60 in (0, 1]
+    ln_u60 = 60.0 * LN2_DOUBLE  # ln(2^60), one python-double product
+    key = (ln_exact(h) - F.lit(ln_u60)) / w
+    return (
+        df.select(F.col(id_col), w.alias("w"), key.alias("__key"))
+        .filter(F.col("w") > 0)
+        .orderBy(F.desc("__key"), F.col(id_col))
+        .limit(int(n))
+        .select(
+            id_col,
+            "w",
+            F.floor(F.col("__key") * 1e9).cast("long").alias("key_e9"),
+        )
+    )
+
+
+def weighted_sample_sql(
+    table: str, id_col: str, weight_expr: str, n: int, salt: str = "ws"
+) -> str:
+    """DuckDB oracle for :func:`weighted_sample` (same md5-uniform,
+    same ln series, same tie-break)."""
+    from dataclass_array_spark.operators.text import LN2_DOUBLE, sql_ln_exact_ctes
+
+    ln_ctes = sql_ln_exact_ctes("src", id_col, "h", "lnt")
+    # DuckDB parses decimal-point literals as DECIMAL (whose arithmetic
+    # overflows and differs from doubles) — string-cast the constant
+    ln_u60 = f"CAST('{60.0 * LN2_DOUBLE!r}' AS DOUBLE)"
+    return f"""
+WITH src AS (
+  SELECT {id_col}, CAST({weight_expr} AS DOUBLE) AS w,
+         CAST('0x' || substr(md5('{salt}|' || CAST({id_col} AS VARCHAR)), 1, 15)
+              AS BIGINT) + 1 AS h
+  FROM {table}
+  WHERE CAST({weight_expr} AS DOUBLE) > 0
+),
+{ln_ctes}
+SELECT s.{id_col}, s.w,
+       CAST(FLOOR(((lnt.ln - {ln_u60}) / s.w) * 1e9) AS BIGINT)
+         AS key_e9
+FROM src s JOIN lnt ON lnt.{id_col} = s.{id_col}
+ORDER BY (lnt.ln - {ln_u60}) / s.w DESC, s.{id_col}
+LIMIT {int(n)}"""

@@ -40,6 +40,7 @@ _PRIORITY: Tuple[str, ...] = (
     "linkage_entity_clusters",
     "winsorize_price_stats",
     "community_user_states",
+    "weighted_sample_docs",
     "embedding_kmeans_two_level",
     "semantic_dedup_two_level",
     "kcore_user_states",

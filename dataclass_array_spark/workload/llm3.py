@@ -1430,3 +1430,32 @@ def _lpa_sql() -> str:
 QUERIES["community_user_states"] = Query(
     community_user_states, _lpa_sql(), tags=("graph", "community")
 )
+
+
+# ------------------------------------------ weighted sampling (round 8)
+_WS_N = 200
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A-ES weighted sampling without replacement:
+    200 documents drawn proportionally to length (n_chars), via
+    portable md5-uniforms and the fixed-order ln series — fully
+    oracle-replayable."""
+    from dataclass_array_spark.operators.sampling import weighted_sample
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return weighted_sample(
+        d, "doc_id", F.col("n_chars"), n=_WS_N
+    ).orderBy("doc_id")
+
+
+def _weighted_sample_sql() -> str:
+    from dataclass_array_spark.operators.sampling import weighted_sample_sql
+
+    inner = weighted_sample_sql("documents", "doc_id", "n_chars", _WS_N)
+    return f"SELECT * FROM ({inner}) ORDER BY doc_id"
+
+
+QUERIES["weighted_sample_docs"] = Query(
+    weighted_sample_docs, _weighted_sample_sql(), tags=("sampling",)
+)

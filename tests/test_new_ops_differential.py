@@ -636,3 +636,52 @@ def test_winsorize_stats_vs_numpy(spark):
         assert glo == lo and ghi == hi, (g, got[g], lo, hi)
         assert gnlo == n_lo and gnhi == n_hi
         assert gsum == s, (g, gsum, s)
+
+
+def test_weighted_sample_vs_python_replica(spark):
+    """weighted_sample must match a pure-python replica of the whole
+    key chain (md5-uniform, fixed-order ln series, A-ES key, top-n
+    with id tie-break) bit-for-bit."""
+    import hashlib
+
+    from dataclass_array_spark.operators.sampling import weighted_sample
+    from dataclass_array_spark.operators.text import _LN_SERIES_K, LN2_DOUBLE
+
+    rng = random.Random(13)
+    rows = [(i, float(rng.choice([1, 2, 5, 40]))) for i in range(60)]
+    pdf = pd.DataFrame({"id": [i for i, _ in rows], "wt": [w for _, w in rows]})
+    got = [
+        (r["id"], r["w"], r["key_e9"])
+        for r in weighted_sample(
+            spark.createDataFrame(pdf), "id", F.col("wt"), n=15
+        ).orderBy("id").collect()
+    ]
+
+    def py_ln(n: int) -> float:
+        e = n.bit_length() - 1
+        m = n / float(1 << e)
+        z = (m - 1.0) / (m + 1.0)
+        z2 = z * z
+        term = z
+        acc = z
+        for k in range(1, _LN_SERIES_K):
+            term = term * z2
+            acc = acc + term / float(2 * k + 1)
+        return float(e) * LN2_DOUBLE + 2.0 * acc
+
+    ln_u60 = 60.0 * LN2_DOUBLE
+    keyed = []
+    for i, w in rows:
+        h = int(hashlib.md5(f"ws|{i}".encode()).hexdigest()[:15], 16) + 1
+        keyed.append((i, w, (py_ln(h) - ln_u60) / w))
+    keyed.sort(key=lambda t: (-t[2], t[0]))
+    import math
+
+    want = sorted(
+        (i, w, math.floor(k * 1e9)) for i, w, k in keyed[:15]
+    )
+    assert got == want
+    # proportionality sanity for THIS deterministic draw: weight-40
+    # rows are ~1/8 of the corpus but must dominate the sample
+    heavy = sum(1 for _, w, _ in got if w == 40.0)
+    assert heavy >= 8, got

@@ -370,3 +370,11 @@ def test_two_level_assignment_plan_shape(spark):
     assert p.count("FlatMapGroupsInPandas") == 2
     assert "ArrowEvalPython" in p         # matrix argmin, not per-row python
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_winsorize_quantiles_broadcast_back(spark):
+    """Like the MAD screen: per-group quantile frames are dimension-
+    sized and must broadcast back onto the fact table."""
+    p = plan(spark, "winsorize_price_stats")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
