@@ -43,5 +43,8 @@ __all__.append("purchases_with_recent_clicks")
 from dataclass_array_spark.streaming.core import (  # noqa: E402,F401
     decontaminate_stream,
     documents_stream,
+    incremental_dedup_stream,
 )
-__all__ += ["decontaminate_stream", "documents_stream"]
+__all__ += [
+    "decontaminate_stream", "documents_stream", "incremental_dedup_stream",
+]

@@ -477,3 +477,48 @@ def decontaminate_stream(
     )
     q.awaitTermination()
     return docs.sparkSession.read.parquet(output_dir)
+
+
+def incremental_dedup_stream(
+    docs: DataFrame,
+    store_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Streaming incremental dedup as a ``foreachBatch`` stage: every
+    micro-batch of NEW documents is flagged (exact/near dup) against
+    the static store by the audited batch
+    :func:`~dataclass_array_spark.operators.dedup.dedup_incremental`.
+
+    Each new doc's flags depend ONLY on that document and the store
+    (batch-internal duplicates are out of scope by the operator's
+    contract, and no bucket cap is applied here — a cap computed over
+    the union would make results depend on micro-batch boundaries), so
+    the accumulated output equals the one-shot batch result exactly —
+    the foreachBatch reuse property the decontam stage established.
+    With ``availableNow`` + a persistent checkpoint this is the
+    nightly "dedup only the new crawl against the corpus" job:
+    O(new data) joins per run against the pre-bucketed store.
+    """
+    from dataclass_array_spark.operators.dedup import dedup_incremental
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        dedup_incremental(
+            batch_df, store_df, id_col, text_col,
+            n_hashes=n_hashes, bands=bands, threshold=threshold,
+            max_bucket_size=None,
+        ).write.mode("append").parquet(output_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return docs.sparkSession.read.parquet(output_dir)

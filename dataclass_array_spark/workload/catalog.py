@@ -41,6 +41,7 @@ _PRIORITY: Tuple[str, ...] = (
     "winsorize_price_stats",
     "community_user_states",
     "weighted_sample_docs",
+    "streaming_incremental_dedup",
     "embedding_kmeans_two_level",
     "semantic_dedup_two_level",
     "kcore_user_states",

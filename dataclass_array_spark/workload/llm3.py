@@ -379,7 +379,7 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _inc_sql() -> str:
+def _inc_sql(cap: "int | None" = _INC_CAP) -> str:
     from dataclass_array_spark.workload.llm import _MH_EXPR
 
     fp_expr = tx.sql_md5_fingerprint("text")
@@ -410,7 +410,7 @@ WITH toks AS (
   SELECT doc_id, band, sig FROM (
     SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bn
     FROM bands0)
-  WHERE bn <= {_INC_CAP}
+  WHERE {('bn <= ' + str(cap)) if cap is not None else 'TRUE'}
 ), cand AS (
   SELECT DISTINCT n.doc_id AS nid, s.doc_id AS sid
   FROM bands n JOIN bands s ON n.band = s.band AND n.sig = s.sig

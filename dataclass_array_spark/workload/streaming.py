@@ -215,3 +215,65 @@ def _streaming_decontam_oracle() -> str:
 QUERIES["streaming_decontam_docs"] = Query(
     streaming_decontam_docs, _streaming_decontam_oracle(), tags=("streaming", "decontam")
 )
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental dedup over a stream of NEW documents
+    vs the static store: every micro-batch reuses the audited batch
+    dedup_incremental (no bucket cap — per-doc flags depend only on
+    (doc, store), so the accumulated output equals the one-shot batch
+    result regardless of micro-batch boundaries; the oracle is the
+    batch incremental SQL without the cap)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from dataclass_array_spark.streaming import (
+        documents_stream,
+        incremental_dedup_stream,
+    )
+    from dataclass_array_spark.workload.base import load_tables
+    from dataclass_array_spark.workload.llm3 import _INC_MOD, _INC_THRESH
+
+    store = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .filter(F.col("doc_id") % _INC_MOD != 0)
+    )
+    s = documents_stream(spark, f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % _INC_MOD == 0
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"dca-stream-incdedup-{tag}-{os.getpid()}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"dca-stream-incdedup-{tag}-*")
+    ):
+        try:
+            pid = int(stale.rsplit("-", 1)[-1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    out = incremental_dedup_stream(
+        s, store, "text", "doc_id",
+        output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
+        n_hashes=16, bands=4, threshold=_INC_THRESH,
+    )
+    return out.orderBy("doc_id")
+
+
+def _streaming_inc_oracle() -> str:
+    from dataclass_array_spark.workload.llm3 import _inc_sql
+
+    return _inc_sql(cap=None)
+
+
+QUERIES["streaming_incremental_dedup"] = Query(
+    streaming_incremental_dedup, _streaming_inc_oracle(),
+    tags=("streaming", "dedup", "incremental"),
+)
