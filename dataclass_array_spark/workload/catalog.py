@@ -42,6 +42,7 @@ _PRIORITY: Tuple[str, ...] = (
     "community_user_states",
     "weighted_sample_docs",
     "streaming_incremental_dedup",
+    "ewma_user_values",
     "embedding_kmeans_two_level",
     "semantic_dedup_two_level",
     "kcore_user_states",

@@ -1459,3 +1459,40 @@ def _weighted_sample_sql() -> str:
 QUERIES["weighted_sample_docs"] = Query(
     weighted_sample_docs, _weighted_sample_sql(), tags=("sampling",)
 )
+
+
+# ------------------------------------------------ EWMA (round 8)
+_EWMA_ALPHA = 0.25
+
+
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values in (ts, event_id) order — the
+    recurrence window frames can't express, as an ordered fold
+    (bit-identical list_reduce replay in the oracle)."""
+    from dataclass_array_spark.operators.timeseries import ewma_last
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    out = ewma_last(
+        e, "user_id", ["ts_us", "event_id"], "value", alpha=_EWMA_ALPHA
+    )
+    return out.select(
+        "user_id", "n_events",
+        F.floor(F.col("ewma") * 1e9).cast("long").alias("ewma_e9"),
+    )
+
+
+def _ewma_sql() -> str:
+    from dataclass_array_spark.operators.timeseries import ewma_last_sql
+
+    inner = ewma_last_sql(
+        "(SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events)",
+        "user_id", ["ts_us", "event_id"], "value", alpha=_EWMA_ALPHA,
+    )
+    return f"""
+SELECT user_id, n_events, CAST(FLOOR(ewma * 1e9) AS BIGINT) AS ewma_e9
+FROM ({inner}) ORDER BY user_id"""
+
+
+QUERIES["ewma_user_values"] = Query(
+    ewma_user_values, _ewma_sql(), tags=("timeseries", "window")
+)

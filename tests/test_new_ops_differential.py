@@ -685,3 +685,39 @@ def test_weighted_sample_vs_python_replica(spark):
     # rows are ~1/8 of the corpus but must dominate the sample
     heavy = sum(1 for _, w, _ in got if w == 40.0)
     assert heavy >= 8, got
+
+
+def test_ewma_vs_python_replica(spark):
+    """ewma_last must match the pure-python recurrence bit-for-bit
+    (same order, same alpha arithmetic), excluding NULL values."""
+    from dataclass_array_spark.operators.timeseries import ewma_last
+
+    rng = random.Random(59)
+    rows = []
+    for u in range(6):
+        for t in range(rng.randrange(1, 15)):
+            rows.append(
+                {
+                    "u": u,
+                    "t": t,
+                    "i": 1000 + t,
+                    "v": None if rng.random() < 0.1 else round(rng.uniform(-5, 5), 3),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    got = {
+        r["u"]: (r["n_events"], r["ewma"])
+        for r in ewma_last(
+            spark.createDataFrame(pdf), "u", ["t", "i"], "v", alpha=0.25
+        ).collect()
+    }
+    want = {}
+    for u in range(6):
+        vs = [r["v"] for r in rows if r["u"] == u and r["v"] is not None]
+        if not vs:
+            continue
+        s = vs[0]
+        for x in vs[1:]:
+            s = 0.25 * x + 0.75 * s
+        want[u] = (len(vs), s)
+    assert got == want
