@@ -343,3 +343,83 @@ SELECT s.{id_col}, s.w,
 FROM src s JOIN lnt ON lnt.{id_col} = s.{id_col}
 ORDER BY (lnt.ln - {ln_u60}) / s.w DESC, s.{id_col}
 LIMIT {int(n)}"""
+
+
+def nucleus_select(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score: Column,
+    p_num: int,
+    p_den: int,
+) -> DataFrame:
+    """Top-p ("nucleus") selection per group: rank rows by
+    ``(score DESC, id)`` and keep the head whose INCLUSIVE cumulative
+    score mass stays within ``p_num/p_den`` of the group's total —
+    the relative-mass counterpart of :func:`budget_select`'s absolute
+    token budget (keep the best 80% of quality MASS per domain, however
+    large the domain is).
+
+    Exactness: scores are decimal-cast once; the cumulative and total
+    sums are DECIMAL, and the mass test is the cross-multiplied
+    ``cum · p_den ≤ total · p_num`` — integer×decimal arithmetic, NO
+    doubles anywhere, so the kept set is bit-free exact cross-engine.
+
+    Scale shape: one hash shuffle on the group key, two window passes
+    over it (running sum + group total) — no global sort.
+
+    Returns ``(id, group, cum_e6)`` with ``cum_e6`` the exact
+    decimal cumulative mass scaled by 10^6.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(25,6)"
+    base = df.select(
+        F.col(id_col), F.col(group_col), score.cast(dec).alias("__s")
+    )
+    wrank = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("__s"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(group_col)
+    return (
+        base.withColumn("__cum", F.sum("__s").over(wrank))
+        .withColumn("__tot", F.sum("__s").over(wall))
+        .filter(
+            F.col("__cum") * F.lit(int(p_den))
+            <= F.col("__tot") * F.lit(int(p_num))
+        )
+        .select(
+            id_col,
+            group_col,
+            (F.col("__cum") * 1000000).cast("long").alias("cum_e6"),
+        )
+    )
+
+
+def nucleus_select_sql(
+    table: str,
+    id_col: str,
+    group_col: str,
+    score_expr: str,
+    p_num: int,
+    p_den: int,
+) -> str:
+    """DuckDB oracle for :func:`nucleus_select` (same decimal sums,
+    same cross-multiplied mass test)."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {group_col},
+         CAST({score_expr} AS DECIMAL(25,6)) AS s
+  FROM {table}
+), r AS (
+  SELECT {id_col}, {group_col},
+         SUM(s) OVER (PARTITION BY {group_col} ORDER BY s DESC, {id_col}
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(s) OVER (PARTITION BY {group_col}) AS tot
+  FROM t
+)
+SELECT {id_col}, {group_col}, CAST(cum * 1000000 AS BIGINT) AS cum_e6
+FROM r WHERE cum * {int(p_den)} <= tot * {int(p_num)}
+ORDER BY {id_col}"""

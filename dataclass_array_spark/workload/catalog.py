@@ -43,6 +43,7 @@ _PRIORITY: Tuple[str, ...] = (
     "weighted_sample_docs",
     "streaming_incremental_dedup",
     "ewma_user_values",
+    "nucleus_select_docs",
     "embedding_kmeans_two_level",
     "semantic_dedup_two_level",
     "kcore_user_states",

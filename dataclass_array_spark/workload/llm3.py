@@ -1496,3 +1496,35 @@ FROM ({inner}) ORDER BY user_id"""
 QUERIES["ewma_user_values"] = Query(
     ewma_user_values, _ewma_sql(), tags=("timeseries", "window")
 )
+
+
+# ------------------------------------------ nucleus selection (round 8)
+_NUC_P = (4, 5)  # keep 80% of the quality mass per source
+
+
+def nucleus_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-p curation: keep the highest-quality documents
+    covering 80% of each source's total quality mass — all-decimal
+    arithmetic, bit-free exact."""
+    from dataclass_array_spark.operators.sampling import nucleus_select
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return nucleus_select(
+        d, "doc_id", "source",
+        score=tx.quality_score(F.col("text")),
+        p_num=_NUC_P[0], p_den=_NUC_P[1],
+    ).orderBy("doc_id")
+
+
+def _nucleus_sql() -> str:
+    from dataclass_array_spark.operators.sampling import nucleus_select_sql
+
+    return nucleus_select_sql(
+        "documents", "doc_id", "source", tx.sql_quality("text"),
+        p_num=_NUC_P[0], p_den=_NUC_P[1],
+    )
+
+
+QUERIES["nucleus_select_docs"] = Query(
+    nucleus_select_docs, _nucleus_sql(), tags=("sampling", "curation")
+)

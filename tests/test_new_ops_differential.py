@@ -721,3 +721,42 @@ def test_ewma_vs_python_replica(spark):
             s = 0.25 * x + 0.75 * s
         want[u] = (len(vs), s)
     assert got == want
+
+
+def test_nucleus_select_vs_python_replica(spark):
+    """nucleus_select must match a Decimal-arithmetic python replica
+    exactly (rank by quantized score desc/id, inclusive cumulative
+    mass, cross-multiplied p test) — including the boundary where one
+    more row would cross p."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dataclass_array_spark.operators.sampling import nucleus_select
+
+    rng = random.Random(67)
+    rows = [
+        {"id": i, "g": f"g{i % 3}", "sc": round(rng.uniform(0, 10), 4)}
+        for i in range(45)
+    ]
+    pdf = pd.DataFrame(rows)
+    got = {
+        (r["id"], r["g"]): r["cum_e6"]
+        for r in nucleus_select(
+            spark.createDataFrame(pdf), "id", "g", F.col("sc"), 4, 5
+        ).collect()
+    }
+    q6 = lambda x: Decimal(repr(float(x))).quantize(  # noqa: E731
+        Decimal("1e-6"), ROUND_HALF_UP
+    )
+    want = {}
+    for g in ("g0", "g1", "g2"):
+        grp = sorted(
+            (r for r in rows if r["g"] == g),
+            key=lambda r: (-q6(r["sc"]), r["id"]),
+        )
+        tot = sum((q6(r["sc"]) for r in grp), Decimal(0))
+        cum = Decimal(0)
+        for r in grp:
+            cum += q6(r["sc"])
+            if cum * 5 <= tot * 4:
+                want[(r["id"], g)] = int(cum * 1000000)
+    assert got == want
