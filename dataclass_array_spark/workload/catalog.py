@@ -44,6 +44,7 @@ _PRIORITY: Tuple[str, ...] = (
     "streaming_incremental_dedup",
     "ewma_user_values",
     "nucleus_select_docs",
+    "scd2_customer_history",
     "embedding_kmeans_two_level",
     "semantic_dedup_two_level",
     "kcore_user_states",

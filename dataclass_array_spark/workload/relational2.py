@@ -698,3 +698,77 @@ FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
 
 QUERIES["join_variants_nulls"] = Query(join_variants_nulls, JOIN_VARIANTS_SQL, tags=("join", "null"))
 QUERIES["string_functions2"] = Query(string_functions2, STRING2_SQL, tags=("scalar",))
+
+
+# ------------------------------------------------ SCD-2 history (round 8)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension maintenance: customers with 1998 orders get a
+    NEW current version carrying their recomputed balance; their prior
+    version row is kept but CLOSED (is_current = false); untouched
+    customers keep version 1 current.  One left-semi/anti split + a
+    broadcast max-version join — never a full-dimension rewrite
+    shuffle."""
+    from dataclass_array_spark.operators.merge import scd2_close
+
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    target = t["customer"].select(
+        "c_custkey", "c_acctbal",
+        F.lit(1).cast("long").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    spent = (
+        t["orders"]
+        .filter(F.year("o_orderdate") == 1998)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double").alias("spent98")
+        )
+    )
+    updates = (
+        t["customer"]
+        .join(spent, on="c_custkey")
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") - F.col("spent98")).alias("c_acctbal"),
+            F.lit(0).cast("long").alias("version"),   # reassigned inside
+            F.lit(True).alias("is_current"),
+        )
+    )
+    out = scd2_close(target, updates, keys=["c_custkey"])
+    return out.select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 1e6).cast("long").alias("acctbal_e6"),
+        "version",
+        "is_current",
+    ).orderBy("c_custkey", "version")
+
+
+SCD2_SQL = """
+WITH spent AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spent98
+  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY o_custkey
+), upd AS (
+  SELECT c.c_custkey, c.c_acctbal - s.spent98 AS c_acctbal
+  FROM customer c JOIN spent s USING (c_custkey)
+), untouched AS (
+  SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS version, TRUE AS is_current
+  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+), closed AS (
+  SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS version, FALSE AS is_current
+  FROM customer WHERE c_custkey IN (SELECT c_custkey FROM upd)
+), fresh AS (
+  SELECT c_custkey, c_acctbal, CAST(2 AS BIGINT) AS version, TRUE AS is_current
+  FROM upd
+)
+SELECT c_custkey, CAST(FLOOR(c_acctbal * 1e6) AS BIGINT) AS acctbal_e6,
+       version, is_current
+FROM (SELECT * FROM untouched UNION ALL SELECT * FROM closed
+      UNION ALL SELECT * FROM fresh)
+ORDER BY c_custkey, version
+"""
+
+QUERIES["scd2_customer_history"] = Query(
+    scd2_customer_history, SCD2_SQL, tags=("merge", "cdc", "scd2")
+)
