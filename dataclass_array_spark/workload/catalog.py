@@ -45,6 +45,8 @@ _PRIORITY: Tuple[str, ...] = (
     "ewma_user_values",
     "nucleus_select_docs",
     "scd2_customer_history",
+    "streaming_user_totals_stateful",
+    "streaming_sliding_hourly",
     "embedding_kmeans_two_level",
     "semantic_dedup_two_level",
     "kcore_user_states",

@@ -277,3 +277,75 @@ QUERIES["streaming_incremental_dedup"] = Query(
     streaming_incremental_dedup, _streaming_inc_oracle(),
     tags=("streaming", "dedup", "incremental"),
 )
+
+
+def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running totals — the arbitrary-state
+    escape hatch, driver-gated: update-mode emits one row per
+    (user, batch); the FINAL state per user is the row with the
+    maximal (monotone) n_events.  The gate compares the integer event
+    counts value-exactly; the float running total is asserted in unit
+    tests instead (its per-batch pandas summation order is not
+    portable to SQL — an honest limit of float state)."""
+    from dataclass_array_spark.streaming import (
+        events_stream,
+        run_stream_to_memory,
+        running_user_totals_stateful,
+    )
+
+    s = events_stream(spark, f"{sf_dir}/events.parquet")
+    out, _ = run_stream_to_memory(
+        running_user_totals_stateful(s), mode="update"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").cast("long").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+STREAM_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["streaming_user_totals_stateful"] = Query(
+    streaming_user_totals_stateful, STREAM_STATEFUL_SQL,
+    tags=("streaming", "stateful"),
+)
+
+
+def streaming_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming sliding windows (1 h width / 30 min slide):
+    every event lands in exactly two windows; counts per
+    (window_start, event_type)."""
+    from dataclass_array_spark.streaming import (
+        events_stream,
+        run_stream_to_memory,
+        sliding_counts,
+    )
+
+    s = events_stream(spark, f"{sf_dir}/events.parquet")
+    out, _ = run_stream_to_memory(
+        sliding_counts(s, "1 hour", "30 minutes"), mode="complete"
+    )
+    return out.orderBy("window_start_us", "event_type")
+
+
+_HALF_US = 1800 * 1000000
+STREAM_SLIDING_SQL = f"""
+WITH starts AS (
+  SELECT event_type,
+         unnest([epoch_us(ts) - epoch_us(ts) % {_HALF_US},
+                 epoch_us(ts) - epoch_us(ts) % {_HALF_US} - {_HALF_US}])
+           AS window_start_us
+  FROM events
+)
+SELECT window_start_us, event_type, COUNT(*) AS n
+FROM starts GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["streaming_sliding_hourly"] = Query(
+    streaming_sliding_hourly, STREAM_SLIDING_SQL,
+    tags=("streaming", "window"),
+)
