@@ -246,3 +246,75 @@ JOIN qlo ON qlo.{group_col} = t.{group_col}
 JOIN qhi ON qhi.{group_col} = t.{group_col}
 GROUP BY t.{group_col}, qlo.qlo_v, qhi.qhi_v
 ORDER BY t.{group_col}"""
+
+
+def ols_by_group(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group simple linear regression ``y = slope·x + intercept``
+    → ``(group, n, slope, intercept)``, assembled from exact decimal
+    moments (Σx, Σy, Σxy, Σx²) exactly like the Pearson gate — engine
+    ``regr_*``/BLAS implementations differ numerically, the moments
+    chain does not.  One aggregation pass; the closed form is
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``."""
+    dec = lambda c: c.cast("decimal(30,8)")  # noqa: E731
+
+    def dbl(c):
+        # decimal→double floor-split (see corr gate): both halves are
+        # exactly convertible, and fl(a+b) matches across engines
+        f = F.floor(c)
+        return f.cast("double") + (c - f).cast("double")
+
+    x, y = F.col(x_col), F.col(y_col)
+    m = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        dbl(F.sum(dec(x))).alias("sx"),
+        dbl(F.sum(dec(y))).alias("sy"),
+        dbl(F.sum(dec(x * y))).alias("sxy"),
+        dbl(F.sum(dec(x * x))).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        m.withColumn("slope", slope)
+        .select(
+            group_col,
+            "n",
+            "slope",
+            ((F.col("sy") - F.col("slope") * F.col("sx")) / n).alias("intercept"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def ols_by_group_sql(table: str, group_col: str, x_col: str, y_col: str) -> str:
+    """DuckDB oracle for :func:`ols_by_group` (same moments, same
+    floor-split, same expression order)."""
+
+    def s(expr: str, name: str) -> str:
+        inner = f"SUM(CAST({expr} AS DECIMAL(30,8)))"
+        return (
+            f"(CAST(FLOOR({inner}) AS DOUBLE) + "
+            f"CAST(({inner}) - FLOOR({inner}) AS DOUBLE)) AS {name}"
+        )
+
+    return f"""
+WITH m AS (
+  SELECT {group_col}, COUNT(*) AS n,
+         {s(x_col, "sx")},
+         {s(y_col, "sy")},
+         {s(f"{x_col} * {y_col}", "sxy")},
+         {s(f"{x_col} * {x_col}", "sxx")}
+  FROM {table} GROUP BY {group_col}
+), sl AS (
+  SELECT {group_col}, n,
+         (CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)
+           AS slope,
+         sx, sy
+  FROM m
+)
+SELECT {group_col}, n, slope,
+       (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept
+FROM sl ORDER BY {group_col}"""

@@ -47,6 +47,7 @@ _PRIORITY: Tuple[str, ...] = (
     "scd2_customer_history",
     "streaming_user_totals_stateful",
     "streaming_sliding_hourly",
+    "ols_price_vs_quantity",
     "embedding_kmeans_two_level",
     "semantic_dedup_two_level",
     "kcore_user_states",

@@ -1528,3 +1528,27 @@ def _nucleus_sql() -> str:
 QUERIES["nucleus_select_docs"] = Query(
     nucleus_select_docs, _nucleus_sql(), tags=("sampling", "curation")
 )
+
+
+# ------------------------------------------------ grouped OLS (round 8)
+def ols_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag least-squares fit of extendedprice against
+    quantity — exact decimal moments, identical doubles both engines
+    (engine regr_slope implementations differ numerically)."""
+    from dataclass_array_spark.operators.robust import ols_by_group
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return ols_by_group(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+def _ols_sql() -> str:
+    from dataclass_array_spark.operators.robust import ols_by_group_sql
+
+    return ols_by_group_sql(
+        "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+
+QUERIES["ols_price_vs_quantity"] = Query(
+    ols_price_vs_quantity, _ols_sql(), tags=("stats", "regression")
+)

@@ -760,3 +760,30 @@ def test_nucleus_select_vs_python_replica(spark):
             if cum * 5 <= tot * 4:
                 want[(r["id"], g)] = int(cum * 1000000)
     assert got == want
+
+
+def test_ols_by_group_vs_numpy(spark):
+    """ols_by_group must match numpy.polyfit's closed-form answer to
+    float precision on random grouped data (the operator's exact
+    moments differ from lstsq only in rounding)."""
+    from dataclass_array_spark.operators.robust import ols_by_group
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g, (a, b, n) in enumerate([(2.5, -1.0, 60), (-0.5, 7.0, 45)]):
+        x = np.round(rng.uniform(0, 20, n), 2)
+        y = np.round(a * x + b + rng.normal(0, 0.5, n), 2)
+        rows += [{"g": f"g{g}", "x": float(xi), "y": float(yi)} for xi, yi in zip(x, y)]
+    got = {
+        r["g"]: (r["n"], r["slope"], r["intercept"])
+        for r in ols_by_group(
+            spark.createDataFrame(pd.DataFrame(rows)), "g", "x", "y"
+        ).collect()
+    }
+    for g in ("g0", "g1"):
+        xs = np.array([r["x"] for r in rows if r["g"] == g])
+        ys = np.array([r["y"] for r in rows if r["g"] == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        n, gs, gi = got[g]
+        assert n == len(xs)
+        assert abs(gs - slope) < 1e-9 and abs(gi - intercept) < 1e-9
