@@ -261,12 +261,29 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     shingle_k: int = 3,
     max_doc_freq: Optional[int] = 1000,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via shingle inverted index.
 
     ``max_doc_freq`` drops ubiquitous shingles before the self-join —
     the standard fan-out cap (a shingle in f docs creates f² candidate
-    rows); applied identically in the oracle so results still match."""
+    rows); applied identically in the oracle so results still match.
+    Jaccard is computed over the CAPPED shingle sets.
+
+    ``prefix_filter`` (PPJoin, ON by default — round 8) indexes only
+    each doc's ``|A| − ceil(t·|A|) + 1`` RAREST shingles under the
+    global (doc-freq asc, shingle asc) order for CANDIDATE generation,
+    then counts intersections by joining the candidate pairs back to
+    the full (capped) shingle sets — the MinHash join-back-verify
+    shape.  Result-LOSSLESS, so the oracle needs no mirror: a pair
+    with ``jaccard ≥ t`` over sets A, B satisfies ``|A∩B| ≥ t·|A∪B| ≥
+    ceil(t·max(|A|,|B|))``, and by the standard prefix lemma its two
+    prefixes (each of length ``|X| − ceil(t·|X|) + 1 ≥ |X| −
+    ceil(t·max) + 1``) intersect — the pair survives candidate
+    generation; sub-threshold pairs may be pruned earlier, which is
+    the point.  At 100 TB this removes the hot-shingle fan-out the
+    doc-freq cap only bounds: a shingle shared by f docs appears in
+    few PREFIXES unless it is genuinely rare."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = (
         df.select(
@@ -278,13 +295,57 @@ def ngram_jaccard_pairs(
         freq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
         sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "sh").drop("df_")
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        pfreq = sh.groupBy("sh").agg(F.count("*").alias("pf_"))
+        wp = Window.partitionBy("doc_id").orderBy("pf_", "sh")
+        wn = Window.partitionBy("doc_id")
+        pref = (
+            sh.join(pfreq, on="sh")
+            .withColumn("_n", F.count("*").over(wn))
+            .withColumn("_rn", F.row_number().over(wp))
+            .filter(
+                F.col("_rn")
+                <= F.col("_n")
+                - F.ceil(F.lit(float(threshold)) * F.col("_n"))
+                + 1
+            )
+            .select("doc_id", "sh")
+        )
+        pa, pb = pref.alias("pa"), pref.alias("pb")
+        cand = (
+            pa.join(
+                pb,
+                (F.col("pa.sh") == F.col("pb.sh"))
+                & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            )
+            .select(
+                F.col("pa.doc_id").alias("id_a"),
+                F.col("pb.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = sh.select(F.col("doc_id").alias("_idb"), F.col("sh").alias("sh_b"))
+        inter = (
+            cand.join(sa, on="id_a")
+            .join(
+                sb,
+                (F.col("id_b") == F.col("_idb"))
+                & (F.col("sh_a") == F.col("sh_b")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
     ca = counts.alias("ca")
     cb = counts.alias("cb")
     return (

@@ -48,6 +48,7 @@ _PRIORITY: Tuple[str, ...] = (
     "streaming_user_totals_stateful",
     "streaming_sliding_hourly",
     "ols_price_vs_quantity",
+    "dedup_ngram_jaccard",  # impl changed round 8: PPJoin prefix filter
     "embedding_kmeans_two_level",
     "semantic_dedup_two_level",
     "kcore_user_states",
@@ -175,7 +176,6 @@ _PRIORITY: Tuple[str, ...] = (
     "q15_top_supplier",
     "q21_waiting_supplier",
     "order_quantity_arrays",
-    "dedup_ngram_jaccard",
 )
 
 

@@ -787,3 +787,36 @@ def test_ols_by_group_vs_numpy(spark):
         n, gs, gi = got[g]
         assert n == len(xs)
         assert abs(gs - slope) < 1e-9 and abs(gi - intercept) < 1e-9
+
+
+def test_ngram_jaccard_prefix_filter_lossless(spark):
+    """PPJoin prefix filtering must keep the verified pair set (and
+    every n_inter/jaccard value) identical on a corpus with a shared
+    hot shingle, while indexing strictly fewer rows."""
+    from dataclass_array_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(79)
+    vocab = [f"w{i}" for i in range(15)]
+    # every doc starts with the same 3 tokens -> one ubiquitous shingle
+    texts = {
+        i: "hot hot hot " + " ".join(rng.choice(vocab) for _ in range(12))
+        for i in range(40)
+    }
+    texts[100] = texts[0]  # exact dup -> jaccard 1.0 pair
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": list(texts), "text": list(texts.values())})
+    )
+
+    def run(pf):
+        return {
+            (r["id_a"], r["id_b"]): (r["n_inter"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                df, "text", "id", threshold=0.2, max_doc_freq=None,
+                prefix_filter=pf,
+            ).collect()
+        }
+
+    with_pf = run(True)
+    without = run(False)
+    assert with_pf == without
+    assert (0, 100) in with_pf and with_pf[(0, 100)][1] == 1.0
