@@ -23,17 +23,20 @@ class Query:
 # The driver's per-round correctness gate checks roughly the first 50
 # registry entries, so the window is ROTATED each round to keep every
 # query under recurring driver verification.  Round 8 ordering (same
-# rule as rounds 6-7): queries whose IMPLEMENTATION changed this round
-# go first — the five NEW gates (two-level clustering x2, k-core, MAD
-# outliers, record linkage), the graph/fuzzy rewrites (two-level
-# PageRank fold, degree-oriented triangles, prefix-filtered fuzzy
-# join), every clustering/PQ consumer of the shared-train-sample
-# refactor + two-level machinery, the chunking consumers of the
-# sequence(0,-1) fix, and both vectorize gates (transcendental tracer
-# additions) — then the 71 queries that sat out the r07 window (all
-# local-green), then the r07-driver-verified remainder.  Python dicts
-# preserve insertion order, so this ordering is exactly what
-# ``queries()`` exposes to the driver.
+# rule as rounds 6-7): queries whose IMPLEMENTATION changed or is NEW
+# this round go first — the 17 new round-8 gates (two-level clustering
+# x2, k-core, LPA communities, MAD outliers, winsorize, OLS, record
+# linkage + entity clusters, duplicate spans, weighted + nucleus
+# sampling, SCD2, EWMA, streaming incremental dedup / stateful totals /
+# sliding), the graph/fuzzy/ngram rewrites (two-level PageRank fold,
+# degree-oriented triangles, prefix-filtered fuzzy + PPJoin jaccard),
+# every clustering/PQ consumer of the shared-train-sample refactor +
+# two-level machinery, the chunking consumers of the sequence(0,-1)
+# fix, and both vectorize gates (transcendental tracer additions) —
+# then the 71 queries that sat out the r07 window (all local-green),
+# then the r07-driver-verified remainder.  Python dicts preserve
+# insertion order, so this ordering is exactly what ``queries()``
+# exposes to the driver.
 _PRIORITY: Tuple[str, ...] = (
     # ---- implementations changed/new in round 8: verify FIRST ----
     "duplicate_spans_docs",
