@@ -270,20 +270,25 @@ def ngram_jaccard_pairs(
     rows); applied identically in the oracle so results still match.
     Jaccard is computed over the CAPPED shingle sets.
 
-    ``prefix_filter`` (PPJoin, ON by default — round 8) indexes only
-    each doc's ``|A| − ceil(t·|A|) + 1`` RAREST shingles under the
-    global (doc-freq asc, shingle asc) order for CANDIDATE generation,
-    then counts intersections by joining the candidate pairs back to
-    the full (capped) shingle sets — the MinHash join-back-verify
-    shape.  Result-LOSSLESS, so the oracle needs no mirror: a pair
-    with ``jaccard ≥ t`` over sets A, B satisfies ``|A∩B| ≥ t·|A∪B| ≥
-    ceil(t·max(|A|,|B|))``, and by the standard prefix lemma its two
-    prefixes (each of length ``|X| − ceil(t·|X|) + 1 ≥ |X| −
-    ceil(t·max) + 1``) intersect — the pair survives candidate
-    generation; sub-threshold pairs may be pruned earlier, which is
-    the point.  At 100 TB this removes the hot-shingle fan-out the
-    doc-freq cap only bounds: a shingle shared by f docs appears in
-    few PREFIXES unless it is genuinely rare."""
+    ``prefix_filter`` (PPJoin, ON by default — round 8; bound made
+    double-comparison-sound in round 9) indexes only each doc's ``|X|
+    − floor(pred(t)·|X|)`` RAREST shingles under the global (doc-freq
+    asc, shingle asc) order for CANDIDATE generation — ``pred(t)`` is
+    the next double below the threshold — then counts intersections by
+    joining the candidate pairs back to the full (capped) shingle sets,
+    the MinHash join-back-verify shape.  Result-LOSSLESS against the
+    verify step's DOUBLE comparison, so the oracle needs no mirror: a
+    kept pair has ``round(|A∩B|/|A∪B|) ≥ t`` in doubles, hence real
+    jaccard strictly above ``pred(t)``, hence ``|A∩B| ≥
+    floor(pred(t)·|X|) + 1`` for each side (union ≥ |X|), and by the
+    standard prefix lemma its two prefixes intersect — the pair
+    survives candidate generation; sub-threshold pairs may be pruned
+    earlier, which is the point.  The bound is evaluated in exact
+    integer (DECIMAL) arithmetic — see the inline comment for why the
+    naive ``ceil(t·n)`` double form prunes at-threshold pairs.  At
+    100 TB this removes the hot-shingle fan-out the doc-freq cap only
+    bounds: a shingle shared by f docs appears in few PREFIXES unless
+    it is genuinely rare."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = (
         df.select(
@@ -298,18 +303,39 @@ def ngram_jaccard_pairs(
     if prefix_filter:
         from pyspark.sql import Window
 
+        import math
+        from fractions import Fraction
+
         pfreq = sh.groupBy("sh").agg(F.count("*").alias("pf_"))
         wp = Window.partitionBy("doc_id").orderBy("pf_", "sh")
         wn = Window.partitionBy("doc_id")
+        # Prefix rank bound, computed EXACTLY in integers and SOUND
+        # against the final DOUBLE comparison (round-9 fix; ADVICE r8).
+        # The verify step keeps a pair iff round(i/u) >= t in doubles;
+        # correctly-rounded division means any such pair has real
+        # jaccard i/u STRICTLY above pred(t), the next double below t
+        # (x rounds to >= t ⟹ x >= midpoint(pred(t), t) > pred(t)).
+        # With union >= |X| that gives i > pred(t)·|X| ⟹ i >=
+        # floor(pred(t)·|X|) + 1 guaranteed intersection per side, so
+        # prefix length |X| − floor(pred(t)·|X|) suffices.  As integers
+        # with the EXACT dyadic rational pred(t) = p/q (``Fraction(
+        # float)`` is exact): ``rn <= n - floor(p·n/q)`` ⇔ ``p·n <
+        # q·(n - rn + 1)`` (``floor(x) <= m ⇔ x < m+1``).  The round-8
+        # float form ``ceil(lit(t)·n)`` was unsound at boundaries —
+        # t=0.07, n=100: double(0.07) > 7/100, so even exact ceil gives
+        # 8 and prunes a pair whose double jaccard 7.0/100.0 == the
+        # t literal; pred(t)·100 = 6.9999… floors to 6, prefix 94,
+        # pair kept.  DECIMAL(38,0) products: p,q <= ~2^53 and n is a
+        # per-doc shingle count, so p·n <= ~1e25 ≪ 1e38.
+        _t = Fraction(max(math.nextafter(float(threshold), 0.0), 0.0))
+        _p = F.lit(_t.numerator).cast("decimal(38,0)")
+        _q = F.lit(_t.denominator).cast("decimal(38,0)")
         pref = (
             sh.join(pfreq, on="sh")
             .withColumn("_n", F.count("*").over(wn))
             .withColumn("_rn", F.row_number().over(wp))
             .filter(
-                F.col("_rn")
-                <= F.col("_n")
-                - F.ceil(F.lit(float(threshold)) * F.col("_n"))
-                + 1
+                _p * F.col("_n") < _q * (F.col("_n") - F.col("_rn") + 1)
             )
             .select("doc_id", "sh")
         )

@@ -64,14 +64,21 @@ def ewma_last_sql(
 ) -> str:
     """DuckDB oracle for :func:`ewma_last` (same fold order; constants
     string-cast — DuckDB parses decimal-point literals as DECIMAL,
-    whose arithmetic diverges from doubles)."""
+    whose arithmetic diverges from doubles).
+
+    The ORDER BY appends ``value_col`` after ``order_cols``: the Spark
+    side sorts ``struct(order_cols..., _v)``, which tie-breaks equal
+    order keys by value, while DuckDB's ``list(... ORDER BY oc)`` tie
+    order is otherwise unspecified — without the explicit tie-break the
+    bit-identical contract would silently require ``order_cols`` to be
+    a unique key per group."""
     a = f"CAST('{float(alpha)!r}' AS DOUBLE)"
     b = f"CAST('{1.0 - float(alpha)!r}' AS DOUBLE)"
     oc = ", ".join(order_cols)
     return f"""
 SELECT {key_col}, CAST(COUNT(*) AS BIGINT) AS n_events,
        list_reduce(
-         list_prepend(CAST(NULL AS DOUBLE), list({value_col} ORDER BY {oc})),
+         list_prepend(CAST(NULL AS DOUBLE), list({value_col} ORDER BY {oc}, {value_col})),
          (acc, x) -> CASE WHEN acc IS NULL THEN x ELSE {a} * x + {b} * acc END
        ) AS ewma
 FROM {table}

@@ -820,3 +820,33 @@ def test_ngram_jaccard_prefix_filter_lossless(spark):
     without = run(False)
     assert with_pf == without
     assert (0, 100) in with_pf and with_pf[(0, 100)][1] == 1.0
+
+
+def test_ngram_jaccard_prefix_exact_integer_boundary(spark):
+    """Round-9 regression (ADVICE r8): the prefix rank bound must use
+    EXACT rational arithmetic.  threshold=0.07, |A|=100 → t·n is
+    mathematically 7, but the float product 0.07*100 =
+    7.000000000000001 ceils to 8, shortening A's prefix to 93 — and
+    this corpus puts A's 7 shared shingles at ranks 94..100 (93 rarer
+    unique tokens precede them), so the buggy bound prunes the pair
+    whose jaccard is exactly at threshold (7/100 = 0.07)."""
+    from dataclass_array_spark.operators.dedup import ngram_jaccard_pairs
+
+    shared = [f"s{i}" for i in range(7)]        # df=2 → rank AFTER uniques
+    unique = [f"u{i:02d}" for i in range(93)]   # df=1 → A's first 93 ranks
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2],
+                "text": [" ".join(unique + shared), " ".join(shared)],
+            }
+        )
+    )
+    for pf in (True, False):
+        rows = ngram_jaccard_pairs(
+            df, "text", "id", threshold=0.07, shingle_k=1,
+            max_doc_freq=None, prefix_filter=pf,
+        ).collect()
+        assert len(rows) == 1, f"prefix_filter={pf} lost the boundary pair"
+        assert rows[0]["n_inter"] == 7
+        assert rows[0]["jaccard"] == 7.0 / 100.0
