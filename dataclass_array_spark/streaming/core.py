@@ -265,7 +265,10 @@ def dedup_within_watermark(
 
 
 def run_stream_to_memory(
-    out: DataFrame, mode: str = "complete", name: str | None = None
+    out: DataFrame,
+    mode: str = "complete",
+    name: str | None = None,
+    state_partitions: int | None = 8,
 ) -> Tuple[DataFrame, str]:
     """Drive a (finite file-source) streaming frame to completion through
     a memory sink; returns the result as a batch DataFrame.  This is how
@@ -279,12 +282,43 @@ def run_stream_to_memory(
     finished sink is therefore materialized once into a local
     checkpoint (block-manager storage, disk-spillable, freed by the
     ContextCleaner when the returned frame is garbage-collected) and
-    the sink table dropped immediately."""
+    the sink table dropped immediately.
+
+    ``state_partitions`` bounds ``spark.sql.shuffle.partitions`` for the
+    DURATION OF THE STREAM RUN only (restored afterwards; the value is
+    captured at query start and pinned by the checkpoint).  For stateful
+    operators this is the number of state-store INSTANCES — each one
+    pays open/commit/snapshot overhead per micro-batch, so a
+    few-micro-batch local run at width 32 spends most of its wall on
+    store bookkeeping: the round-9 triage measured the sf0.1
+    stream-stream join at 7.5 s warm with 32 partitions vs 2.7 s with 8
+    (RocksDB vs HDFS provider was a wash at this state size — see
+    PERF.md).  At 100 TB this knob goes the OTHER way: size it to the
+    executor count once at job birth (it is frozen into the checkpoint)
+    and pair it with the RocksDB state store provider so per-executor
+    state lives off-heap — results are partitioning-invariant either
+    way (hash-partitioned stateful ops), which the oracle gates verify.
+
+    Stateful correctness is partition-count-independent, so the local
+    default of 8 changes no results — only where state rows hash."""
     name = name or f"stream_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
     spark = out.sparkSession
+    restore = None
+    if state_partitions is not None:
+        restore = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    try:
+        q = (
+            out.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if restore is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", restore)
     result = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return result, name

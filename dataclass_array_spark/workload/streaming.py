@@ -294,8 +294,14 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     s = events_stream(spark, f"{sf_dir}/events.parquet")
+    # state_partitions=None: applyInPandasWithState is PYTHON-bound
+    # (one Arrow worker per partition), so unlike the JVM stateful
+    # operators its wall tracks worker parallelism, not state-store
+    # bookkeeping — the round-9 triage measured sf1 at 3.98 s with the
+    # session's 32 partitions vs 6.97 s at the narrow streaming
+    # default of 8 (PERF.md).
     out, _ = run_stream_to_memory(
-        running_user_totals_stateful(s), mode="update"
+        running_user_totals_stateful(s), mode="update", state_partitions=None
     )
     return (
         out.groupBy("user_id")
