@@ -40,7 +40,11 @@ NaN parity (round 7): traced expressions follow NUMPY/IEEE NaN
 semantics even where Spark SQL's differ (Spark orders NaN largest and
 makes ``NaN = NaN`` true).  Guarded: comparisons (False on NaN, True
 for ``!=``), ``np.minimum``, ``np.clip``, min-reductions, ``argmin``,
-``np.floor``/``np.ceil`` (BIGINT NaN→0 / ±inf clamp).  Already-correct
+``np.floor``/``np.ceil`` (BIGINT NaN→0 / ±inf clamp), division
+(round 9 — Spark returns NULL for any zero divisor where IEEE says
+±inf/NaN; see ``_ieee_div``), ``arcsinh``/``arccosh`` (round 9 —
+Spark's naive log-forms lose precision near domain edges; fdlibm
+branch structures in ``_asinh_acc``/``_acosh_acc``).  Already-correct
 by Spark's own behavior: ``maximum``/``greatest``, max-reductions,
 ``argmax`` (first-NaN), ``bround``, ``signum``, arithmetic folds.
 Differentially fuzzed with NaN-bearing corpora in
@@ -211,6 +215,82 @@ def _nan_int_round(c: Column, fn) -> Column:
     return F.when(
         F.isnan(cd) | (F.abs(cd) >= F.lit(float(2**63))), cd
     ).otherwise(fn(c).cast("double"))
+
+
+_LN2 = 0.6931471805599453  # double nearest ln(2), fdlibm's constant
+
+
+def _asinh_acc(c: Column) -> Column:
+    """numpy-grade ``arcsinh``.  Spark's own ``asinh`` is the naive
+    ``log(x + sqrt(x²+1))``, which loses ALL precision near zero
+    (asinh(1e-300) → 0.0 — x² underflows and log(1.0) = 0) and drifts
+    to ~1e5 ulp in the small-|x| band where log(1+y) cancels.  This is
+    the fdlibm branch structure instead — probed ≤1 ulp vs numpy over
+    a 130-value corpus incl. 1e±300, denormals, 2^±28 and specials:
+
+    - |x| ≤ 2⁻²⁸: asinh(x) = x (next Taylor term is x³/6 < 2⁻⁵⁷·x)
+    - |x| ≥ 2²⁸ (incl. ±inf): sign·(log|x| + ln2)
+    - |x| > 2:   sign·log(2|x| + 1/(|x| + sqrt(x²+1)))
+    - else:      sign·log1p(|x| + x²/(1 + sqrt(1+x²)))
+
+    NaN: Spark orders NaN above every value, so NaN ≤ 2⁻²⁸ is false
+    and NaN falls through to a branch that propagates it."""
+    u = F.abs(c)
+    one = F.lit(1.0)
+    return F.when(u <= F.lit(2.0**-28), c).otherwise(
+        F.signum(c)
+        * (
+            F.when(u >= F.lit(2.0**28), F.log(u) + F.lit(_LN2))
+            .when(
+                u > F.lit(2.0),
+                F.log(F.lit(2.0) * u + one / (u + F.sqrt(u * u + one))),
+            )
+            .otherwise(F.log1p(u + u * u / (one + F.sqrt(one + u * u))))
+        )
+    )
+
+
+def _acosh_acc(c: Column) -> Column:
+    """numpy-grade ``arccosh`` (domain x ≥ 1).  Spark's naive
+    ``log(x + sqrt(x²-1))`` overflows x² at x ~ 1e300 (→ +inf instead
+    of ~691) and cancels in x²−1 just above 1 (~10 ulp at x = 1.02,
+    ~1e6 ulp at 1+1e-7).  fdlibm branches, probed ≤1 ulp vs numpy:
+
+    - x ≥ 2²⁸ (incl. +inf): log(x) + ln2
+    - x ≥ 2: log(2x − 1/(x + sqrt(x²−1)))
+    - 1 < x < 2: log1p(t + sqrt(2t + t²)), t = x−1  (no cancellation)
+    - x = 1: 0;  x < 1 or NaN: NaN (NaN falls into the x ≥ 2²⁸ branch
+      under Spark's NaN-is-largest ordering — log(NaN) + ln2 = NaN)."""
+    t = c - F.lit(1.0)
+    return (
+        F.when(c >= F.lit(2.0**28), F.log(c) + F.lit(_LN2))
+        .when(
+            c >= F.lit(2.0),
+            F.log(F.lit(2.0) * c - F.lit(1.0) / (c + F.sqrt(c * c - F.lit(1.0)))),
+        )
+        .when(c > F.lit(1.0), F.log1p(t + F.sqrt(F.lit(2.0) * t + t * t)))
+        .when(c == F.lit(1.0), F.lit(0.0))
+        .otherwise(F.lit(float("nan")))
+    )
+
+
+def _ieee_div(a: Column, b: Column) -> Column:
+    """IEEE-754 division: numpy gives ``x/0 = ±inf`` (sign of x) and
+    ``0/0 = NaN/0 = NaN``; Spark SQL division returns NULL for ANY
+    zero divisor — a silent semantic change (NULL propagates
+    differently from ±inf through every downstream comparison).  The
+    one knowing divergence: a ``-0.0`` divisor is treated as ``+0.0``
+    (Spark cannot see a float's sign bit; numpy would flip the
+    result's sign).  NaN divisors skip the guard (``NaN == 0.0`` is
+    false even under Spark's NaN ordering) and propagate through the
+    raw division."""
+    return F.when(
+        b.cast("double") == F.lit(0.0),
+        F.when(
+            F.isnan(a.cast("double")) | (a.cast("double") == F.lit(0.0)),
+            F.lit(float("nan")),
+        ).otherwise(F.signum(a) * F.lit(float("inf"))),
+    ).otherwise(a / b)
 
 
 def _fold_sum(arr: Column) -> Column:
@@ -565,10 +645,10 @@ class SymbolicArray:
     __rmul__ = __mul__
 
     def __truediv__(self, o):
-        return self._binop(o, lambda a, b: a / b, numeric=True)
+        return self._binop(o, _ieee_div, numeric=True)
 
     def __rtruediv__(self, o):
-        return self._binop(o, lambda a, b: a / b, reverse=True, numeric=True)
+        return self._binop(o, _ieee_div, reverse=True, numeric=True)
 
     def __pow__(self, o):
         return self._binop(o, lambda a, b: F.pow(a, b), numeric=True)
@@ -690,7 +770,7 @@ class SymbolicArray:
         np.add: lambda a, b: a + b,
         np.subtract: lambda a, b: a - b,
         np.multiply: lambda a, b: a * b,
-        np.true_divide: lambda a, b: a / b,
+        np.true_divide: _ieee_div,
         np.power: lambda a, b: F.pow(a, b),
         # wrapped in a 2-arg lambda: zip_with inspects its lambda's
         # signature and rejects the (*cols) varargs of greatest/least.
@@ -757,6 +837,22 @@ class SymbolicArray:
         np.log1p: _ieee_log(F.log1p, -1.0),
         np.expm1: F.expm1,
         np.cbrt: F.cbrt,
+        # inverse hyperbolics (round 9): asinh/acosh need the fdlibm
+        # branch structure — Spark's naive log-forms lose precision
+        # near their domain edges (see _asinh_acc/_acosh_acc); raw
+        # atanh probed ≤1 ulp everywhere incl. 1e-300 and ±1 → ±inf.
+        np.arcsinh: _asinh_acc,
+        np.arccosh: _acosh_acc,
+        np.arctanh: F.atanh,
+        np.square: lambda c: c * c,  # bit-exact
+        np.positive: lambda c: c,
+        np.reciprocal: lambda c: _ieee_div(F.lit(1.0), c),
+        np.exp2: lambda c: F.pow(F.lit(2.0), c),  # probed ≤1 ulp
+        # trunc = round toward zero; NaN takes the floor branch
+        # (NaN < 0 is false) where _nan_int_round passes it through
+        np.trunc: lambda c: F.when(
+            c < 0, _nan_int_round(c, F.ceil)
+        ).otherwise(_nan_int_round(c, F.floor)),
         np.radians: F.radians,  # x * (pi/180) — bit-exact vs numpy
         np.degrees: F.degrees,  # x * (180/pi) — bit-exact vs numpy
         np.sign: F.signum,  # signum(NaN) = NaN — numpy-correct as-is

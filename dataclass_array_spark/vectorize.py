@@ -10,11 +10,17 @@ Spark-first compilation tiers (SURVEY.md §4.3):
   composes (arithmetic, ``F.*``), the whole batched computation is a single
   codegen'd ``select`` — the moral equivalent of the reference's compiled
   ``jax.vmap`` path (`vectorization.py:350-378`) but JVM-side.
-- **Tier 2 — Arrow batch loop**: ``mapInPandas``; each Arrow batch is
-  decoded to numpy and the scalar method runs per row (the reference's
-  numpy backend is exactly this unrolled loop, `vectorization.py:333-347`).
-  Output schema is inferred by running the method once on the first row,
-  mirroring the reference's tf signature inference
+- **Tier 2a — Arrow numpy-batch** (round 9): ``mapInPandas``; each Arrow
+  batch is decoded to (B, *inner) numpy arrays and the scalar method runs
+  ONCE on the whole batch via numpy broadcasting — sound only for
+  leading-axis-broadcastable programs, so two guards reject the rest:
+  output shapes must be (B, *out_shape), and the first rows are replayed
+  through the scalar path bit-exactly (see ``try_batch``).
+- **Tier 2b — Arrow per-row loop** (last resort): same ``mapInPandas``,
+  the scalar method runs per row (the reference's numpy backend is
+  exactly this unrolled loop, `vectorization.py:333-347`).
+  Output schema for both 2a/2b is inferred by running the method once on
+  the first row, mirroring the reference's tf signature inference
   (`vectorization.py:437-450`), or declared via ``returns=``.
 
 Argument batching (reference `_broadcast_and_flatten_args`,
@@ -369,8 +375,9 @@ def vectorize_method(
             )
             msg = (
                 f"{type(self).__name__}.{method.__name__}: Catalyst tracing "
-                f"failed, falling back to the per-row Arrow loop "
-                f"(~10-100x slower). Causes: {detail}"
+                f"failed, falling back to the Arrow numpy tier (whole-batch "
+                f"numpy broadcasting when the method allows it, else the "
+                f"per-row loop, ~10-100x slower). Causes: {detail}"
             )
             if strict:
                 from dataclass_array_spark.symbolic import TraceError
@@ -451,10 +458,110 @@ def vectorize_method(
                 + [T.StructField(k, s.spark_type, True) for k, s in out_specs.items()]
             )
 
+            def batch_views(pdf):
+                """(B, *inner) numpy views over a whole Arrow batch —
+                the tier-2a input shape (same leading-batch-axis layout
+                the reference's numpy backend vmaps over,
+                vectorization.py:53-110)."""
+
+                def col_arr(c, spec):
+                    if spec.inner_shape:
+                        # ragged dynamic dims make this stack raise —
+                        # the per-row loop handles those
+                        return np.asarray(
+                            [np.asarray(v, dtype=spec.np_dtype) for v in pdf[c]],
+                            dtype=spec.np_dtype,
+                        )
+                    return np.asarray(pdf[c].to_numpy(), dtype=spec.np_dtype)
+
+                self_fields = {
+                    k: col_arr(k, s) for k, s in self_specs.items()
+                }
+                views = {}
+                for prefix in prefixes:
+                    flds = {
+                        f: col_arr(c, s)
+                        for c, (f, s) in arg_specs.items()
+                        if c.startswith(prefix)
+                    }
+                    views[prefix] = _ScalarView(flds, arg_statics[prefix])
+                return _ScalarView(self_fields, statics_b), views
+
+            def _same(a, b):
+                a, b = np.asarray(a), np.asarray(b)
+                if a.shape != b.shape:
+                    return False
+                if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+                    return bool(np.array_equal(a, b, equal_nan=True))
+                return bool(np.array_equal(a, b))
+
+            def try_batch(pdf):
+                """Tier 2a: run the scalar-written method ONCE on the
+                whole (B, *inner) batch.  Sound only for methods whose
+                numpy program broadcasts over a leading axis, so two
+                guards reject everything else: (1) every output must
+                come back shaped (B, *out_shape) — reductions/indexing
+                over what is now the batch axis change the shape;
+                (2) the first min(3, B) rows are re-run through the
+                scalar path and compared bit-exactly — catches
+                cross-row mixing that happens to keep the shape (e.g.
+                cumsum, or axis-0 indexing when B equals an inner dim).
+                Any exception (float(), bool(), shape errors in dot/
+                matmul…) or guard failure returns None and the caller
+                pins the per-row loop for the rest of the task."""
+                try:
+                    sv, vs = batch_views(pdf)
+                    r = call_method(sv, vs)
+                    B = len(pdf)
+                    outs = {}
+                    for k, spec in out_specs.items():
+                        v = np.asarray(r[k])
+                        want = (B,) + tuple(spec.inner_shape)
+                        if len(v.shape) != len(want) or any(
+                            w is not None and g != w
+                            for g, w in zip(v.shape, want)
+                        ):
+                            return None
+                        outs[k] = v
+                    for i in range(min(3, B)):
+                        sv_i, vs_i = row_views(lambda c: pdf[c].iloc[i])
+                        ri = call_method(sv_i, vs_i)
+                        for k in out_specs:
+                            if not _same(ri[k], outs[k][i]):
+                                return None
+                    return outs
+                except Exception:
+                    import os
+
+                    if os.environ.get("DCA_VECTORIZE_DEBUG"):
+                        import traceback
+
+                        traceback.print_exc()
+                    return None
+
             def run(batches):
                 import pandas as pd
 
+                state = {"batch_ok": True}
                 for pdf in batches:
+                    outs = (
+                        try_batch(pdf)
+                        if state["batch_ok"] and len(pdf)
+                        else None
+                    )
+                    res = pd.DataFrame({ROWID: pdf[ROWID]})
+                    if outs is not None:
+                        for k, spec in out_specs.items():
+                            v = outs[k]
+                            res[k] = (
+                                [x.tolist() for x in v]
+                                if spec.inner_shape
+                                else v.tolist()
+                            )
+                        yield res
+                        continue
+                    if len(pdf):
+                        state["batch_ok"] = False  # don't re-probe per batch
                     out_cols: Dict[str, list] = {k: [] for k in out_specs}
                     for i in range(len(pdf)):
                         sv, vs = row_views(lambda c: pdf[c].iloc[i])
@@ -462,7 +569,6 @@ def vectorize_method(
                         for k in out_specs:
                             v = np.asarray(r[k])
                             out_cols[k].append(v.tolist() if v.ndim else v.item())
-                    res = pd.DataFrame({ROWID: pdf[ROWID]})
                     for k in out_specs:
                         res[k] = out_cols[k]
                     yield res

@@ -483,6 +483,10 @@ _TRANS_UNARY = [
     np.sinh, np.cosh, np.tanh, np.exp, np.expm1,
     np.log, np.log10, np.log2, np.log1p,
     np.cbrt, np.sqrt, np.radians, np.degrees,
+    # round 9: inverse hyperbolics (asinh/acosh via the fdlibm branch
+    # structure — Spark's naive log-forms fail near domain edges; see
+    # symbolic._asinh_acc), exp2, and the exact square/trunc
+    np.arcsinh, np.arccosh, np.arctanh, np.exp2, np.square, np.trunc,
 ]
 
 
@@ -561,6 +565,35 @@ def test_transcendental_binaries_trace_tier1_within_ulp(spark):
             warnings.simplefilter("ignore")
             want = oracle(xs)
         _assert_ulp(out, want, ctx=name)
+
+
+def test_ieee_division_by_zero(spark):
+    """Round 9: x/0 must follow IEEE (±inf by sign of x, 0/0 and
+    NaN/0 → NaN) — raw Spark division returns NULL for any zero
+    divisor.  The knowing divergence (-0.0 divisor treated as +0.0)
+    is excluded from the corpus and documented in symbolic._ieee_div."""
+    num = np.array([3.0, -2.0, 0.0, np.nan, np.inf, -np.inf, 1e-300, -5.0])
+    den = np.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 2.0])
+    t = VT(spark, x=num, v=np.tile(den, (3, 1)).T)
+    cases = [
+        ("div_lit_zero", lambda view: view.x / np.float64(0.0),
+         lambda n, d: n / 0.0),
+        ("div_elem", lambda view: view.x / view.v[0], lambda n, d: n / d),
+        ("rdiv", lambda view: np.float64(1.0) / (view.x + 2.0), lambda n, d: 1.0 / (n + 2.0)),
+        ("true_divide", lambda view: np.true_divide(view.x, view.v[0]), lambda n, d: n / d),
+        ("reciprocal", lambda view: np.reciprocal(view.x + 2.0), lambda n, d: np.reciprocal(n + 2.0)),
+    ]
+    import warnings
+
+    for name, body, oracle in cases:
+        _BODY["fn"] = body
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", das.VectorizeFallbackWarning)
+            out = np.asarray(t.compute().to_numpy_fields()["r"], dtype=np.float64)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            want = np.array([oracle(n, d) for n, d in zip(num, den)], dtype=np.float64)
+        np.testing.assert_array_equal(out, want, err_msg=name)
 
 
 def test_transcendental_vector_elementwise(spark):

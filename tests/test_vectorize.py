@@ -27,11 +27,11 @@ class Ray(das.DcaTable):
 
     @das.vectorize_method
     def dir_norm2_t2(self):
-        # np.arcsinh is deliberately unmapped in the tracer (np.sin
-        # traces tier-1 since round 8): forces the tier-2 mapInPandas
-        # per-row execution (float() now traces)
+        # np.spacing (ulp distance) is deliberately unmapped in the
+        # tracer (arcsinh traces tier-1 since round 9, sin since round
+        # 8): forces the tier-2 mapInPandas per-row execution
         d = np.asarray(self.dir)
-        return {"n2": float(np.dot(d, d) + 0.0 * np.arcsinh(d).sum())}
+        return {"n2": float(np.dot(d, d) + 0.0 * np.spacing(d).sum())}
 
     @das.vectorize_method
     def scaled_t2(self, factor):
@@ -365,9 +365,9 @@ def test_strict_raises_on_untraceable(spark):
 
         @das.vectorize_method(strict=True)
         def norm2(self):
-            # np.arcsinh is unmapped → untraceable, and strict=True
+            # np.spacing is unmapped → untraceable, and strict=True
             # must surface that as a TraceError instead of falling back
-            return {"n2": float(np.arcsinh(np.asarray(self.dir)).sum())}
+            return {"n2": float(np.spacing(np.asarray(self.dir)).sum())}
 
     r = StrictRay(spark, dir=np.ones((4, 3), dtype=np.float32))
     with pytest.raises(TraceError, match="norm2"):
@@ -673,3 +673,63 @@ def test_tier2_table_arg_roundtrip(spark):
     with pytest.warns(das.VectorizeFallbackWarning, match="shift_loop"):
         got = r.shift_loop(o).to_numpy_fields()["m"]
     np.testing.assert_allclose(got, (pos + delta).sum(axis=1))
+
+
+def test_tier2a_numpy_batch_execution(spark, tmp_path):
+    """Round 9: an untraceable but batch-broadcastable method must run
+    ONCE per Arrow batch on (B, *inner) arrays (tier 2a), not once per
+    row.  The method appends a line to a shared file per invocation:
+    the batch tier makes 1 (schema probe) + per-partition-batch
+    (1 whole-batch + up to 3 guard-row) calls — at most 4*32+1 = 129
+    under any partitioning of 600 rows — while the per-row loop makes
+    600+."""
+    calls = str(tmp_path / "calls.txt")
+
+    @das.dataclass_array(broadcast=True, cast_dtype=True)
+    class SpacedRay(das.DcaTable):
+        dir: f64["*b 3"]
+
+        @das.vectorize_method
+        def spaced(self):
+            with open(calls, "a") as f:
+                f.write("x\n")
+            d = np.asarray(self.dir)
+            # elementwise-only program: broadcasts over ANY leading
+            # batch axis, but np.spacing keeps it untraceable
+            return {"s": (np.spacing(d) + d * 2.0).astype(np.float64)}
+
+    rng = np.random.RandomState(5)
+    d = rng.randn(600, 3)
+    r = SpacedRay(spark, dir=d)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", das.VectorizeFallbackWarning)
+        got = r.spaced().to_numpy_fields()["s"]
+    np.testing.assert_array_equal(got, np.spacing(d) + d * 2.0)
+    n_calls = sum(1 for _ in open(calls))
+    assert n_calls <= 129, f"per-row loop ran: {n_calls} method calls for 600 rows"
+
+
+def test_tier2a_guard_rejects_cross_row_mixing(spark):
+    """The batch tier's differential guard must reject methods that
+    mix rows once batched (cumsum over what becomes the batch axis)
+    and fall back to the per-row loop with correct results."""
+
+    @das.dataclass_array(broadcast=True, cast_dtype=True)
+    class MixRay(das.DcaTable):
+        dir: f64["*b 3"]
+
+        @das.vectorize_method
+        def mixed(self):
+            d = np.asarray(self.dir)
+            # per-row: cumsum over the 3-vector, take last = sum.
+            # batched (B, 3): axis=0 cumsum mixes ROWS but keeps a
+            # (B, 3)-compatible shape when B == 3 per-batch — only the
+            # differential guard catches it.
+            return {"s": float(np.cumsum(d, axis=0)[-1].sum() + 0.0 * np.spacing(d).sum())}
+
+    d = np.arange(12, dtype=np.float64).reshape(4, 3)
+    r = MixRay(spark, dir=d)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", das.VectorizeFallbackWarning)
+        got = r.mixed().to_numpy_fields()["s"]
+    np.testing.assert_array_equal(got, d.sum(axis=1))
