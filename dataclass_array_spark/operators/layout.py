@@ -1,0 +1,157 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering keys.
+
+The 100 TB lever the rest of this repo's scan-side pushdown depends on:
+parquet row-group and file pruning only skips data when the min/max
+stats of the filter columns are TIGHT per file.  A table sorted by one
+column has full-range stats for every other column, so a selective
+2-column predicate still reads everything; interleaving the bits of
+both columns into one sort key (the Z-order / Morton curve — the same
+layout Delta's OPTIMIZE ZORDER BY and Iceberg's sort-order rewrite
+produce) gives every file a small bounding BOX in the value space, and
+min/max pruning starts working for EVERY interleaved column at once.
+``tests/test_layout.py`` measures exactly that: the summed per-file
+bounding-box area of a Z-ordered layout is a small fraction of a
+single-column sort's.
+
+Everything here is pure Catalyst column arithmetic (shift/AND/OR
+folds — no UDF, no shuffle beyond the final ``repartitionByRange``),
+so the key computation runs in whole-stage codegen at scan speed.
+
+Exactness: the Morton interleave is integer-only bit arithmetic and
+the min-max scaling uses integer ``div`` (no doubles anywhere), so the
+DuckDB oracle mirrors it bit-for-bit; ``zorder_sql`` emits the
+equivalent SQL expression for the gate.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_key(cols: Sequence[Column], bits: int) -> Column:
+    """Interleave ``bits`` low bits of each (already non-negative,
+    ``< 2**bits``) integer column into one BIGINT Morton key.
+
+    Bit ``i`` of column ``j`` lands at position ``i * k + j`` (column 0
+    owns the least-significant interleaved bit), the standard Morton
+    order.  ``bits * len(cols)`` must fit a signed 64-bit key.  The
+    expression is a fold of ``((c >> i) & 1) << (i*k + j)`` terms —
+    2 * bits * k bitwise ops, all codegen'd; for the typical
+    ``bits=16, k=2-3`` that is well inside expression-size comfort."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("morton_key needs >= 2 columns to interleave")
+    if bits * k > 63:
+        raise ValueError(f"bits*len(cols) = {bits * k} > 63 overflows BIGINT")
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        c = c.cast("long")
+        for i in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    return key
+
+
+def morton_sql(exprs: Sequence[str], bits: int) -> str:
+    """DuckDB mirror of :func:`morton_key` over SQL expressions —
+    identical bit placement, integer-only."""
+    k = len(exprs)
+    terms = []
+    for j, e in enumerate(exprs):
+        for i in range(bits):
+            # fully parenthesized: Postgres-lineage engines give <<
+            # and | EQUAL precedence (left-assoc), so a bare
+            # `a << 2 | b << 3` would parse as `((a << 2) | b) << 3`
+            terms.append(f"(((({e}) >> {i}) & 1) << {i * k + j})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def scale_expr(c: Column, cmin: int, cmax: int, bits: int) -> Column:
+    """Min-max scale onto ``[0, 2**bits)``: ``floor((c - min) *
+    (2^bits - 1) / span)`` with the product and division in DOUBLES.
+    Cross-engine exact by MIRRORING (``scale_sql`` emits the identical
+    expression — identical IEEE doubles floor identically), with the
+    representability bound enforced: ``span * (2^bits - 1)`` must stay
+    under 2^53 so the numerator is exact.  A constant column maps
+    to 0."""
+    span = cmax - cmin
+    if span <= 0:
+        return F.lit(0).cast("long")
+    if span * ((1 << bits) - 1) >= (1 << 53):
+        raise ValueError(
+            f"span {span} * (2^{bits}-1) exceeds 2^53 — pre-bucketize "
+            "the column or lower bits"
+        )
+    return F.floor(
+        (c.cast("long") - F.lit(cmin)).cast("double")
+        * F.lit(float((1 << bits) - 1))
+        / F.lit(float(span))
+    ).cast("long")
+
+
+def scale_sql(expr: str, cmin: int, cmax: int, bits: int) -> str:
+    """DuckDB mirror of :func:`scale_expr` (identical double ops)."""
+    span = cmax - cmin
+    if span <= 0:
+        return "CAST(0 AS BIGINT)"
+    return (
+        f"CAST(FLOOR(CAST(({expr}) - {cmin} AS DOUBLE) * "
+        f"{float((1 << bits) - 1)!r} / {float(span)!r}) AS BIGINT)"
+    )
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 16
+) -> Tuple[Column, List[Tuple[int, int]]]:
+    """Z-order key column for integer columns ``cols`` of ``df``:
+    min-max-scales each onto ``[0, 2**bits)`` (:func:`scale_expr`),
+    then Morton-interleaves.  Returns ``(key_column, [(min, max)...])``
+    so callers can reproduce the scaling (e.g. in an oracle).
+
+    The min/max pass is one aggregate collected to the driver — two
+    BIGINTs per column, scale-independent driver state.  At 100 TB
+    run it once and persist the bounds with the table (re-scaling on
+    every write would also make file boundaries unstable across
+    incremental writes)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).cast("long"), F.max(c).cast("long")]
+    row = df.agg(*aggs).collect()[0]
+    bounds = [(row[2 * i], row[2 * i + 1]) for i in range(len(cols))]
+    scaled = [
+        scale_expr(F.col(c), mn, mx, bits)
+        for c, (mn, mx) in zip(cols, bounds)
+    ]
+    return morton_key(scaled, bits), bounds
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    num_files: int = 0,
+) -> List[Tuple[int, int]]:
+    """Write ``df`` as parquet laid out along the Z-order curve of
+    ``cols``: range-partition by the Morton key (one total-order
+    shuffle — the same cost as any global sort) and sort within
+    partitions, so every output file covers one contiguous curve
+    segment = one small bounding box in (cols...) space.  Returns the
+    per-column bounds used for scaling (persist them next to the
+    table; incremental writers must reuse them).  ``num_files=0``
+    keeps the session shuffle width."""
+    key, bounds = zorder_key(df, cols, bits)
+    out = df.withColumn("_zkey", key)
+    out = (
+        out.repartitionByRange(num_files, "_zkey")
+        if num_files
+        else out.repartitionByRange("_zkey")
+    )
+    out.sortWithinPartitions("_zkey").drop("_zkey").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return bounds

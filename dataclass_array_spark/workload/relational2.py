@@ -772,3 +772,57 @@ ORDER BY c_custkey, version
 QUERIES["scd2_customer_history"] = Query(
     scd2_customer_history, SCD2_SQL, tags=("merge", "cdc", "scd2")
 )
+
+
+# ------------------------------------------ Z-order layout key
+def zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, order day) —
+    the multi-dimensional data-layout operator (operators/layout.py):
+    files written along this key carry tight min/max parquet stats in
+    BOTH dimensions, so selective customer+date scans prune instead of
+    reading everything.  The gate verifies the key computation
+    (integer bit interleave + mirrored double min-max scaling) value-
+    exactly; the file-skipping effect itself is asserted by
+    tests/test_layout.py's bounding-box measurement."""
+    from dataclass_array_spark.operators.layout import zorder_key
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].withColumn(
+        "_day",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1992-01-01"))
+        ),
+    )
+    key, _bounds = zorder_key(o, ["o_custkey", "_day"], bits=16)
+    return (
+        o.select(F.col("o_orderkey"), key.alias("zkey"))
+        .orderBy("o_orderkey")
+    )
+
+
+def _zorder_oracle() -> str:
+    from dataclass_array_spark.operators.layout import morton_sql
+
+    day = "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    scale = (
+        "CAST(FLOOR(CAST({e} - {mn} AS DOUBLE) * 65535.0 "
+        "/ CAST({mx} - {mn} AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+WITH b AS (
+  SELECT MIN(o_custkey) AS cmn, MAX(o_custkey) AS cmx,
+         MIN({day}) AS dmn, MAX({day}) AS dmx
+  FROM orders
+), s AS (
+  SELECT o_orderkey,
+         {scale.format(e="o_custkey", mn="b.cmn", mx="b.cmx")} AS s0,
+         {scale.format(e=day, mn="b.dmn", mx="b.dmx")} AS s1
+  FROM orders, b
+)
+SELECT o_orderkey, {morton_sql(["s0", "s1"], 16)} AS zkey
+FROM s ORDER BY o_orderkey
+"""
+
+
+QUERIES["zorder_orders_layout"] = Query(
+    zorder_orders_layout, _zorder_oracle(), tags=("layout", "zorder")
+)

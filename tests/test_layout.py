@@ -1,0 +1,162 @@
+"""Z-order layout operator: Morton key correctness vs a python
+reference, scaling bounds, and the actual file-skipping effect (per-
+partition bounding boxes shrink vs a single-column sort)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataclass_array_spark.operators.layout import (
+    morton_key,
+    morton_sql,
+    scale_expr,
+    zorder_key,
+    write_zordered,
+)
+
+
+def _morton_ref(vals, bits):
+    """Python reference interleave: bit i of column j -> i*k + j."""
+    k = len(vals)
+    out = 0
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            out |= ((int(v) >> i) & 1) << (i * k + j)
+    return out
+
+
+def test_morton_key_matches_reference(spark):
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 1 << 16, 200)
+    b = rng.randint(0, 1 << 16, 200)
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], "a long, b long"
+    )
+    got = (
+        df.withColumn("z", morton_key([F.col("a"), F.col("b")], 16))
+        .orderBy("a", "b")
+        .collect()
+    )
+    for r in got:
+        assert r["z"] == _morton_ref([r["a"], r["b"]], 16)
+
+
+def test_morton_key_three_columns_and_bounds(spark):
+    df = spark.createDataFrame([(5, 3, 7)], "a long, b long, c long")
+    z = df.select(
+        morton_key([F.col("a"), F.col("b"), F.col("c")], 3).alias("z")
+    ).collect()[0]["z"]
+    assert z == _morton_ref([5, 3, 7], 3)
+    with pytest.raises(ValueError, match="overflows"):
+        morton_key([F.col("a"), F.col("b")], 32)
+    with pytest.raises(ValueError, match=">= 2"):
+        morton_key([F.col("a")], 8)
+
+
+def test_scale_expr_endpoints_and_guard(spark):
+    df = spark.createDataFrame([(0,), (50,), (100,)], "x long")
+    got = [
+        r["s"]
+        for r in df.select(scale_expr(F.col("x"), 0, 100, 8).alias("s"))
+        .orderBy("x")
+        .collect()
+    ]
+    assert got[0] == 0 and got[-1] == 255 and 0 < got[1] < 255
+    with pytest.raises(ValueError, match="2\\^53"):
+        scale_expr(F.col("x"), 0, 1 << 45, 16)
+
+
+def test_morton_sql_matches_spark(spark):
+    """The oracle-side SQL string evaluates identically in DuckDB."""
+    import duckdb
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 1 << 12, 100)
+    b = rng.randint(0, 1 << 12, 100)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ",".join(f"({int(x)},{int(y)})" for x, y in zip(a, b)) +
+                ") v(a, b)")
+    sql_vals = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {morton_sql(['a', 'b'], 12)} FROM t ORDER BY a, b"
+        ).fetchall()
+    ]
+    ref = sorted(zip(a, b))
+    assert sql_vals == [_morton_ref(v, 12) for v in ref]
+
+
+def _partition_boxes(df, xcol, ycol):
+    """Per-partition min/max bounding boxes — what parquet footer
+    stats would expose to a pruned scan."""
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.min(xcol).alias("x0"), F.max(xcol).alias("x1"),
+            F.min(ycol).alias("y0"), F.max(ycol).alias("y1"),
+        )
+        .collect()
+    )
+
+
+def _files_read(boxes, dim0, dim1, lo, hi):
+    """Partitions a min/max-pruned scan must read for a 1-d range
+    predicate ``lo <= dim <= hi`` (dim0/dim1 = that dim's box cols)."""
+    return sum(1 for b in boxes if b[dim1] >= lo and b[dim0] <= hi)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """The scale claim, measured as partition pruning: sorting by x
+    alone leaves every partition spanning the FULL y range, so a
+    selective y predicate reads all 16 partitions; range-partitioning
+    on the Z-key gives partitions bounded in BOTH dims, so the same
+    predicate prunes most of them — at the price of reading a few
+    more partitions for an x predicate.  At 64 partitions (files) the
+    z-order boxes approximate an 8×8 grid: a 64-wide band intersects
+    ~2 grid rows plus range-boundary stragglers in EITHER dimension,
+    while the x-sorted layout reads ~5 for x and all 64 for y.  The
+    trade only pays off at realistic file counts — at 16 partitions
+    the boxes are too coarse to beat the 1-dim sort's own dimension,
+    which is why OPTIMIZE-style z-ordering targets many-file tables."""
+    rng = np.random.RandomState(7)
+    n = 16384
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in
+         zip(rng.randint(0, 1024, n), rng.randint(0, 1024, n))],
+        "x long, y long",
+    )
+    key, bounds = zorder_key(df, ["x", "y"], bits=10)
+    assert bounds[0][0] >= 0 and bounds[1][1] <= 1023
+    zb = _partition_boxes(
+        df.withColumn("_z", key).repartitionByRange(64, "_z"), "x", "y"
+    )
+    nb = _partition_boxes(df.repartitionByRange(64, "x"), "x", "y")
+    # selective 64-wide range predicate on each dimension
+    z_x, z_y = _files_read(zb, "x0", "x1", 480, 543), _files_read(zb, "y0", "y1", 480, 543)
+    n_x, n_y = _files_read(nb, "x0", "x1", 480, 543), _files_read(nb, "y0", "y1", 480, 543)
+    assert n_y == 64, "x-sorted layout must be unprunable on y"
+    assert z_y <= 28, f"z-order failed to prune on y: reads {z_y}/64"
+    assert z_x <= 28, f"z-order failed to prune on x: reads {z_x}/64"
+    assert z_x + z_y < (n_x + n_y) * 3 // 4, (
+        f"zorder ({z_x}+{z_y}) vs x-sort ({n_x}+{n_y})"
+    )
+
+
+def test_write_zordered_roundtrip(spark, tmp_path):
+    rng = np.random.RandomState(13)
+    n = 2000
+    df = spark.createDataFrame(
+        [(i, int(x), int(y)) for i, (x, y) in
+         enumerate(zip(rng.randint(0, 512, n), rng.randint(0, 512, n)))],
+        "id long, x long, y long",
+    )
+    path = str(tmp_path / "zt")
+    bounds = write_zordered(df, path, ["x", "y"], bits=9, num_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert sorted(r["id"] for r in back.select("id").collect()) == list(range(n))
+    assert len(bounds) == 2 and all(mn <= mx for mn, mx in bounds)
+    # _zkey must not leak into the written schema
+    assert set(back.columns) == {"id", "x", "y"}
