@@ -29,6 +29,15 @@ from pyspark.sql import functions as F
 _DEC = "decimal(25,6)"
 
 
+def _split_sum(c: Column) -> Column:
+    """Exact decimal sum → double via the floor-split (round 9: direct
+    decimal→double casts double-round differently across engines past
+    2^53 scaled units — winsorized sf1 sums are ~7e16 scaled)."""
+    t = F.sum(c.cast(_DEC))
+    f = F.floor(t)
+    return f.cast("double") + (t - f).cast("double")
+
+
 def _hist_median(df: DataFrame, group_col: str, value: Column, out: str) -> DataFrame:
     """Exact per-group median of ``value`` via the cumulative value
     histogram → ``(group_col, out)``.  Two-middle-rows: a middle value
@@ -207,7 +216,7 @@ def winsorize_stats(
             F.first("hi").alias("hi"),
             F.sum(F.when(v < F.col("lo"), 1).otherwise(0)).cast("long").alias("n_lo"),
             F.sum(F.when(v > F.col("hi"), 1).otherwise(0)).cast("long").alias("n_hi"),
-            F.sum(w.cast(_DEC)).cast("double").alias("sum_winsorized"),
+            _split_sum(w).alias("sum_winsorized"),
         )
         .orderBy(group_col)
     )
@@ -237,9 +246,14 @@ WITH {qcte(q_lo, "qlo")}, {qcte(q_hi, "qhi")}
 SELECT t.{group_col}, qlo.qlo_v AS lo, qhi.qhi_v AS hi,
        CAST(SUM(CASE WHEN t.{value_col} < qlo.qlo_v THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
        CAST(SUM(CASE WHEN t.{value_col} > qhi.qhi_v THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
-       CAST(SUM(CAST(CASE WHEN t.{value_col} < qlo.qlo_v THEN qlo.qlo_v
+       (CAST(FLOOR(SUM(CAST(CASE WHEN t.{value_col} < qlo.qlo_v THEN qlo.qlo_v
                           WHEN t.{value_col} > qhi.qhi_v THEN qhi.qhi_v
-                          ELSE t.{value_col} END AS DECIMAL(25,6))) AS DOUBLE)
+                          ELSE t.{value_col} END AS DECIMAL(25,6)))) AS DOUBLE)
+         + CAST(SUM(CAST(CASE WHEN t.{value_col} < qlo.qlo_v THEN qlo.qlo_v
+                          WHEN t.{value_col} > qhi.qhi_v THEN qhi.qhi_v
+                          ELSE t.{value_col} END AS DECIMAL(25,6))) - FLOOR(SUM(CAST(CASE WHEN t.{value_col} < qlo.qlo_v THEN qlo.qlo_v
+                          WHEN t.{value_col} > qhi.qhi_v THEN qhi.qhi_v
+                          ELSE t.{value_col} END AS DECIMAL(25,6)))) AS DOUBLE))
          AS sum_winsorized
 FROM {table} t
 JOIN qlo ON qlo.{group_col} = t.{group_col}

@@ -327,6 +327,16 @@ def run_stream_to_memory(
 _DEC = "decimal(25,6)"
 
 
+def _dec_sum_double(c: Column) -> Column:
+    """Exact decimal sum → double via the floor-split (mirrors
+    ``workload.base._dec_to_double``; round 9 — a direct decimal→double
+    cast double-rounds past 2^53 scaled units and the two engines round
+    differently there)."""
+    s = F.sum(c.cast(_DEC))
+    f = F.floor(s)
+    return f.cast("double") + (s - f).cast("double")
+
+
 def tumbling_counts(stream: DataFrame, width: str = "1 hour") -> DataFrame:
     """Tumbling-window counts per event type (watermarked: state for a
     window is dropped once the watermark passes its end)."""
@@ -335,7 +345,7 @@ def tumbling_counts(stream: DataFrame, width: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            _dec_sum_double(F.col("value")).alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -367,7 +377,7 @@ def session_window_stats(stream: DataFrame, gap: str = "30 minutes") -> DataFram
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            _dec_sum_double(F.col("value")).alias("sum_value"),
         )
         .select(
             "user_id",

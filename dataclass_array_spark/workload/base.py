@@ -85,24 +85,44 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def dec_to_double(s: Column) -> Column:
+    """decimal→double via the floor-split: a direct cast double-rounds
+    once the scaled integer exceeds 2^53 (caught at sf1 — round 9:
+    q1's 6M-row sum_charge ≈ 2.2e11 at scale 6 is 2.2e17 scaled units,
+    and Spark's and DuckDB's direct casts rounded differently).  Floor
+    and fraction are each exactly convertible, and ``fl(int + frac)``
+    rounds identically across engines."""
+    f = F.floor(s)
+    return f.cast("double") + (s - f).cast("double")
+
+
 def dsum(expr, alias: str) -> Column:
     """Order-independent exact sum of a double expression → DOUBLE."""
     c = F.expr(expr) if isinstance(expr, str) else expr
-    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+    return dec_to_double(F.sum(c.cast(_DEC))).alias(alias)
 
 
 def davg(expr, alias: str) -> Column:
     """avg = exact decimal sum / count, divided in double (identical in
     both engines given identical inputs)."""
     c = F.expr(expr) if isinstance(expr, str) else expr
-    return (F.sum(c.cast(_DEC)).cast("double") / F.count(c)).alias(alias)
+    return (dec_to_double(F.sum(c.cast(_DEC))) / F.count(c)).alias(alias)
+
+
+def sql_split(sum_expr: str) -> str:
+    """DuckDB mirror of :func:`dec_to_double` (the SUM repeats —
+    engines CSE it)."""
+    return (
+        f"(CAST(FLOOR({sum_expr}) AS DOUBLE) "
+        f"+ CAST({sum_expr} - FLOOR({sum_expr}) AS DOUBLE))"
+    )
 
 
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"
+    s = f"SUM(CAST(({expr}) AS DECIMAL(25,6)))"
+    return f"{sql_split(s)} AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr}) AS {alias}"
-    )
+    s = f"SUM(CAST(({expr}) AS DECIMAL(25,6)))"
+    return f"{sql_split(s)} / COUNT({expr}) AS {alias}"

@@ -22,92 +22,46 @@ class Query:
 
 # The driver's per-round correctness gate checks roughly the first 50
 # registry entries, so the window is ROTATED each round to keep every
-# query under recurring driver verification.  Round 8 ordering (same
-# rule as rounds 6-7): queries whose IMPLEMENTATION changed or is NEW
-# this round go first — the 17 new round-8 gates (two-level clustering
-# x2, k-core, LPA communities, MAD outliers, winsorize, OLS, record
-# linkage + entity clusters, duplicate spans, weighted + nucleus
-# sampling, SCD2, EWMA, streaming incremental dedup / stateful totals /
-# sliding), the graph/fuzzy/ngram rewrites (two-level PageRank fold,
-# degree-oriented triangles, prefix-filtered fuzzy + PPJoin jaccard),
-# every clustering/PQ consumer of the shared-train-sample refactor +
-# two-level machinery, the chunking consumers of the sequence(0,-1)
-# fix, and both vectorize gates (transcendental tracer additions) —
-# then the 71 queries that sat out the r07 window (all local-green),
-# then the r07-driver-verified remainder.  Python dicts preserve
-# insertion order, so this ordering is exactly what ``queries()``
-# exposes to the driver.
+# query under recurring driver verification.  Round 9 ordering (same
+# rule as rounds 6-8): queries whose IMPLEMENTATION changed or is NEW
+# this round go first — the new Z-order layout gate, the PPJoin
+# prefix-bound rewrite (dedup_ngram_jaccard), the EWMA oracle
+# tie-break, both vectorize gates (tracer ufunc additions + IEEE
+# division + the tier-2a numpy batch path), and the 7 streaming gates
+# that now run through run_stream_to_memory's bounded state width —
+# then the 9 remaining queries last driver-verified in round 5, then
+# the 41 from round 6 (the stalest window per VERDICT r8 item 2),
+# then rounds 7 and 8.  Python dicts preserve insertion order, so
+# this ordering is exactly what ``queries()`` exposes to the driver.
 _PRIORITY: Tuple[str, ...] = (
-    # ---- implementations changed/new in round 8: verify FIRST ----
-    "duplicate_spans_docs",
-    "linkage_entity_clusters",
-    "winsorize_price_stats",
-    "community_user_states",
-    "weighted_sample_docs",
-    "streaming_incremental_dedup",
+    # ---- implementations changed/new in round 9: verify FIRST ----
+    "zorder_orders_layout",
+    "dedup_ngram_jaccard",
     "ewma_user_values",
-    "nucleus_select_docs",
-    "scd2_customer_history",
-    "streaming_user_totals_stateful",
-    "streaming_sliding_hourly",
-    "ols_price_vs_quantity",
-    "dedup_ngram_jaccard",  # impl changed round 8: PPJoin prefix filter
-    "embedding_kmeans_two_level",
-    "semantic_dedup_two_level",
-    "kcore_user_states",
-    "outlier_mad_quantity",
-    "linkage_part_entities",
-    "pagerank_event_hotspots",
-    "triangle_counts_events",
-    "fuzzy_join_part_names",
-    "semantic_dedup_auto",
-    "semantic_dedup_embeddings",
-    "embedding_kmeans_clusters",
-    "text_cluster_topics",
-    "embedding_ann_pq",
-    "embedding_ann_ivf_pq",
-    "embedding_knn_join_kmeans",
-    "embedding_ann_ivf_kmeans",
-    "embedding_ann_srp",
-    "embedding_ann_ivf",
-    "dedup_chunks_exact",
-    "chunk_documents",
-    "pack_context_windows",
     "shape_vectorize",
     "shape_vectorize_mat",
-    # ---- sat out r07 (local-green), unchanged this round ----
-    "simhash_fingerprints",
-    "text_stats",
-    "lang_id_docs",
-    "doc_fingerprints",
-    "embedding_topk_cosine",
-    "multimodal_metadata",
-    "multimodal_decode",
-    "pipeline_quality_corpus",
-    "vocab_top_words",
-    "tfidf_top_terms",
-    "split_train_val_test",
-    "stratified_sample_docs",
-    "bm25_doc_ranking",
-    "decontam_ngram_overlap",
+    "streaming_purchase_clicks",
+    "streaming_quality_filter",
+    "streaming_tumbling_hourly",
+    "streaming_session_windows",
+    "streaming_dedup_events",
+    "streaming_user_totals_stateful",
+    "streaming_sliding_hourly",
+    # ---- last driver-verified in round 5 (stalest) ----
     "repetition_filter_docs",
     "domain_mixture_sample",
     "multimodal_frames",
     "pipeline_pretrain_corpus",
     "tokenize_docs",
     "token_rarity_docs",
-    "streaming_quality_filter",
-    "streaming_tumbling_hourly",
-    "streaming_session_windows",
-    "streaming_dedup_events",
     "shape_mask_filter",
     "shape_gather",
     "shape_transpose",
+    # ---- last driver-verified in round 6 ----
     "shape_slice",
     "shape_concat_mapfield",
     "median_quantity_by_flag",
     "approx_sketches",
-    "streaming_purchase_clicks",
     "lm_quality_docs",
     "streaming_decontam_docs",
     "q2_min_cost_supplier",
@@ -145,7 +99,7 @@ _PRIORITY: Tuple[str, ...] = (
     "unpivot_part_metrics",
     "salted_revenue_by_flag",
     "ntile_price_quartiles",
-    # ---- r07-driver-verified, unchanged (overflow the ~50 window) ----
+    # ---- last driver-verified in round 7 ----
     "dedup_simhash_pairs",
     "dedup_apply_simhash",
     "dedup_incremental_docs",
@@ -179,6 +133,51 @@ _PRIORITY: Tuple[str, ...] = (
     "q15_top_supplier",
     "q21_waiting_supplier",
     "order_quantity_arrays",
+    # ---- driver-verified in round 8 (freshest; overflow) ----
+    "duplicate_spans_docs",
+    "linkage_entity_clusters",
+    "winsorize_price_stats",
+    "community_user_states",
+    "weighted_sample_docs",
+    "streaming_incremental_dedup",
+    "nucleus_select_docs",
+    "scd2_customer_history",
+    "ols_price_vs_quantity",
+    "embedding_kmeans_two_level",
+    "semantic_dedup_two_level",
+    "kcore_user_states",
+    "outlier_mad_quantity",
+    "linkage_part_entities",
+    "pagerank_event_hotspots",
+    "triangle_counts_events",
+    "fuzzy_join_part_names",
+    "semantic_dedup_auto",
+    "semantic_dedup_embeddings",
+    "embedding_kmeans_clusters",
+    "text_cluster_topics",
+    "embedding_ann_pq",
+    "embedding_ann_ivf_pq",
+    "embedding_knn_join_kmeans",
+    "embedding_ann_ivf_kmeans",
+    "embedding_ann_srp",
+    "embedding_ann_ivf",
+    "dedup_chunks_exact",
+    "chunk_documents",
+    "pack_context_windows",
+    "simhash_fingerprints",
+    "text_stats",
+    "lang_id_docs",
+    "doc_fingerprints",
+    "embedding_topk_cosine",
+    "multimodal_metadata",
+    "multimodal_decode",
+    "pipeline_quality_corpus",
+    "vocab_top_words",
+    "tfidf_top_terms",
+    "split_train_val_test",
+    "stratified_sample_docs",
+    "bm25_doc_ranking",
+    "decontam_ngram_overlap",
 )
 
 

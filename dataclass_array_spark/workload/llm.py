@@ -1140,7 +1140,8 @@ WITH words AS (
             * CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS s
   FROM tf t JOIN df_ USING (word) JOIN lens l ON l.doc_id = t.doc_id, stats
 ), agg AS (
-  SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE) AS score
+  SELECT doc_id, (CAST(FLOOR(SUM(CAST(s AS DECIMAL(25,6)))) AS DOUBLE)
+                  + CAST(SUM(CAST(s AS DECIMAL(25,6))) - FLOOR(SUM(CAST(s AS DECIMAL(25,6)))) AS DOUBLE)) AS score
   FROM scored GROUP BY doc_id
 )
 SELECT doc_id, CAST(FLOOR(score * 1e6) AS BIGINT) AS score_e6

@@ -9,7 +9,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataclass_array_spark.operators.similarity import cosine, norm2
-from dataclass_array_spark.workload.base import dsum, load_tables, spread, sql_dsum
+from dataclass_array_spark.workload.base import dsum, load_tables, spread, sql_dsum, dec_to_double
 from dataclass_array_spark.workload.catalog import Query
 
 
@@ -121,7 +121,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
                COALESCE(o_orderpriority, 'ALL') AS priority,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+               (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(25,6)))) AS DOUBLE)
+                 + CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(25,6)))) AS DOUBLE)) AS revenue
         FROM ord_cust_gs
         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
         ORDER BY segment, priority
@@ -133,7 +134,8 @@ GROUPING_SETS_SQL = """
 SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
        COALESCE(o_orderpriority, 'ALL') AS priority,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+       (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(25,6)))) AS DOUBLE)
+                 + CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(25,6)))) AS DOUBLE)) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
 ORDER BY segment, priority
@@ -321,8 +323,8 @@ def salted_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "l_returnflag",
-        F.col("sum_qty").cast("double").alias("sum_qty"),
-        F.col("sum_price").cast("double").alias("sum_price"),
+        dec_to_double(F.col("sum_qty")).alias("sum_qty"),
+        dec_to_double(F.col("sum_price")).alias("sum_price"),
         "n_rows",
     ).orderBy("l_returnflag")
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataclass_array_spark.workload.base import dsum, load_tables, sql_dsum
+from dataclass_array_spark.workload.base import dsum, load_tables, sql_dsum, dec_to_double, sql_split
 from dataclass_array_spark.workload.catalog import Query
 
 _TS = lambda s: F.lit(s).cast("timestamp")
@@ -96,8 +96,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(promo.cast("decimal(25,6)")).cast("double")
-                / F.sum(rev.cast("decimal(25,6)")).cast("double")
+                * dec_to_double(F.sum(promo.cast("decimal(25,6)")))
+                / dec_to_double(F.sum(rev.cast("decimal(25,6)")))
             ).alias("promo_revenue_pct")
         )
     )
@@ -105,9 +105,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_SQL = """
 SELECT 100.0
-       * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
-       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+       * (CAST(FLOOR(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,6)))) AS DOUBLE) + CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,6))) - FLOOR(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,6)))) AS DOUBLE))
+       / (CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))) AS DOUBLE) + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) - FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))) AS DOUBLE))
          AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -231,7 +233,7 @@ def q22_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, o = t["customer"], t["orders"]
     # threshold = average positive balance (scalar subquery)
     thresh = c.filter(F.col("c_acctbal") > 0).agg(
-        (F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double") / F.count("c_acctbal")).alias("t")
+        (dec_to_double(F.sum(F.col("c_acctbal").cast("decimal(25,6)"))) / F.count("c_acctbal")).alias("t")
     )
     rich = c.join(F.broadcast(thresh)).filter(F.col("c_acctbal") > F.col("t"))
     o98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
@@ -246,7 +248,7 @@ def q22_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q22_SQL = f"""
 SELECT c_mktsegment, COUNT(*) AS n_cust, {sql_dsum('c_acctbal', 'sum_bal')}
 FROM customer
-WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(c_acctbal)
+WHERE c_acctbal > (SELECT (CAST(FLOOR(SUM(CAST(c_acctbal AS DECIMAL(25,6)))) AS DOUBLE) + CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) - FLOOR(SUM(CAST(c_acctbal AS DECIMAL(25,6)))) AS DOUBLE)) / COUNT(c_acctbal)
                    FROM customer WHERE c_acctbal > 0)
   AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
 GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -327,8 +329,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
         .agg(
             (
-                F.sum(target.cast("decimal(25,6)")).cast("double")
-                / F.sum(rev.cast("decimal(25,6)")).cast("double")
+                dec_to_double(F.sum(target.cast("decimal(25,6)")))
+                / dec_to_double(F.sum(rev.cast("decimal(25,6)")))
             ).alias("mkt_share")
         )
         .orderBy("yr")
@@ -337,9 +339,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
-       CAST(SUM(CAST(CASE WHEN n2.n_name = 'CHINA'
-                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
-       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+       (CAST(FLOOR(SUM(CAST(CASE WHEN n2.n_name = 'CHINA'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,6)))) AS DOUBLE) + CAST(SUM(CAST(CASE WHEN n2.n_name = 'CHINA'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,6))) - FLOOR(SUM(CAST(CASE WHEN n2.n_name = 'CHINA'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,6)))) AS DOUBLE))
+       / (CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))) AS DOUBLE) + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) - FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))) AS DOUBLE))
          AS mkt_share
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
