@@ -44,7 +44,11 @@ for ``!=``), ``np.minimum``, ``np.clip``, min-reductions, ``argmin``,
 (round 9 — Spark returns NULL for any zero divisor where IEEE says
 ±inf/NaN; see ``_ieee_div``), ``arcsinh``/``arccosh`` (round 9 —
 Spark's naive log-forms lose precision near domain edges; fdlibm
-branch structures in ``_asinh_acc``/``_acosh_acc``).  Already-correct
+branch structures in ``_asinh_acc``/``_acosh_acc``), ``fmod``/
+``np.mod``/``%`` (zero-divisor NaN + sign-of-divisor correction),
+``fmax`` (Spark greatest ranks NaN largest; fmax ignores it).
+``np.floor_divide`` stays unmapped (tier 2): its inf-dividend
+corrections don't decompose into Catalyst primitives.  Already-correct
 by Spark's own behavior: ``maximum``/``greatest``, max-reductions,
 ``argmax`` (first-NaN), ``bround``, ``signum``, arithmetic folds.
 Differentially fuzzed with NaN-bearing corpora in
@@ -271,6 +275,45 @@ def _acosh_acc(c: Column) -> Column:
         .when(c > F.lit(1.0), F.log1p(t + F.sqrt(F.lit(2.0) * t + t * t)))
         .when(c == F.lit(1.0), F.lit(0.0))
         .otherwise(F.lit(float("nan")))
+    )
+
+
+def _ieee_fmod(a: Column, b: Column) -> Column:
+    """numpy ``fmod`` (C semantics — result sign follows the
+    DIVIDEND): Spark's ``%`` is Java's, which already matches C fmod
+    on every special (inf % x = NaN, x % inf = x, NaN propagation)
+    EXCEPT a zero divisor, where Spark returns NULL and IEEE says
+    NaN."""
+    return F.when(b.cast("double") == F.lit(0.0), F.lit(float("nan"))).otherwise(
+        a % b
+    )
+
+
+def _np_mod(a: Column, b: Column) -> Column:
+    """numpy ``mod``/``remainder`` (Python semantics — result sign
+    follows the DIVISOR): C fmod plus the classic correction ``r + b``
+    when r is nonzero with the opposite sign.  The correction also
+    reproduces numpy's odd-looking special ``mod(-5, inf) = inf``
+    (fmod = -5, signs differ, -5 + inf = inf).  NaN r falls through
+    either branch as NaN (Spark's NaN != 0 is true, but r + b and r
+    are both NaN)."""
+    r = _ieee_fmod(a, b)
+    return F.when(
+        (r != F.lit(0.0)) & ((r < F.lit(0.0)) != (b.cast("double") < F.lit(0.0))),
+        r + b,
+    ).otherwise(r)
+
+
+def _nan_fmax(a: Column, b: Column) -> Column:
+    """numpy ``fmax``: NaN-IGNORING max (returns the non-NaN operand;
+    NaN only if both are).  Spark's ``greatest`` ranks NaN LARGEST, so
+    greatest(NaN, x) = NaN — wrong for fmax; guard explicitly.  (fmin
+    needs no guard: least(NaN, x) = x is already fmin.)"""
+    ad, bd = a.cast("double"), b.cast("double")
+    return (
+        F.when(F.isnan(ad), b)
+        .when(F.isnan(bd), a)
+        .otherwise(F.greatest(a, b))
     )
 
 
@@ -653,6 +696,13 @@ class SymbolicArray:
     def __pow__(self, o):
         return self._binop(o, lambda a, b: F.pow(a, b), numeric=True)
 
+    def __mod__(self, o):
+        # Python % = sign-of-divisor semantics (np.mod), NOT Spark/C %
+        return self._binop(o, _np_mod, numeric=True)
+
+    def __rmod__(self, o):
+        return self._binop(o, _np_mod, reverse=True, numeric=True)
+
     def __neg__(self):
         return self._num()._map(lambda c: -c)
 
@@ -786,6 +836,14 @@ class SymbolicArray:
         # needing numpy-bit-identical results.
         np.arctan2: lambda a, b: F.atan2(a, b),
         np.hypot: lambda a, b: F.hypot(a, b),
+        # round 9: NaN-ignoring extrema + the two modulo semantics
+        # (np.remainder IS np.mod — same ufunc object; np.floor_divide
+        # stays unmapped: its inf-dividend corrections don't decompose
+        # into Catalyst primitives, tier 2 handles it)
+        np.fmin: lambda a, b: F.least(a, b),  # least(NaN,x)=x = fmin
+        np.fmax: _nan_fmax,
+        np.fmod: _ieee_fmod,
+        np.mod: _np_mod,
     }
     # comparison/logical ufuncs dispatch to the dunders so is_bool
     # propagates (np.greater(a, b) ≡ a > b)
@@ -855,6 +913,11 @@ class SymbolicArray:
         ).otherwise(_nan_int_round(c, F.floor)),
         np.radians: F.radians,  # x * (pi/180) — bit-exact vs numpy
         np.degrees: F.degrees,  # x * (180/pi) — bit-exact vs numpy
+        # alias ufuncs are DISTINCT objects in numpy (deg2rad is not
+        # radians) — without their own entries they'd fall to tier 2
+        np.deg2rad: F.radians,
+        np.rad2deg: F.degrees,
+        np.fabs: F.abs,
         np.sign: F.signum,  # signum(NaN) = NaN — numpy-correct as-is
         # Spark floor/ceil return BIGINT (NaN→0, ±inf/huge→Long bounds)
         # — the guard keeps float64 semantics: NaN/±inf/|x|≥2⁶³ pass

@@ -557,6 +557,28 @@ def test_transcendental_binaries_trace_tier1_within_ulp(spark):
          lambda x: np.hypot(x, x - 1.0)),
         ("hypot_rev", lambda view: np.hypot(np.float64(2.0), view.x),
          lambda x: np.hypot(2.0, x)),
+        # round 9: modulo family + NaN-ignoring extrema.  These must be
+        # BIT-exact (pure arithmetic, no libm) — the <=4 ulp slack of
+        # _assert_ulp is only exercised by the transcendentals above.
+        ("fmod_fwd", lambda view: np.fmod(view.x, np.float64(-3.0)),
+         lambda x: np.fmod(x, -3.0)),
+        ("fmod_zero", lambda view: np.fmod(view.x, np.float64(0.0)),
+         lambda x: np.fmod(x, 0.0)),
+        ("mod_fwd", lambda view: np.mod(view.x, np.float64(-3.0)),
+         lambda x: np.mod(x, -3.0)),
+        ("mod_dunder", lambda view: view.x % np.float64(3.0),
+         lambda x: np.mod(x, 3.0)),
+        ("mod_rdunder", lambda view: np.float64(5.0) % (view.x + 4.0),
+         lambda x: np.mod(5.0, x + 4.0)),
+        ("mod_inf_div", lambda view: np.mod(view.x, np.float64(np.inf)),
+         lambda x: np.mod(x, np.inf)),
+        ("fmin_nan", lambda view: np.fmin(view.x, np.float64(0.5)),
+         lambda x: np.fmin(x, 0.5)),
+        ("fmax_nan", lambda view: np.fmax(view.x, np.float64(0.5)),
+         lambda x: np.fmax(x, 0.5)),
+        ("deg2rad", lambda view: np.deg2rad(view.x), np.deg2rad),
+        ("rad2deg", lambda view: np.rad2deg(view.x), np.rad2deg),
+        ("fabs", lambda view: np.fabs(view.x), np.fabs),
     ]
     for name, body, oracle in cases:
         _BODY["fn"] = body

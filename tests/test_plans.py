@@ -432,3 +432,40 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         for name in ("t_orders_b", "t_lineitem_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_zorder_key_is_pure_expression(spark):
+    """The Morton key must be codegen'd column arithmetic — no Python
+    UDF, no extra shuffle beyond the gate's final orderBy (the
+    bit-interleave is shift/AND/OR folds evaluated in the scan
+    stage)."""
+    p = plan(spark, "zorder_orders_layout")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    # the interleave shows up as shift/AND/OR expression trees in a
+    # Project — proof the key is computed scan-side, not in Python
+    assert "shiftleft" in p and "FLOOR" in p
+
+
+def test_write_zordered_range_partitions(spark):
+    """write_zordered's layout shuffle is a single RangePartitioning
+    on the key — the same exchange any total-order sort pays."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from dataclass_array_spark.operators.layout import zorder_key
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    key, _ = zorder_key(o, ["o_custkey", "o_orderkey"], bits=8)
+    laid = o.withColumn("_zkey", key).repartitionByRange(8, "_zkey")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        laid.explain("formatted")
+    p = buf.getvalue()
+    assert "rangepartitioning(_zkey" in p.lower(), p
+    assert "hashpartitioning" not in p.lower()
+    # exactly one physical Exchange node ("(N) Exchange" detail line)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
