@@ -795,10 +795,10 @@ def zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     key, _bounds = zorder_key(o, ["o_custkey", "_day"], bits=16)
-    return (
-        o.select(F.col("o_orderkey"), key.alias("zkey"))
-        .orderBy("o_orderkey")
-    )
+    # no orderBy: the correctness gate's value hash is order-
+    # insensitive, and a total sort of the full orders table would
+    # dominate the gate's cost at sf1 (measured 9.7 -> ~2 s)
+    return o.select(F.col("o_orderkey"), key.alias("zkey"))
 
 
 def _zorder_oracle() -> str:

@@ -160,3 +160,27 @@ def test_write_zordered_roundtrip(spark, tmp_path):
     assert len(bounds) == 2 and all(mn <= mx for mn, mx in bounds)
     # _zkey must not leak into the written schema
     assert set(back.columns) == {"id", "x", "y"}
+    # REAL parquet footer stats: the min/max a pruned scan actually
+    # sees must form tight boxes — every file's x AND y span must be
+    # well under the full 512 range (a single-column sort would leave
+    # y spans at ~full range in every file)
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = _glob.glob(f"{path}/part-*.parquet")
+    assert len(files) >= 4
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        spans = {}
+        for dim in ("x", "y"):
+            mn = min(md.row_group(g).column(cols[dim]).statistics.min
+                     for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(cols[dim]).statistics.max
+                     for g in range(md.num_row_groups))
+            spans[dim] = mx - mn
+        assert spans["x"] <= 384 and spans["y"] <= 384, (fp, spans)
