@@ -837,31 +837,45 @@ def gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = ev.groupBy("user_id").agg(
         F.min("hour").alias("h0"), F.max("hour").alias("h1")
     )
-    grid = span.select(
-        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
-    )
-    w_locf = (
-        Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = grid.join(hourly, on=["user_id", "hour"], how="left").select(
-        "user_id",
-        "hour",
-        F.col("v"),
-        F.last("v", ignorenulls=True).over(w_locf).alias("filled_value"),
-    )
-    # per-user rollup keeps the gate output user-sized while the LOCF
-    # window still runs over the full dense grid; the series fingerprint
-    # is an integer sum (order-free exact) of floor(filled * 1e6)
-    return (
-        filled.groupBy("user_id")
+    # SPAN-WISE LOCF (round 9): the oracle's dense grid (explode h0..h1,
+    # left join, carry-forward window — 13M rows at sf1) only exists to
+    # be re-aggregated, and a carried value is CONSTANT between
+    # observations, so each observed hour contributes exactly
+    # floor(v·1e6) × (next_observed_hour − hour) to the series
+    # fingerprint (the last span capped at h1 + 1).  Integer arithmetic
+    # is identical to summing the carried value hour-by-hour, the
+    # explode and the grid join disappear, and the whole gate runs over
+    # the observed (user, hour) rows only — measured 11.1 → ~2 s sf1.
+    # Null-valued hours behave exactly like absent hours under
+    # ignorenulls-LOCF (the carry passes through), so they drop out of
+    # the span rows but still count the same way in n_observed (count
+    # of non-null v) and not at all in the fingerprint.
+    hourly_nn = hourly.filter(F.col("v").isNotNull())
+    w_next = Window.partitionBy("user_id").orderBy("hour")
+    sp = hourly_nn.withColumn("next_h", F.lead("hour").over(w_next))
+    agg = (
+        sp.join(span, on="user_id")
+        .groupBy("user_id")
         .agg(
-            F.count("*").alias("n_hours"),
-            F.count("v").alias("n_observed"),
+            F.count("*").alias("n_observed"),
             F.sum(
-                F.floor(F.col("filled_value") * 1e6).cast("long")
+                F.floor(F.col("v") * 1e6).cast("long")
+                * (
+                    F.coalesce(F.col("next_h"), F.col("h1") + 1)
+                    - F.col("hour")
+                )
             ).alias("series_fp"),
+        )
+    )
+    return (
+        span.join(agg, on="user_id", how="left")
+        .select(
+            "user_id",
+            (F.col("h1") - F.col("h0") + 1).cast("long").alias("n_hours"),
+            F.coalesce(F.col("n_observed"), F.lit(0).cast("long")).alias(
+                "n_observed"
+            ),
+            F.col("series_fp"),
         )
         .orderBy("user_id")
     )
