@@ -155,3 +155,91 @@ def write_zordered(
         "overwrite"
     ).parquet(path)
     return bounds
+
+
+def _let(bound: Column, body) -> Column:
+    """Lambda-variable let-binding (same trick as operators.text.let):
+    evaluate ``bound`` once per row, reference it many times in
+    ``body``.  Without it the per-level Hilbert state would be
+    re-inlined at every reference and the expression tree would grow
+    exponentially in ``bits``."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
+def hilbert_key(xcol: Column, ycol: Column, bits: int) -> Column:
+    """Hilbert-curve distance of a 2-d point (the better-locality
+    sibling of :func:`morton_key`: consecutive curve positions are
+    always ADJACENT cells, so range-partition boundaries cut the value
+    space into slightly tighter boxes than the Z-curve's jumps).
+
+    Inputs must already be non-negative ints ``< 2**bits`` (compose
+    with :func:`scale_expr`).  The classic per-bit fold (reflect +
+    swap by quadrant, accumulate ``s² · ((3·rx) XOR ry)``) is unrolled
+    PYTHON-side — ``bits`` is a plan-time constant, so every level's
+    ``s`` is a literal and the whole key is one codegen'd integer
+    expression; each level's (x, y, d) state is let-bound so the tree
+    stays linear in ``bits``.  ``2*bits`` must fit a signed 64-bit
+    key."""
+    if 2 * bits > 63:
+        raise ValueError(f"2*bits = {2 * bits} > 63 overflows BIGINT")
+
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def rec(i: int):
+        def level(st: Column) -> Column:
+            x, y, d = st.x, st.y, st.d
+            s = F.lit(1 << i).cast("long")
+            rx = F.when(x.bitwiseAND(s) > 0, one).otherwise(zero)
+            ry = F.when(y.bitwiseAND(s) > 0, one).otherwise(zero)
+            d2 = d + F.lit((1 << i) * (1 << i)).cast("long") * (
+                (rx * F.lit(3).cast("long")).bitwiseXOR(ry)
+            )
+            # quadrant rotation: only when ry == 0 — reflect (if rx)
+            # then swap x/y
+            xr = F.when(rx == one, s - 1 - x).otherwise(x)
+            yr = F.when(rx == one, s - 1 - y).otherwise(y)
+            x2 = F.when(ry == zero, yr).otherwise(x)
+            y2 = F.when(ry == zero, xr).otherwise(y)
+            nxt = F.struct(x2.alias("x"), y2.alias("y"), d2.alias("d"))
+            if i == 0:
+                return nxt.d
+            return _let(nxt, rec(i - 1))
+
+        return level
+
+    init = F.struct(
+        xcol.cast("long").alias("x"),
+        ycol.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    return _let(init, rec(bits - 1))
+
+
+def hilbert_sql(x_expr: str, y_expr: str, bits: int, from_clause: str,
+                select_cols: str) -> str:
+    """DuckDB mirror of :func:`hilbert_key` as a chain of per-level
+    CTEs (one projection per bit, every ``s`` a literal — identical
+    integer arithmetic).  Returns a full query ``SELECT {select_cols},
+    d AS hkey FROM ...``; callers wrap/append as needed."""
+    lines = [
+        f"h{bits} AS (SELECT {select_cols}, CAST({x_expr} AS BIGINT) AS x, "
+        f"CAST({y_expr} AS BIGINT) AS y, CAST(0 AS BIGINT) AS d {from_clause})"
+    ]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        d2 = f"d + CAST({s * s} AS BIGINT) * xor({rx} * 3, {ry})"
+        xr = f"(CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END)"
+        yr = f"(CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END)"
+        x2 = f"(CASE WHEN {ry} = 0 THEN {yr} ELSE x END)"
+        y2 = f"(CASE WHEN {ry} = 0 THEN {xr} ELSE y END)"
+        lines.append(
+            f"h{i} AS (SELECT {select_cols}, {x2} AS x, {y2} AS y, "
+            f"CAST({d2} AS BIGINT) AS d FROM h{i + 1})"
+        )
+    return (
+        "WITH " + ",\n".join(lines)
+        + f"\nSELECT {select_cols}, d AS hkey FROM h0"
+    )

@@ -36,6 +36,9 @@ class Query:
 _PRIORITY: Tuple[str, ...] = (
     # ---- implementations changed/new in round 9: verify FIRST ----
     "zorder_orders_layout",
+    "hilbert_orders_layout",
+    "gap_fill_events",          # span-wise LOCF rewrite (r9)
+    "repetition_filter_docs",   # let()-binding rewrite (r9)
     "dedup_ngram_jaccard",
     "ewma_user_values",
     "shape_vectorize",
@@ -48,7 +51,6 @@ _PRIORITY: Tuple[str, ...] = (
     "streaming_user_totals_stateful",
     "streaming_sliding_hourly",
     # ---- last driver-verified in round 5 (stalest) ----
-    "repetition_filter_docs",
     "domain_mixture_sample",
     "multimodal_frames",
     "pipeline_pretrain_corpus",
@@ -104,7 +106,6 @@ _PRIORITY: Tuple[str, ...] = (
     "dedup_apply_simhash",
     "dedup_incremental_docs",
     "funnel_conversion_events",
-    "gap_fill_events",
     "cohort_retention_events",
     "dq_validate_orders",
     "profile_lineitem",

@@ -828,3 +828,57 @@ FROM s ORDER BY o_orderkey
 QUERIES["zorder_orders_layout"] = Query(
     zorder_orders_layout, _zorder_oracle(), tags=("layout", "zorder")
 )
+
+
+# ------------------------------------------ Hilbert layout key
+def hilbert_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (o_custkey, order day) — the
+    better-locality sibling of the Z-order gate (consecutive curve
+    positions are adjacent cells, so range-partition files get tighter
+    bounding boxes).  Pure unrolled integer expressions (13 let-bound
+    levels, codegen'd); scaling mirrored into the oracle; the key
+    itself is value-exact cross-engine."""
+    from dataclass_array_spark.operators.layout import hilbert_key, scale_expr
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].withColumn(
+        "_day",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1992-01-01"))
+        ),
+    )
+    # one bounds aggregate (two BIGINTs per column of driver state),
+    # then the scaled coordinates feed the Hilbert fold
+    aggs = [
+        F.min("o_custkey").cast("long"), F.max("o_custkey").cast("long"),
+        F.min("_day").cast("long"), F.max("_day").cast("long"),
+    ]
+    r = o.agg(*aggs).collect()[0]
+    sx = scale_expr(F.col("o_custkey"), r[0], r[1], _HILBERT_BITS)
+    sy = scale_expr(F.col("_day"), r[2], r[3], _HILBERT_BITS)
+    return o.select(
+        F.col("o_orderkey"), hilbert_key(sx, sy, _HILBERT_BITS).alias("hkey")
+    )
+
+
+_HILBERT_BITS = 13
+
+
+def _hilbert_oracle() -> str:
+    from dataclass_array_spark.operators.layout import hilbert_sql
+
+    day = "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    scale = (
+        "CAST(FLOOR(CAST({e} - ({mn}) AS DOUBLE) * {m}.0 "
+        "/ CAST(({mx}) - ({mn}) AS DOUBLE)) AS BIGINT)"
+    )
+    m = (1 << _HILBERT_BITS) - 1
+    sx = scale.format(e="o_custkey", mn="(SELECT MIN(o_custkey) FROM orders)",
+                      mx="(SELECT MAX(o_custkey) FROM orders)", m=m)
+    sy = scale.format(e=day, mn=f"(SELECT MIN({day}) FROM orders)",
+                      mx=f"(SELECT MAX({day}) FROM orders)", m=m)
+    return hilbert_sql(sx, sy, _HILBERT_BITS, "FROM orders", "o_orderkey")
+
+
+QUERIES["hilbert_orders_layout"] = Query(
+    hilbert_orders_layout, _hilbert_oracle(), tags=("layout", "hilbert")
+)

@@ -188,3 +188,75 @@ def test_write_zordered_roundtrip(spark, tmp_path):
             spans[dim] = mx - mn
         tight += spans["x"] <= 384 and spans["y"] <= 384
     assert tight >= len(files) - 2, f"only {tight}/{len(files)} tight boxes"
+
+
+def _hilbert_ref(x, y, bits):
+    """Classic xy2d reference."""
+    rx = ry = 0
+    d = 0
+    s = 1 << (bits - 1)
+    x, y = int(x), int(y)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference(spark):
+    from dataclass_array_spark.operators.layout import hilbert_key
+
+    rng = np.random.RandomState(23)
+    a = rng.randint(0, 1 << 10, 300)
+    b = rng.randint(0, 1 << 10, 300)
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], "a long, b long"
+    )
+    got = (
+        df.withColumn("h", hilbert_key(F.col("a"), F.col("b"), 10))
+        .orderBy("a", "b")
+        .collect()
+    )
+    for r in got:
+        assert r["h"] == _hilbert_ref(r["a"], r["b"], 10), (r["a"], r["b"])
+
+
+def test_hilbert_is_a_bijection_with_adjacency(spark):
+    """Every cell of the 16x16 grid gets a distinct curve position in
+    [0, 256), and consecutive positions are ADJACENT cells (the
+    locality property Morton lacks)."""
+    from dataclass_array_spark.operators.layout import hilbert_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    rows = df.select("x", "y", hilbert_key(F.col("x"), F.col("y"), 4).alias("h")).collect()
+    pos = {r["h"]: (r["x"], r["y"]) for r in rows}
+    assert sorted(pos) == list(range(256))
+    for d in range(255):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, f"jump at d={d}"
+
+
+def test_hilbert_sql_matches_spark(spark):
+    import duckdb
+
+    from dataclass_array_spark.operators.layout import hilbert_sql
+
+    rng = np.random.RandomState(29)
+    a = rng.randint(0, 1 << 8, 120)
+    b = rng.randint(0, 1 << 8, 120)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ",".join(f"({int(x)},{int(y)})" for x, y in zip(a, b)) +
+                ") v(a, b)")
+    q = hilbert_sql("a", "b", 8, "FROM t", "a, b")
+    got = {(r[0], r[1]): r[2] for r in con.execute(q).fetchall()}
+    for x, y in zip(a, b):
+        assert got[(int(x), int(y))] == _hilbert_ref(x, y, 8)
