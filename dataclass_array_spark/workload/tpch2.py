@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataclass_array_spark.workload.base import dsum, load_tables, sql_dsum, dec_to_double, sql_split
+from dataclass_array_spark.workload.base import dec_to_double, dsum, load_tables, sql_dsum
 from dataclass_array_spark.workload.catalog import Query
 
 _TS = lambda s: F.lit(s).cast("timestamp")
