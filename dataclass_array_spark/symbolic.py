@@ -46,9 +46,9 @@ for ``!=``), ``np.minimum``, ``np.clip``, min-reductions, ``argmin``,
 Spark's naive log-forms lose precision near domain edges; fdlibm
 branch structures in ``_asinh_acc``/``_acosh_acc``), ``fmod``/
 ``np.mod``/``%`` (zero-divisor NaN + sign-of-divisor correction),
-``fmax`` (Spark greatest ranks NaN largest; fmax ignores it).
-``np.floor_divide`` stays unmapped (tier 2): its inf-dividend
-corrections don't decompose into Catalyst primitives.  Already-correct
+``fmax`` (Spark greatest ranks NaN largest; fmax ignores it),
+``floor_divide``/``//`` (npy_math's fmod-based construction — the
+naive floor(a/b) misses the inf-dividend specials).  Already-correct
 by Spark's own behavior: ``maximum``/``greatest``, max-reductions,
 ``argmax`` (first-NaN), ``bround``, ``signum``, arithmetic folds.
 Differentially fuzzed with NaN-bearing corpora in
@@ -302,6 +302,27 @@ def _np_mod(a: Column, b: Column) -> Column:
         (r != F.lit(0.0)) & ((r < F.lit(0.0)) != (b.cast("double") < F.lit(0.0))),
         r + b,
     ).otherwise(r)
+
+
+def _np_floor_divide(a: Column, b: Column) -> Column:
+    """numpy ``floor_divide``/``//``, replicating npy_math's own
+    construction rather than the naive ``floor(a/b)``: ``div =
+    (a − fmod(a, b))/b``, minus 1 when the fmod remainder is nonzero
+    with sign opposite the divisor (the same correction ``_np_mod``
+    applies to the remainder).  This reproduces every numpy special
+    the naive form misses — ``floor_divide(-5, inf) = -1`` (not
+    floor(-0.0) = -0), ``floor_divide(inf, 3) = NaN`` (fmod(inf, 3)
+    is NaN and poisons the quotient), while a zero divisor takes the
+    IEEE division directly (``5//0 = inf``, ``0//0 = NaN`` — numpy
+    returns a/b there)."""
+    r = _ieee_fmod(a, b)
+    corr = (r != F.lit(0.0)) & (
+        (r < F.lit(0.0)) != (b.cast("double") < F.lit(0.0))
+    )
+    div0 = _ieee_div(a - r, b)
+    return F.when(b.cast("double") == F.lit(0.0), _ieee_div(a, b)).otherwise(
+        F.when(corr, div0 - F.lit(1.0)).otherwise(div0)
+    )
 
 
 def _nan_fmax(a: Column, b: Column) -> Column:
@@ -703,6 +724,12 @@ class SymbolicArray:
     def __rmod__(self, o):
         return self._binop(o, _np_mod, reverse=True, numeric=True)
 
+    def __floordiv__(self, o):
+        return self._binop(o, _np_floor_divide, numeric=True)
+
+    def __rfloordiv__(self, o):
+        return self._binop(o, _np_floor_divide, reverse=True, numeric=True)
+
     def __neg__(self):
         return self._num()._map(lambda c: -c)
 
@@ -836,14 +863,13 @@ class SymbolicArray:
         # needing numpy-bit-identical results.
         np.arctan2: lambda a, b: F.atan2(a, b),
         np.hypot: lambda a, b: F.hypot(a, b),
-        # round 9: NaN-ignoring extrema + the two modulo semantics
-        # (np.remainder IS np.mod — same ufunc object; np.floor_divide
-        # stays unmapped: its inf-dividend corrections don't decompose
-        # into Catalyst primitives, tier 2 handles it)
+        # round 9: NaN-ignoring extrema + the modulo/floordiv family
+        # (np.remainder IS np.mod — same ufunc object)
         np.fmin: lambda a, b: F.least(a, b),  # least(NaN,x)=x = fmin
         np.fmax: _nan_fmax,
         np.fmod: _ieee_fmod,
         np.mod: _np_mod,
+        np.floor_divide: _np_floor_divide,
     }
     # comparison/logical ufuncs dispatch to the dunders so is_bool
     # propagates (np.greater(a, b) ≡ a > b)

@@ -572,6 +572,14 @@ def test_transcendental_binaries_trace_tier1_within_ulp(spark):
          lambda x: np.mod(5.0, x + 4.0)),
         ("mod_inf_div", lambda view: np.mod(view.x, np.float64(np.inf)),
          lambda x: np.mod(x, np.inf)),
+        ("floordiv", lambda view: view.x // np.float64(-3.0),
+         lambda x: np.floor_divide(x, -3.0)),
+        ("floordiv_zero", lambda view: np.floor_divide(view.x, np.float64(0.0)),
+         lambda x: np.floor_divide(x, 0.0)),
+        ("floordiv_inf", lambda view: np.floor_divide(view.x, np.float64(np.inf)),
+         lambda x: np.floor_divide(x, np.inf)),
+        ("rfloordiv", lambda view: np.float64(7.0) // (view.x + 4.0),
+         lambda x: np.floor_divide(7.0, x + 4.0)),
         ("fmin_nan", lambda view: np.fmin(view.x, np.float64(0.5)),
          lambda x: np.fmin(x, 0.5)),
         ("fmax_nan", lambda view: np.fmax(view.x, np.float64(0.5)),
