@@ -39,6 +39,9 @@ _PRIORITY: Tuple[str, ...] = (
     "hilbert_orders_layout",
     "gap_fill_events",          # span-wise LOCF rewrite (r9)
     "repetition_filter_docs",   # let()-binding rewrite (r9)
+    # streaming_quality_filter moved up: its file-source reader was
+    # rewritten (r9 sf1-replay catch: pathGlobFilter-on-parent read
+    # zero files from directory-shaped tables)
     "dedup_ngram_jaccard",
     "ewma_user_values",
     "shape_vectorize",

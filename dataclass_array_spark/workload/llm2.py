@@ -756,28 +756,21 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure-expression filter needs no state, no watermark, and scales
     to any micro-batch rate).  Driven to completion over the file
     source; the oracle is the equivalent batch filter."""
-    from pyspark.sql import types as T
-
     from dataclass_array_spark.operators.quality import repetition_flag
-    from dataclass_array_spark.streaming.core import run_stream_to_memory
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
+    from dataclass_array_spark.streaming.core import (
+        documents_stream,
+        run_stream_to_memory,
     )
-    import os
 
-    d, fname = os.path.split(f"{sf_dir}/documents.parquet")
-    s = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", fname)
-        .parquet(d)
-    )
+    # documents_stream routes through _parquet_stream, which handles
+    # BOTH testdata shapes: a single documents.parquet FILE (driver
+    # testdata) and a Spark-written documents.parquet DIRECTORY (the
+    # generated sf1 set).  The previous hand-rolled
+    # pathGlobFilter-on-parent reader matched zero files inside a
+    # directory-shaped table and the stream completed with silently
+    # EMPTY results — caught by the round-9 sf1 oracle replay (the
+    # gate had only ever been driver-verified on file-shaped sf0.01).
+    s = documents_stream(spark, f"{sf_dir}/documents.parquet")
     kept = s.filter(
         ~repetition_flag(
             F.col("text"),
