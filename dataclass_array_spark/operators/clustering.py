@@ -16,10 +16,17 @@ Plan shape per iteration (MLlib-style, but DataFrame-native):
 Cross-engine exactness (matches the DuckDB oracle bit-for-bit):
 - distances are sequential left-to-right double folds
   (``F.aggregate`` = ``list_reduce``);
-- per-dim means use DECIMAL(38,9) sums — float32 components are exactly
-  representable at scale 9 — converted via the floor-split
+- per-dim means use DECIMAL(38,9) sums, converted via the floor-split
   (``floor(s)::double + (s-floor(s))::double``) so decimal->double is
-  single-rounded in both engines even past 2^53 scaled units;
+  single-rounded in both engines even past 2^53 scaled units.  The
+  double→decimal cast itself must be mirrored through a STRING
+  round-trip on the DuckDB side (``CAST(CAST(x AS VARCHAR) AS
+  DECIMAL(38,9))``): Spark's cast rounds the SHORTEST decimal string
+  (``BigDecimal.valueOf``) HALF_UP, while DuckDB's direct double cast
+  rounds the exact binary value HALF_EVEN — the round-9 sf1 replay
+  caught the corpus value 0.1494140625 (= 153/1024, an exact scale-9
+  tie) going to ...062 in DuckDB and ...063 in Spark, drifting every
+  downstream centroid by 5e-10;
 - arg-min ties break on the lower cluster id (struct ordering here,
   ``ORDER BY dist, cid`` in the oracle).
 """
@@ -440,7 +447,7 @@ def kmeans_sql_ctes(
     SELECT cid, dim,
            (CAST(FLOOR(s) AS DOUBLE) + CAST(s - FLOOR(s) AS DOUBLE)) / cnt AS m
     FROM (SELECT a.cid, gs.i AS dim,
-                 SUM(CAST(e.v[gs.i] AS DECIMAL(38,9))) AS s, COUNT(*) AS cnt
+                 SUM(CAST(CAST(e.v[gs.i] AS VARCHAR) AS DECIMAL(38,9))) AS s, COUNT(*) AS cnt
           FROM {p}a{i} a JOIN {p}et e ON e.{id_col} = a.vec_id,
                generate_series(1, {dim}) gs(i)
           GROUP BY a.cid, gs.i)

@@ -5,8 +5,12 @@ Float determinism: double summation is order-dependent, and Spark and
 DuckDB will not add partial aggregates in the same order.  Every SUM/AVG
 over doubles therefore goes through an exact DECIMAL accumulator in BOTH
 engines (per-row double arithmetic is bit-identical everywhere; the
-double→decimal(…,6) rounding has no representable ties, so both engines
-round identically), then casts the exact result back to DOUBLE.
+double→decimal(…,6) rounding has no representable ties ON MONEY-LIKE
+DATA — a tie needs a dyadic with ≤ 7 fractional bits, which 2-decimal
+generated values never are; float32-derived columns CAN tie and need
+the VARCHAR-mirrored cast, see operators/clustering.py — so both
+engines round identically here), then casts the exact result back to
+DOUBLE via the floor-split.
 """
 
 from __future__ import annotations
