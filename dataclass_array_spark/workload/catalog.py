@@ -42,6 +42,15 @@ _PRIORITY: Tuple[str, ...] = (
     # streaming_quality_filter moved up: its file-source reader was
     # rewritten (r9 sf1-replay catch: pathGlobFilter-on-parent read
     # zero files from directory-shaped tables)
+    "embedding_kmeans_clusters",
+    "embedding_kmeans_two_level",
+    "semantic_dedup_auto",
+    "semantic_dedup_embeddings",
+    "semantic_dedup_two_level",
+    "text_cluster_topics",
+    "embedding_ann_ivf_kmeans",
+    "embedding_knn_join_kmeans",
+    # kmeans-family oracles changed (r9: VARCHAR-mirrored decimal cast)
     "dedup_ngram_jaccard",
     "ewma_user_values",
     "shape_vectorize",
@@ -147,22 +156,14 @@ _PRIORITY: Tuple[str, ...] = (
     "nucleus_select_docs",
     "scd2_customer_history",
     "ols_price_vs_quantity",
-    "embedding_kmeans_two_level",
-    "semantic_dedup_two_level",
     "kcore_user_states",
     "outlier_mad_quantity",
     "linkage_part_entities",
     "pagerank_event_hotspots",
     "triangle_counts_events",
     "fuzzy_join_part_names",
-    "semantic_dedup_auto",
-    "semantic_dedup_embeddings",
-    "embedding_kmeans_clusters",
-    "text_cluster_topics",
     "embedding_ann_pq",
     "embedding_ann_ivf_pq",
-    "embedding_knn_join_kmeans",
-    "embedding_ann_ivf_kmeans",
     "embedding_ann_srp",
     "embedding_ann_ivf",
     "dedup_chunks_exact",
