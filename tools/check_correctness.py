@@ -99,6 +99,11 @@ def main() -> int:
     only = set(sys.argv[1:])
     spark = get_spark("check_correctness")
     con = duckdb.connect()
+    # let the heaviest oracles (unrolled per-cell k-means chains at
+    # sf1) spill instead of dying on the in-memory default — round 9:
+    # this is what lets semantic_dedup_two_level replay at sf1
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='60GiB'")
     for t in TABLES:
         # Spark-written tables are DIRECTORIES named *.parquet (the
         # generated sf1 set) — DuckDB needs the inner-file glob there
