@@ -104,6 +104,29 @@ def scale_sql(expr: str, cmin: int, cmax: int, bits: int) -> str:
     )
 
 
+def scale_sql_dyn(expr: str, mn: str, mx: str, bits: int) -> str:
+    """:func:`scale_sql` when the bounds are SQL EXPRESSIONS (column
+    refs / subqueries) rather than Python ints — for oracles that
+    compute min/max in the same statement.  The span<=0 branch must
+    then be guarded in SQL: :func:`scale_expr` decides it at
+    expression-BUILD time and emits ``lit(0)`` for a constant column,
+    while an unguarded ``x / 0.0`` here would yield NULL (DuckDB) — a
+    gate mismatch on degenerate data.  The CASE keeps the branch
+    mirrored.  A BIGINT span is exact as a double below 2^53 (the
+    same representability bound :func:`scale_expr` enforces), so the
+    division operands — and therefore the floors — are bit-identical
+    to the literal-bounds form."""
+    m = float((1 << bits) - 1)
+    body = (
+        f"CAST(FLOOR(CAST(({expr}) - ({mn}) AS DOUBLE) * {m!r} "
+        f"/ CAST(({mx}) - ({mn}) AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        f"(CASE WHEN ({mx}) - ({mn}) <= 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE {body} END)"
+    )
+
+
 def zorder_key(
     df: DataFrame, cols: Sequence[str], bits: int = 16
 ) -> Tuple[Column, List[Tuple[int, int]]]:

@@ -300,13 +300,24 @@ def run_stream_to_memory(
     way (hash-partitioned stateful ops), which the oracle gates verify.
 
     Stateful correctness is partition-count-independent, so the local
-    default of 8 changes no results — only where state rows hash."""
+    default of 8 changes no results — only where state rows hash.
+
+    CONCURRENCY CAVEAT: the width is scoped by mutating the
+    SESSION-GLOBAL ``spark.sql.shuffle.partitions`` for the duration of
+    the run (restored in a ``finally``, and the query is stopped there
+    too, so an exception mid-run leaks neither).  A batch query planned
+    on the same session WHILE a stream is driving will therefore see
+    the narrow width.  The workload and bench are sequential so this
+    never bites here; a caller who needs concurrent batch work should
+    hand this function a frame built on ``spark.newSession()`` (shares
+    the SparkContext, isolated conf)."""
     name = name or f"stream_{uuid.uuid4().hex[:8]}"
     spark = out.sparkSession
     restore = None
     if state_partitions is not None:
         restore = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    q = None
     try:
         q = (
             out.writeStream.outputMode(mode)
@@ -315,8 +326,9 @@ def run_stream_to_memory(
             .start()
         )
         q.processAllAvailable()
-        q.stop()
     finally:
+        if q is not None:
+            q.stop()
         if restore is not None:
             spark.conf.set("spark.sql.shuffle.partitions", restore)
     result = spark.table(name).localCheckpoint(eager=True)

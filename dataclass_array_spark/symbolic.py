@@ -309,19 +309,39 @@ def _np_floor_divide(a: Column, b: Column) -> Column:
     construction rather than the naive ``floor(a/b)``: ``div =
     (a − fmod(a, b))/b``, minus 1 when the fmod remainder is nonzero
     with sign opposite the divisor (the same correction ``_np_mod``
-    applies to the remainder).  This reproduces every numpy special
-    the naive form misses — ``floor_divide(-5, inf) = -1`` (not
-    floor(-0.0) = -0), ``floor_divide(inf, 3) = NaN`` (fmod(inf, 3)
-    is NaN and poisons the quotient), while a zero divisor takes the
-    IEEE division directly (``5//0 = inf``, ``0//0 = NaN`` — numpy
-    returns a/b there)."""
+    applies to the remainder), then npy_divmod's final *snap to the
+    nearest integral value* — ``fd = floor(div); if div − fd > 0.5:
+    fd += 1``.  The snap matters for any NON-dyadic divisor: the
+    intermediate ``(a − fmod(a, b))/b`` is a rounded division of two
+    doubles and need not land exactly on an integer (``3.0 // 0.1``
+    gives 29.000000000000004 without it; numpy and CPython return
+    29.0).  This also reproduces every numpy special the naive form
+    misses — ``floor_divide(-5, inf) = -1`` (not floor(-0.0) = -0),
+    ``floor_divide(inf, 3) = NaN`` (fmod(inf, 3) is NaN and poisons
+    the quotient), while a zero divisor takes the IEEE division
+    directly (``5//0 = inf``, ``0//0 = NaN`` — numpy returns a/b
+    there).
+
+    The snap uses Spark ``floor`` (double → BIGINT), so it is gated
+    to ``|div| < 2^52``: above that every double is already integral
+    (no fractional bits remain) and the snap is the identity, and the
+    gate keeps NaN/±inf quotients (whose comparisons are all false)
+    on the untouched-``div`` branch, clear of the long cast.  One
+    knowing divergence, shared with ``_ieee_div``: a ±0.0 quotient
+    loses its sign bit (numpy emits ``copysign(0, a/b)``) — invisible
+    to ``==`` and to every downstream comparison or hash."""
     r = _ieee_fmod(a, b)
     corr = (r != F.lit(0.0)) & (
         (r < F.lit(0.0)) != (b.cast("double") < F.lit(0.0))
     )
     div0 = _ieee_div(a - r, b)
+    div = F.when(corr, div0 - F.lit(1.0)).otherwise(div0)
+    fd = F.floor(div)
+    snapped = (
+        F.when(div - fd > F.lit(0.5), fd + F.lit(1)).otherwise(fd).cast("double")
+    )
     return F.when(b.cast("double") == F.lit(0.0), _ieee_div(a, b)).otherwise(
-        F.when(corr, div0 - F.lit(1.0)).otherwise(div0)
+        F.when(F.abs(div) < F.lit(2.0**52), snapped).otherwise(div)
     )
 
 

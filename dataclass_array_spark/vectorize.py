@@ -502,10 +502,20 @@ def vectorize_method(
                 guards reject everything else: (1) every output must
                 come back shaped (B, *out_shape) — reductions/indexing
                 over what is now the batch axis change the shape;
-                (2) the first min(3, B) rows are re-run through the
-                scalar path and compared bit-exactly — catches
-                cross-row mixing that happens to keep the shape (e.g.
-                cumsum, or axis-0 indexing when B equals an inner dim).
+                (2) sample rows SPREAD ACROSS the batch (first, second,
+                ~1/3, middle, ~2/3, last, plus one rowid-derived
+                deterministic pick) are re-run through the scalar path
+                and compared bit-exactly — catches cross-row mixing
+                that happens to keep the shape (e.g. cumsum, or axis-0
+                indexing when B equals an inner dim).  Spreading
+                matters: a first-rows-only sample missed mixing whose
+                effect starts past the sampled prefix (e.g. a roll or
+                sort whose first rows coincide).  Residual risk: a
+                guard is a sample, not a proof — mixing confined to
+                exactly the unsampled rows of EVERY batch passes; the
+                shape guard plus seven spread probes per batch make
+                that an adversarial construction rather than a
+                plausible numpy program.
                 Any exception (float(), bool(), shape errors in dot/
                 matmul…) or guard failure returns None and the caller
                 pins the per-row loop for the rest of the task."""
@@ -523,7 +533,14 @@ def vectorize_method(
                         ):
                             return None
                         outs[k] = v
-                    for i in range(min(3, B)):
+                    # deterministic (resume-safe) pseudo-random pick,
+                    # varied per batch by the first rowid
+                    jitter = (int(pdf[ROWID].iloc[0]) * 2654435761) % B
+                    sample = sorted(
+                        {0, 1, B // 3, B // 2, (2 * B) // 3, B - 1, jitter}
+                        & set(range(B))
+                    )
+                    for i in sample:
                         sv_i, vs_i = row_views(lambda c: pdf[c].iloc[i])
                         ri = call_method(sv_i, vs_i)
                         for k in out_specs:

@@ -802,13 +802,11 @@ def zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zorder_oracle() -> str:
-    from dataclass_array_spark.operators.layout import morton_sql
+    # scaling built via layout.scale_sql_dyn so the span<=0 guard
+    # (constant column -> 0, not NULL) stays mirrored with scale_expr
+    from dataclass_array_spark.operators.layout import morton_sql, scale_sql_dyn
 
     day = "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
-    scale = (
-        "CAST(FLOOR(CAST({e} - {mn} AS DOUBLE) * 65535.0 "
-        "/ CAST({mx} - {mn} AS DOUBLE)) AS BIGINT)"
-    )
     return f"""
 WITH b AS (
   SELECT MIN(o_custkey) AS cmn, MAX(o_custkey) AS cmx,
@@ -816,8 +814,8 @@ WITH b AS (
   FROM orders
 ), s AS (
   SELECT o_orderkey,
-         {scale.format(e="o_custkey", mn="b.cmn", mx="b.cmx")} AS s0,
-         {scale.format(e=day, mn="b.dmn", mx="b.dmx")} AS s1
+         {scale_sql_dyn("o_custkey", "b.cmn", "b.cmx", 16)} AS s0,
+         {scale_sql_dyn(day, "b.dmn", "b.dmx", 16)} AS s1
   FROM orders, b
 )
 SELECT o_orderkey, {morton_sql(["s0", "s1"], 16)} AS zkey
@@ -864,18 +862,15 @@ _HILBERT_BITS = 13
 
 
 def _hilbert_oracle() -> str:
-    from dataclass_array_spark.operators.layout import hilbert_sql
+    # scaling built via layout.scale_sql_dyn so the span<=0 guard
+    # (constant column -> 0, not NULL) stays mirrored with scale_expr
+    from dataclass_array_spark.operators.layout import hilbert_sql, scale_sql_dyn
 
     day = "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
-    scale = (
-        "CAST(FLOOR(CAST({e} - ({mn}) AS DOUBLE) * {m}.0 "
-        "/ CAST(({mx}) - ({mn}) AS DOUBLE)) AS BIGINT)"
-    )
-    m = (1 << _HILBERT_BITS) - 1
-    sx = scale.format(e="o_custkey", mn="(SELECT MIN(o_custkey) FROM orders)",
-                      mx="(SELECT MAX(o_custkey) FROM orders)", m=m)
-    sy = scale.format(e=day, mn=f"(SELECT MIN({day}) FROM orders)",
-                      mx=f"(SELECT MAX({day}) FROM orders)", m=m)
+    sx = scale_sql_dyn("o_custkey", "(SELECT MIN(o_custkey) FROM orders)",
+                       "(SELECT MAX(o_custkey) FROM orders)", _HILBERT_BITS)
+    sy = scale_sql_dyn(day, f"(SELECT MIN({day}) FROM orders)",
+                       f"(SELECT MAX({day}) FROM orders)", _HILBERT_BITS)
     return hilbert_sql(sx, sy, _HILBERT_BITS, "FROM orders", "o_orderkey")
 
 

@@ -578,6 +578,21 @@ def test_transcendental_binaries_trace_tier1_within_ulp(spark):
          lambda x: np.floor_divide(x, 0.0)),
         ("floordiv_inf", lambda view: np.floor_divide(view.x, np.float64(np.inf)),
          lambda x: np.floor_divide(x, np.inf)),
+        # round 10: NON-dyadic divisors exercise npy_divmod's final
+        # quotient-snap step ((a-fmod)/b rounds off-integer for any
+        # divisor that isn't a power of two — 3.0 // 0.1 must be 29.0,
+        # not 29.000000000000004).  The dyadic-only corpus above was a
+        # blind spot for that step.
+        ("floordiv_nondyadic", lambda view: view.x // np.float64(0.1),
+         lambda x: np.floor_divide(x, 0.1)),
+        ("floordiv_nondyadic_neg", lambda view: np.floor_divide(view.x, np.float64(-0.3)),
+         lambda x: np.floor_divide(x, -0.3)),
+        # divisor form keeps -0.0 out of the divisor (x = -0.0 maps to
+        # +0.1) — the signed-zero divisor is _ieee_div's one documented
+        # divergence and is excluded from corpora, see
+        # test_ieee_division_by_zero.
+        ("rfloordiv_nondyadic", lambda view: np.float64(3.0) // (view.x * 0.3 + 0.1),
+         lambda x: np.floor_divide(3.0, x * 0.3 + 0.1)),
         ("rfloordiv", lambda view: np.float64(7.0) // (view.x + 4.0),
          lambda x: np.floor_divide(7.0, x + 4.0)),
         ("fmin_nan", lambda view: np.fmin(view.x, np.float64(0.5)),

@@ -66,6 +66,44 @@ def test_scale_expr_endpoints_and_guard(spark):
         scale_expr(F.col("x"), 0, 1 << 45, 16)
 
 
+def test_scale_sql_dyn_matches_scale_expr_incl_zero_span(spark):
+    """scale_sql_dyn (SQL-expression bounds) mirrors scale_expr on
+    normal AND degenerate data: a constant column must scale to 0 on
+    both sides (scale_expr decides span<=0 at build time; the SQL form
+    needs the CASE guard — unguarded x/0.0 is NULL in DuckDB)."""
+    import duckdb
+
+    from dataclass_array_spark.operators.layout import scale_sql_dyn
+
+    vals = [0, 7, 50, 93, 100]
+    df = spark.createDataFrame([(v, 42) for v in vals], "x long, c long")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({v}, 42)" for v in vals)
+        + ") v(x, c)"
+    )
+    for col, lo, hi in [("x", 0, 100), ("c", 42, 42)]:
+        got_spark = [
+            r["s"]
+            for r in df.select(
+                scale_expr(F.col(col), lo, hi, 8).alias("s")
+            ).collect()
+        ]
+        got_sql = [
+            r[0]
+            for r in con.execute(
+                "SELECT "
+                + scale_sql_dyn(col, f"(SELECT MIN({col}) FROM t)",
+                                f"(SELECT MAX({col}) FROM t)", 8)
+                + " FROM t"
+            ).fetchall()
+        ]
+        assert got_spark == got_sql, col
+        if col == "c":
+            assert got_sql == [0] * len(vals)
+
+
 def test_morton_sql_matches_spark(spark):
     """The oracle-side SQL string evaluates identically in DuckDB."""
     import duckdb

@@ -286,6 +286,48 @@ def test_dedup_within_watermark_multi_batch(spark, tmp_path):
     assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
 
 
+def test_run_stream_conf_restored_and_query_stopped_on_failure(spark, tmp_path):
+    """run_stream_to_memory scopes spark.sql.shuffle.partitions to the
+    run by mutating the session conf; both exception paths must restore
+    it AND not leak a running query: (a) start() itself fails (bad
+    output mode), (b) the stream fails mid-run (runtime error in a
+    micro-batch).  A follow-up run on the same session must see the
+    original width (not poisoned)."""
+    d = tmp_path / "in"
+    d.mkdir()
+    pd.DataFrame({"k": [1, 2], "ts_us": [1_000_000, 2_000_000]}).to_parquet(
+        d / "a.parquet"
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("ts_us", T.LongType())]
+    )
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(str(d))
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    # (a) start() rejects: complete mode without aggregation
+    with pytest.raises(Exception):
+        run_stream_to_memory(stream(), mode="complete", state_partitions=4)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert len(spark.streams.active) == 0
+
+    # (b) micro-batch blows up at runtime: assert_true on the data
+    bad = stream().select(F.assert_true(F.col("k") > 100).alias("x"), "k")
+    with pytest.raises(Exception):
+        run_stream_to_memory(bad, mode="append", state_partitions=4)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert len(spark.streams.active) == 0
+
+    # session not poisoned: a normal run still works and restores
+    out, _ = run_stream_to_memory(
+        stream().groupBy("k").count(), mode="complete", state_partitions=4
+    )
+    assert out.count() == 2
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_stream_from_spark_written_parquet_directory(spark, sf_dir, tmp_path):
     """Regression (round-4 sf1 crash): a Spark-WRITTEN table is a
     DIRECTORY named ``*.parquet``; the streaming sources must read it

@@ -680,9 +680,9 @@ def test_tier2a_numpy_batch_execution(spark, tmp_path):
     ONCE per Arrow batch on (B, *inner) arrays (tier 2a), not once per
     row.  The method appends a line to a shared file per invocation:
     the batch tier makes 1 (schema probe) + per-partition-batch
-    (1 whole-batch + up to 3 guard-row) calls — at most 4*32+1 = 129
-    under any partitioning of 600 rows — while the per-row loop makes
-    600+."""
+    (1 whole-batch + up to 7 spread guard-row) calls — at most
+    8*32+1 = 257 under any partitioning of 600 rows — while the
+    per-row loop makes 600+."""
     calls = str(tmp_path / "calls.txt")
 
     @das.dataclass_array(broadcast=True, cast_dtype=True)
@@ -706,7 +706,7 @@ def test_tier2a_numpy_batch_execution(spark, tmp_path):
         got = r.spaced().to_numpy_fields()["s"]
     np.testing.assert_array_equal(got, np.spacing(d) + d * 2.0)
     n_calls = sum(1 for _ in open(calls))
-    assert n_calls <= 129, f"per-row loop ran: {n_calls} method calls for 600 rows"
+    assert n_calls <= 257, f"per-row loop ran: {n_calls} method calls for 600 rows"
 
 
 def test_tier2a_guard_rejects_cross_row_mixing(spark):
@@ -733,3 +733,41 @@ def test_tier2a_guard_rejects_cross_row_mixing(spark):
         warnings.simplefilter("ignore", das.VectorizeFallbackWarning)
         got = r.mixed().to_numpy_fields()["s"]
     np.testing.assert_array_equal(got, d.sum(axis=1))
+
+
+def test_tier2a_guard_rejects_late_row_mixing(spark):
+    """Round 10 (advice): the differential guard samples rows SPREAD
+    across the batch, not just a prefix — a method whose batch
+    execution mixes rows only BEYOND the first few (their values
+    coincide on a zeros prefix) must still be rejected.  The program
+    multiplies each row by its first element; batched, ``d[0]``
+    becomes the first ROW of the batch, so every row is contaminated
+    by batch row 0 — invisible on a zeros prefix, shape-preserving
+    ((B,) out), caught only by mid/late sample rows.  Data is laid
+    out so every 100-row createDataFrame slice starts with 10 zero
+    rows (a prefix-only guard would accept the batch and emit 0.0 for
+    every nonzero row)."""
+
+    @das.dataclass_array(broadcast=True, cast_dtype=True)
+    class LateMixRay(das.DcaTable):
+        dir: f64["*b 3"]
+
+        @das.vectorize_method
+        def headmix(self):
+            d = np.asarray(self.dir)
+            # np.spacing keeps it off tier-1; the term is 0 either way
+            return {
+                "s": (d * d[0]).sum(axis=-1)
+                + 0.0 * np.spacing(d).sum(axis=-1)
+            }
+
+    n = 3200
+    d = np.tile(np.array([1.0, 2.0, 3.0]), (n, 1))
+    idx = np.arange(n) % 100 < 10
+    d[idx] = 0.0
+    want = (d * d[:, :1]).sum(axis=-1)  # per-row semantics
+    r = LateMixRay(spark, dir=d)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", das.VectorizeFallbackWarning)
+        got = r.headmix().to_numpy_fields()["s"]
+    np.testing.assert_array_equal(got, want)
