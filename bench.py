@@ -12,8 +12,22 @@ Statistical hygiene: every query is timed $SPARK_GRAFT_BENCH_N times
 ...) so an ambient VM load spike cannot hit all repeats of one query.
 The reported per-query number and the headline total are MEDIANS; per-
 query minima are kept in BENCH_DETAIL.json ("queries_min") as the
-low-noise floor.  The documented ±15% single-run VM variance made n=1
-round-over-round deltas unattributable (rounds 2/3 exhibit A).
+low-noise floor, and ALL raw per-pass samples in "queries_samples" so a
+round-over-round delta can be attributed (drifting passes = process
+aging / ambient load; tight passes at a new level = real change).  The
+documented ±15% single-run VM variance made n=1 round-over-round deltas
+unattributable (rounds 2/3 exhibit A).
+
+ORDERING IS FIXED (round 10): queries run in ALPHABETICAL order, not
+registry order.  The registry rotates every round for the correctness
+window, so registry-ordered benching silently changed each query's
+position — and its warm-up/neighbor context — every round; the round-9
+kmeans-family "regression" (5.4 -> 9.1 s driver-to-driver, flat in every
+isolated replay, tools/triage_kmeans_bench.py) tracked exactly such a
+rotation that moved the family from mid-pack to positions 5-12.  With
+alphabetical order the per-query context is identical across rounds
+regardless of rotation.  (r9 -> r10 deltas carry this one-time
+reordering; r10+ deltas are clean.)
 """
 
 from __future__ import annotations
@@ -40,11 +54,11 @@ SF1_N = max(0, int(os.environ.get("SPARK_GRAFT_SF1_N", "3")))
 
 def _timed_passes(
     names: list[str], sf_dir: str, n: int
-) -> tuple[dict[str, float], dict[str, float], dict[str, str]]:
+) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]], dict[str, str]]:
     """Run each query n times in interleaved passes; return
-    (median, min, errors) seconds per query.  Each query is fault-
-    isolated: one failure records an error entry for THAT query and
-    never discards the others' timings (round 4 lost 101 good sf1
+    (median, min, samples, errors) seconds per query.  Each query is
+    fault-isolated: one failure records an error entry for THAT query
+    and never discards the others' timings (round 4 lost 101 good sf1
     numbers to a single all-or-nothing try/except)."""
     samples: dict[str, list[float]] = {name: [] for name in names}
     errors: dict[str, str] = {}
@@ -62,7 +76,8 @@ def _timed_passes(
             samples[name].append(time.perf_counter() - t0)
     med = {k: round(statistics.median(v), 3) for k, v in samples.items() if v}
     mn = {k: round(min(v), 3) for k, v in samples.items() if v}
-    return med, mn, errors
+    raw = {k: [round(x, 3) for x in v] for k, v in samples.items() if v}
+    return med, mn, raw, errors
 
 
 def main() -> None:
@@ -74,8 +89,11 @@ def main() -> None:
     QUERIES["q6_forecast_revenue"].fn(spark, SF_DIR).collect()
     QUERIES["multimodal_decode"].fn(spark, SF_DIR).collect()
 
-    bench_names = [name for name, q in QUERIES.items() if q.bench]
-    timings, timings_min, errors = _timed_passes(bench_names, SF_DIR, BENCH_N)
+    # alphabetical: rotation-independent ordering (see module docstring)
+    bench_names = sorted(name for name, q in QUERIES.items() if q.bench)
+    timings, timings_min, timings_raw, errors = _timed_passes(
+        bench_names, SF_DIR, BENCH_N
+    )
     total = sum(timings.values())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -91,6 +109,8 @@ def main() -> None:
         "stat": "median",
         "queries": timings,
         "queries_min": timings_min,
+        "queries_samples": timings_raw,
+        "order": "alphabetical",
         "sf": sf_val,
     }
     if errors:
@@ -101,13 +121,14 @@ def main() -> None:
             from tools.make_sf1 import ensure_sf1
 
             sf1_dir = ensure_sf1(spark)
-            t1, t1_min, e1 = _timed_passes(bench_names, sf1_dir, SF1_N)
+            t1, t1_min, t1_raw, e1 = _timed_passes(bench_names, sf1_dir, SF1_N)
             detail["sf1"] = {
                 "value": round(sum(t1.values()), 3),
                 "n_queries": len(t1),
                 "n_repeats": SF1_N,
                 "queries": t1,
                 "queries_min": t1_min,
+                "queries_samples": t1_raw,
             }
             if e1:
                 detail["sf1"]["errors"] = e1

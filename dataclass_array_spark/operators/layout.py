@@ -239,6 +239,65 @@ def hilbert_key(xcol: Column, ycol: Column, bits: int) -> Column:
     return _let(init, rec(bits - 1))
 
 
+def with_hilbert_key(
+    df: DataFrame, xcol: Column, ycol: Column, bits: int, out: str = "hkey"
+) -> DataFrame:
+    """:func:`hilbert_key` as a CHAIN OF PROJECTIONS instead of one
+    nested expression — the fast form for full-table key computation.
+
+    The Column form threads the per-level (x, y, d) state through
+    ``_let`` (``element_at(transform(array(struct(...)), ...), 1)``),
+    and Catalyst higher-order functions are interpreted, not
+    codegen'd: 13 levels allocate 13 one-element arrays + structs PER
+    ROW (measured: 3.2 s warm for 150k rows at sf0.1 where the Morton
+    key takes 1.1 s, plus ~1.5 s of plan/codegen).  Here each level is
+    one ``withColumns`` projection over plain integer expressions —
+    Catalyst's CollapseProject keeps multiply-referenced state columns
+    materialized (it refuses to inline non-cheap exprs used more than
+    once), adjacent projections fuse into a single WholeStageCodegen
+    stage, and the per-level state becomes codegen LOCALS: zero per-row
+    allocation, same arithmetic, bit-identical keys (differentially
+    tested against :func:`hilbert_key`).
+
+    Use the Column form inside other expressions; use this to key a
+    whole table (the 100 TB write path)."""
+    if 2 * bits > 63:
+        raise ValueError(f"2*bits = {2 * bits} > 63 overflows BIGINT")
+    x, y, d, rx, ry = "_hil_x", "_hil_y", "_hil_d", "_hil_rx", "_hil_ry"
+    for c in (x, y, d, rx, ry, out):
+        if c != out and c in df.columns:
+            raise ValueError(f"column {c} already present")
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    r = df.withColumns(
+        {
+            x: xcol.cast("long"),
+            y: ycol.cast("long"),
+            d: F.lit(0).cast("long"),
+        }
+    )
+    for i in range(bits - 1, -1, -1):
+        s = F.lit(1 << i).cast("long")
+        r = r.withColumns(
+            {
+                rx: F.when(F.col(x).bitwiseAND(s) > 0, one).otherwise(zero),
+                ry: F.when(F.col(y).bitwiseAND(s) > 0, one).otherwise(zero),
+            }
+        )
+        xr = F.when(F.col(rx) == one, s - 1 - F.col(x)).otherwise(F.col(x))
+        yr = F.when(F.col(rx) == one, s - 1 - F.col(y)).otherwise(F.col(y))
+        r = r.withColumns(
+            {
+                d: F.col(d)
+                + F.lit((1 << i) * (1 << i)).cast("long")
+                * ((F.col(rx) * F.lit(3).cast("long")).bitwiseXOR(F.col(ry))),
+                x: F.when(F.col(ry) == zero, yr).otherwise(F.col(x)),
+                y: F.when(F.col(ry) == zero, xr).otherwise(F.col(y)),
+            }
+        )
+    return r.withColumn(out, F.col(d)).drop(x, y, d, rx, ry)
+
+
 def hilbert_sql(x_expr: str, y_expr: str, bits: int, from_clause: str,
                 select_cols: str) -> str:
     """DuckDB mirror of :func:`hilbert_key` as a chain of per-level

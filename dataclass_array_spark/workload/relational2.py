@@ -833,10 +833,13 @@ def hilbert_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert-curve clustering key over (o_custkey, order day) — the
     better-locality sibling of the Z-order gate (consecutive curve
     positions are adjacent cells, so range-partition files get tighter
-    bounding boxes).  Pure unrolled integer expressions (13 let-bound
-    levels, codegen'd); scaling mirrored into the oracle; the key
+    bounding boxes).  Uses the chained-projection form
+    (``with_hilbert_key``): each of the 13 levels is a codegen'd
+    projection with the state in locals — the nested-expression form's
+    per-row HOF allocations cost 3.2 s vs ~1.2 s here at sf0.1
+    (PERF.md round 10).  Scaling mirrored into the oracle; the key
     itself is value-exact cross-engine."""
-    from dataclass_array_spark.operators.layout import hilbert_key, scale_expr
+    from dataclass_array_spark.operators.layout import scale_expr, with_hilbert_key
 
     o = load_tables(spark, sf_dir, ["orders"])["orders"].withColumn(
         "_day",
@@ -853,9 +856,7 @@ def hilbert_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = o.agg(*aggs).collect()[0]
     sx = scale_expr(F.col("o_custkey"), r[0], r[1], _HILBERT_BITS)
     sy = scale_expr(F.col("_day"), r[2], r[3], _HILBERT_BITS)
-    return o.select(
-        F.col("o_orderkey"), hilbert_key(sx, sy, _HILBERT_BITS).alias("hkey")
-    )
+    return with_hilbert_key(o, sx, sy, _HILBERT_BITS).select("o_orderkey", "hkey")
 
 
 _HILBERT_BITS = 13

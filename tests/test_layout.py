@@ -282,6 +282,43 @@ def test_hilbert_is_a_bijection_with_adjacency(spark):
         assert abs(x1 - x2) + abs(y1 - y2) == 1, f"jump at d={d}"
 
 
+def test_with_hilbert_key_matches_column_form(spark):
+    """The chained-projection form must be bit-identical to the nested
+    Column form (same arithmetic, different plan shape), and its plan
+    must contain no higher-order functions (the perf point)."""
+    from dataclass_array_spark.operators.layout import (
+        hilbert_key,
+        with_hilbert_key,
+    )
+
+    rng = np.random.RandomState(11)
+    n, bits = 500, 13
+    pts = rng.randint(0, 1 << bits, size=(n, 2))
+    df = spark.createDataFrame(
+        [(i, int(x), int(y)) for i, (x, y) in enumerate(pts)],
+        "id long, x long, y long",
+    )
+    a = df.select("id", hilbert_key(F.col("x"), F.col("y"), bits).alias("h"))
+    b = with_hilbert_key(df, F.col("x"), F.col("y"), bits, out="h").select(
+        "id", "h"
+    )
+    got_a = {r["id"]: r["h"] for r in a.collect()}
+    got_b = {r["id"]: r["h"] for r in b.collect()}
+    assert got_a == got_b
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        b.explain("formatted")
+    plan = buf.getvalue().lower()
+    assert "transform(" not in plan and "element_at" not in plan
+    # temp state columns must not leak
+    assert set(b.columns) == {"id", "h"}
+    with pytest.raises(ValueError, match="already present"):
+        with_hilbert_key(df.withColumn("_hil_x", F.lit(1)), F.col("x"), F.col("y"), bits)
+
+
 def test_hilbert_sql_matches_spark(spark):
     import duckdb
 
