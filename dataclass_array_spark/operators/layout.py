@@ -264,8 +264,12 @@ def with_hilbert_key(
     if 2 * bits > 63:
         raise ValueError(f"2*bits = {2 * bits} > 63 overflows BIGINT")
     x, y, d, rx, ry = "_hil_x", "_hil_y", "_hil_d", "_hil_rx", "_hil_ry"
-    for c in (x, y, d, rx, ry, out):
-        if c != out and c in df.columns:
+    if out in (x, y, d, rx, ry):
+        raise ValueError(
+            f"out={out!r} collides with an internal state column; pick another name"
+        )
+    for c in (x, y, d, rx, ry):
+        if c in df.columns:
             raise ValueError(f"column {c} already present")
     one = F.lit(1).cast("long")
     zero = F.lit(0).cast("long")

@@ -327,10 +327,12 @@ def run_stream_to_memory(
         )
         q.processAllAvailable()
     finally:
-        if q is not None:
-            q.stop()
-        if restore is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", restore)
+        try:
+            if q is not None:
+                q.stop()
+        finally:
+            if restore is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", restore)
     result = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return result, name

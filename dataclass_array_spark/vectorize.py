@@ -537,8 +537,9 @@ def vectorize_method(
                     # varied per batch by the first rowid
                     jitter = (int(pdf[ROWID].iloc[0]) * 2654435761) % B
                     sample = sorted(
-                        {0, 1, B // 3, B // 2, (2 * B) // 3, B - 1, jitter}
-                        & set(range(B))
+                        i
+                        for i in {0, 1, B // 3, B // 2, (2 * B) // 3, B - 1, jitter}
+                        if 0 <= i < B
                     )
                     for i in sample:
                         sv_i, vs_i = row_views(lambda c: pdf[c].iloc[i])

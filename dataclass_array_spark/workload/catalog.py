@@ -22,114 +22,60 @@ class Query:
 
 # The driver's per-round correctness gate checks roughly the first 50
 # registry entries, so the window is ROTATED each round to keep every
-# query under recurring driver verification.  Round 10 ordering
-# (VERDICT r9 item 2): the 22 queries last driver-verified in round 6
-# — four rounds stale, the only cohort the r9 window couldn't fit
-# (judge-replayed OK in the r9 session, but driver verification is
-# the record) — go FIRST, then the round-7 cohort (the first ~28 of
-# which complete the 50-query window), then round 8, then the round-9
-# window freshest-last.  Round-10 code changes (floor-divide quotient
-# snap, tier-2a guard spread, layout-oracle span guard, stream-stop
-# hardening) were all verified behavior-preserving via
-# tools/check_correctness.py on every touched gate before this
-# rotation, so they don't claim window slots.  Python dicts preserve
-# insertion order, so this ordering is exactly what ``queries()``
-# exposes to the driver.
+# query under recurring driver verification.  Round 11 ordering
+# (VERDICT r10 item 1): the 40 queries now stalest — 4 last
+# driver-verified in round 7 (they overflowed the r10 window) and the
+# 36 round-8 cohort — go FIRST, then the 10 next-stalest round-9
+# queries complete the 50-query window, then the rest of the round-9
+# cohort, then the 50 queries the round-10 driver just verified,
+# freshest-last.  Round-11 code changes are verified
+# behavior-preserving via tools/check_correctness.py on every touched
+# gate before commit, so they don't claim window slots.  Python dicts
+# preserve insertion order, so this ordering is exactly what
+# ``queries()`` exposes to the driver.
 _PRIORITY: Tuple[str, ...] = (
-    # ---- last driver-verified in round 6 (stalest): verify FIRST ----
-    "q8_market_share",
-    "q9_product_profit",
-    "window_running_total",
-    "window_moving_avg",
-    "topk_orders_per_segment",
-    "rollup_flag_status",
-    "cube_nation_segment",
-    "setops_repeat_customers",
-    "semi_anti_customers",
-    "pivot_user_event_counts",
-    "range_join_price_buckets",
-    "distinct_parts_per_supplier",
-    "scalar_functions",
-    "window_range_frame",
-    "rank_functions",
-    "date_functions",
-    "dedup_embedding_neardup",
-    "udtf_bigram_counts",
-    "grouping_sets_revenue",
-    "unpivot_part_metrics",
-    "salted_revenue_by_flag",
-    "ntile_price_quartiles",
-    # ---- last driver-verified in round 7 ----
-    "dedup_simhash_pairs",
-    "dedup_apply_simhash",
-    "dedup_incremental_docs",
-    "funnel_conversion_events",
-    "cohort_retention_events",
-    "dq_validate_orders",
-    "profile_lineitem",
-    "budget_select_docs",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_auto",
-    "dedup_apply_minhash",
-    "dedup_components",
-    "embedding_knn_join",
-    "corr_price_quantity",
-    "pii_scrub_docs",
-    "merge_upsert_customers",
-    "join_variants_nulls",
-    "string_functions2",
-    "asof_purchase_last_click",
-    "sessionize_events",
-    "json_extract_props",
-    "tumbling_hourly_stats",
-    "sliding_hourly_stats",
-    "dedup_exact_docs",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
+    # ---- last driver-verified in round 7/8 (stalest): verify FIRST ----
+    "order_quantity_arrays",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q21_waiting_supplier",
-    "order_quantity_arrays",
-    # ---- driver-verified in round 8 (freshest; overflow) ----
-    "duplicate_spans_docs",
-    "linkage_entity_clusters",
-    "winsorize_price_stats",
-    "community_user_states",
-    "weighted_sample_docs",
-    "streaming_incremental_dedup",
-    "nucleus_select_docs",
-    "scd2_customer_history",
-    "ols_price_vs_quantity",
-    "kcore_user_states",
-    "outlier_mad_quantity",
-    "linkage_part_entities",
-    "pagerank_event_hotspots",
-    "triangle_counts_events",
-    "fuzzy_join_part_names",
-    "embedding_ann_pq",
-    "embedding_ann_ivf_pq",
-    "embedding_ann_srp",
-    "embedding_ann_ivf",
-    "dedup_chunks_exact",
+    "bm25_doc_ranking",
     "chunk_documents",
-    "pack_context_windows",
-    "simhash_fingerprints",
-    "text_stats",
-    "lang_id_docs",
+    "community_user_states",
+    "decontam_ngram_overlap",
+    "dedup_chunks_exact",
     "doc_fingerprints",
+    "duplicate_spans_docs",
+    "embedding_ann_ivf",
+    "embedding_ann_ivf_pq",
+    "embedding_ann_pq",
+    "embedding_ann_srp",
     "embedding_topk_cosine",
-    "multimodal_metadata",
+    "fuzzy_join_part_names",
+    "kcore_user_states",
+    "lang_id_docs",
+    "linkage_entity_clusters",
+    "linkage_part_entities",
     "multimodal_decode",
+    "multimodal_metadata",
+    "nucleus_select_docs",
+    "ols_price_vs_quantity",
+    "outlier_mad_quantity",
+    "pack_context_windows",
+    "pagerank_event_hotspots",
     "pipeline_quality_corpus",
-    "vocab_top_words",
-    "tfidf_top_terms",
+    "scd2_customer_history",
+    "simhash_fingerprints",
     "split_train_val_test",
     "stratified_sample_docs",
-    "bm25_doc_ranking",
-    "decontam_ngram_overlap",
-    # ---- driver-verified in round 9 (freshest; overflow) ----
+    "streaming_incremental_dedup",
+    "text_stats",
+    "tfidf_top_terms",
+    "triangle_counts_events",
+    "vocab_top_words",
+    "weighted_sample_docs",
+    "winsorize_price_stats",
+    # ---- round-9 cohort: the 10 next-stalest fill the window ----
     "zorder_orders_layout",
     "hilbert_orders_layout",
     "gap_fill_events",
@@ -140,6 +86,7 @@ _PRIORITY: Tuple[str, ...] = (
     "semantic_dedup_embeddings",
     "semantic_dedup_two_level",
     "text_cluster_topics",
+    # ---- rest of the round-9 cohort (overflow) ----
     "embedding_ann_ivf_kmeans",
     "embedding_knn_join_kmeans",
     "dedup_ngram_jaccard",
@@ -180,6 +127,57 @@ _PRIORITY: Tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q22_in_subquery",
     "q7_nation_volume",
+    # ---- driver-verified in round 10 (freshest; overflow) ----
+    "q8_market_share",
+    "q9_product_profit",
+    "window_running_total",
+    "window_moving_avg",
+    "topk_orders_per_segment",
+    "rollup_flag_status",
+    "cube_nation_segment",
+    "setops_repeat_customers",
+    "semi_anti_customers",
+    "pivot_user_event_counts",
+    "range_join_price_buckets",
+    "distinct_parts_per_supplier",
+    "scalar_functions",
+    "window_range_frame",
+    "rank_functions",
+    "date_functions",
+    "dedup_embedding_neardup",
+    "udtf_bigram_counts",
+    "grouping_sets_revenue",
+    "unpivot_part_metrics",
+    "salted_revenue_by_flag",
+    "ntile_price_quartiles",
+    "dedup_simhash_pairs",
+    "dedup_apply_simhash",
+    "dedup_incremental_docs",
+    "funnel_conversion_events",
+    "cohort_retention_events",
+    "dq_validate_orders",
+    "profile_lineitem",
+    "budget_select_docs",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_auto",
+    "dedup_apply_minhash",
+    "dedup_components",
+    "embedding_knn_join",
+    "corr_price_quantity",
+    "pii_scrub_docs",
+    "merge_upsert_customers",
+    "join_variants_nulls",
+    "string_functions2",
+    "asof_purchase_last_click",
+    "sessionize_events",
+    "json_extract_props",
+    "tumbling_hourly_stats",
+    "sliding_hourly_stats",
+    "dedup_exact_docs",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
 )
 
 

@@ -317,6 +317,10 @@ def test_with_hilbert_key_matches_column_form(spark):
     assert set(b.columns) == {"id", "h"}
     with pytest.raises(ValueError, match="already present"):
         with_hilbert_key(df.withColumn("_hil_x", F.lit(1)), F.col("x"), F.col("y"), bits)
+    # out= naming an internal state column would be silently dropped
+    # by the final projection — rejected instead (ADVICE r10)
+    with pytest.raises(ValueError, match="internal state column"):
+        with_hilbert_key(df, F.col("x"), F.col("y"), bits, out="_hil_d")
 
 
 def test_hilbert_sql_matches_spark(spark):

@@ -320,6 +320,28 @@ def test_run_stream_conf_restored_and_query_stopped_on_failure(spark, tmp_path):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     assert len(spark.streams.active) == 0
 
+    # (c) q.stop() itself raises (e.g. a stopTimeout expiring): the
+    # conf restore is nested in its own finally, so the width must
+    # come back even then (ADVICE r10)
+    from pyspark.sql.streaming import query as _qmod
+
+    real_stop = _qmod.StreamingQuery.stop
+
+    def boom_stop(self):
+        real_stop(self)
+        raise RuntimeError("boom-stop")
+
+    _qmod.StreamingQuery.stop = boom_stop
+    try:
+        with pytest.raises(RuntimeError, match="boom-stop"):
+            run_stream_to_memory(
+                stream().groupBy("k").count(), mode="complete", state_partitions=4
+            )
+    finally:
+        _qmod.StreamingQuery.stop = real_stop
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert len(spark.streams.active) == 0
+
     # session not poisoned: a normal run still works and restores
     out, _ = run_stream_to_memory(
         stream().groupBy("k").count(), mode="complete", state_partitions=4
