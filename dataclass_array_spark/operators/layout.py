@@ -21,6 +21,13 @@ Exactness: the Morton interleave is integer-only bit arithmetic and
 the min-max scaling uses integer ``div`` (no doubles anywhere), so the
 DuckDB oracle mirrors it bit-for-bit; ``zorder_sql`` emits the
 equivalent SQL expression for the gate.
+
+Curve menu: :func:`morton_key` (any k, cheapest, small locality
+jumps), :func:`hilbert_key`/:func:`with_hilbert_key` (2-d classic
+walk, best 2-d locality), :func:`with_hilbert_key_kd` (k >= 2,
+Skilling transpose walk — use this for 3+-column layouts; its 2-d
+orientation differs from the classic walk, so don't mix the two
+within one table's files).
 """
 
 from __future__ import annotations
@@ -328,4 +335,197 @@ def hilbert_sql(x_expr: str, y_expr: str, bits: int, from_clause: str,
     return (
         "WITH " + ",\n".join(lines)
         + f"\nSELECT {select_cols}, d AS hkey FROM h0"
+    )
+
+
+def _hilbert_kd_validate(k: int, bits: int) -> None:
+    if k < 2:
+        raise ValueError("k-d Hilbert needs >= 2 columns")
+    if bits < 1:
+        raise ValueError("bits must be >= 1")
+    if bits * k > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * k} > 63 overflows BIGINT"
+        )
+
+
+def with_hilbert_key_kd(
+    df: DataFrame, cols: Sequence[Column], bits: int, out: str = "hkey"
+) -> DataFrame:
+    """k-DIMENSIONAL Hilbert-curve index as a chain of projections —
+    the arbitrary-k generalization of :func:`with_hilbert_key` (which
+    keeps the classic 2-d reflect-and-swap walk for compatibility with
+    keys already written by it; the two curves are different valid
+    Hilbert orientations, so do not mix them within one table).
+
+    Algorithm: Skilling's transpose construction (J. Skilling,
+    "Programming the Hilbert curve", AIP Conf. Proc. 707, 2004 — the
+    standard public k-d formulation): an "inverse undo" pass of
+    per-bit reflect/exchange steps, a Gray-code pass, then a bit
+    interleave of the transposed coordinates.  Both loop bounds are
+    plan-time constants (``bits`` levels × ``k`` dims), so the whole
+    walk unrolls into ``withColumns`` projections exactly like
+    :func:`with_hilbert_key`: CollapseProject keeps the
+    multiply-referenced state columns materialized, adjacent
+    projections fuse into ONE WholeStageCodegen stage, and the per-step
+    state lives in codegen locals — zero per-row allocation (the
+    interpreted-HOF hazard documented in PERF.md round 10 never
+    arises because no higher-order function is emitted).
+
+    Inputs must already be non-negative ints ``< 2**bits`` (compose
+    with :func:`scale_expr`).  ``bits * len(cols)`` must fit a signed
+    64-bit key.  Locality property (tested): consecutive key values
+    are L1-adjacent cells, so range-partition boundaries cut the value
+    space into tight boxes for parquet min/max pruning on EVERY keyed
+    column — the same 100 TB scan-pruning story as the 2-d form, now
+    for (e.g.) a (customer, day, region) layout where 2-d Hilbert had
+    to fall back to :func:`morton_key`."""
+    k = len(cols)
+    _hilbert_kd_validate(k, bits)
+    names = [f"_hil{i}" for i in range(k)] + ["_hil_t"]
+    if out in names:
+        raise ValueError(
+            f"out={out!r} collides with an internal state column; "
+            "pick another name"
+        )
+    for c in names:
+        if c in df.columns:
+            raise ValueError(f"column {c} already present")
+    X = [F.col(n) for n in names[:k]]
+
+    def lit(v: int) -> Column:
+        return F.lit(v).cast("long")
+
+    r = df.withColumns(
+        {n: c.cast("long") for n, c in zip(names, cols)}
+    )
+    # inverse undo: Q = M, M/2, ..., 2; per (Q, i) one projection.
+    # Every branch reads the PREVIOUS projection's columns, so pairing
+    # the X[0]/X[i] updates in one withColumns is exactly the
+    # simultaneous-assignment the algorithm specifies.
+    for qi in range(bits - 1, 0, -1):
+        q, p = 1 << qi, (1 << qi) - 1
+        r = r.withColumns(
+            {
+                names[0]: F.when(
+                    X[0].bitwiseAND(lit(q)) > 0, X[0].bitwiseXOR(lit(p))
+                ).otherwise(X[0])
+            }
+        )
+        for i in range(1, k):
+            t = X[0].bitwiseXOR(X[i]).bitwiseAND(lit(p))
+            hi = X[i].bitwiseAND(lit(q)) > 0
+            r = r.withColumns(
+                {
+                    names[0]: F.when(
+                        hi, X[0].bitwiseXOR(lit(p))
+                    ).otherwise(X[0].bitwiseXOR(t)),
+                    names[i]: F.when(hi, X[i]).otherwise(
+                        X[i].bitwiseXOR(t)
+                    ),
+                }
+            )
+    # Gray encode (X[i] ^= X[i-1], sequential) == cumulative XOR of
+    # the pre-pass values — one projection
+    gray = {}
+    acc = X[0]
+    for i in range(1, k):
+        acc = acc.bitwiseXOR(X[i])
+        gray[names[i]] = acc
+    r = r.withColumns(gray)
+    # t = XOR of (Q-1) over the set bits (above bit 0) of X[k-1]
+    t = lit(0)
+    for qi in range(bits - 1, 0, -1):
+        q = 1 << qi
+        t = t.bitwiseXOR(
+            F.when(X[k - 1].bitwiseAND(lit(q)) > 0, lit(q - 1)).otherwise(
+                lit(0)
+            )
+        )
+    r = r.withColumn("_hil_t", t)
+    r = r.withColumns(
+        {n: F.col(n).bitwiseXOR(F.col("_hil_t")) for n in names[:k]}
+    )
+    # un-transpose: bit j of X[i] -> key bit j*k + (k-1-i)  (dim 0
+    # owns the most-significant bit of each k-bit group)
+    key = lit(0)
+    for i in range(k):
+        for j in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(X[i], j).bitwiseAND(F.lit(1)),
+                    j * k + (k - 1 - i),
+                )
+            )
+    return r.withColumn(out, key).drop(*names)
+
+
+def hilbert_kd_sql(
+    exprs: Sequence[str], bits: int, from_clause: str, select_cols: str
+) -> str:
+    """DuckDB mirror of :func:`with_hilbert_key_kd` as a chain of
+    per-step CTEs — identical integer arithmetic (bit ops only, no
+    doubles), so keys are value-exact cross-engine.  Returns a full
+    query ``SELECT {select_cols}, hkey FROM ...``."""
+    k = len(exprs)
+    _hilbert_kd_validate(k, bits)
+    xs = [f"x{i}" for i in range(k)]
+    step = 0
+    init = ", ".join(
+        f"CAST({e} AS BIGINT) AS {x}" for e, x in zip(exprs, xs)
+    )
+    lines = [f"g{step} AS (SELECT {select_cols}, {init} {from_clause})"]
+
+    def emit(assigns: "dict[str, str]") -> None:
+        nonlocal step
+        prev, step = step, step + 1
+        cols_sql = ", ".join(
+            f"{assigns.get(x, x)} AS {x}" for x in xs
+        )
+        lines.append(
+            f"g{step} AS (SELECT {select_cols}, {cols_sql} FROM g{prev})"
+        )
+
+    for qi in range(bits - 1, 0, -1):
+        q, p = 1 << qi, (1 << qi) - 1
+        emit({xs[0]: f"(CASE WHEN (x0 & {q}) > 0 THEN xor(x0, {p}) ELSE x0 END)"})
+        for i in range(1, k):
+            t = f"(xor(x0, x{i}) & {p})"
+            emit(
+                {
+                    xs[0]: f"(CASE WHEN (x{i} & {q}) > 0 "
+                    f"THEN xor(x0, {p}) ELSE xor(x0, {t}) END)",
+                    xs[i]: f"(CASE WHEN (x{i} & {q}) > 0 "
+                    f"THEN x{i} ELSE xor(x{i}, {t}) END)",
+                }
+            )
+    gray = {}
+    acc = "x0"
+    for i in range(1, k):
+        acc = f"xor({acc}, x{i})"
+        gray[xs[i]] = acc
+    emit(gray)
+    t_sql = "0"
+    for qi in range(bits - 1, 0, -1):
+        q = 1 << qi
+        t_sql = (
+            f"xor({t_sql}, (CASE WHEN (x{k - 1} & {q}) > 0 "
+            f"THEN {q - 1} ELSE 0 END))"
+        )
+    prev = step
+    step += 1
+    lines.append(
+        f"g{step} AS (SELECT {select_cols}, "
+        + ", ".join(f"xor({x}, CAST({t_sql} AS BIGINT)) AS {x}" for x in xs)
+        + f" FROM g{prev})"
+    )
+    terms = []
+    for i in range(k):
+        for j in range(bits):
+            terms.append(f"((((x{i}) >> {j}) & 1) << {j * k + (k - 1 - i)})")
+    return (
+        "WITH " + ",\n".join(lines)
+        + f"\nSELECT {select_cols}, CAST(("
+        + " | ".join(terms)
+        + f") AS BIGINT) AS hkey FROM g{step}"
     )

@@ -75,7 +75,9 @@ _PRIORITY: Tuple[str, ...] = (
     "vocab_top_words",
     "weighted_sample_docs",
     "winsorize_price_stats",
-    # ---- round-9 cohort: the 10 next-stalest fill the window ----
+    # ---- NEW in round 11 (k-d Hilbert): driver-verify immediately ----
+    "hilbert3d_orders_layout",
+    # ---- round-9 cohort: the next-stalest fill the window ----
     "zorder_orders_layout",
     "hilbert_orders_layout",
     "gap_fill_events",

@@ -878,3 +878,57 @@ def _hilbert_oracle() -> str:
 QUERIES["hilbert_orders_layout"] = Query(
     hilbert_orders_layout, _hilbert_oracle(), tags=("layout", "hilbert")
 )
+
+
+def hilbert3d_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-DIMENSIONAL Hilbert clustering key over (o_custkey, order day,
+    o_orderkey) — the k>2 case the 2-d walk couldn't cover (it had to
+    fall back to Morton before round 11).  Skilling transpose
+    construction (``with_hilbert_key_kd``), unrolled into one codegen
+    stage of chained projections; 13 bits × 3 dims = 39-bit key.  At
+    100 TB this is the layout for a table filtered on any of customer,
+    date, or key ranges at once: range-partition files get tight
+    3-d bounding boxes, so parquet min/max pruning works per-file for
+    every keyed column."""
+    from dataclass_array_spark.operators.layout import (
+        scale_expr,
+        with_hilbert_key_kd,
+    )
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].withColumn(
+        "_day",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1992-01-01"))
+        ),
+    )
+    aggs = []
+    for c in ("o_custkey", "_day", "o_orderkey"):
+        aggs += [F.min(c).cast("long"), F.max(c).cast("long")]
+    r = o.agg(*aggs).collect()[0]
+    scaled = [
+        scale_expr(F.col(c), r[2 * i], r[2 * i + 1], _HILBERT_BITS)
+        for i, c in enumerate(("o_custkey", "_day", "o_orderkey"))
+    ]
+    return with_hilbert_key_kd(o, scaled, _HILBERT_BITS).select(
+        "o_orderkey", "hkey"
+    )
+
+
+def _hilbert3d_oracle() -> str:
+    from dataclass_array_spark.operators.layout import (
+        hilbert_kd_sql,
+        scale_sql_dyn,
+    )
+
+    day = "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    scaled = [
+        scale_sql_dyn(e, f"(SELECT MIN({e}) FROM orders)",
+                      f"(SELECT MAX({e}) FROM orders)", _HILBERT_BITS)
+        for e in ("o_custkey", day, "o_orderkey")
+    ]
+    return hilbert_kd_sql(scaled, _HILBERT_BITS, "FROM orders", "o_orderkey")
+
+
+QUERIES["hilbert3d_orders_layout"] = Query(
+    hilbert3d_orders_layout, _hilbert3d_oracle(), tags=("layout", "hilbert")
+)

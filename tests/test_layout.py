@@ -339,3 +339,145 @@ def test_hilbert_sql_matches_spark(spark):
     got = {(r[0], r[1]): r[2] for r in con.execute(q).fetchall()}
     for x, y in zip(a, b):
         assert got[(int(x), int(y))] == _hilbert_ref(x, y, 8)
+
+
+# ---- k-dimensional Hilbert (Skilling transpose construction) ----
+
+
+def _hilbert_kd_ref(coords, bits):
+    """Pure-Python reference of the Skilling axes->index walk (the
+    algorithm with_hilbert_key_kd unrolls) — loop form, for
+    differential testing."""
+    k = len(coords)
+    X = list(coords)
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(k):
+            if X[i] & q:
+                X[0] ^= p
+            else:
+                t = (X[0] ^ X[i]) & p
+                X[0] ^= t
+                X[i] ^= t
+        q >>= 1
+    for i in range(1, k):
+        X[i] ^= X[i - 1]
+    t = 0
+    q = 1 << (bits - 1)
+    while q > 1:
+        if X[k - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    for i in range(k):
+        X[i] ^= t
+    h = 0
+    for j in range(bits - 1, -1, -1):
+        for i in range(k):
+            h = (h << 1) | ((X[i] >> j) & 1)
+    return h
+
+
+def test_hilbert_kd_bijection_and_adjacency():
+    """Full-domain properties at small bits, straight off the Python
+    reference (fast): the map is a BIJECTION onto [0, 2^(k*bits)) and
+    consecutive indices are L1-ADJACENT cells — the Hilbert property
+    that makes range-partition boundaries tight bounding boxes."""
+    for k, bits in ((2, 3), (3, 2), (4, 2), (3, 3)):
+        side = 1 << bits
+        import itertools
+
+        inv = {}
+        for coords in itertools.product(range(side), repeat=k):
+            h = _hilbert_kd_ref(coords, bits)
+            assert 0 <= h < side**k
+            assert h not in inv
+            inv[h] = coords
+        assert len(inv) == side**k
+        for h in range(1, side**k):
+            a, b = inv[h - 1], inv[h]
+            assert sum(abs(x - y) for x, y in zip(a, b)) == 1, (k, bits, h)
+
+
+def test_with_hilbert_key_kd_matches_reference(spark):
+    """Spark chained-projection form == the Python reference, 3-d and
+    4-d, on real orders data; state columns don't leak; the plan stays
+    HOF-free (no interpreted transform/element_at)."""
+    from dataclass_array_spark.operators.layout import with_hilbert_key_kd
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 64).alias("a"),
+            (F.col("o_orderkey") % 64).alias("b"),
+            (F.dayofmonth("o_orderdate") % 32).alias("c"),
+        )
+        .limit(400)
+    )
+    rows = df.collect()
+    for cols, bits in ((["a", "b", "c"], 6), (["a", "b", "c", "a"], 5)):
+        out = with_hilbert_key_kd(df, [F.col(c) for c in cols], bits, out="h")
+        got = {r["o_orderkey"]: r["h"] for r in out.collect()}
+        assert set(out.columns) == {"o_orderkey", "a", "b", "c", "h"}
+        for r in rows:
+            want = _hilbert_kd_ref([r[c] % (1 << bits) for c in cols], bits)
+            assert got[r["o_orderkey"]] == want, (cols, bits, r)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue().lower()
+    assert "transform(" not in plan and "element_at" not in plan
+
+
+def test_hilbert_kd_sql_matches_spark(spark):
+    """DuckDB CTE-chain mirror emits value-exact keys (integer-only
+    arithmetic both sides)."""
+    import duckdb
+
+    from dataclass_array_spark.operators.layout import (
+        hilbert_kd_sql,
+        with_hilbert_key_kd,
+    )
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    df = spark.read.parquet(path).select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("a"),
+        (F.col("o_orderkey") % 256).alias("b"),
+        (F.dayofmonth("o_orderdate") % 32).alias("c"),
+    )
+    out = with_hilbert_key_kd(
+        df, [F.col("a"), F.col("b"), F.col("c")], 8, out="hkey"
+    )
+    got = {r["o_orderkey"]: r["hkey"] for r in out.collect()}
+    con = duckdb.connect()
+    sql = hilbert_kd_sql(
+        ["o_custkey % 256", "o_orderkey % 256",
+         "EXTRACT(day FROM CAST(o_orderdate AS DATE)) % 32"],
+        8,
+        f"FROM read_parquet('{path}')",
+        "o_orderkey",
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_with_hilbert_key_kd_validation(spark):
+    from dataclass_array_spark.operators.layout import with_hilbert_key_kd
+
+    df = spark.range(4).select(
+        F.col("id").alias("a"), F.col("id").alias("b"), F.col("id").alias("c")
+    )
+    cols3 = [F.col("a"), F.col("b"), F.col("c")]
+    with pytest.raises(ValueError, match="overflows BIGINT"):
+        with_hilbert_key_kd(df, cols3, 22)
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        with_hilbert_key_kd(df, [F.col("a")], 8)
+    with pytest.raises(ValueError, match="internal state column"):
+        with_hilbert_key_kd(df, cols3, 8, out="_hil1")
+    with pytest.raises(ValueError, match="already present"):
+        with_hilbert_key_kd(df.withColumn("_hil_t", F.lit(1)), cols3, 8)
