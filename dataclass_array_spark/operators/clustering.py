@@ -407,7 +407,16 @@ def kmeans_sql_ctes(
     chain keeps the ``WITH`` keyword; callers strip it from subsequent
     chains (see ``workload.llm3._pq_sql``).  ``vec_expr`` overrides the
     default ``CAST(vec_col AS DOUBLE[])`` vector expression (e.g. a
-    DuckDB list slice for a PQ subspace)."""
+    DuckDB list slice for a PQ subspace).
+
+    Every CTE is ``AS MATERIALIZED`` (round 11): DuckDB 1.0 INLINES
+    multiply-referenced CTEs, re-evaluating the whole upstream chain
+    per reference — across the ``c{i} -> a{i}/m{i} -> c{i+1}``
+    iteration ladder that recomputation compounds, and the two-level
+    oracle (3 fine chains re-reading ``ge``) went from out-of-memory
+    at sf1 to 13 s with materialization.  Purely physical: every CTE
+    here is deterministic (all window/LIMIT orderings fully
+    tie-broken), so results are value-identical."""
     p = prefix
     fold = (
         "list_reduce(list_prepend(0.0, list_transform(list_zip(e.v, c.cv), "
@@ -430,19 +439,21 @@ def kmeans_sql_ctes(
         et = f"SELECT * FROM {p}e ORDER BY {id_col} LIMIT {int(train_limit)}"
     ve = vec_expr if vec_expr is not None else f"CAST({vec_col} AS DOUBLE[])"
     parts = [
-        f"""WITH {p}e AS (
+        f"""WITH {p}e AS MATERIALIZED (
   SELECT {id_col}, {ve} AS v FROM {table}
-), {p}et AS (
+), {p}et AS MATERIALIZED (
   {et}
-), {p}c0 AS (
+), {p}c0 AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cid, v AS cv
   FROM (SELECT {id_col}, v FROM {p}et ORDER BY {id_col} LIMIT {k})
 )"""
     ]
     for i in range(iters):
-        parts.append(f", {p}a{i} AS {assign(f'{p}c{i}', src=f'{p}et')}")
         parts.append(
-            f""", {p}m{i} AS (
+        f", {p}a{i} AS MATERIALIZED {assign(f'{p}c{i}', src=f'{p}et')}"
+    )
+        parts.append(
+            f""", {p}m{i} AS MATERIALIZED (
   SELECT cid, list(m ORDER BY dim) AS cv FROM (
     SELECT cid, dim,
            (CAST(FLOOR(s) AS DOUBLE) + CAST(s - FLOOR(s) AS DOUBLE)) / cnt AS m
@@ -452,12 +463,14 @@ def kmeans_sql_ctes(
                generate_series(1, {dim}) gs(i)
           GROUP BY a.cid, gs.i)
   ) GROUP BY cid
-), {p}c{i + 1} AS (
+), {p}c{i + 1} AS MATERIALIZED (
   SELECT c.cid, COALESCE(m.cv, c.cv) AS cv
   FROM {p}c{i} c LEFT JOIN {p}m{i} m ON m.cid = c.cid
 )"""
         )
-    parts.append(f", {p}afinal AS {assign(f'{p}c{iters}', src=f'{p}e')}")
+    parts.append(
+        f", {p}afinal AS MATERIALIZED {assign(f'{p}c{iters}', src=f'{p}e')}"
+    )
     return "".join(parts)
 
 
@@ -697,7 +710,7 @@ def kmeans_two_level_sql_ctes(
         f"CAST(cid AS BIGINT) AS fine, dist FROM f{i}_afinal"
         for i in range(int(k_coarse))
     )
-    return sql + f", tl_afinal AS (\n  {union}\n)"
+    return sql + f", tl_afinal AS MATERIALIZED (\n  {union}\n)"
 
 
 def semantic_dedup_two_level(
@@ -782,7 +795,7 @@ def semantic_dedup_two_level_sql(
     )
     if max_cluster_size is not None:
         pairable = f"""
-, pairable AS (
+, pairable AS MATERIALIZED (
   SELECT vec_id, cell, fine FROM (
     SELECT vec_id, cell, fine,
            ROW_NUMBER() OVER (PARTITION BY cell, fine ORDER BY vec_id) AS rn
@@ -790,7 +803,10 @@ def semantic_dedup_two_level_sql(
   ) WHERE rn <= {int(max_cluster_size)}
 )"""
     else:
-        pairable = "\n, pairable AS (SELECT vec_id, cell, fine FROM tl_afinal)"
+        pairable = (
+            "\n, pairable AS MATERIALIZED "
+            "(SELECT vec_id, cell, fine FROM tl_afinal)"
+        )
     return (
         kmeans_two_level_sql_ctes(
             table, id_col, vec_col, dim, k_coarse, iters=iters,
@@ -800,8 +816,8 @@ def semantic_dedup_two_level_sql(
         )
         + pairable
         + f"""
-, n AS (SELECT {id_col} AS nid, {n2} AS n2 FROM ge)
-, pairs AS (
+, n AS MATERIALIZED (SELECT {id_col} AS nid, {n2} AS n2 FROM ge)
+, pairs AS MATERIALIZED (
   SELECT b.vec_id AS drop_id,
          {dot} / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
   FROM pairable a
@@ -968,7 +984,7 @@ def semantic_dedup_sql(
     )
     if max_cluster_size is not None:
         pairable = f"""
-, pairable AS (
+, pairable AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid,
            ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
@@ -976,13 +992,15 @@ def semantic_dedup_sql(
   ) WHERE rn <= {int(max_cluster_size)}
 )"""
     else:
-        pairable = "\n, pairable AS (SELECT vec_id, cid FROM afinal)"
+        pairable = (
+            "\n, pairable AS MATERIALIZED (SELECT vec_id, cid FROM afinal)"
+        )
     return (
         kmeans_sql_ctes(table, id_col, vec_col, dim, k, iters, train_limit)
         + pairable
         + f"""
-, n AS (SELECT {id_col} AS nid, {n2} AS n2 FROM e)
-, pairs AS (
+, n AS MATERIALIZED (SELECT {id_col} AS nid, {n2} AS n2 FROM e)
+, pairs AS MATERIALIZED (
   SELECT b.vec_id AS drop_id,
          {dot} / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
   FROM pairable a JOIN pairable b ON a.cid = b.cid AND a.vec_id < b.vec_id
