@@ -419,3 +419,98 @@ def unigram_xent_scores(df, text_col: str, id_col: str):
         .otherwise(F.lit(0.0))
         .alias("xent_nats"),
     )
+
+
+def bigram_xent_scores(df, text_col: str, id_col: str):
+    """Per-document CONDITIONAL cross-entropy (nats/bigram) under the
+    corpus's own add-one-smoothed bigram LM — the next-token-prediction
+    refinement of :func:`unigram_xent_scores` (CCNet-style pipelines
+    filter on exactly this style of LM score):
+
+        p(w2 | w1)  = (c(w1, w2) + 1) / (c(w1·) + V)
+        xent        = (1/m) Σ_i [ln(c(w1_i·) + V) − ln(c(w1_i, w2_i) + 1)]
+
+    over the doc's m bigrams in position order, with ``c(w1·)`` the
+    corpus count of w1 as a bigram prefix and V the full unigram vocab
+    size.  Low = predictable boilerplate, high = incoherent token
+    soup.  Both ln arguments are positive INTEGERS, so the score uses
+    :func:`ln_exact` end-to-end and reproduces bit-for-bit in the
+    DuckDB oracle (per-position ``ln_den − ln_num`` computed before a
+    position-ordered fold — the order-dependent IEEE sum recipe).
+
+    Plan shape (100 TB): one bigram aggregation produces the LM
+    (bigram-type-sized, not corpus-sized); the 20-term ln series runs
+    once per DISTINCT bigram / prefix and joins back broadcast; per-doc
+    sums are one explode shuffle + one per-doc aggregation — the same
+    plan family as tf-idf and the unigram LM.  Scoring the training
+    corpus itself means no OOV rows (every doc bigram is in the LM by
+    construction); to score a HELD-OUT corpus against this LM, smooth
+    the unseen-bigram branch with ``ln_den − ln(1)`` via a left join +
+    coalesce — deliberately not done here to keep the gate's join
+    strictness visible."""
+    toks = tokens(F.col(text_col))
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    # sequence(1, n-1) DESCENDS for n < 2 — guard like quality._grams
+    big_arr = F.when(F.size(toks) >= 2, mk).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    inst = df.select(
+        F.col(id_col), F.posexplode_outer(big_arr).alias("pos", "bg")
+    ).select(
+        id_col, "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    nn = inst.filter(F.col("pos").isNotNull())
+    cb = nn.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").cast("long").alias("cu"))
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t").cast("long").alias("V"))
+    )
+    ln_num = cb.select(
+        "w1", "w2", ln_exact(F.col("cb") + F.lit(1)).alias("ln_num")
+    )
+    ln_den = cu.crossJoin(F.broadcast(vocab)).select(
+        "w1", ln_exact(F.col("cu") + F.col("V")).alias("ln_den")
+    )
+    entry = F.when(
+        F.col("pos").isNotNull(),
+        F.struct(
+            F.col("pos"),
+            (F.col("ln_den") - F.col("ln_num")).alias("nll"),
+        ),
+    )
+    # ln_num is BIGRAM-TYPE-sized (can approach corpus scale) — no
+    # broadcast hint; AQE broadcasts when it actually fits.  ln_den is
+    # prefix-vocab-sized (same order as the unigram vocab) — hinted
+    # like unigram_xent_scores' frequency table.
+    per_doc = (
+        inst.join(ln_num, ["w1", "w2"], "left")
+        .join(F.broadcast(ln_den), ["w1"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("pos").cast("long").alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(entry)), lambda s: s.nll
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("__s"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("__s") / F.col("n_bigrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("xent_nats"),
+    )

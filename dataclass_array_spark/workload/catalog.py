@@ -75,8 +75,9 @@ _PRIORITY: Tuple[str, ...] = (
     "vocab_top_words",
     "weighted_sample_docs",
     "winsorize_price_stats",
-    # ---- NEW in round 11 (k-d Hilbert): driver-verify immediately ----
+    # ---- NEW in round 11: driver-verify immediately ----
     "hilbert3d_orders_layout",
+    "bigram_lm_docs",
     # ---- round-9 cohort: the next-stalest fill the window ----
     "zorder_orders_layout",
     "hilbert_orders_layout",

@@ -1626,3 +1626,40 @@ def test_dedup_chunks_reports_tokenless_docs(spark):
     assert out[2] == (0, 0, emp)
     assert out[1][0] == 2 and out[1][1] == 2
     assert out[3] == (2, 0, emp)
+
+
+def test_bigram_xent_scores_hand_example_and_edges(spark):
+    """Add-one-smoothed bigram LM cross-entropy on a hand-checkable
+    corpus, plus the edge docs (empty, single-token) that must score
+    (0, 0.0).  Expected values computed with math.log — ln_exact
+    agrees with libm to well past 1e-12 for these tiny integers."""
+    import math
+
+    from dataclass_array_spark.operators.text import bigram_xent_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),   # bigrams: (a,b) (b,a) (a,b)
+            (2, "a b c"),     # bigrams: (a,b) (b,c)
+            (3, "x"),         # 1 token -> no bigrams
+            (4, ""),          # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"])
+        for r in bigram_xent_scores(df, "text", "doc_id").collect()
+    }
+    # corpus: cb = {(a,b):3, (b,a):1, (b,c):1}; cu = {a:3, b:2}; V=4 (a b c x)
+    V = 4
+    p_ab = (3 + 1) / (3 + V)
+    p_ba = (1 + 1) / (2 + V)
+    p_bc = (1 + 1) / (2 + V)
+    want1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    want2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert got[1][0] == 3 and abs(got[1][1] - want1) < 1e-12
+    assert got[2][0] == 2 and abs(got[2][1] - want2) < 1e-12
+    assert got[3] == (0, 0.0)
+    assert got[4] == (0, 0.0)
+    # smoothing sanity: the repeated bigram is MORE predictable
+    assert got[1][1] < got[2][1]
