@@ -421,6 +421,29 @@ def unigram_xent_scores(df, text_col: str, id_col: str):
     )
 
 
+def _bigram_instances(df, text_col: str, id_col: str):
+    """(id, pos, w1, w2) bigram instances of each doc, with a single
+    (pos NULL) row for docs that have < 2 tokens (so downstream
+    per-doc aggregation still sees every doc)."""
+    toks = tokens(F.col(text_col))
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    # sequence(1, n-1) DESCENDS for n < 2 — guard like quality._grams
+    big_arr = F.when(F.size(toks) >= 2, mk).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    return df.select(
+        F.col(id_col), F.posexplode_outer(big_arr).alias("pos", "bg")
+    ).select(
+        id_col, "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
 def bigram_xent_scores(df, text_col: str, id_col: str):
     """Per-document CONDITIONAL cross-entropy (nats/bigram) under the
     corpus's own add-one-smoothed bigram LM — the next-token-prediction
@@ -448,23 +471,7 @@ def bigram_xent_scores(df, text_col: str, id_col: str):
     the unseen-bigram branch with ``ln_den − ln(1)`` via a left join +
     coalesce — deliberately not done here to keep the gate's join
     strictness visible."""
-    toks = tokens(F.col(text_col))
-    mk = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-        ),
-    )
-    # sequence(1, n-1) DESCENDS for n < 2 — guard like quality._grams
-    big_arr = F.when(F.size(toks) >= 2, mk).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>")
-    )
-    inst = df.select(
-        F.col(id_col), F.posexplode_outer(big_arr).alias("pos", "bg")
-    ).select(
-        id_col, "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
-    )
+    inst = _bigram_instances(df, text_col, id_col)
     nn = inst.filter(F.col("pos").isNotNull())
     cb = nn.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
     cu = cb.groupBy("w1").agg(F.sum("cb").cast("long").alias("cu"))
@@ -492,6 +499,78 @@ def bigram_xent_scores(df, text_col: str, id_col: str):
     per_doc = (
         inst.join(ln_num, ["w1", "w2"], "left")
         .join(F.broadcast(ln_den), ["w1"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("pos").cast("long").alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(entry)), lambda s: s.nll
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("__s"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("__s") / F.col("n_bigrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("xent_nats"),
+    )
+
+
+def bigram_xent_scores_heldout(train_df, score_df, text_col: str, id_col: str):
+    """:func:`bigram_xent_scores` scoring a (possibly different) corpus
+    against an LM trained on ``train_df`` — the HELD-OUT form, which is
+    what a production quality filter actually runs (train the LM on a
+    trusted reference corpus, score the crawl).  Unseen events take the
+    add-one smoothing's natural values:
+
+        unseen bigram, seen prefix:  ln_num = ln(0 + 1) = 0
+        unseen prefix:               ln_den = ln(0 + V) = ln V
+
+    (an unseen prefix implies an unseen bigram, so that branch scores
+    exactly ``ln V`` nats — the uniform-over-vocab surprise).  V is the
+    TRAIN corpus's unigram vocabulary; ``train_df`` must be non-empty.
+    All lns stay :func:`ln_exact` over positive integers, so the gate
+    hash-matches the DuckDB oracle bit-for-bit.  Self-scoring
+    (``train_df is score_df``) reproduces :func:`bigram_xent_scores`
+    value-identically (the OOV branches never fire)."""
+    inst_t = _bigram_instances(train_df, text_col, id_col).filter(
+        F.col("pos").isNotNull()
+    )
+    cb = inst_t.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").cast("long").alias("cu"))
+    vocab = (
+        train_df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t").cast("long").alias("V"))
+    )
+    ln_num = cb.select(
+        "w1", "w2", ln_exact(F.col("cb") + F.lit(1)).alias("ln_num")
+    )
+    ln_den = cu.crossJoin(F.broadcast(vocab)).select(
+        "w1", ln_exact(F.col("cu") + F.col("V")).alias("ln_den")
+    )
+    ln_v = vocab.select(ln_exact(F.col("V")).alias("ln_v"))
+    inst_s = _bigram_instances(score_df, text_col, id_col)
+    entry = F.when(
+        F.col("pos").isNotNull(),
+        F.struct(
+            F.col("pos"),
+            (
+                F.coalesce(F.col("ln_den"), F.col("ln_v"))
+                - F.coalesce(F.col("ln_num"), F.lit(0.0))
+            ).alias("nll"),
+        ),
+    )
+    per_doc = (
+        inst_s.join(ln_num, ["w1", "w2"], "left")
+        .join(F.broadcast(ln_den), ["w1"], "left")
+        .crossJoin(F.broadcast(ln_v))
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_bigrams"),

@@ -78,6 +78,7 @@ _PRIORITY: Tuple[str, ...] = (
     # ---- NEW in round 11: driver-verify immediately ----
     "hilbert3d_orders_layout",
     "bigram_lm_docs",
+    "bigram_lm_heldout_docs",
     # ---- round-9 cohort: the next-stalest fill the window ----
     "zorder_orders_layout",
     "hilbert_orders_layout",

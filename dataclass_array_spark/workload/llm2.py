@@ -665,6 +665,82 @@ QUERIES["bigram_lm_docs"] = Query(
 )
 
 
+def bigram_lm_heldout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT bigram-LM scoring — train the LM on the English docs,
+    score the WHOLE corpus (the production filter shape: trusted
+    reference corpus → crawl).  Non-English docs hit the OOV branches
+    (unseen bigram → ln_num = ln 1 = 0; unseen prefix → ln V), so this
+    gate exercises the smoothing paths bigram_lm_docs (self-scoring)
+    structurally cannot."""
+    from dataclass_array_spark.operators.text import bigram_xent_scores_heldout
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return bigram_xent_scores_heldout(
+        d.filter(F.col("lang") == "en"), d, "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+def _bigram_lm_heldout_oracle() -> str:
+    from dataclass_array_spark.operators.text import sql_ln_exact_ctes
+
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+guard AS (
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('BIGRAM_LM_HELDOUT_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
+post AS (
+  SELECT doc_id, gs.i AS pos, toks[gs.i] AS t
+  FROM toks, generate_series(1, 4096) gs(i)
+  WHERE gs.i <= len(toks) AND lang = 'en'
+),
+bigt AS (
+  SELECT doc_id, gs.i AS pos, toks[gs.i] AS w1, toks[gs.i + 1] AS w2
+  FROM toks, generate_series(1, 4095) gs(i)
+  WHERE gs.i <= len(toks) - 1 AND lang = 'en'
+),
+bigs AS (
+  SELECT doc_id, gs.i AS pos, toks[gs.i] AS w1, toks[gs.i + 1] AS w2
+  FROM toks, generate_series(1, 4095) gs(i)
+  WHERE gs.i <= len(toks) - 1
+),
+cb AS (SELECT w1, w2, COUNT(*) AS c FROM bigt GROUP BY w1, w2),
+cbp AS (SELECT w1, w2, c + 1 AS c FROM cb),
+cu AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cu FROM cb GROUP BY w1),
+vv AS (SELECT COUNT(DISTINCT t) AS v FROM post),
+den AS (SELECT w1, cu + (SELECT v FROM vv) AS c FROM cu),
+{sql_ln_exact_ctes("cbp", "w1, w2", "c", "lnnum_t")},
+{sql_ln_exact_ctes("den", "w1", "c", "lnden_t")},
+{sql_ln_exact_ctes("vv", "v", "v", "lnv_t")},
+perdoc AS (
+  SELECT b.doc_id, COUNT(*) AS m,
+         list_reduce(
+           list_prepend(0.0,
+             list((COALESCE(d.ln, g.lnv) - COALESCE(n.ln, 0.0)) ORDER BY b.pos)),
+           (a, x) -> a + x) AS s
+  FROM bigs b
+  LEFT JOIN lnnum_t n ON n.w1 = b.w1 AND n.w2 = b.w2
+  LEFT JOIN lnden_t d ON d.w1 = b.w1
+  CROSS JOIN (SELECT ln AS lnv FROM lnv_t) g
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, COALESCE(pd.m, 0) AS n_bigrams,
+       COALESCE(pd.s / CAST(pd.m AS DOUBLE), 0.0) AS xent_nats
+FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+CROSS JOIN guard
+WHERE guard.ok = 1
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["bigram_lm_heldout_docs"] = Query(
+    bigram_lm_heldout_docs, _bigram_lm_heldout_oracle(),
+    tags=("text", "quality", "lm", "heldout"),
+)
+
+
 # ------------------------------------------------ tokenization
 _VOCAB_SIZE = 500
 

@@ -1663,3 +1663,51 @@ def test_bigram_xent_scores_hand_example_and_edges(spark):
     assert got[4] == (0, 0.0)
     # smoothing sanity: the repeated bigram is MORE predictable
     assert got[1][1] < got[2][1]
+
+
+def test_bigram_xent_heldout_oov_and_self_equivalence(spark):
+    import math
+
+    from dataclass_array_spark.operators.text import (
+        bigram_xent_scores,
+        bigram_xent_scores_heldout,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [
+            (10, "a b"),     # seen bigram
+            (11, "c a"),     # seen prefix c? c never a prefix -> unseen prefix
+            (12, "q r s"),   # fully OOV: every bigram scores ln V
+            (13, "x"),       # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"])
+        for r in bigram_xent_scores_heldout(
+            train, score, "text", "doc_id"
+        ).collect()
+    }
+    V = 3  # train vocab: a b c
+    p_ab = (3 + 1) / (3 + V)
+    assert got[10][0] == 1 and abs(got[10][1] + math.log(p_ab)) < 1e-12
+    # unseen prefix: nll = ln(0 + V) - ln(0 + 1) = ln V
+    assert got[11][0] == 1 and abs(got[11][1] - math.log(V)) < 1e-12
+    assert got[12][0] == 2 and abs(got[12][1] - math.log(V)) < 1e-12
+    assert got[13] == (0, 0.0)
+
+    # self-scoring == the strict-join form, bit for bit
+    a = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"])
+        for r in bigram_xent_scores(train, "text", "doc_id").collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"])
+        for r in bigram_xent_scores_heldout(
+            train, train, "text", "doc_id"
+        ).collect()
+    }
+    assert a == b
