@@ -469,3 +469,26 @@ def test_write_zordered_range_partitions(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_bigram_lm_join_shapes(spark):
+    """The bigram-LM scorer: the prefix/vocab tables join broadcast,
+    the bigram-typed LM table carries NO forced broadcast hint (at
+    corpus scale it must be shuffle-joinable — AQE may still pick
+    broadcast at test sizes, so the assertion is on the ABSENCE of a
+    cartesian product and on the hinted sides only), and the only
+    cross joins are the one-row scalar broadcasts (V / ln V)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dataclass_array_spark.operators.text import bigram_xent_scores_heldout
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = bigram_xent_scores_heldout(d.limit(200), d.limit(300), "text", "doc_id")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue().lower()
+    assert "cartesianproduct" not in p, p
+    # the scalar cross joins must be broadcast nested loop (one-row sides)
+    assert "broadcastnestedloopjoin" in p, p
