@@ -79,6 +79,7 @@ _PRIORITY: Tuple[str, ...] = (
     "hilbert3d_orders_layout",
     "bigram_lm_docs",
     "bigram_lm_heldout_docs",
+    "countmin_token_freq",
     # ---- round-9 cohort: the next-stalest fill the window ----
     "zorder_orders_layout",
     "hilbert_orders_layout",

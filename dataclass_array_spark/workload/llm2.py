@@ -956,3 +956,66 @@ ORDER BY b.doc_id
 QUERIES["streaming_quality_filter"] = Query(
     streaming_quality_filter, STREAM_QUALITY_SQL, tags=("streaming", "quality")
 )
+
+
+# ------------------------------------------------ count-min sketch
+def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over all document tokens (depth 4 × width
+    2048), point-estimating the 30 most frequent tokens — gated
+    EXACTLY: the md5-universal bucket hashes are deterministic, so the
+    oracle replays the sketch CELL-FOR-CELL and the estimates (and the
+    ``overcount`` column, which the count-min bound keeps >= 0)
+    hash-match.  The 100 TB counting path where an exact
+    groupBy(token) would shuffle a vocabulary-sized table: the sketch
+    shuffle is <= depth*width rows per task (map-side combined), the
+    finished sketch is broadcastable by construction, and sketches of
+    shards MERGE by cell-summing."""
+    from dataclass_array_spark.operators.sketch import (
+        countmin_build,
+        countmin_lookup,
+    )
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    tok = d.select(F.explode(tx.tokens(F.col("text"))).alias("t"))
+    exact = tok.groupBy("t").agg(F.count("*").cast("long").alias("c_exact"))
+    top = exact.orderBy(F.desc("c_exact"), "t").limit(30)
+    sk = countmin_build(tok, "t", depth=4, width=2048)
+    est = countmin_lookup(sk, top.select("t"), "t", depth=4, width=2048)
+    return (
+        top.join(est, "t")
+        .select(
+            "t",
+            "c_exact",
+            F.col("est").alias("c_est"),
+            (F.col("est") - F.col("c_exact")).cast("long").alias("overcount"),
+        )
+        .orderBy("t")
+    )
+
+
+def _countmin_oracle() -> str:
+    from dataclass_array_spark.operators.sketch import _CM_P, countmin_sql_ctes
+
+    w = 2048
+    return f"""
+WITH tok AS (SELECT unnest({_SQL_TOKS}) AS t FROM documents),
+exact AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c_exact FROM tok GROUP BY t),
+top AS (SELECT t, c_exact FROM exact ORDER BY c_exact DESC, t LIMIT 30),
+{countmin_sql_ctes("tok", "t", 4, w)},
+cmh AS (SELECT t, CAST(('0x'||substr(md5(t),1,8)) AS BIGINT) AS hv FROM top),
+est AS (
+  SELECT cmh.t, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS c_est
+  FROM cmh CROSS JOIN cmcons c
+  LEFT JOIN cmsketch s
+    ON s.j = c.j AND s.bucket = ((cmh.hv * c.a + c.b) % {_CM_P}) % {w}
+  GROUP BY cmh.t
+)
+SELECT top.t, top.c_exact, est.c_est, est.c_est - top.c_exact AS overcount
+FROM top JOIN est USING (t)
+ORDER BY t
+"""
+
+
+QUERIES["countmin_token_freq"] = Query(
+    countmin_token_freq, _countmin_oracle(), tags=("sketch", "approx")
+)

