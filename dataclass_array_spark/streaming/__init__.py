@@ -41,10 +41,12 @@ from dataclass_array_spark.streaming.core import purchases_with_recent_clicks  #
 __all__.append("purchases_with_recent_clicks")
 
 from dataclass_array_spark.streaming.core import (  # noqa: E402,F401
+    countmin_stream,
     decontaminate_stream,
     documents_stream,
     incremental_dedup_stream,
 )
 __all__ += [
-    "decontaminate_stream", "documents_stream", "incremental_dedup_stream",
+    "countmin_stream", "decontaminate_stream", "documents_stream",
+    "incremental_dedup_stream",
 ]

@@ -580,3 +580,43 @@ def incremental_dedup_stream(
     )
     q.awaitTermination()
     return docs.sparkSession.read.parquet(output_dir)
+
+
+def countmin_stream(
+    items: DataFrame,
+    item_col: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Streaming count-min sketch as a ``foreachBatch`` stage: every
+    micro-batch appends its OWN partial sketch (≤ depth*width rows) to
+    ``output_dir``; the returned frame is the cell-summed merge, which
+    equals the one-shot batch sketch EXACTLY for any micro-batch
+    boundaries — counts are additive and the bucket hashes are
+    deterministic, so mergeability is precisely what makes the sketch
+    streamable with NO state store (contrast the stateful dedup gates:
+    here a crash-replayed batch is the only error mode, same as the
+    other foreachBatch stages' append sinks).  At 100 TB the per-batch
+    write is a fixed few thousand rows — the sketch is the natural
+    "frequency monitor on the firehose" shape."""
+    from dataclass_array_spark.operators.sketch import countmin_build
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        countmin_build(batch_df, item_col, depth=depth, width=width).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    q = (
+        items.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        items.sparkSession.read.parquet(output_dir)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

@@ -80,6 +80,7 @@ _PRIORITY: Tuple[str, ...] = (
     "bigram_lm_docs",
     "bigram_lm_heldout_docs",
     "countmin_token_freq",
+    "streaming_countmin_tokens",
     # ---- round-9 cohort: the next-stalest fill the window ----
     "zorder_orders_layout",
     "hilbert_orders_layout",

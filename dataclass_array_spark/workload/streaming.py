@@ -355,3 +355,72 @@ QUERIES["streaming_sliding_hourly"] = Query(
     streaming_sliding_hourly, STREAM_SLIDING_SQL,
     tags=("streaming", "window"),
 )
+
+
+def streaming_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained over a DOCUMENT STREAM: each
+    micro-batch appends its partial sketch; the cell-summed merge
+    equals the one-shot batch sketch exactly (counts are additive, the
+    md5-universal hashes deterministic), so the final top-30 estimates
+    reuse the BATCH gate's oracle verbatim — a streaming op with a full
+    hash-exact oracle, no state store involved."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from dataclass_array_spark.operators import text as tx
+    from dataclass_array_spark.operators.sketch import countmin_lookup
+    from dataclass_array_spark.streaming import countmin_stream, documents_stream
+    from dataclass_array_spark.workload.base import load_tables
+
+    s = documents_stream(spark, f"{sf_dir}/documents.parquet").select(
+        F.explode(tx.tokens(F.col("text"))).alias("t")
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"dca-stream-countmin-{tag}-{os.getpid()}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"dca-stream-countmin-{tag}-*")
+    ):
+        try:
+            pid = int(stale.rsplit("-", 1)[-1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    sk = countmin_stream(
+        s, "t", output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
+        depth=4, width=2048,
+    )
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tok = d.select(F.explode(tx.tokens(F.col("text"))).alias("t"))
+    top = (
+        tok.groupBy("t").agg(F.count("*").cast("long").alias("c_exact"))
+        .orderBy(F.desc("c_exact"), "t").limit(30)
+    )
+    est = countmin_lookup(sk, top.select("t"), "t", depth=4, width=2048)
+    return (
+        top.join(est, "t")
+        .select(
+            "t", "c_exact", F.col("est").alias("c_est"),
+            (F.col("est") - F.col("c_exact")).cast("long").alias("overcount"),
+        )
+        .orderBy("t")
+    )
+
+
+def _streaming_countmin_oracle() -> str:
+    from dataclass_array_spark.workload.llm2 import _countmin_oracle
+
+    return _countmin_oracle()
+
+
+QUERIES["streaming_countmin_tokens"] = Query(
+    streaming_countmin_tokens, _streaming_countmin_oracle(),
+    tags=("streaming", "sketch"),
+)
