@@ -122,3 +122,160 @@ cmsketch AS (
   SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM cminst GROUP BY j, bucket
 )"""
+
+
+# ------------------------------------------------------- HyperLogLog
+def _hash60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 → BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hll_alpha(m: int) -> float:
+    """Flajolet et al.'s bias constant for m >= 128 — a plain double
+    literal inlined identically into the plan and the oracle."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate ``(group...,
+    n_buckets_used, est)`` — with the same portable-determinism twist
+    as the count-min sketch: bucket = low ``b`` bits of a 60-bit md5
+    hash, rho = leading-zero rank of the remaining 60-b bits (computed
+    as ``length(bin(w))`` integer arithmetic, no libm), and the
+    harmonic-mean estimate folds the m bucket terms in BUCKET ORDER
+    starting from the empty-bucket base — so the final double is
+    bit-identical in the DuckDB oracle (:func:`hll_sql`), estimate
+    included, not just within tolerance.  Small-range correction
+    (linear counting ``m · ln(m/V)``) uses the integer-only
+    :func:`~dataclass_array_spark.operators.text.ln_exact` series; the
+    32-bit large-range correction does not apply to a 60-bit hash.
+
+    Scale shape: one aggregation to ``(group, bucket) → max(rho)``
+    (map-side combined: at most ``groups * 2^b`` rows shuffle per
+    task), one per-group fold over ≤ 2^b bucket entries.  Mergeable:
+    sketches of shards merge by (group, bucket) MAX — union the
+    ``(group, bucket, M)`` tables and re-aggregate."""
+    from dataclass_array_spark.operators.text import ln_exact
+
+    if not 4 <= b <= 16:
+        raise ValueError("b (bucket bits) must be in [4, 16]")
+    m = 1 << b
+    alpha = hll_alpha(m)
+    h = _hash60(F.col(value_col).cast("string"))
+    bucket = h.bitwiseAND(F.lit(m - 1).cast("long"))
+    w = F.shiftright(h, b)
+    width = 60 - b
+    rho = F.when(w == 0, F.lit(width + 1).cast("long")).otherwise(
+        F.lit(width).cast("long") - (F.length(F.bin(w)) - 1)
+    )
+    per_bucket = (
+        df.select(*group_cols, bucket.alias("__bkt"), rho.alias("__rho"))
+        .groupBy(*group_cols, "__bkt")
+        .agg(F.max("__rho").alias("__M"))
+    )
+    # S = (m - n_present)·1.0  +  Σ_present 2^-M, added in bucket order
+    # (the fold's INIT is the empty-bucket base, so both engines add in
+    # the same sequence); V = empty buckets for linear counting.
+    # the shift needs a COLUMN bit count — only the SQL form takes one
+    per_bucket = per_bucket.withColumn(
+        "__term",
+        F.lit(1.0)
+        / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), __M) AS DOUBLE)"),
+    )
+    term = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__bkt").alias("bkt"), F.col("__term").alias("t"))
+            )
+        ),
+        lambda s: s.t,
+    )
+    grouped = per_bucket.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("__used"),
+        F.aggregate(
+            term,
+            # init computed per-row from __used is not available inside
+            # agg; collect the fold from 0 and add the base after —
+            # base + fold ≡ fold-from-base for IEEE doubles ONLY if
+            # mirrored, so the oracle adds in exactly this order too:
+            # S = base + (((0 + t1) + t2) + ...)
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("__sum"),
+    )
+    base = (F.lit(m).cast("long") - F.col("__used")).cast("double")
+    s_col = base + F.col("__sum")
+    e_raw = F.lit(alpha * m * m) / s_col
+    v = F.lit(m).cast("long") - F.col("__used")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * (ln_exact(F.lit(m).cast("long")) - ln_exact(v)),
+    ).otherwise(e_raw)
+    return grouped.select(
+        *group_cols,
+        F.col("__used").alias("n_buckets_used"),
+        est.alias("est"),
+    )
+
+
+def hll_sql(
+    src: str, group_cols: "list[str]", value: str, b: int = 8
+) -> str:
+    """DuckDB mirror of :func:`hll_distinct` — identical hash, rho,
+    fold order, correction branch; returns a full query ``SELECT
+    {group...}, n_buckets_used, est FROM ...`` (no trailing ORDER
+    BY)."""
+    from dataclass_array_spark.operators.text import LN2_DOUBLE, sql_ln_series
+
+    m = 1 << b
+    alpha = hll_alpha(m)
+    width = 60 - b
+    gc = ", ".join(group_cols)
+
+    def ln_int(n: str) -> str:
+        # inline ln_exact over a positive integer expression
+        return (
+            f"(SELECT CAST(e AS DOUBLE) * {LN2_DOUBLE!r} + 2.0 * ({sql_ln_series()}) FROM "
+            f"(SELECT z, z*z AS z2, e FROM "
+            f"(SELECT (mm - 1.0) / (mm + 1.0) AS z, e FROM "
+            f"(SELECT CAST(nn AS DOUBLE) / CAST((CAST(1 AS BIGINT) << e) AS DOUBLE) AS mm, e FROM "
+            f"(SELECT ({n}) AS nn, length(bin({n})) - 1 AS e)))))"
+        )
+
+    return f"""
+WITH hllh AS (
+  SELECT {gc},
+         CAST(('0x'||substr(md5(CAST({value} AS VARCHAR)),1,15)) AS BIGINT) AS h
+  FROM {src}
+),
+hllr AS (
+  SELECT {gc}, h & {m - 1} AS bkt,
+         CASE WHEN (h >> {b}) = 0 THEN {width + 1}
+              ELSE {width} - (length(bin(h >> {b})) - 1) END AS rho
+  FROM hllh
+),
+hllb AS (
+  SELECT {gc}, bkt, MAX(rho) AS M FROM hllr GROUP BY {gc}, bkt
+),
+hllg AS (
+  SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS used,
+         list_reduce(
+           list_prepend(0.0,
+             list(1.0 / CAST((CAST(1 AS BIGINT) << M) AS DOUBLE) ORDER BY bkt)),
+           (a, x) -> a + x) AS ssum
+  FROM hllb GROUP BY {gc}
+)
+SELECT {gc}, used AS n_buckets_used,
+       CASE WHEN ({alpha * m * m!r} / (CAST({m} - used AS DOUBLE) + ssum))
+                   <= {2.5 * m!r}
+                 AND ({m} - used) > 0
+            THEN CAST({m} AS DOUBLE)
+                 * ({ln_int(str(m))} - {ln_int(f"({m} - used)")})
+            ELSE {alpha * m * m!r} / (CAST({m} - used AS DOUBLE) + ssum)
+       END AS est
+FROM hllg"""

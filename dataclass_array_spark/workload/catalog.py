@@ -81,6 +81,7 @@ _PRIORITY: Tuple[str, ...] = (
     "bigram_lm_heldout_docs",
     "countmin_token_freq",
     "streaming_countmin_tokens",
+    "hll_distinct_users",
     # ---- round-9 cohort: the next-stalest fill the window ----
     "zorder_orders_layout",
     "hilbert_orders_layout",

@@ -932,3 +932,46 @@ def _hilbert3d_oracle() -> str:
 QUERIES["hilbert3d_orders_layout"] = Query(
     hilbert3d_orders_layout, _hilbert3d_oracle(), tags=("layout", "hilbert")
 )
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimation via the PORTABLE
+    HyperLogLog (operators/sketch.py): md5-derived buckets + integer
+    leading-zero ranks + a bucket-ordered harmonic fold, so the oracle
+    replays the ESTIMATE bit-for-bit — unlike `approx_sketches`, which
+    can only tolerance-check Spark's engine-private HLL.  Exact
+    distinct counts ride along for the accuracy story (and make the
+    gate's join observable)."""
+    from dataclass_array_spark.operators.sketch import hll_distinct
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    est = hll_distinct(e, ["event_type"], "user_id", b=8)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "n_exact", "n_buckets_used", "est")
+        .orderBy("event_type")
+    )
+
+
+def _hll_oracle() -> str:
+    from dataclass_array_spark.operators.sketch import hll_sql
+
+    inner = hll_sql("events", ["event_type"], "user_id", b=8)
+    return f"""
+WITH exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+),
+hll AS ({inner})
+SELECT e.event_type, e.n_exact, h.n_buckets_used, h.est
+FROM exact e JOIN hll h USING (event_type)
+ORDER BY e.event_type
+"""
+
+
+QUERIES["hll_distinct_users"] = Query(
+    hll_distinct_users, _hll_oracle(), tags=("sketch", "approx")
+)
