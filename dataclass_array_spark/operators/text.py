@@ -593,3 +593,61 @@ def bigram_xent_scores_heldout(train_df, score_df, text_col: str, id_col: str):
         .otherwise(F.lit(0.0))
         .alias("xent_nats"),
     )
+
+
+def token_entropy_scores(df, text_col: str, id_col: str):
+    """Per-document Shannon entropy of the doc's OWN token distribution
+    (nats): ``H = ln n − (1/n) Σ_t c_t·ln c_t`` over the doc's distinct
+    tokens — the information-theoretic repetition/gibberish filter
+    (H ≈ 0: one token repeated; H ≈ ln n: no token repeats — bounded
+    above by ln(vocab of the doc)).  Complements the Gopher-rule
+    fractions in ``operators.quality``: those threshold specific
+    patterns, entropy summarizes the whole distribution.
+
+    Exactness: both lns are over positive INTEGERS (:func:`ln_exact`),
+    the per-token terms ``c·ln c`` fold in TOKEN order, and the final
+    ``ln n − s/n`` uses the same op sequence in the oracle — doubles
+    hash-match bit-for-bit.
+
+    Plan: explode → (doc, token) count → per-doc re-aggregation: the
+    unigram-LM plan family (two shuffles, both map-side combined); the
+    20-term ln series runs once per (doc, DISTINCT token)."""
+    tok = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("t")
+    )
+    cnt = (
+        tok.filter(F.col("t").isNotNull())
+        .groupBy(id_col, "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    term = cnt.select(
+        id_col,
+        "t",
+        "c",
+        (F.col("c").cast("double") * ln_exact(F.col("c"))).alias("cl"),
+    )
+    per_doc = term.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("__n"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("t"), F.col("cl").alias("cl")))
+                ),
+                lambda s: s.cl,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("__s"),
+    )
+    out = df.select(F.col(id_col)).join(per_doc, id_col, "left")
+    n = F.coalesce(F.col("__n"), F.lit(0).cast("long"))
+    return out.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.when(
+            n > 0,
+            ln_exact(n) - F.col("__s") / n.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropy_nats"),
+    )

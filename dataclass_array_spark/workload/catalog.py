@@ -25,14 +25,16 @@ class Query:
 # query under recurring driver verification.  Round 11 ordering
 # (VERDICT r10 item 1): the 40 queries now stalest — 4 last
 # driver-verified in round 7 (they overflowed the r10 window) and the
-# 36 round-8 cohort — go FIRST, then the 10 next-stalest round-9
-# queries complete the 50-query window, then the rest of the round-9
-# cohort, then the 50 queries the round-10 driver just verified,
-# freshest-last.  Round-11 code changes are verified
-# behavior-preserving via tools/check_correctness.py on every touched
-# gate before commit, so they don't claim window slots.  Python dicts
-# preserve insertion order, so this ordering is exactly what
-# ``queries()`` exposes to the driver.
+# 36 round-8 cohort — go FIRST, then the 7 BRAND-NEW round-11 gates
+# (new code needs driver verification most), then the next-stalest
+# round-9 queries (the first ~3 of which complete the 50-query
+# window), then the rest of the round-9 cohort, then the 50 queries
+# the round-10 driver just verified, freshest-last.  Behavior-
+# preserving round-11 changes to EXISTING gates (MATERIALIZED oracle
+# CTEs, the text.py refactor) were verified via a full 145-gate
+# tools/check_correctness.py sweep this round, so they don't claim
+# window slots.  Python dicts preserve insertion order, so this
+# ordering is exactly what ``queries()`` exposes to the driver.
 _PRIORITY: Tuple[str, ...] = (
     # ---- last driver-verified in round 7/8 (stalest): verify FIRST ----
     "order_quantity_arrays",
@@ -82,6 +84,7 @@ _PRIORITY: Tuple[str, ...] = (
     "countmin_token_freq",
     "streaming_countmin_tokens",
     "hll_distinct_users",
+    "token_entropy_docs",
     # ---- round-9 cohort: the next-stalest fill the window ----
     "zorder_orders_layout",
     "hilbert_orders_layout",

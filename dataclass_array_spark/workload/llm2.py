@@ -1019,3 +1019,60 @@ ORDER BY t
 QUERIES["countmin_token_freq"] = Query(
     countmin_token_freq, _countmin_oracle(), tags=("sketch", "approx")
 )
+
+
+# ------------------------------------------------ token entropy
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the doc's own token distribution —
+    the distribution-level repetition/gibberish filter (Gopher
+    fractions threshold specific patterns; entropy summarizes all of
+    them).  Hash-exact doubles via the integer-only ln series and
+    token-ordered folds."""
+    from dataclass_array_spark.operators.text import token_entropy_scores
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return token_entropy_scores(d, "text", "doc_id").orderBy("doc_id")
+
+
+def _token_entropy_oracle() -> str:
+    from dataclass_array_spark.operators.text import sql_ln_exact_ctes
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+guard AS (
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('TOKEN_ENTROPY_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
+pos AS (
+  SELECT doc_id, gs.i AS pos, toks[gs.i] AS t
+  FROM toks, generate_series(1, 4096) gs(i)
+  WHERE gs.i <= len(toks)
+),
+cnt AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY doc_id, t),
+{sql_ln_exact_ctes("cnt", "doc_id, t, c", "c", "lnc_t")},
+perdoc AS (
+  SELECT c.doc_id, CAST(SUM(c.c) AS BIGINT) AS n,
+         list_reduce(
+           list_prepend(0.0, list(CAST(c.c AS DOUBLE) * l.ln ORDER BY c.t)),
+           (a, x) -> a + x) AS s
+  FROM cnt c JOIN lnc_t l ON l.doc_id = c.doc_id AND l.t = c.t AND l.c = c.c
+  GROUP BY c.doc_id
+),
+{sql_ln_exact_ctes("perdoc", "doc_id, s", "n", "lnn_t")}
+SELECT d.doc_id,
+       COALESCE(p.n, 0) AS n_tokens,
+       COALESCE(ln.ln - p.s / CAST(p.n AS DOUBLE), 0.0) AS entropy_nats
+FROM documents d
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN lnn_t ln ON ln.doc_id = p.doc_id
+CROSS JOIN guard
+WHERE guard.ok = 1
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["token_entropy_docs"] = Query(
+    token_entropy_docs, _token_entropy_oracle(), tags=("text", "quality")
+)

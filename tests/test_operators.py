@@ -1818,3 +1818,28 @@ def test_hll_distinct_accuracy_and_branches(spark, sf_dir):
     )
     merged = {(r["event_type"], r["b"]): r["M"] for r in merged_df.collect()}
     assert merged == full
+
+
+def test_token_entropy_hand_example(spark):
+    """H = ln n - (1/n) sum c ln c on hand-checkable docs + edges."""
+    import math
+
+    from dataclass_array_spark.operators.text import token_entropy_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),      # one token: H = 0
+            (2, "a b c d"),      # all distinct: H = ln 4
+            (3, "a a b b"),      # H = ln4 - (1/4)(2ln2 + 2ln2) = ln2
+            (4, ""),             # empty: (0, 0.0)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy_nats"])
+        for r in token_entropy_scores(df, "text", "doc_id").collect()
+    }
+    assert got[1][0] == 4 and abs(got[1][1]) < 1e-12
+    assert got[2][0] == 4 and abs(got[2][1] - math.log(4)) < 1e-12
+    assert got[3][0] == 4 and abs(got[3][1] - math.log(2)) < 1e-12
+    assert got[4] == (0, 0.0)

@@ -492,3 +492,35 @@ def test_bigram_lm_join_shapes(spark):
     assert "cartesianproduct" not in p, p
     # the scalar cross joins must be broadcast nested loop (one-row sides)
     assert "broadcastnestedloopjoin" in p, p
+
+
+def test_sketch_plans(spark):
+    """Sketch plan shapes: count-min lookup broadcasts the sketch side
+    (it is <= depth*width rows by construction); the HLL estimate is
+    two hash aggregations with no join at all."""
+    from dataclass_array_spark.operators.sketch import (
+        countmin_build,
+        countmin_lookup,
+        hll_distinct,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+    )
+    sk = countmin_build(d, "t", 4, 256)
+    out = countmin_lookup(sk, d.select("t").distinct(), "t", 4, 256)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue().lower()
+    assert "broadcasthashjoin" in p, p
+    assert "cartesianproduct" not in p
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        hll_distinct(e, ["event_type"], "user_id").explain("formatted")
+    p = buf.getvalue().lower()
+    assert "join" not in p, p
+    assert p.count("exchange hashpartitioning") <= 2, p
