@@ -279,3 +279,58 @@ SELECT {gc}, used AS n_buckets_used,
             ELSE {alpha * m * m!r} / (CAST({m} - used AS DOUBLE) + ssum)
        END AS est
 FROM hllg"""
+
+
+# ------------------------------------------------------ Bloom filter
+def bloom_build(
+    df: DataFrame, key_col: str, n_bits: int = 65536, k: int = 5
+) -> DataFrame:
+    """Bloom filter of the distinct keys as a SET-BIT-POSITION table
+    ``(pos)`` — ≤ min(k·|keys|, n_bits) rows, broadcastable by
+    construction.  Positions are the same md5-universal hashes the
+    count-min sketch uses (deterministic → the DuckDB oracle replays
+    the filter bit-for-bit).  Guarantee: NO false negatives; false
+    positives at the classic ``(1 - e^{-kn/m})^k`` rate.
+
+    Scale story: this is the PORTABLE, oracle-replayable variant; at
+    100 TB the same shape is what Spark's runtime row-level bloom
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects
+    automatically for selective joins — use this explicit form when
+    the filter must be persisted, shipped across jobs, or merged
+    (bloom union = UNION DISTINCT of position tables)."""
+    A, B = _cm_constants(k)
+    h = _hash32(F.col(key_col).cast("string"))
+    pos = F.array(*[_bucket(h, A[j], B[j], n_bits) for j in range(k)])
+    return (
+        df.select(F.explode(pos).alias("pos")).distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    n_bits: int = 65536,
+    k: int = 5,
+) -> DataFrame:
+    """Membership probe: ``(key..., in_bloom)`` — true iff ALL k bit
+    positions are set.  The position table joins broadcast; the count
+    of matched positions per key equals k exactly when every bit is
+    set (positions can collide WITHIN a key, so the probe counts
+    DISTINCT matched positions against the key's distinct-position
+    count, not k)."""
+    A, B = _cm_constants(k)
+    h = _hash32(F.col(key_col).cast("string"))
+    pos = F.array(*[_bucket(h, A[j], B[j], n_bits) for j in range(k)])
+    exploded = probes.select(
+        F.col(key_col), F.explode(F.array_distinct(pos)).alias("pos")
+    )
+    return (
+        exploded.join(
+            F.broadcast(bloom.withColumn("__hit", F.lit(1))), ["pos"], "left"
+        )
+        .groupBy(key_col)
+        .agg(
+            (F.count("*") == F.count("__hit")).alias("in_bloom")
+        )
+    )

@@ -975,3 +975,73 @@ ORDER BY e.event_type
 QUERIES["hll_distinct_users"] = Query(
     hll_distinct_users, _hll_oracle(), tags=("sketch", "approx")
 )
+
+
+_BLOOM_BITS = 1 << 20
+_BLOOM_K = 5
+_BLOOM_PRICE = 400000.0
+
+
+def bloom_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter of the high-value order keys, probed with
+    EVERY order key — per-key ``in_bloom`` / ``actually_in`` / ``is_fp``
+    columns, all deterministic (md5-universal bit positions), so the
+    oracle replays the filter bit-for-bit and the gate hash-checks the
+    no-false-negative guarantee (actually_in → in_bloom) on every row.
+    The 100 TB shape: ship the ≤ n_bits-row position table in place of
+    a multi-million-key semi-join build side (Spark's runtime bloom
+    join injects the same idea automatically; this explicit operator is
+    for persisted/shipped/merged filters)."""
+    from dataclass_array_spark.operators.sketch import bloom_build, bloom_probe
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    s = o.filter(F.col("o_totalprice") > _BLOOM_PRICE).select(
+        F.col("o_orderkey").alias("key")
+    )
+    bloom = bloom_build(s, "key", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    probes = o.select(F.col("o_orderkey").alias("key")).distinct()
+    r = bloom_probe(bloom, probes, "key", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    actual = s.distinct().withColumn("__in", F.lit(True))
+    return (
+        r.join(actual, "key", "left")
+        .select(
+            F.col("key").alias("o_orderkey"),
+            "in_bloom",
+            F.coalesce(F.col("__in"), F.lit(False)).alias("actually_in"),
+            (F.col("in_bloom") & ~F.coalesce(F.col("__in"), F.lit(False))).alias(
+                "is_fp"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _bloom_oracle() -> str:
+    from dataclass_array_spark.operators.sketch import _CM_P, _cm_constants
+
+    A, B = _cm_constants(_BLOOM_K)
+    cons = ", ".join(f"({j}, {A[j]}, {B[j]})" for j in range(_BLOOM_K))
+    h = "CAST(('0x'||substr(md5(CAST(key AS VARCHAR)),1,8)) AS BIGINT)"
+    pos = f"(({h} * c.a + c.b) % {_CM_P}) % {_BLOOM_BITS}"
+    return f"""
+WITH cons AS (SELECT * FROM (VALUES {cons}) v(j, a, b)),
+s AS (SELECT o_orderkey AS key FROM orders WHERE o_totalprice > {_BLOOM_PRICE!r}),
+bloom AS (SELECT DISTINCT {pos} AS pos FROM s CROSS JOIN cons c),
+probes AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+pp AS (SELECT DISTINCT key, {pos} AS pos FROM probes CROSS JOIN cons c),
+agg AS (
+  SELECT key, COUNT(*) = COUNT(b.pos) AS in_bloom
+  FROM pp LEFT JOIN bloom b USING (pos) GROUP BY key
+),
+sd AS (SELECT DISTINCT key FROM s)
+SELECT a.key AS o_orderkey, a.in_bloom,
+       (sd.key IS NOT NULL) AS actually_in,
+       (a.in_bloom AND sd.key IS NULL) AS is_fp
+FROM agg a LEFT JOIN sd ON sd.key = a.key
+ORDER BY o_orderkey
+"""
+
+
+QUERIES["bloom_filter_orders"] = Query(
+    bloom_filter_orders, _bloom_oracle(), tags=("sketch", "filter")
+)

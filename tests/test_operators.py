@@ -1843,3 +1843,32 @@ def test_token_entropy_hand_example(spark):
     assert got[2][0] == 4 and abs(got[2][1] - math.log(4)) < 1e-12
     assert got[3][0] == 4 and abs(got[3][1] - math.log(2)) < 1e-12
     assert got[4] == (0, 0.0)
+
+
+def test_bloom_no_false_negatives_and_union_merge(spark, sf_dir):
+    from dataclass_array_spark.operators.sketch import bloom_build, bloom_probe
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_orderkey").alias("key")
+    )
+    members = {r["key"] for r in s.distinct().collect()}
+    bloom = bloom_build(s, "key", n_bits=1 << 16, k=5)
+    probes = o.select(F.col("o_orderkey").alias("key")).distinct()
+    got = {
+        r["key"]: r["in_bloom"]
+        for r in bloom_probe(bloom, probes, "key", 1 << 16, 5).collect()
+    }
+    # NO false negatives, ever
+    assert all(got[k] for k in members)
+    # false-positive rate sane for these parameters (k=5, m=65536)
+    non = [k for k in got if k not in members]
+    fp = sum(1 for k in non if got[k])
+    assert fp / max(len(non), 1) < 0.05, fp
+
+    # union merge: bloom(A ∪ B) == bloom(A) ∪ bloom(B) as position sets
+    a = bloom_build(s.filter(F.col("key") % 2 == 0), "key", 1 << 16, 5)
+    b = bloom_build(s.filter(F.col("key") % 2 == 1), "key", 1 << 16, 5)
+    merged = {r["pos"] for r in a.unionByName(b).distinct().collect()}
+    full = {r["pos"] for r in bloom.collect()}
+    assert merged == full
