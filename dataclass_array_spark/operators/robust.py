@@ -332,3 +332,108 @@ WITH m AS (
 SELECT {group_col}, n, slope,
        (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept
 FROM sl ORDER BY {group_col}"""
+
+
+# Cramer's-rule expression TEXT for the 2-regressor normal equations —
+# shared VERBATIM by the Spark side (F.expr) and the DuckDB oracle, so
+# both engines parse the same tree and execute the same IEEE op order.
+# A = [[n_d, sx1, sx2], [sx1, s11, s12], [sx2, s12, s22]],
+# b = (sy, s1y, s2y); dets expanded along the first row.
+OLS2_DET = (
+    "n_d*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) "
+    "+ sx2*(sx1*s12 - s11*sx2)"
+)
+OLS2_DET_B0 = (
+    "sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) "
+    "+ sx2*(s1y*s12 - s11*s2y)"
+)
+OLS2_DET_B1 = (
+    "n_d*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) "
+    "+ sx2*(sx1*s2y - s1y*sx2)"
+)
+OLS2_DET_B2 = (
+    "n_d*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) "
+    "+ sy*(sx1*s12 - s11*sx2)"
+)
+
+
+def ols2_by_group(
+    df: DataFrame, group_col: str, x1_col: str, x2_col: str, y_col: str
+) -> DataFrame:
+    """Per-group TWO-regressor least squares ``y = b1·x1 + b2·x2 + b0``
+    → ``(group, n, b1, b2, intercept)`` — the normal equations solved
+    by Cramer's rule over exact decimal moments (n, Σx1, Σx2, Σy,
+    Σx1², Σx1x2, Σx2², Σx1y, Σx2y: ONE aggregation pass, floor-split
+    to doubles like :func:`ols_by_group`).  The determinant expressions
+    are shared as TEXT with the oracle (``OLS2_DET*`` constants parsed
+    by both engines), so the closed-form doubles hash-match.  Groups
+    with a singular system (collinear regressors) yield NULLs — same
+    0/0 → NULL semantics both engines.
+
+    Scale: one shuffle carrying 9 decimal partial moments per group —
+    the same cost as the 1-regressor form; no iteration, no BLAS."""
+    dec = lambda c: c.cast("decimal(30,8)")  # noqa: E731
+
+    def dbl(c):
+        f = F.floor(c)
+        return f.cast("double") + (c - f).cast("double")
+
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
+    m = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        dbl(F.sum(dec(x1))).alias("sx1"),
+        dbl(F.sum(dec(x2))).alias("sx2"),
+        dbl(F.sum(dec(y))).alias("sy"),
+        dbl(F.sum(dec(x1 * x1))).alias("s11"),
+        dbl(F.sum(dec(x1 * x2))).alias("s12"),
+        dbl(F.sum(dec(x2 * x2))).alias("s22"),
+        dbl(F.sum(dec(x1 * y))).alias("s1y"),
+        dbl(F.sum(dec(x2 * y))).alias("s2y"),
+    )
+    m = m.withColumn("n_d", F.col("n").cast("double")).withColumn(
+        "det", F.expr(OLS2_DET)
+    )
+    return m.select(
+        group_col,
+        "n",
+        (F.expr(OLS2_DET_B1) / F.col("det")).alias("b1"),
+        (F.expr(OLS2_DET_B2) / F.col("det")).alias("b2"),
+        (F.expr(OLS2_DET_B0) / F.col("det")).alias("intercept"),
+    ).orderBy(group_col)
+
+
+def ols2_by_group_sql(
+    table: str, group_col: str, x1_col: str, x2_col: str, y_col: str
+) -> str:
+    """DuckDB oracle for :func:`ols2_by_group` — the same moment
+    aggregation and the VERBATIM ``OLS2_DET*`` expression text."""
+
+    def s(expr: str, name: str) -> str:
+        inner = f"SUM(CAST({expr} AS DECIMAL(30,8)))"
+        return (
+            f"(CAST(FLOOR({inner}) AS DOUBLE) + "
+            f"CAST(({inner}) - FLOOR({inner}) AS DOUBLE)) AS {name}"
+        )
+
+    return f"""
+WITH m AS (
+  SELECT {group_col}, COUNT(*) AS n,
+         {s(x1_col, "sx1")},
+         {s(x2_col, "sx2")},
+         {s(y_col, "sy")},
+         {s(f"{x1_col} * {x1_col}", "s11")},
+         {s(f"{x1_col} * {x2_col}", "s12")},
+         {s(f"{x2_col} * {x2_col}", "s22")},
+         {s(f"{x1_col} * {y_col}", "s1y")},
+         {s(f"{x2_col} * {y_col}", "s2y")}
+  FROM {table} GROUP BY {group_col}
+), d AS (
+  SELECT *, CAST(n AS DOUBLE) AS n_d FROM m
+), dd AS (
+  SELECT *, {OLS2_DET} AS det FROM d
+)
+SELECT {group_col}, n,
+       ({OLS2_DET_B1}) / det AS b1,
+       ({OLS2_DET_B2}) / det AS b2,
+       ({OLS2_DET_B0}) / det AS intercept
+FROM dd ORDER BY {group_col}"""

@@ -1566,3 +1566,30 @@ def _ols_sql() -> str:
 QUERIES["ols_price_vs_quantity"] = Query(
     ols_price_vs_quantity, _ols_sql(), tags=("stats", "regression")
 )
+
+
+def ols2_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag TWO-regressor fit: extendedprice against
+    (quantity, discount) — normal equations solved by Cramer's rule
+    over exact decimal moments, with the determinant expressions shared
+    as verbatim text between the plan and the oracle (identical parse →
+    identical IEEE op order → hash-exact doubles)."""
+    from dataclass_array_spark.operators.robust import ols2_by_group
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return ols2_by_group(
+        li, "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    )
+
+
+def _ols2_sql() -> str:
+    from dataclass_array_spark.operators.robust import ols2_by_group_sql
+
+    return ols2_by_group_sql(
+        "lineitem", "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    )
+
+
+QUERIES["ols2_price_model"] = Query(
+    ols2_price_model, _ols2_sql(), tags=("stats", "regression")
+)

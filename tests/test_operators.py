@@ -1872,3 +1872,39 @@ def test_bloom_no_false_negatives_and_union_merge(spark, sf_dir):
     merged = {r["pos"] for r in a.unionByName(b).distinct().collect()}
     full = {r["pos"] for r in bloom.collect()}
     assert merged == full
+
+
+def test_ols2_matches_numpy_lstsq(spark, sf_dir):
+    """Cramer-over-decimal-moments == numpy least squares (well within
+    double noise on this well-conditioned system), and the singular
+    (collinear) case yields NULLs rather than garbage."""
+    import numpy as np
+
+    from dataclass_array_spark.operators.robust import ols2_by_group
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    got = {
+        r["l_returnflag"]: (r["b1"], r["b2"], r["intercept"])
+        for r in ols2_by_group(
+            li, "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+        ).collect()
+    }
+    pdf = li.toPandas()
+    for flag, g in pdf.groupby("l_returnflag"):
+        X = np.column_stack(
+            [g["l_quantity"], g["l_discount"], np.ones(len(g))]
+        ).astype(float)
+        beta, *_ = np.linalg.lstsq(X, g["l_extendedprice"].astype(float), rcond=None)
+        b1, b2, b0 = got[flag]
+        assert abs(b1 - beta[0]) < 1e-6 * max(1, abs(beta[0]))
+        assert abs(b2 - beta[1]) < 1e-4 * max(1, abs(beta[1]))
+        assert abs(b0 - beta[2]) < 1e-6 * max(1, abs(beta[2]))
+
+    sing = spark.createDataFrame(
+        [("g", 1.0, 2.0, 5.0), ("g", 2.0, 4.0, 7.0), ("g", 3.0, 6.0, 9.0)],
+        "g string, x1 double, x2 double, y double",
+    )
+    r = ols2_by_group(sing, "g", "x1", "x2", "y").collect()[0]
+    assert r["b1"] is None and r["b2"] is None and r["intercept"] is None
