@@ -162,10 +162,22 @@ def hll_distinct(
     ``(group, bucket, M)`` tables and re-aggregate."""
     from dataclass_array_spark.operators.text import ln_exact
 
+    return hll_estimate(hll_per_bucket(df, group_cols, value_col, b), group_cols, b)
+
+
+def hll_per_bucket(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """The sketch STATE: ``(group..., __bkt, __M)`` = per-bucket max
+    leading-zero rank — the mergeable half of :func:`hll_distinct`
+    (shard states merge by (group, bucket) MAX; see
+    :func:`~dataclass_array_spark.streaming.core.hll_stream`)."""
     if not 4 <= b <= 16:
         raise ValueError("b (bucket bits) must be in [4, 16]")
     m = 1 << b
-    alpha = hll_alpha(m)
     h = _hash60(F.col(value_col).cast("string"))
     bucket = h.bitwiseAND(F.lit(m - 1).cast("long"))
     w = F.shiftright(h, b)
@@ -173,11 +185,22 @@ def hll_distinct(
     rho = F.when(w == 0, F.lit(width + 1).cast("long")).otherwise(
         F.lit(width).cast("long") - (F.length(F.bin(w)) - 1)
     )
-    per_bucket = (
+    return (
         df.select(*group_cols, bucket.alias("__bkt"), rho.alias("__rho"))
         .groupBy(*group_cols, "__bkt")
         .agg(F.max("__rho").alias("__M"))
     )
+
+
+def hll_estimate(
+    per_bucket: DataFrame, group_cols: "list[str]", b: int = 8
+) -> DataFrame:
+    """Estimate from the sketch state (bucket-ordered fold + correction
+    branch; see :func:`hll_distinct` for the exactness story)."""
+    from dataclass_array_spark.operators.text import ln_exact
+
+    m = 1 << b
+    alpha = hll_alpha(m)
     # S = (m - n_present)·1.0  +  Σ_present 2^-M, added in bucket order
     # (the fold's INIT is the empty-bucket base, so both engines add in
     # the same sequence); V = empty buckets for linear counting.

@@ -42,11 +42,12 @@ __all__.append("purchases_with_recent_clicks")
 
 from dataclass_array_spark.streaming.core import (  # noqa: E402,F401
     countmin_stream,
+    hll_stream,
     decontaminate_stream,
     documents_stream,
     incremental_dedup_stream,
 )
 __all__ += [
     "countmin_stream", "decontaminate_stream", "documents_stream",
-    "incremental_dedup_stream",
+    "hll_stream", "incremental_dedup_stream",
 ]

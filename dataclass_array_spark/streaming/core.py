@@ -620,3 +620,41 @@ def countmin_stream(
         .groupBy("j", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def hll_stream(
+    items: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    b: int = 8,
+) -> DataFrame:
+    """Streaming HyperLogLog: every micro-batch appends its own
+    ``(group, bucket, max-rho)`` sketch state; the returned frame is
+    the (group, bucket) MAX-merge — equal to the one-shot batch state
+    for ANY micro-batch boundaries (max is idempotent+commutative, the
+    hashes deterministic), so :func:`~dataclass_array_spark.operators
+    .sketch.hll_estimate` over it reproduces the batch estimate
+    bit-for-bit.  Same no-state-store shape as
+    :func:`countmin_stream`; idempotent against crash-replayed batches
+    too (a duplicated batch cannot raise a MAX)."""
+    from dataclass_array_spark.operators.sketch import hll_per_bucket
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        hll_per_bucket(batch_df, group_cols, value_col, b=b).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    q = (
+        items.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        items.sparkSession.read.parquet(output_dir)
+        .groupBy(*group_cols, "__bkt")
+        .agg(F.max("__M").alias("__M"))
+    )

@@ -424,3 +424,64 @@ QUERIES["streaming_countmin_tokens"] = Query(
     streaming_countmin_tokens, _streaming_countmin_oracle(),
     tags=("streaming", "sketch"),
 )
+
+
+def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimation maintained over the EVENTS
+    STREAM: per-batch (event_type, bucket, max-rho) states MAX-merge
+    into exactly the batch sketch, so the estimates reuse the batch
+    gate's oracle verbatim — like streaming_countmin_tokens, a
+    streaming op with a full hash-exact oracle and no state store."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from dataclass_array_spark.operators.sketch import hll_estimate
+    from dataclass_array_spark.streaming import events_stream, hll_stream
+    from dataclass_array_spark.workload.base import load_tables
+
+    s = events_stream(spark, f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"dca-stream-hll-{tag}-{os.getpid()}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"dca-stream-hll-{tag}-*")
+    ):
+        try:
+            pid = int(stale.rsplit("-", 1)[-1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    state = hll_stream(
+        s, ["event_type"], "user_id",
+        output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt", b=8,
+    )
+    est = hll_estimate(state, ["event_type"], b=8)
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "n_exact", "n_buckets_used", "est")
+        .orderBy("event_type")
+    )
+
+
+def _streaming_hll_oracle() -> str:
+    from dataclass_array_spark.workload.relational2 import _hll_oracle
+
+    return _hll_oracle()
+
+
+QUERIES["streaming_hll_users"] = Query(
+    streaming_hll_users, _streaming_hll_oracle(), tags=("streaming", "sketch")
+)
