@@ -1152,3 +1152,75 @@ QUERIES["split_train_val_test"] = Query(split_train_val_test, SPLIT_SQL, tags=("
 QUERIES["stratified_sample_docs"] = Query(stratified_sample_docs, STRATIFIED_SQL, tags=("sampling",))
 QUERIES["pack_context_windows"] = Query(pack_context_windows, PACK_SQL, tags=("packing",))
 QUERIES["bm25_doc_ranking"] = Query(bm25_doc_ranking, BM25_SQL, tags=("text", "ranking"))
+
+
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters keep the BEST-QUALITY member instead of the
+    lowest id — the production dedup policy (dropping the highest-
+    quality copy of a duplicated page wastes signal).  Composition of
+    three audited operators: MinHash-LSH pairs → min-label connected
+    components (singletons keep their own id) → per-cluster argmax of
+    the portable quality score (ties broken by doc_id).  Output keeps
+    EVERY doc with its cluster and a ``kept`` flag so the oracle
+    checks the selection itself, not just the survivor set."""
+    from dataclass_array_spark.operators.graph import connected_components
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", n_hashes=16, bands=4, threshold=_MH_THRESH,
+        max_bucket_size=_MH_CAP,
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    q = d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+    j = q.join(cc, q["doc_id"] == cc["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).cast("long").alias(
+            "cluster_id"
+        ),
+        "quality",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .select(
+            "doc_id", "cluster_id", "quality",
+            (F.col("__rn") == 1).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_SQL.replace('ORDER BY id_a, id_b', '')}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+  FROM reach GROUP BY u
+),
+q AS (SELECT doc_id, {{QUALITY}} AS quality FROM documents),
+j AS (
+  SELECT q.doc_id, COALESCE(cc.cluster_id, q.doc_id) AS cluster_id, q.quality
+  FROM q LEFT JOIN cc USING (doc_id)
+)
+SELECT doc_id, cluster_id, quality,
+       (ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1)
+         AS kept
+FROM j ORDER BY doc_id
+"""
+
+
+QUERIES["dedup_keep_best_docs"] = Query(
+    dedup_keep_best_docs,
+    KEEP_BEST_SQL.replace("{QUALITY}", tx.sql_quality("text")),
+    tags=("dedup", "graph", "quality"),
+)
