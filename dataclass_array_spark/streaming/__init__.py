@@ -41,6 +41,7 @@ from dataclass_array_spark.streaming.core import purchases_with_recent_clicks  #
 __all__.append("purchases_with_recent_clicks")
 
 from dataclass_array_spark.streaming.core import (  # noqa: E402,F401
+    bloom_stream,
     countmin_stream,
     hll_stream,
     decontaminate_stream,
@@ -48,6 +49,6 @@ from dataclass_array_spark.streaming.core import (  # noqa: E402,F401
     incremental_dedup_stream,
 )
 __all__ += [
-    "countmin_stream", "decontaminate_stream", "documents_stream",
-    "hll_stream", "incremental_dedup_stream",
+    "bloom_stream", "countmin_stream", "decontaminate_stream",
+    "documents_stream", "hll_stream", "incremental_dedup_stream",
 ]

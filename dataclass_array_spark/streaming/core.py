@@ -658,3 +658,35 @@ def hll_stream(
         .groupBy(*group_cols, "__bkt")
         .agg(F.max("__M").alias("__M"))
     )
+
+
+def bloom_stream(
+    keys: DataFrame,
+    key_col: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_bits: int = 65536,
+    k: int = 5,
+) -> DataFrame:
+    """Streaming Bloom filter: every micro-batch appends its own
+    distinct-bit-position table; the returned frame is the DISTINCT
+    union — equal to the one-shot batch filter for any micro-batch
+    boundaries (bloom union = position-set union), and idempotent
+    against crash-replayed batches (re-setting a bit is a no-op).
+    Completes the streaming sketch trio (count-min: cell-SUM merge,
+    HLL: MAX merge, bloom: set-UNION merge) — all state-store-free."""
+    from dataclass_array_spark.operators.sketch import bloom_build
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        bloom_build(batch_df, key_col, n_bits=n_bits, k=k).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    q = (
+        keys.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return keys.sparkSession.read.parquet(output_dir).distinct()

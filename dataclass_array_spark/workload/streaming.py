@@ -485,3 +485,88 @@ def _streaming_hll_oracle() -> str:
 QUERIES["streaming_hll_users"] = Query(
     streaming_hll_users, _streaming_hll_oracle(), tags=("streaming", "sketch")
 )
+
+
+def streaming_bloom_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter of high-value order keys maintained over the ORDERS
+    STREAM (per-batch position tables, DISTINCT-union merge == the
+    batch filter), probed with every order key — the batch gate's
+    oracle verbatim.  Third of the streaming sketch trio (SUM / MAX /
+    set-UNION merges), all state-store-free and replay-idempotent."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as T
+
+    from dataclass_array_spark.operators.sketch import bloom_probe
+    from dataclass_array_spark.streaming import bloom_stream
+    from dataclass_array_spark.streaming.core import _parquet_stream
+    from dataclass_array_spark.workload.base import load_tables
+    from dataclass_array_spark.workload.relational2 import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+        _BLOOM_PRICE,
+    )
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    reader = spark.readStream.schema(o.schema)
+    s = (
+        _parquet_stream(reader, f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select(F.col("o_orderkey").alias("key"))
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"dca-stream-bloom-{tag}-{os.getpid()}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"dca-stream-bloom-{tag}-*")
+    ):
+        try:
+            pid = int(stale.rsplit("-", 1)[-1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    bloom = bloom_stream(
+        s, "key", output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
+        n_bits=_BLOOM_BITS, k=_BLOOM_K,
+    )
+    probes = o.select(F.col("o_orderkey").alias("key")).distinct()
+    r = bloom_probe(bloom, probes, "key", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    actual = (
+        o.filter(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+        .withColumn("__in", F.lit(True))
+    )
+    return (
+        r.join(actual, "key", "left")
+        .select(
+            F.col("key").alias("o_orderkey"),
+            "in_bloom",
+            F.coalesce(F.col("__in"), F.lit(False)).alias("actually_in"),
+            (F.col("in_bloom") & ~F.coalesce(F.col("__in"), F.lit(False))).alias(
+                "is_fp"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _streaming_bloom_oracle() -> str:
+    from dataclass_array_spark.workload.relational2 import _bloom_oracle
+
+    return _bloom_oracle()
+
+
+QUERIES["streaming_bloom_orders"] = Query(
+    streaming_bloom_orders, _streaming_bloom_oracle(),
+    tags=("streaming", "sketch"),
+)

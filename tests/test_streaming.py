@@ -444,3 +444,32 @@ def test_events_stream_sniff_failure_modes(spark, tmp_path):
     assert "AnalysisException" not in type(exc.value).__name__ or "FOOTER" in str(
         exc.value
     )
+
+
+def test_bloom_stream_equals_batch_filter(spark, sf_dir, tmp_path):
+    """Streaming bloom (per-batch position tables, DISTINCT-union
+    merge) equals the one-shot batch filter as a position SET, even
+    with multi-batch ingestion (maxFilesPerTrigger=1 over a 3-file
+    copy)."""
+    from dataclass_array_spark.operators.sketch import bloom_build
+    from dataclass_array_spark.streaming import bloom_stream
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("key")
+    ).filter(F.col("key") % 7 == 0)
+    # split into 3 files so availableNow sees several batches
+    src = tmp_path / "keys"
+    o.repartition(3).write.parquet(str(src))
+    s = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = bloom_stream(
+        s, "key",
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_bits=1 << 16, k=5,
+    )
+    want = bloom_build(o, "key", n_bits=1 << 16, k=5)
+    assert {r["pos"] for r in got.collect()} == {r["pos"] for r in want.collect()}
