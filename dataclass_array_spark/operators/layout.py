@@ -529,3 +529,41 @@ def hilbert_kd_sql(
         + " | ".join(terms)
         + f") AS BIGINT) AS hkey FROM g{step}"
     )
+
+
+def write_hilbert_kd(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 13,
+    num_files: int = 0,
+) -> List[Tuple[int, int]]:
+    """Write ``df`` as parquet laid out along the k-d HILBERT curve of
+    ``cols`` — :func:`write_zordered`'s sibling with the
+    better-locality curve (consecutive positions are L1-adjacent
+    cells, so range-partition files get the tightest k-d bounding
+    boxes).  Scales each column with :func:`scale_expr` (one bounds
+    aggregate, two BIGINTs of driver state per column — persist the
+    returned bounds with the table; incremental writers must reuse
+    them), keys with :func:`with_hilbert_key_kd`, range-partitions and
+    sorts within partitions.  ``num_files=0`` keeps the session
+    shuffle width."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).cast("long"), F.max(c).cast("long")]
+    row = df.agg(*aggs).collect()[0]
+    bounds = [(row[2 * i], row[2 * i + 1]) for i in range(len(cols))]
+    scaled = [
+        scale_expr(F.col(c), mn, mx, bits)
+        for c, (mn, mx) in zip(cols, bounds)
+    ]
+    out = with_hilbert_key_kd(df, scaled, bits, out="_hkey")
+    out = (
+        out.repartitionByRange(num_files, "_hkey")
+        if num_files
+        else out.repartitionByRange("_hkey")
+    )
+    out.sortWithinPartitions("_hkey").drop("_hkey").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return bounds

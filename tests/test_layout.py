@@ -481,3 +481,46 @@ def test_with_hilbert_key_kd_validation(spark):
         with_hilbert_key_kd(df, cols3, 8, out="_hil1")
     with pytest.raises(ValueError, match="already present"):
         with_hilbert_key_kd(df.withColumn("_hil_t", F.lit(1)), cols3, 8)
+
+
+def test_write_hilbert_kd_roundtrip_and_boxes(spark, tmp_path):
+    """3-d Hilbert layout write: lossless roundtrip, no key leak, and
+    the per-file bounding boxes are bounded in EVERY keyed dimension
+    (the pruning property), unlike a 1-column sort."""
+    rng = np.random.RandomState(5)
+    n = 4096
+    df = spark.createDataFrame(
+        [
+            (i, int(a), int(b), int(c))
+            for i, (a, b, c) in enumerate(
+                zip(
+                    rng.randint(0, 512, n),
+                    rng.randint(0, 512, n),
+                    rng.randint(0, 512, n),
+                )
+            )
+        ],
+        "id long, x long, y long, z long",
+    )
+    from dataclass_array_spark.operators.layout import write_hilbert_kd
+
+    path = str(tmp_path / "h3")
+    bounds = write_hilbert_kd(df, path, ["x", "y", "z"], bits=9, num_files=16)
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert set(back.columns) == {"id", "x", "y", "z"}
+    assert len(bounds) == 3 and all(mn <= mx for mn, mx in bounds)
+    # per-file boxes: every dimension's summed extent far below the
+    # all-files-full-range worst case
+    import glob as g
+
+    files = [f for f in g.glob(f"{path}/*.parquet")]
+    assert len(files) >= 8
+    tot = {"x": 0, "y": 0, "z": 0}
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        for c in tot:
+            tot[c] += int(pdf[c].max() - pdf[c].min())
+    worst = 512 * len(files)
+    for c, t in tot.items():
+        assert t < 0.75 * worst, (c, t, worst)
