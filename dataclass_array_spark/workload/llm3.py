@@ -1593,3 +1593,76 @@ def _ols2_sql() -> str:
 QUERIES["ols2_price_model"] = Query(
     ols2_price_model, _ols2_sql(), tags=("stats", "regression")
 )
+
+
+# ------------------------------------------------ SQ8 scalar-quantized ANN
+_SQ_K = 5
+
+
+def embedding_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (SQ8, the FAISS ScalarQuantizer recipe):
+    per-dimension min/max bounds (one aggregate, 128 doubles of driver
+    state), corpus stored as 64 uint8 codes (4× smaller than float32 —
+    the resident-index form at 100 TB), full-precision queries ranked
+    against the DEQUANTIZED codes.  Bounds, clamped floor encoding and
+    the index-ordered 64-term distance sum are all deterministic
+    doubles mirrored by the oracle — hash-exact like the PQ gates."""
+    from dataclass_array_spark.operators.pq import sq8_bounds, sq8_topk
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    bounds = sq8_bounds(e, "embedding", _DIM)
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    out = sq8_topk(
+        q, e, "vec_id", "vec_id", "embedding", bounds, k=_SQ_K,
+        exclude_self=True,
+    )
+    return out.select(
+        "qid",
+        F.col("rank").cast("long").alias("rnk"),
+        "nid",
+        F.floor(F.col("dist") * 1e9).cast("long").alias("dist_e9"),
+    )
+
+
+def _sq8_sql() -> str:
+    d = _DIM
+    rec = "(b.mns[i] + (CAST(enc.codes[i] AS DOUBLE) * b.dl[i]) / 255.0)"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bndt AS (
+  SELECT gs.i AS dd, MIN(v[gs.i]) AS mn, MAX(v[gs.i]) AS mx
+  FROM e, generate_series(1, {d}) gs(i) GROUP BY gs.i
+),
+bnd AS (
+  SELECT list(mn ORDER BY dd) AS mns, list(mx - mn ORDER BY dd) AS dl
+  FROM bndt
+),
+enc AS (
+  SELECT e.vec_id AS nid,
+         list_transform(generate_series(1, {d}),
+           i -> CASE WHEN b.dl[i] <= 0.0 THEN 0
+                     ELSE LEAST(255, GREATEST(0,
+                       CAST(FLOOR((e.v[i] - b.mns[i]) * 255.0 / b.dl[i]) AS BIGINT)))
+                END) AS codes
+  FROM e CROSS JOIN bnd b
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.qid, enc.nid,
+         list_reduce(list_prepend(0.0, list_transform(
+           list_transform(generate_series(1, {d}), i -> q.qv[i] - {rec}),
+           x -> x * x)), (a, v2) -> a + v2) AS dist
+  FROM enc CROSS JOIN bnd b JOIN q ON q.qid != enc.nid
+)
+SELECT qid, CAST(rn AS BIGINT) AS rnk, nid,
+       CAST(FLOOR(dist * 1e9) AS BIGINT) AS dist_e9
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+      FROM scored)
+WHERE rn <= {_SQ_K}
+ORDER BY qid, rnk
+"""
+
+
+QUERIES["embedding_ann_sq8"] = Query(
+    embedding_ann_sq8, _sq8_sql(), tags=("similarity", "ann", "quantization")
+)

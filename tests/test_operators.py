@@ -1908,3 +1908,40 @@ def test_ols2_matches_numpy_lstsq(spark, sf_dir):
     )
     r = ols2_by_group(sing, "g", "x1", "x2", "y").collect()[0]
     assert r["b1"] is None and r["b2"] is None and r["intercept"] is None
+
+
+def test_sq8_recall_vs_brute_force(spark, sf_dir):
+    """SQ8 quantization sanity: with 256 levels per dim the top-5
+    neighbor sets should overlap heavily with exact brute force, and
+    dequantization error is bounded by the per-dim step size."""
+    from dataclass_array_spark.operators.pq import (
+        sq8_bounds,
+        sq8_encode,
+        sq8_topk,
+    )
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bounds = sq8_bounds(e, "embedding", 64)
+    assert len(bounds) == 64 and all(mn <= mx for mn, mx in bounds)
+    q = e.filter(F.col("vec_id") < 8)
+    approx = sq8_topk(
+        q, e, "vec_id", "vec_id", "embedding", bounds, k=5, exclude_self=True
+    )
+    a = {(r["qid"], r["nid"]) for r in approx.collect()}
+    # exact L2 top-5 via numpy
+    import numpy as np
+
+    pdf = e.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    b = set()
+    for qid in range(8):
+        qi = np.flatnonzero(ids == qid)[0]
+        d2 = ((V - V[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        picked = [int(ids[j]) for j in order if ids[j] != qid][:5]
+        b |= {(qid, n) for n in picked}
+    assert len(a & b) / len(b) >= 0.8, (len(a & b), len(b))
+    # codes in range
+    codes = sq8_encode(e.limit(50), "vec_id", "embedding", bounds).collect()
+    for r in codes:
+        assert all(0 <= c <= 255 for c in r["codes"])
