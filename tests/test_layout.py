@@ -524,3 +524,28 @@ def test_write_hilbert_kd_roundtrip_and_boxes(spark, tmp_path):
     worst = 512 * len(files)
     for c, t in tot.items():
         assert t < 0.75 * worst, (c, t, worst)
+
+
+def test_hilbert_kd_fuzz_vs_reference(spark):
+    """Randomized (k, bits, coords) differential: the chained-projection
+    Spark form == the Python Skilling reference, across the parameter
+    envelope (k up to 6, bits up to 63//k)."""
+    rng = np.random.RandomState(42)
+    from dataclass_array_spark.operators.layout import with_hilbert_key_kd
+
+    for _ in range(6):
+        k = int(rng.randint(2, 7))
+        bits = int(rng.randint(1, 63 // k + 1))
+        n = 80
+        coords = rng.randint(0, 1 << bits, size=(n, k))
+        df = spark.createDataFrame(
+            [(i, *[int(c) for c in row]) for i, row in enumerate(coords)],
+            ", ".join(["id long"] + [f"c{j} long" for j in range(k)]),
+        )
+        out = with_hilbert_key_kd(
+            df, [F.col(f"c{j}") for j in range(k)], bits, out="h"
+        )
+        got = {r["id"]: r["h"] for r in out.collect()}
+        for i, row in enumerate(coords):
+            want = _hilbert_kd_ref([int(c) for c in row], bits)
+            assert got[i] == want, (k, bits, i)
