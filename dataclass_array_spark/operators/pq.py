@@ -370,6 +370,8 @@ def sq8_bounds(
     for i in range(1, dim + 1):
         aggs += [F.min(F.element_at(v, i)), F.max(F.element_at(v, i))]
     row = df.agg(*aggs).collect()[0]
+    if row[0] is None:
+        raise ValueError("sq8_bounds: empty corpus (no vectors to bound)")
     return [(row[2 * i], row[2 * i + 1]) for i in range(dim)]
 
 

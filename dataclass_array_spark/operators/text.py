@@ -555,7 +555,18 @@ def bigram_xent_scores_heldout(train_df, score_df, text_col: str, id_col: str):
     ln_den = cu.crossJoin(F.broadcast(vocab)).select(
         "w1", ln_exact(F.col("cu") + F.col("V")).alias("ln_den")
     )
-    ln_v = vocab.select(ln_exact(F.col("V")).alias("ln_v"))
+    # an EMPTY training corpus would feed ln(0) garbage into every OOV
+    # row — fail loudly instead (evaluated once, on the 1-row vocab)
+    ln_v = vocab.select(
+        ln_exact(
+            F.when(F.col("V") > 0, F.col("V")).otherwise(
+                F.assert_true(
+                    F.col("V") > 0,
+                    F.lit("bigram LM: empty training corpus (V = 0)"),
+                ).cast("long")
+            )
+        ).alias("ln_v")
+    )
     inst_s = _bigram_instances(score_df, text_col, id_col)
     entry = F.when(
         F.col("pos").isNotNull(),

@@ -118,3 +118,51 @@ def test_broadcast_to_middle_dim(spark):
     p, v = make((2, 1, 3), spark)
     b = p.broadcast_to((2, 4, 3))
     assert_np_equal(b, {"v": np.broadcast_to(v, (2, 4, 3))})
+
+
+def test_round11_ops_degenerate_inputs(spark):
+    """Round-11 operators on empty/degenerate inputs: scorers return
+    (0, 0.0) rows or empty frames, sketches return empty states that
+    probe safely, and the two cases that would silently corrupt
+    (empty-train bigram LM -> ln 0; empty-corpus SQ8 bounds -> None
+    arithmetic) fail LOUDLY instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataclass_array_spark.operators.pq import sq8_bounds
+    from dataclass_array_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+        countmin_build,
+        hll_distinct,
+    )
+    from dataclass_array_spark.operators.text import (
+        bigram_xent_scores,
+        bigram_xent_scores_heldout,
+        token_entropy_scores,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    one_empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert bigram_xent_scores(empty_docs, "text", "doc_id").count() == 0
+    assert bigram_xent_scores(one_empty, "text", "doc_id").collect()[0][1:] == (0, 0.0)
+    assert token_entropy_scores(one_empty, "text", "doc_id").collect()[0][1:] == (0, 0.0)
+
+    ek = spark.createDataFrame([], "key string")
+    assert countmin_build(ek.withColumnRenamed("key", "t"), "t").count() == 0
+    assert hll_distinct(
+        spark.createDataFrame([], "g string, u string"), ["g"], "u"
+    ).count() == 0
+    bl = bloom_build(ek, "key")
+    probe = spark.createDataFrame([("x",)], "key string")
+    r = bloom_probe(bl, probe, "key").collect()[0]
+    assert r["in_bloom"] is False  # empty filter contains nothing
+
+    score = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(Exception, match="empty training corpus"):
+        bigram_xent_scores_heldout(empty_docs, score, "text", "doc_id").collect()
+    with pytest.raises(ValueError, match="empty corpus"):
+        sq8_bounds(
+            spark.createDataFrame([], "vec_id long, embedding array<float>"),
+            "embedding", 4,
+        )
