@@ -357,3 +357,82 @@ def bloom_probe(
             (F.count("*") == F.count("__hit")).alias("in_bloom")
         )
     )
+
+
+# ----------------------------------------- histogram quantile sketch
+def hist_build(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbuckets: int = 4096,
+) -> DataFrame:
+    """Fixed-width histogram sketch ``(group..., bucket, cnt)`` over
+    known value bounds — the mergeable quantile summary you can SHIP
+    (shard histograms merge by cell-SUM, exactly like count-min), as
+    opposed to the engine-private t-digest behind
+    ``percentile_approx``.  Deterministic: the bucket index is a
+    clamped floor over mirrored double ops, so the DuckDB oracle
+    rebuilds the histogram cell-for-cell.  Error bound: a quantile
+    estimate is off by at most one bucket width ``(hi-lo)/nbuckets``.
+
+    Bounds come from the caller (one min/max aggregate — the
+    zorder/SQ8 bounds pattern: persist them; incremental writers
+    reuse).  Values outside [lo, hi] clamp into the edge buckets.
+    Scale shape: one aggregation, ≤ groups·nbuckets rows shuffle per
+    task (map-side combined)."""
+    if not hi > lo:
+        raise ValueError(f"hist_build: need hi > lo, got [{lo}, {hi}]")
+    nb = int(nbuckets)
+    x = F.col(value_col).cast("double")
+    raw = F.floor(
+        (x - F.lit(float(lo))) * F.lit(float(nb)) / F.lit(float(hi) - float(lo))
+    ).cast("long")
+    b = F.least(F.lit(nb - 1).cast("long"), F.greatest(F.lit(0).cast("long"), raw))
+    return (
+        df.select(*group_cols, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    group_cols: "list[str]",
+    ps: "list[float]",
+    lo: float,
+    hi: float,
+    nbuckets: int = 4096,
+) -> DataFrame:
+    """Quantile estimates from the histogram sketch: for each p, the
+    MIDPOINT of the first bucket whose cumulative count reaches rank
+    ``ceil(p·n)`` (1-based inverted CDF — the same discrete convention
+    the exact side of ``approx_sketches`` uses).  Output ``(group...,
+    n, p{p}_est...)``.  Pure arithmetic on mirrored doubles — the
+    oracle reproduces every estimate bit-for-bit."""
+    from pyspark.sql import Window
+
+    nb = int(nbuckets)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy(*group_cols).agg(F.sum("cnt").cast("long").alias("n"))
+    j = cum.join(tot, group_cols)
+    width = (float(hi) - float(lo)) / float(nb)
+    out = tot
+    for p in ps:
+        picked = (
+            j.filter(F.col("cum") >= F.ceil(F.lit(float(p)) * F.col("n").cast("double")).cast("long"))
+            .groupBy(*group_cols)
+            .agg(F.min("bucket").alias("__b"))
+        )
+        est = (
+            F.lit(float(lo))
+            + (F.col("__b").cast("double") + F.lit(0.5)) * F.lit(width)
+        ).alias(f"p{int(p * 100)}_est")
+        out = out.join(picked.select(*group_cols, est), group_cols)
+    return out

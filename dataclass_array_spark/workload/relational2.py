@@ -1045,3 +1045,84 @@ ORDER BY o_orderkey
 QUERIES["bloom_filter_orders"] = Query(
     bloom_filter_orders, _bloom_oracle(), tags=("sketch", "filter")
 )
+
+
+_HIST_NB = 4096
+_HIST_PS = [0.5, 0.95]
+
+
+def hist_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag p50/p95 price estimates from the SHIPPABLE
+    histogram quantile sketch (fixed-width buckets over one min/max
+    bounds pass; shard histograms merge by cell-SUM) — deterministic,
+    so the oracle rebuilds the histogram AND the estimates
+    bit-for-bit, unlike `approx_sketches`' engine-private t-digest
+    which can only be tolerance-checked.  Estimate error is bounded by
+    one bucket width; the unit test pins it against exact numpy
+    percentiles."""
+    from dataclass_array_spark.operators.sketch import hist_build, hist_quantiles
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    r = li.agg(
+        F.min(F.col("l_extendedprice").cast("double")),
+        F.max(F.col("l_extendedprice").cast("double")),
+    ).collect()[0]
+    lo, hi = float(r[0]), float(r[1])
+    h = hist_build(li, ["l_returnflag"], "l_extendedprice", lo, hi, _HIST_NB)
+    return hist_quantiles(
+        h, ["l_returnflag"], _HIST_PS, lo, hi, _HIST_NB
+    ).orderBy("l_returnflag")
+
+
+def _hist_quantiles_oracle() -> str:
+    nb = _HIST_NB
+    x = "CAST(l_extendedprice AS DOUBLE)"
+    bucket = (
+        f"LEAST({nb - 1}, GREATEST(0, CAST(FLOOR(({x} - b.lo) * {float(nb)!r} "
+        f"/ (b.hi - b.lo)) AS BIGINT)))"
+    )
+    picks = []
+    for p in _HIST_PS:
+        tag = f"p{int(p * 100)}_est"
+        picks.append(f"""
+, r{tag} AS (
+  SELECT l_returnflag, MIN(bucket) AS bkt
+  FROM cumh
+  WHERE cum >= CAST(CEIL({float(p)!r} * CAST(n AS DOUBLE)) AS BIGINT)
+  GROUP BY l_returnflag
+), v{tag} AS (
+  SELECT r.l_returnflag,
+         b.lo + (CAST(r.bkt AS DOUBLE) + 0.5) * ((b.hi - b.lo) / {float(nb)!r})
+           AS {tag}
+  FROM r{tag} r CROSS JOIN bnd b
+)""")
+    sel = ", ".join(f"v{ f'p{int(p*100)}_est' }.p{int(p*100)}_est" for p in _HIST_PS)
+    joins = " ".join(
+        f"JOIN vp{int(p*100)}_est ON vp{int(p*100)}_est.l_returnflag = t.l_returnflag"
+        for p in _HIST_PS
+    )
+    return f"""
+WITH bnd AS (
+  SELECT MIN({x}) AS lo, MAX({x}) AS hi FROM lineitem
+),
+h AS (
+  SELECT l_returnflag, {bucket} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem CROSS JOIN bnd b
+  GROUP BY l_returnflag, {bucket}
+),
+tot AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY l_returnflag),
+cumh AS (
+  SELECT h.l_returnflag, h.bucket,
+         SUM(h.cnt) OVER (PARTITION BY h.l_returnflag ORDER BY h.bucket) AS cum,
+         t.n
+  FROM h JOIN tot t ON t.l_returnflag = h.l_returnflag
+){"".join(picks)}
+SELECT t.l_returnflag, t.n, {sel}
+FROM tot t {joins}
+ORDER BY t.l_returnflag
+"""
+
+
+QUERIES["hist_quantiles_prices"] = Query(
+    hist_quantiles_prices, _hist_quantiles_oracle(), tags=("sketch", "approx")
+)

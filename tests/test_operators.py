@@ -1945,3 +1945,41 @@ def test_sq8_recall_vs_brute_force(spark, sf_dir):
     codes = sq8_encode(e.limit(50), "vec_id", "embedding", bounds).collect()
     for r in codes:
         assert all(0 <= c <= 255 for c in r["codes"])
+
+
+def test_hist_quantiles_accuracy_and_merge(spark, sf_dir):
+    """Histogram quantile sketch: estimates within one bucket width of
+    exact numpy percentiles, and shard histograms cell-SUM into the
+    full histogram."""
+    import numpy as np
+
+    from dataclass_array_spark.operators.sketch import hist_build, hist_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_orderkey", F.col("l_extendedprice").cast("double").alias("x")
+    )
+    r = li.agg(F.min("x"), F.max("x")).collect()[0]
+    lo, hi = float(r[0]), float(r[1])
+    nb = 4096
+    h = hist_build(li, ["l_returnflag"], "x", lo, hi, nb)
+    est = {
+        r["l_returnflag"]: (r["p50_est"], r["p95_est"])
+        for r in hist_quantiles(h, ["l_returnflag"], [0.5, 0.95], lo, hi, nb).collect()
+    }
+    width = (hi - lo) / nb
+    pdf = li.toPandas()
+    for flag, g in pdf.groupby("l_returnflag"):
+        xs = np.sort(g["x"].to_numpy())
+        for p, got in zip((0.5, 0.95), est[flag]):
+            exact = xs[int(np.ceil(p * len(xs))) - 1]
+            assert abs(got - exact) <= width, (flag, p, got, exact, width)
+
+    a = hist_build(li.filter(F.col("l_orderkey") % 2 == 0), ["l_returnflag"], "x", lo, hi, nb)
+    b = hist_build(li.filter(F.col("l_orderkey") % 2 == 1), ["l_returnflag"], "x", lo, hi, nb)
+    merged = (
+        a.unionByName(b).groupBy("l_returnflag", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    full = {(r["l_returnflag"], r["bucket"]): r["cnt"] for r in h.collect()}
+    got = {(r["l_returnflag"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == full
