@@ -436,3 +436,16 @@ def hist_quantiles(
         ).alias(f"p{int(p * 100)}_est")
         out = out.join(picked.select(*group_cols, est), group_cols)
     return out
+
+
+def hll_intersect_estimate(
+    est_a: Column, est_b: Column, est_union: Column
+) -> Column:
+    """Inclusion-exclusion intersection estimate from three HLL
+    estimates: ``(est_a + est_b) - est_union`` — the standard HLL
+    set-operation recipe (union is EXACT at the sketch level: HLL of
+    A∪B == the (bucket-wise MAX)-merge of the two sketches; only the
+    intersection inherits estimation error, which can make small true
+    intersections go negative — callers clamp if they need
+    non-negative).  The op order is fixed so the oracle mirrors it."""
+    return (est_a + est_b) - est_union

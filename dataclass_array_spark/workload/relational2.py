@@ -1126,3 +1126,99 @@ ORDER BY t.l_returnflag
 QUERIES["hist_quantiles_prices"] = Query(
     hist_quantiles_prices, _hist_quantiles_oracle(), tags=("sketch", "approx")
 )
+
+
+def hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation: distinct users who CLICK vs who
+    PURCHASE, their union and intersection — the union estimated from
+    the (bucket-MAX) merged sketch (exact at the sketch level:
+    HLL(A∪B) == max-merge of the shard sketches), the intersection by
+    inclusion-exclusion.  Exact counts ride along.  Everything is the
+    portable HLL, so the oracle replays all four estimates
+    bit-for-bit — at 100 TB this answers overlap questions from three
+    256-row sketches instead of a distinct-join over the corpus."""
+    from dataclass_array_spark.operators.sketch import (
+        hll_distinct,
+        hll_intersect_estimate,
+    )
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+
+    def side(pred, tag):
+        return e.filter(pred).select(
+            F.lit("all").alias("tag"), F.col("user_id")
+        )
+
+    clicks = side(F.col("event_type") == "click", "c")
+    purch = side(F.col("event_type") == "purchase", "p")
+    both_src = clicks.unionByName(purch)
+    ea = hll_distinct(clicks, ["tag"], "user_id", b=8).select(
+        "tag", F.col("est").alias("est_click")
+    )
+    eb = hll_distinct(purch, ["tag"], "user_id", b=8).select(
+        "tag", F.col("est").alias("est_purchase")
+    )
+    eu = hll_distinct(both_src, ["tag"], "user_id", b=8).select(
+        "tag", F.col("est").alias("est_union")
+    )
+    cu = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    pu = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = spark.createDataFrame([("all",)], "tag string").crossJoin(
+        F.broadcast(
+            cu.agg(F.count("*").cast("long").alias("n_click")).crossJoin(
+                pu.agg(F.count("*").cast("long").alias("n_purchase"))
+            ).crossJoin(
+                cu.join(pu, "user_id").agg(
+                    F.count("*").cast("long").alias("n_both")
+                )
+            )
+        )
+    )
+    out = exact.join(ea, "tag").join(eb, "tag").join(eu, "tag")
+    return out.select(
+        "n_click",
+        "n_purchase",
+        "n_both",
+        "est_click",
+        "est_purchase",
+        "est_union",
+        hll_intersect_estimate(
+            F.col("est_click"), F.col("est_purchase"), F.col("est_union")
+        ).alias("est_intersect"),
+    )
+
+
+def _hll_overlap_oracle() -> str:
+    from dataclass_array_spark.operators.sketch import hll_sql
+
+    def src(pred: str) -> str:
+        return f"(SELECT 'all' AS tag, user_id FROM events WHERE {pred})"
+
+    a = hll_sql(src("event_type = 'click'"), ["tag"], "user_id", b=8)
+    b = hll_sql(src("event_type = 'purchase'"), ["tag"], "user_id", b=8)
+    u = hll_sql(
+        "(SELECT 'all' AS tag, user_id FROM events WHERE event_type = 'click' "
+        "UNION ALL "
+        "SELECT 'all' AS tag, user_id FROM events WHERE event_type = 'purchase')",
+        ["tag"], "user_id", b=8,
+    )
+    return f"""
+WITH ea AS ({a}), eb AS ({b}), eu AS ({u}),
+cu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+exact AS (
+  SELECT CAST((SELECT COUNT(*) FROM cu) AS BIGINT) AS n_click,
+         CAST((SELECT COUNT(*) FROM pu) AS BIGINT) AS n_purchase,
+         CAST((SELECT COUNT(*) FROM cu JOIN pu USING (user_id)) AS BIGINT)
+           AS n_both
+)
+SELECT e.n_click, e.n_purchase, e.n_both,
+       ea.est AS est_click, eb.est AS est_purchase, eu.est AS est_union,
+       (ea.est + eb.est) - eu.est AS est_intersect
+FROM exact e CROSS JOIN ea CROSS JOIN eb CROSS JOIN eu
+"""
+
+
+QUERIES["hll_overlap_users"] = Query(
+    hll_overlap_users, _hll_overlap_oracle(), tags=("sketch", "approx", "setops")
+)

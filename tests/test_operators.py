@@ -1983,3 +1983,36 @@ def test_hist_quantiles_accuracy_and_merge(spark, sf_dir):
     full = {(r["l_returnflag"], r["bucket"]): r["cnt"] for r in h.collect()}
     got = {(r["l_returnflag"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == full
+
+
+def test_hll_set_operations(spark, sf_dir):
+    """HLL set-op estimates: the sketch-level MAX-merge union equals
+    HLL built directly over the union (exact sketch identity), and
+    inclusion-exclusion lands near the exact intersection."""
+    from dataclass_array_spark.operators.sketch import (
+        hll_estimate,
+        hll_per_bucket,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.lit("all").alias("tag"), "user_id", "event_type"
+    )
+    a = e.filter(F.col("event_type") == "click")
+    b = e.filter(F.col("event_type") == "purchase")
+    pa = hll_per_bucket(a, ["tag"], "user_id")
+    pb = hll_per_bucket(b, ["tag"], "user_id")
+    merged = (
+        pa.unionByName(pb).groupBy("tag", "__bkt").agg(F.max("__M").alias("__M"))
+    )
+    direct = hll_per_bucket(a.unionByName(b), ["tag"], "user_id")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    est_u = hll_estimate(merged, ["tag"]).collect()[0]["est"]
+    est_a = hll_estimate(pa, ["tag"]).collect()[0]["est"]
+    est_b = hll_estimate(pb, ["tag"]).collect()[0]["est"]
+    cu = a.select("user_id").distinct()
+    pu = b.select("user_id").distinct()
+    n_both = cu.join(pu, "user_id").count()
+    est_i = (est_a + est_b) - est_u
+    assert abs(est_i - n_both) / max(n_both, 1) < 0.35, (est_i, n_both)
