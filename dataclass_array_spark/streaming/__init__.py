@@ -43,6 +43,7 @@ __all__.append("purchases_with_recent_clicks")
 from dataclass_array_spark.streaming.core import (  # noqa: E402,F401
     bloom_stream,
     countmin_stream,
+    hist_stream,
     hll_stream,
     decontaminate_stream,
     documents_stream,
@@ -50,5 +51,6 @@ from dataclass_array_spark.streaming.core import (  # noqa: E402,F401
 )
 __all__ += [
     "bloom_stream", "countmin_stream", "decontaminate_stream",
-    "documents_stream", "hll_stream", "incremental_dedup_stream",
+    "documents_stream", "hist_stream", "hll_stream",
+    "incremental_dedup_stream",
 ]

@@ -690,3 +690,43 @@ def bloom_stream(
     )
     q.awaitTermination()
     return keys.sparkSession.read.parquet(output_dir).distinct()
+
+
+def hist_stream(
+    items: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    lo: float,
+    hi: float,
+    output_dir: str,
+    checkpoint_dir: str,
+    nbuckets: int = 4096,
+) -> DataFrame:
+    """Streaming histogram sketch: per-batch partial histograms
+    appended, cell-SUM merged on read — equal to the one-shot batch
+    histogram for any micro-batch boundaries (bucket counts are
+    additive over known, fixed bounds).  Completes the streamable
+    sketch set (count-min SUM, HLL MAX, bloom UNION, histogram SUM);
+    quantile estimates over the merged state reuse the batch
+    ``hist_quantiles`` unchanged.  Bounds must be known up front (the
+    persisted-bounds contract of ``hist_build``) — a stream cannot
+    re-scan history to re-bound."""
+    from dataclass_array_spark.operators.sketch import hist_build
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        hist_build(
+            batch_df, group_cols, value_col, lo, hi, nbuckets
+        ).write.mode("append").parquet(output_dir)
+
+    q = (
+        items.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        items.sparkSession.read.parquet(output_dir)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

@@ -25,7 +25,7 @@ class Query:
 # query under recurring driver verification.  Round 11 ordering
 # (VERDICT r10 item 1): the 40 queries now stalest — 4 last
 # driver-verified in round 7 (they overflowed the r10 window) and the
-# 36 round-8 cohort — go FIRST, then the 15 BRAND-NEW round-11 gates
+# 36 round-8 cohort — go FIRST, then the 16 BRAND-NEW round-11 gates
 # (new code needs driver verification most), then the next-stalest
 # round-9 queries (the first ~3 of which complete the 50-query
 # window), then the rest of the round-9 cohort, then the 50 queries
@@ -93,6 +93,7 @@ _PRIORITY: Tuple[str, ...] = (
     "embedding_ann_sq8",
     "hist_quantiles_prices",
     "hll_overlap_users",
+    "streaming_hist_prices",
     # ---- round-9 cohort: the next-stalest fill the window ----
     "zorder_orders_layout",
     "hilbert_orders_layout",

@@ -570,3 +570,67 @@ QUERIES["streaming_bloom_orders"] = Query(
     streaming_bloom_orders, _streaming_bloom_oracle(),
     tags=("streaming", "sketch"),
 )
+
+
+def streaming_hist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch maintained over the LINEITEM stream:
+    per-batch partial histograms cell-SUM into exactly the batch
+    sketch, so the p50/p95 estimates reuse the batch gate's oracle
+    verbatim — fourth streamable sketch, no state store.  Bounds come
+    from a one-time batch pass (the persisted-bounds contract)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from dataclass_array_spark.operators.sketch import hist_quantiles
+    from dataclass_array_spark.streaming import hist_stream
+    from dataclass_array_spark.streaming.core import _parquet_stream
+    from dataclass_array_spark.workload.base import load_tables
+    from dataclass_array_spark.workload.relational2 import _HIST_NB, _HIST_PS
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    r = li.agg(
+        F.min(F.col("l_extendedprice").cast("double")),
+        F.max(F.col("l_extendedprice").cast("double")),
+    ).collect()[0]
+    lo, hi = float(r[0]), float(r[1])
+    s = _parquet_stream(
+        spark.readStream.schema(li.schema), f"{sf_dir}/lineitem.parquet"
+    ).select("l_returnflag", "l_extendedprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"dca-stream-hist-{tag}-{os.getpid()}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"dca-stream-hist-{tag}-*")
+    ):
+        try:
+            pid = int(stale.rsplit("-", 1)[-1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    h = hist_stream(
+        s, ["l_returnflag"], "l_extendedprice", lo, hi,
+        output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
+        nbuckets=_HIST_NB,
+    )
+    return hist_quantiles(
+        h, ["l_returnflag"], _HIST_PS, lo, hi, _HIST_NB
+    ).orderBy("l_returnflag")
+
+
+def _streaming_hist_oracle() -> str:
+    from dataclass_array_spark.workload.relational2 import _hist_quantiles_oracle
+
+    return _hist_quantiles_oracle()
+
+
+QUERIES["streaming_hist_prices"] = Query(
+    streaming_hist_prices, _streaming_hist_oracle(),
+    tags=("streaming", "sketch"),
+)
