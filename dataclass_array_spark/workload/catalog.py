@@ -26,7 +26,9 @@ class Query:
 # (VERDICT r10 item 1): the 40 queries now stalest — 4 last
 # driver-verified in round 7 (they overflowed the r10 window) and the
 # 36 round-8 cohort — go FIRST, then the 16 BRAND-NEW round-11 gates
-# (new code needs driver verification most), then the next-stalest
+# (new code needs driver verification most; the first ~10 fit the
+# window, and the 6 past it were each oracle-verified at sf0.01 AND
+# sf1 in-session — see ROADMAP round 11), then the next-stalest
 # round-9 queries (the first ~3 of which complete the 50-query
 # window), then the rest of the round-9 cohort, then the 50 queries
 # the round-10 driver just verified, freshest-last.  Behavior-
