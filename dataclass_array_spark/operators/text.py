@@ -285,13 +285,18 @@ def token_rarity_scores(df, text_col: str, id_col: str):
     whose last-ulp behavior differs across engines), so the score is a
     ratio of exact integers and reproduces bit-for-bit in the oracle.
 
-    Plan: corpus frequencies via one token aggregation (vocab-sized
-    result, broadcast back), per-doc mean via posexplode + broadcast
-    join + per-doc re-aggregation (shuffle = one row per doc)."""
+    Plan: corpus frequencies via one token aggregation, per-doc mean via
+    posexplode + join + per-doc re-aggregation (shuffle = one row per
+    doc).  The frequency table is sized by the corpus's DISTINCT-token
+    count, which grows with corpus size (Heaps' law) — so no broadcast
+    hint: AQE broadcasts it when it actually fits and falls back to a
+    shuffle join when it doesn't (a forced hint would hit the 8 GB
+    broadcast limit / driver OOM at 100 TB).  Values are
+    hint-independent."""
     tok = df.select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("t"))
     freq = tok.filter(F.col("t").isNotNull()).groupBy("t").count()
     freq = freq.select("t", (F.length(F.bin(F.col("count"))) - 1).cast("long").alias("lb"))
-    j = tok.join(F.broadcast(freq), "t", "left")
+    j = tok.join(freq, "t", "left")
     return j.groupBy(id_col).agg(
         F.count("t").alias("n_tokens"),
         F.coalesce(F.sum("lb"), F.lit(0)).cast("long").alias("lb_sum"),
@@ -378,7 +383,9 @@ def unigram_xent_scores(df, text_col: str, id_col: str):
 
     Plan shape (100 TB): one token aggregation produces the vocab-sized
     frequency table; the 20-term ln series runs once per DISTINCT token
-    (not per token instance) and joins back in-scan; the per-doc sum
+    (not per token instance) and joins back unhinted (corpus-derived
+    vocab grows with corpus size — AQE broadcasts only when it actually
+    fits; values are hint-independent); the per-doc sum
     folds doubles in token-position order so both engines add in the
     same sequence (order-dependent IEEE sums).  One explode shuffle +
     one per-doc aggregation — same plan family as tf-idf."""
@@ -397,7 +404,7 @@ def unigram_xent_scores(df, text_col: str, id_col: str):
         F.col("pos").isNotNull(), F.struct(F.col("pos"), F.col("lnc").alias("lnc"))
     )
     per_doc = (
-        tok.join(F.broadcast(lnc), "t", "left")
+        tok.join(lnc, "t", "left")
         .groupBy(id_col)
         .agg(
             F.count("pos").alias("n_tokens"),
@@ -463,7 +470,8 @@ def bigram_xent_scores(df, text_col: str, id_col: str):
 
     Plan shape (100 TB): one bigram aggregation produces the LM
     (bigram-type-sized, not corpus-sized); the 20-term ln series runs
-    once per DISTINCT bigram / prefix and joins back broadcast; per-doc
+    once per DISTINCT bigram / prefix and joins back unhinted (AQE
+    broadcasts when the LM actually fits); per-doc
     sums are one explode shuffle + one per-doc aggregation — the same
     plan family as tf-idf and the unigram LM.  Scoring the training
     corpus itself means no OOV rows (every doc bigram is in the LM by
@@ -492,13 +500,15 @@ def bigram_xent_scores(df, text_col: str, id_col: str):
             (F.col("ln_den") - F.col("ln_num")).alias("nll"),
         ),
     )
-    # ln_num is BIGRAM-TYPE-sized (can approach corpus scale) — no
-    # broadcast hint; AQE broadcasts when it actually fits.  ln_den is
-    # prefix-vocab-sized (same order as the unigram vocab) — hinted
-    # like unigram_xent_scores' frequency table.
+    # ln_num is BIGRAM-TYPE-sized and ln_den prefix-VOCAB-sized — both
+    # corpus-derived and unbounded (Heaps' law), so neither carries a
+    # broadcast hint; AQE broadcasts whichever actually fits at runtime
+    # (a forced hint = 8 GB limit / driver OOM at 100 TB).  Only
+    # bounded-by-construction sides (the 1-row vocab total, ln_v) keep
+    # hints.  Values are hint-independent.
     per_doc = (
         inst.join(ln_num, ["w1", "w2"], "left")
-        .join(F.broadcast(ln_den), ["w1"], "left")
+        .join(ln_den, ["w1"], "left")
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_bigrams"),
@@ -578,9 +588,11 @@ def bigram_xent_scores_heldout(train_df, score_df, text_col: str, id_col: str):
             ).alias("nll"),
         ),
     )
+    # ln_num / ln_den: corpus-derived, unhinted (see bigram_xent_scores);
+    # ln_v is one row — hint kept.
     per_doc = (
         inst_s.join(ln_num, ["w1", "w2"], "left")
-        .join(F.broadcast(ln_den), ["w1"], "left")
+        .join(ln_den, ["w1"], "left")
         .crossJoin(F.broadcast(ln_v))
         .groupBy(id_col)
         .agg(

@@ -160,12 +160,72 @@ def test_tpch3_dims_broadcast(spark):
         assert "CartesianProduct" not in p, q
 
 
-def test_lm_quality_vocab_broadcast(spark):
-    # the per-distinct-token ln table joins back via broadcast; the
-    # 20-term series must stay JVM-side (no Python eval anywhere).
-    p = plan(spark, "lm_quality_docs")
-    assert "BroadcastHashJoin" in p
-    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+def _no_broadcast_conf(spark):
+    """Context manager: disable size-based broadcast (threshold -1) and
+    AQE so the static physical plan shows exactly what a too-big-to-
+    broadcast side degrades to.  Hints OVERRIDE the threshold, so any
+    BroadcastHashJoin that survives under this conf is a forced one."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def cm():
+        saved = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.enabled",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            yield
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+    return cm()
+
+
+def test_lm_quality_vocab_join_degrades_gracefully(spark):
+    """Round-12 scale fix: corpus-derived vocab/frequency/ln tables grow
+    with corpus size (Heaps' law), so their equi-join-backs must carry
+    NO forced broadcast hint — a hint forces BroadcastHashJoin
+    regardless of size (8 GB limit / driver OOM at 100 TB).  With the
+    broadcast threshold at -1, every unhinted equi join must degrade to
+    SortMergeJoin; only the bounded-by-construction one-row scalar
+    sides (vocab total V, ln V) may still broadcast, and those are
+    cross joins (BroadcastNestedLoopJoin), not hash joins.  The 20-term
+    ln series must also stay JVM-side (no Python eval anywhere)."""
+    with _no_broadcast_conf(spark):
+        for q in ("lm_quality_docs", "token_rarity_docs", "bigram_lm_docs",
+                  "bigram_lm_heldout_docs"):
+            p = plan(spark, q)
+            assert "BroadcastHashJoin" not in p, (q, p)
+            assert "CartesianProduct" not in p, q
+            assert "MapInPandas" not in p and "BatchEvalPython" not in p, q
+
+
+def test_bounded_vocab_keeps_broadcast_hint(spark):
+    """Counterpart: tokenize_with_vocab's vocab is USER-SUPPLIED and
+    BPE-scale (~100k rows, bounded by construction) — its hint must
+    survive a disabled threshold, keeping the map a broadcast hash join
+    with zero shuffle on the token side."""
+    from dataclass_array_spark.operators.text import tokenize_with_vocab, tokens
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .distinct().limit(100)
+        .select("t", F.monotonically_increasing_id().alias("tid"))
+    )
+    with _no_broadcast_conf(spark):
+        out = tokenize_with_vocab(d, "text", "doc_id", vocab)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        assert "BroadcastHashJoin" in buf.getvalue()
 
 
 def test_shape_vectorize_stays_jvm_side(spark):
