@@ -151,6 +151,10 @@ def zorder_key(
     for c in cols:
         aggs += [F.min(c).cast("long"), F.max(c).cast("long")]
     row = df.agg(*aggs).collect()[0]
+    if row[0] is None:
+        # min/max of an empty frame are NULL — fail loudly instead of
+        # letting scale_expr hit a NoneType (mirrors sq8_bounds)
+        raise ValueError("zorder_key: empty input (no rows to bound)")
     bounds = [(row[2 * i], row[2 * i + 1]) for i in range(len(cols))]
     scaled = [
         scale_expr(F.col(c), mn, mx, bits)
@@ -552,6 +556,10 @@ def write_hilbert_kd(
     for c in cols:
         aggs += [F.min(c).cast("long"), F.max(c).cast("long")]
     row = df.agg(*aggs).collect()[0]
+    if row[0] is None:
+        # min/max of an empty frame are NULL — fail loudly instead of
+        # letting scale_expr hit a NoneType (mirrors sq8_bounds)
+        raise ValueError("write_hilbert_kd: empty input (no rows to bound)")
     bounds = [(row[2 * i], row[2 * i + 1]) for i in range(len(cols))]
     scaled = [
         scale_expr(F.col(c), mn, mx, bits)

@@ -160,8 +160,6 @@ def hll_distinct(
     task), one per-group fold over ≤ 2^b bucket entries.  Mergeable:
     sketches of shards merge by (group, bucket) MAX — union the
     ``(group, bucket, M)`` tables and re-aggregate."""
-    from dataclass_array_spark.operators.text import ln_exact
-
     return hll_estimate(hll_per_bucket(df, group_cols, value_col, b), group_cols, b)
 
 
@@ -413,6 +411,16 @@ def hist_quantiles(
     oracle reproduces every estimate bit-for-bit."""
     from pyspark.sql import Window
 
+    # column labels floor p to an integer percent — ps that collide
+    # (0.95 vs 0.955) or repeat would silently emit duplicate column
+    # names and break the chained join, so fail loudly up front
+    labels = [f"p{int(p * 100)}_est" for p in ps]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            "hist_quantiles: ps produce colliding column labels "
+            f"{labels} — use ps that differ at integer-percent "
+            "granularity (labels are p<int(p*100)>_est)"
+        )
     nb = int(nbuckets)
     w = (
         Window.partitionBy(*group_cols)

@@ -596,17 +596,20 @@ def countmin_stream(
     equals the one-shot batch sketch EXACTLY for any micro-batch
     boundaries — counts are additive and the bucket hashes are
     deterministic, so mergeability is precisely what makes the sketch
-    streamable with NO state store (contrast the stateful dedup gates:
-    here a crash-replayed batch is the only error mode, same as the
-    other foreachBatch stages' append sinks).  At 100 TB the per-batch
-    write is a fixed few thousand rows — the sketch is the natural
-    "frequency monitor on the firehose" shape."""
+    streamable with NO state store.  foreachBatch is at-least-once, and
+    SUM-merged counts are NOT replay-idempotent (unlike HLL's MAX /
+    Bloom's UNION) — so each batch writes to its own
+    ``output_dir/batch=<id>`` partition with OVERWRITE: a crash-replayed
+    micro-batch replaces its earlier partial instead of double-counting,
+    and the merged read stays exact across restarts.  At 100 TB the
+    per-batch write is a fixed few thousand rows — the sketch is the
+    natural "frequency monitor on the firehose" shape."""
     from dataclass_array_spark.operators.sketch import countmin_build
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         countmin_build(batch_df, item_col, depth=depth, width=width).write.mode(
-            "append"
-        ).parquet(output_dir)
+            "overwrite"
+        ).parquet(f"{output_dir}/batch={_batch_id}")
 
     q = (
         items.writeStream.foreachBatch(_process)
@@ -710,13 +713,15 @@ def hist_stream(
     quantile estimates over the merged state reuse the batch
     ``hist_quantiles`` unchanged.  Bounds must be known up front (the
     persisted-bounds contract of ``hist_build``) — a stream cannot
-    re-scan history to re-bound."""
+    re-scan history to re-bound.  Like :func:`countmin_stream`, bucket
+    counts SUM-merge, so replay safety comes from per-batch
+    ``batch=<id>`` partition overwrite, not blind append."""
     from dataclass_array_spark.operators.sketch import hist_build
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         hist_build(
             batch_df, group_cols, value_col, lo, hi, nbuckets
-        ).write.mode("append").parquet(output_dir)
+        ).write.mode("overwrite").parquet(f"{output_dir}/batch={_batch_id}")
 
     q = (
         items.writeStream.foreachBatch(_process)

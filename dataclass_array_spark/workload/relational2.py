@@ -1144,13 +1144,13 @@ def hll_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, ["events"])["events"]
 
-    def side(pred, tag):
+    def side(pred):
         return e.filter(pred).select(
             F.lit("all").alias("tag"), F.col("user_id")
         )
 
-    clicks = side(F.col("event_type") == "click", "c")
-    purch = side(F.col("event_type") == "purchase", "p")
+    clicks = side(F.col("event_type") == "click")
+    purch = side(F.col("event_type") == "purchase")
     both_src = clicks.unionByName(purch)
     ea = hll_distinct(clicks, ["tag"], "user_id", b=8).select(
         "tag", F.col("est").alias("est_click")

@@ -549,3 +549,20 @@ def test_hilbert_kd_fuzz_vs_reference(spark):
         for i, row in enumerate(coords):
             want = _hilbert_kd_ref([int(c) for c in row], bits)
             assert got[i] == want, (k, bits, i)
+
+
+def test_layout_empty_input_raises_clear_error(spark, tmp_path):
+    """min/max bounds of an empty frame are NULL; both layout entry
+    points must fail loudly instead of feeding None into scale_expr."""
+    import pytest as _pytest
+
+    from dataclass_array_spark.operators.layout import (
+        write_hilbert_kd,
+        zorder_key,
+    )
+
+    empty = spark.range(0).selectExpr("id AS a", "id AS b")
+    with _pytest.raises(ValueError, match="empty input"):
+        zorder_key(empty, ["a", "b"], bits=8)
+    with _pytest.raises(ValueError, match="empty input"):
+        write_hilbert_kd(empty, str(tmp_path / "h"), ["a", "b"], bits=8)

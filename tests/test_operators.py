@@ -2016,3 +2016,15 @@ def test_hll_set_operations(spark, sf_dir):
     n_both = cu.join(pu, "user_id").count()
     est_i = (est_a + est_b) - est_u
     assert abs(est_i - n_both) / max(n_both, 1) < 0.35, (est_i, n_both)
+
+
+def test_hist_quantiles_rejects_colliding_labels(spark):
+    from dataclass_array_spark.operators.sketch import hist_quantiles
+
+    h = spark.createDataFrame([("g", 0, 1)], "g string, bucket int, cnt long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="colliding column labels"):
+        hist_quantiles(h, ["g"], [0.95, 0.955], 0.0, 1.0, nbuckets=16)
+    with _pytest.raises(ValueError, match="colliding column labels"):
+        hist_quantiles(h, ["g"], [0.5, 0.5], 0.0, 1.0, nbuckets=16)

@@ -473,3 +473,54 @@ def test_bloom_stream_equals_batch_filter(spark, sf_dir, tmp_path):
     )
     want = bloom_build(o, "key", n_bits=1 << 16, k=5)
     assert {r["pos"] for r in got.collect()} == {r["pos"] for r in want.collect()}
+
+
+def test_countmin_stream_replay_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once; SUM-merged sketch counts are not
+    naturally replay-safe (unlike HLL MAX / bloom UNION), so
+    countmin_stream writes each batch to its own batch=<id> partition
+    with overwrite.  This test (a) checks the merged stream sketch
+    equals the one-shot batch sketch cell-for-cell across multiple
+    micro-batches, (b) simulates a crash-replayed micro-batch by
+    re-overwriting one batch partition the way a replay would and
+    asserts the merged counts DO NOT double."""
+    from dataclass_array_spark.operators.sketch import countmin_build
+    from dataclass_array_spark.streaming import countmin_stream
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        (F.col("o_orderkey") % 97).cast("string").alias("t")
+    )
+    src = tmp_path / "items"
+    o.repartition(3).write.parquet(str(src))
+    s = (
+        spark.readStream.schema("t string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "out"
+    got = countmin_stream(
+        s, "t", output_dir=str(out), checkpoint_dir=str(tmp_path / "ckpt"),
+        depth=4, width=256,
+    )
+    want = countmin_build(o, "t", depth=4, width=256)
+    as_map = lambda df: {(r["j"], r["bucket"]): r["cnt"] for r in df.collect()}
+    merged0 = as_map(got)
+    assert merged0 == as_map(want)
+
+    # every child of output_dir must be a batch=<id> partition dir
+    batch_dirs = sorted(p for p in out.iterdir() if p.is_dir())
+    assert batch_dirs and all(p.name.startswith("batch=") for p in batch_dirs)
+    assert len(batch_dirs) >= 2  # maxFilesPerTrigger=1 over 3 files
+
+    # crash replay of the first micro-batch: recompute its partial and
+    # overwrite its partition (exactly what _process does on replay)
+    replay = batch_dirs[0]
+    partial = spark.read.parquet(str(replay)).collect()
+    pdf = spark.createDataFrame(partial, "j int, bucket long, cnt long")
+    pdf.write.mode("overwrite").parquet(str(replay))
+    remerged = as_map(
+        spark.read.parquet(str(out))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert remerged == merged0
