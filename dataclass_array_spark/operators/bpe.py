@@ -1,0 +1,365 @@
+"""Byte-pair-encoding tokenizer TRAINING and ENCODING as Spark ops —
+the missing half of the tokenize story (``tokenize_with_vocab``
+consumes a vocabulary; nothing built one).  Round-12 VERDICT item 3.
+
+Algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units" — the public BPE recipe): represent every
+distinct word as a sequence of symbols (initially single characters);
+repeatedly (a) count adjacent symbol pairs weighted by word frequency,
+(b) pick the most frequent pair, (c) replace its non-overlapping
+occurrences (leftmost-greedy) with the concatenated symbol.  Encoding
+applies the learned merges in rank order.
+
+Spark-first architecture (NOT a loop over rows):
+
+- The working state is ``(wid, cnt, syms array<string>)`` over the
+  DISTINCT-WORD table — vocab-sized (Heaps' law ~ N^0.5), not
+  corpus-sized, so 100 TB of text trains over ~10^8 short rows, all
+  distributed.
+- Each merge round is ONE map-side-combined pair aggregation (pair
+  extraction in-scan; shuffle bounded by the pair-type count) + ONE
+  NARROW fold applying the replacement (no shuffle, no window); the
+  driver collects exactly one (left, right) row per round — the same
+  bounded-driver-state ladder as the k-means operators
+  (``clustering.py``).
+- Lineage is pinned every ``checkpoint_every`` rounds
+  (:func:`~dataclass_array_spark.core.table.pin_materialization`) —
+  the fold chain nests one level per round, so pinning also resets the
+  otherwise O(rounds²) Catalyst re-analysis (the ``graph.py``
+  iterative-op discipline).
+
+Exactness: counts are integers, symbols are strings, the argmax
+tie-break is total DESC, left ASC, right ASC — every step reproduces
+bit-for-bit in DuckDB, so the ENTIRE iterative training run is
+oracle-verifiable (:func:`bpe_sql_ctes` unrolls the rounds as
+MATERIALIZED CTEs, the ladder pattern of ``kmeans_sql_ctes``).
+
+Replacement semantics (Spark fold ≡ oracle window pass ≡ Sennrich's
+regex pass, differential-tested): the fold merges an incoming symbol
+into the accumulator tail when (tail, symbol) = (left, right); within
+a run of equal symbols (possible only when left = right) the 1st,
+3rd, … occurrences merge — leftmost-greedy non-overlapping.  One pass
+eliminates every occurrence, because a freshly merged tail is the
+strictly longer string ``left||right``, never re-mergeable as
+``left``.  The oracle expresses the same pass with window functions —
+match flag, run parity for the left=right alternation, a consumed flag
+for merged-away positions — since DuckDB's ``list_reduce`` cannot
+carry a list accumulator.
+
+Reference parity: the reference repo has no tokenizer (it is an array
+library); this extends SURVEY.md §2.B's training-data-pipeline row the
+way the LM-quality family did.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataclass_array_spark.operators.text import tokens
+
+__all__ = [
+    "bpe_train",
+    "bpe_encode",
+    "bpe_word_symbols",
+    "bpe_sql_ctes",
+    "bpe_encode_sql_ctes",
+]
+
+
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(wid, cnt): distinct whitespace words with corpus frequencies —
+    the vocab-sized training table."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("wid"))
+        .groupBy("wid")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _init_symbols(words: DataFrame) -> DataFrame:
+    """Split each word into its single-character symbol sequence:
+    (wid, cnt, syms array<string>).  substring-based (not regex split)
+    so the oracle's ``split(wid, '')`` mirrors it character-for-
+    character."""
+    return words.select(
+        "wid",
+        "cnt",
+        F.transform(
+            F.sequence(F.lit(1), F.length("wid")),
+            lambda i: F.col("wid").substr(i, F.lit(1)),
+        ).alias("syms"),
+    )
+
+
+def _apply_merge(sym: DataFrame, left: str, right: str) -> Column:
+    """Symbol array after one leftmost-greedy non-overlapping
+    replacement pass of (left, right): a left fold that merges the
+    incoming symbol into the accumulator's tail when the tail is
+    ``left`` and the symbol is ``right``.  A freshly merged tail is the
+    strictly longer string left||right, so the fold never re-merges its
+    own output — exactly the leftmost-greedy pass (run parity: within a
+    run of equal symbols the 1st, 3rd, … occurrences merge).  NARROW:
+    no shuffle, no window — the per-round shuffle budget is spent only
+    on the pair-count aggregation."""
+    tail = lambda acc: F.element_at(acc, -1)
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (tail(acc) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _best_pair(sym: DataFrame, min_count: int) -> Optional[Tuple[str, str]]:
+    """The most frequent adjacent pair (weighted by word frequency,
+    overlapping occurrences counted — the Sennrich convention), or None
+    when no pair reaches min_count.  Pair extraction is in-scan
+    (transform over index pairs); the ONE shuffle is the map-side-
+    combined (l, r) aggregation; one row collected."""
+    pair_arr = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("l"),
+                F.element_at(F.col("syms"), i + F.lit(1)).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    pairs = (
+        sym.select("cnt", F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("total"))
+        .filter(F.col("total") >= F.lit(int(min_count)))
+        .orderBy(F.desc("total"), F.asc("l"), F.asc("r"))
+        .limit(1)
+        .collect()
+    )
+    if not pairs:
+        return None
+    return pairs[0]["l"], pairs[0]["r"]
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    min_count: int = 2,
+    pin: str = "local",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus: → (rank, left, right),
+    rank 0-based in learn order, at most ``num_merges`` rows (training
+    stops early when no pair reaches ``min_count`` — mirrored by the
+    oracle's HAVING clause, so early exhaustion is oracle-symmetric).
+
+    Driver state: the merge table itself (≤ num_merges 3-tuples) plus
+    one collected row per round — never corpus- or vocab-sized."""
+    if num_merges < 1:
+        raise ValueError("bpe_train: num_merges must be >= 1")
+    from dataclass_array_spark.core.table import pin_materialization
+
+    sym = pin_materialization(_init_symbols(_word_counts(df, text_col)), pin)
+    merges: List[Tuple[int, str, str]] = []
+    for rank in range(int(num_merges)):
+        best = _best_pair(sym, min_count)
+        if best is None:
+            break
+        merges.append((rank, best[0], best[1]))
+        sym = sym.select(
+            "wid", "cnt", _apply_merge(sym, best[0], best[1]).alias("syms")
+        )
+        # periodic pin: the fold chain nests one level per round —
+        # without this Catalyst re-analyzes an O(rounds²) plan
+        if (rank + 1) % checkpoint_every == 0:
+            sym = pin_materialization(sym, pin)
+    return df.sparkSession.createDataFrame(
+        merges, "merge_rank long, left_sym string, right_sym string"
+    )
+
+
+def bpe_word_symbols(
+    words: DataFrame,
+    merges: List[Tuple[str, str]],
+    pin: str = "local",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply a learned merge list (rank order) to a (wid, cnt) word
+    table: → (wid, toks array<string>).  The per-round pass is the same
+    windowed replacement as training, so encode ≡ the training-time
+    segmentation for the training corpus (the BPE invariant)."""
+    from dataclass_array_spark.core.table import pin_materialization
+
+    sym = pin_materialization(_init_symbols(words), pin)
+    for i, (left, right) in enumerate(merges):
+        sym = sym.select(
+            "wid", "cnt", _apply_merge(sym, left, right).alias("syms")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            sym = pin_materialization(sym, pin)
+    return sym.select("wid", F.col("syms").alias("toks"))
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges_df: DataFrame,
+    pin: str = "local",
+) -> DataFrame:
+    """Encode every document with a trained merge table: → (id,
+    n_bpe_tokens, toks_json).  Segments the DISTINCT words once
+    (vocab-sized work) and joins the segmentation back onto the
+    document word sequence — the standard encode-distinct-then-join
+    trick that keeps the iterative part off the corpus-sized table.
+    The word→segmentation join is corpus-derived on both sides, so it
+    carries NO broadcast hint (AQE decides — the round-12 vocab-join
+    rule)."""
+    rows = merges_df.orderBy("merge_rank").collect()
+    merges = [(r["left_sym"], r["right_sym"]) for r in rows]
+    seg = bpe_word_symbols(_word_counts(df, text_col), merges, pin=pin)
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("wpos", "wid"),
+    )
+    j = tok.join(seg, "wid", "left")
+    entry = F.when(
+        F.col("wpos").isNotNull(),
+        F.struct(F.col("wpos"), F.col("toks").alias("toks")),
+    )
+    per_doc = j.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(F.array_sort(F.collect_list(entry)), lambda e: e.toks)
+        ).alias("__t")
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("n_bpe_tokens"),
+        F.to_json(F.col("__t")).alias("toks_json"),
+    )
+
+
+# ----------------------------------------------------------- oracle
+# DuckDB mirror: the training rounds unroll as MATERIALIZED CTEs (the
+# kmeans_sql_ctes ladder pattern — DuckDB inlines multiply-referenced
+# CTEs unless MATERIALIZED, which would compound round over round).
+
+
+def _round_ctes(r: int, min_count: int) -> str:
+    """CTEs advancing sym{r} → sym{r+1} and exposing best{r}(rank, l,
+    r_).  An exhausted best{r} (no pair ≥ min_count) joins empty and
+    passes sym through unchanged — the Spark early-stop mirror."""
+    win = "PARTITION BY wid ORDER BY pos"
+    run = f"{win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return f"""pr{r} AS MATERIALIZED (
+  SELECT s AS l, nxt AS r_, SUM(cnt) AS total
+  FROM (SELECT *, LEAD(s) OVER ({win}) AS nxt FROM sym{r})
+  WHERE nxt IS NOT NULL
+  GROUP BY s, nxt
+  HAVING SUM(cnt) >= {int(min_count)}
+),
+best{r} AS MATERIALIZED (
+  SELECT CAST({r} AS BIGINT) AS merge_rank, l, r_ FROM pr{r}
+  ORDER BY total DESC, l ASC, r_ ASC LIMIT 1
+),
+x{r} AS MATERIALIZED (
+  SELECT wid, cnt, pos, s, LEAD(s) OVER ({win}) AS nxt FROM sym{r}
+),
+y{r} AS MATERIALIZED (
+  SELECT x.wid, x.cnt, x.pos, x.s, x.nxt,
+         COALESCE(x.s = b.l AND x.nxt = b.r_, FALSE) AS m
+  FROM x{r} x LEFT JOIN best{r} b ON TRUE
+),
+z{r} AS MATERIALIZED (
+  SELECT *, m AND NOT COALESCE(LAG(m) OVER ({win}), FALSE) AS rs FROM y{r}
+),
+v{r} AS MATERIALIZED (
+  SELECT *, COALESCE(
+      m AND (pos - MAX(CASE WHEN rs THEN pos END) OVER ({run})) % 2 = 0,
+      FALSE) AS valid
+  FROM z{r}
+),
+k{r} AS MATERIALIZED (
+  SELECT *, COALESCE(LAG(valid) OVER ({win}), FALSE) AS consumed FROM v{r}
+),
+sym{r + 1} AS MATERIALIZED (
+  SELECT wid, cnt, ROW_NUMBER() OVER ({win}) AS pos,
+         CASE WHEN valid THEN s || nxt ELSE s END AS s
+  FROM k{r} WHERE NOT consumed
+)"""
+
+
+def bpe_sql_ctes(
+    toks_expr: str, num_merges: int, min_count: int = 2
+) -> Tuple[str, str]:
+    """(ctes, merge_select): unrolled DuckDB training over the word
+    list produced by ``toks_expr`` (an expression over ``documents``
+    yielding a VARCHAR[] per row, e.g. the shared ``_SQL_TOKS``).
+    ``merge_select`` yields (rank, left, right) — the bpe_train
+    mirror."""
+    head = f"""w0 AS MATERIALIZED (
+  SELECT t AS wid, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({toks_expr}) AS t FROM documents)
+  GROUP BY t
+),
+sym0 AS MATERIALIZED (
+  SELECT wid, cnt,
+         CAST(generate_subscripts(split(wid, ''), 1) AS BIGINT) AS pos,
+         unnest(split(wid, '')) AS s
+  FROM w0
+)"""
+    rounds = ",\n".join(_round_ctes(r, min_count) for r in range(num_merges))
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_rank, l AS left_sym, r_ AS right_sym FROM best{r}"
+        for r in range(num_merges)
+    )
+    return head + ",\n" + rounds, union
+
+
+def bpe_encode_sql_ctes(
+    toks_expr: str, num_merges: int, min_count: int = 2
+) -> str:
+    """CTE chain whose final CTE ``encoded(doc_id, n_bpe_tokens,
+    toks_json)`` mirrors bpe_train + bpe_encode end-to-end (training
+    corpus = encode corpus, the gate shape)."""
+    ctes, _ = bpe_sql_ctes(toks_expr, num_merges, min_count)
+    return f"""{ctes},
+word_toks AS MATERIALIZED (
+  SELECT wid, list(s ORDER BY pos) AS toks FROM sym{num_merges} GROUP BY wid
+),
+doc_words AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(generate_subscripts(toks, 1) AS BIGINT) AS wpos,
+         unnest(toks) AS wid
+  FROM (SELECT doc_id, {toks_expr} AS toks FROM documents)
+),
+flat AS MATERIALIZED (
+  SELECT doc_id, tok, ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY wpos, j) AS tpos
+  FROM (
+    SELECT dw.doc_id, dw.wpos,
+           CAST(generate_subscripts(wt.toks, 1) AS BIGINT) AS j,
+           unnest(wt.toks) AS tok
+    FROM doc_words dw JOIN word_toks wt USING (wid)
+  )
+),
+encoded AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bpe_tokens,
+         COALESCE(p.tj, to_json(CAST([] AS VARCHAR[]))) AS toks_json
+  FROM documents d
+  LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n, to_json(list(tok ORDER BY tpos)) AS tj
+    FROM flat GROUP BY doc_id
+  ) p USING (doc_id)
+)"""

@@ -101,6 +101,8 @@ _PRIORITY: Tuple[str, ...] = (
     "ewma_user_values",
     # ---- NEW in round 12 (each oracle-verified sf0.01 + sf1
     # in-session; next round's never-verified cohort) ----
+    "bpe_train_docs",
+    "bpe_encode_docs",
     # ---- driver-verified in round 11 ----
     "order_quantity_arrays",
     "q13_customer_distribution",
@@ -213,7 +215,7 @@ def _collect() -> Dict[str, Query]:
     # fewer queries instead of a failure.
     for modname in (
         "tpch", "tpch2", "tpch3", "relational", "relational2",
-        "events", "llm", "llm2", "llm3", "streaming", "shapes",
+        "events", "llm", "llm2", "llm3", "llm4", "streaming", "shapes",
     ):
         mod = __import__(
             f"dataclass_array_spark.workload.{modname}", fromlist=["QUERIES"]

@@ -1,0 +1,122 @@
+"""BPE tokenizer training/encoding: differential tests against a
+straight-line Python implementation of the public Sennrich
+learn_bpe/apply_bpe semantics (count overlapping pairs weighted by word
+frequency; merge = leftmost-greedy non-overlapping replacement applied
+in rank order), plus edge cases."""
+
+import collections
+import json
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _py_tokens(t):
+    return [w for w in re.split(r"\s+", t.strip().lower()) if w]
+
+
+def _py_bpe_train(word_counts, num_merges, min_count):
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(num_merges):
+        pairs = collections.Counter()
+        for w, c in word_counts.items():
+            seq = vocab[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += c
+        cand = [(c, l, r) for (l, r), c in pairs.items() if c >= min_count]
+        if not cand:
+            break
+        _, l, r = sorted(cand, key=lambda t: (-t[0], t[1], t[2]))[0]
+        merges.append((rank, l, r))
+        for w in vocab:
+            seq = vocab[w]
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_matches_python_reference(spark, sf_dir):
+    from dataclass_array_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    rows = docs.select("doc_id", "text").collect()
+    wc = collections.Counter()
+    for r in rows:
+        wc.update(_py_tokens(r["text"]))
+    merges, vocab = _py_bpe_train(wc, 10, 2)
+
+    m = bpe_train(docs, "text", 10, min_count=2)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"])
+        for r in m.orderBy("merge_rank").collect()
+    ]
+    assert got == merges
+
+    enc = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["toks_json"])
+        for r in bpe_encode(docs, "text", "doc_id", m).collect()
+    }
+    for r in rows:
+        toks = []
+        for w in _py_tokens(r["text"]):
+            toks += vocab[w]
+        assert enc[r["doc_id"]] == (
+            len(toks),
+            json.dumps(toks, separators=(",", ":")),
+        ), r["doc_id"]
+
+
+def test_bpe_early_exhaustion_and_edges(spark):
+    from dataclass_array_spark.operators.bpe import bpe_encode, bpe_train
+
+    # corpus exhausts after few merges: only "aa aa bb" repeats
+    docs = spark.createDataFrame(
+        [("d1", "aa aa bb"), ("d2", "aa bb"), ("d3", ""), ("d4", "x")],
+        "doc_id string, text string",
+    )
+    m = bpe_train(docs, "text", 50, min_count=2)
+    rows = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"])
+        for r in m.orderBy("merge_rank").collect()
+    ]
+    # pairs: (a,a) freq 3, (b,b) freq 2 -> merge aa, then bb; exhausted
+    assert rows == [(0, "a", "a"), (1, "b", "b")]
+
+    enc = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["toks_json"])
+        for r in bpe_encode(docs, "text", "doc_id", m).collect()
+    }
+    assert enc["d1"] == (3, '["aa","aa","bb"]')
+    assert enc["d3"] == (0, "[]")   # empty doc
+    assert enc["d4"] == (1, '["x"]')  # single unmerged char
+
+    with pytest.raises(ValueError, match="num_merges"):
+        bpe_train(docs, "text", 0)
+
+
+def test_bpe_run_parity_left_equals_right(spark):
+    """left == right runs must alternate (leftmost-greedy): 'aaaa' ->
+    [aa, aa], 'aaaaa' -> [aa, aa, a] — the overlap case the windowed
+    oracle resolves with run parity."""
+    from dataclass_array_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [("d1", "aaaa aaaa"), ("d2", "aaaaa")], "doc_id string, text string"
+    )
+    m = bpe_train(docs, "text", 1, min_count=2)
+    assert [(r["left_sym"], r["right_sym"]) for r in m.collect()] == [("a", "a")]
+    enc = {
+        r["doc_id"]: json.loads(r["toks_json"])
+        for r in bpe_encode(docs, "text", "doc_id", m).collect()
+    }
+    assert enc["d1"] == ["aa", "aa", "aa", "aa"]
+    assert enc["d2"] == ["aa", "aa", "a"]

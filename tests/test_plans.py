@@ -584,3 +584,17 @@ def test_sketch_plans(spark):
     p = buf.getvalue().lower()
     assert "join" not in p, p
     assert p.count("exchange hashpartitioning") <= 2, p
+
+
+def test_bpe_encode_plan_shapes(spark):
+    """BPE encode: everything JVM-side (folds + one join), no Python
+    eval, no cartesian product, and the word→segmentation join carries
+    no forced broadcast hint (both sides corpus-derived — the round-12
+    vocab-join rule)."""
+    p = plan(spark, "bpe_encode_docs")
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    from dataclass_array_spark.workload import QUERIES as _Q
+
+    logical = _Q["bpe_encode_docs"].fn(spark, SF)._jdf.queryExecution()
+    assert "ResolvedHint" not in logical.analyzed().toString()
