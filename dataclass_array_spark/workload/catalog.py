@@ -103,6 +103,7 @@ _PRIORITY: Tuple[str, ...] = (
     # in-session; next round's never-verified cohort) ----
     "bpe_train_docs",
     "bpe_encode_docs",
+    "url_dedup_docs",
     # ---- driver-verified in round 11 ----
     "order_quantity_arrays",
     "q13_customer_distribution",

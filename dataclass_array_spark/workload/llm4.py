@@ -75,3 +75,69 @@ def _bpe_encode_oracle() -> str:
 QUERIES["bpe_encode_docs"] = Query(
     bpe_encode_docs, _bpe_encode_oracle(), tags=("text", "tokenizer")
 )
+
+
+# ------------------------------------------------ URL canonical dedup
+def _url_expr_spark():
+    """Deterministic URL fixture derived from documents columns — five
+    variants per doc_id exercising scheme/host case-folding, default
+    ports, tracking params, fragments, userinfo, and the non-URL
+    fallback; variants 0/1 and 2/3 canonicalize to the SAME url, so
+    the dedup has real work to do."""
+    v = F.col("doc_id") % 5
+    page = (F.col("doc_id") % 40).cast("string")
+    src = F.col("source")
+    c = F.concat
+    L = F.lit
+    return (
+        F.when(v == 0, c(L("HTTP://WWW."), src, L(".COM:80/page/"), page,
+                         L("?utm_source=feed&id=1#top")))
+        .when(v == 1, c(L("http://www."), src, L(".com/page/"), page,
+                        L("?id=1")))
+        .when(v == 2, c(L("https://U:p@CDN."), src, L(".com:443/asset%20"),
+                        page, L("?b=2&gclid=xyz")))
+        .when(v == 3, c(L("https://cdn."), src, L(".com/asset%20"), page,
+                        L("?b=2")))
+        .otherwise(c(src, L(".com/bare/"), page))
+    )
+
+
+_URL_EXPR_SQL = """CASE doc_id % 5
+  WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80/page/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&id=1#top'
+  WHEN 1 THEN 'http://www.' || source || '.com/page/' || CAST(doc_id % 40 AS VARCHAR) || '?id=1'
+  WHEN 2 THEN 'https://U:p@CDN.' || source || '.com:443/asset%20' || CAST(doc_id % 40 AS VARCHAR) || '?b=2&gclid=xyz'
+  WHEN 3 THEN 'https://cdn.' || source || '.com/asset%20' || CAST(doc_id % 40 AS VARCHAR) || '?b=2'
+  ELSE source || '.com/bare/' || CAST(doc_id % 40 AS VARCHAR)
+END"""
+
+
+def url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup after canonicalization (``operators/url.py``) —
+    the crawl pipeline's first pass.  One map-side-combined aggregation
+    on the in-scan canonical string; variants that differ only in
+    scheme/host case, default ports, tracking params, fragments or
+    userinfo collapse to one representative."""
+    from dataclass_array_spark.operators.url import dedup_urls
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    u = d.select(F.col("doc_id"), _url_expr_spark().alias("url"))
+    return dedup_urls(u, "url", "doc_id").orderBy("canon_url")
+
+
+def _url_dedup_oracle() -> str:
+    from dataclass_array_spark.operators.url import canon_sql
+
+    return f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents)
+SELECT {canon_sql('url')} AS canon_url,
+       CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM u
+GROUP BY 1
+ORDER BY canon_url
+"""
+
+
+QUERIES["url_dedup_docs"] = Query(
+    url_dedup_docs, _url_dedup_oracle(), tags=("dedup", "url")
+)
