@@ -104,6 +104,7 @@ _PRIORITY: Tuple[str, ...] = (
     "bpe_train_docs",
     "bpe_encode_docs",
     "url_dedup_docs",
+    "skew_zipf_salted_agg",
     # ---- driver-verified in round 11 ----
     "order_quantity_arrays",
     "q13_customer_distribution",

@@ -141,3 +141,54 @@ ORDER BY canon_url
 QUERIES["url_dedup_docs"] = Query(
     url_dedup_docs, _url_dedup_oracle(), tags=("dedup", "url")
 )
+
+
+# ------------------------------------------------ zipfian skew stress
+def skew_zipf_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation under GENUINE zipf-style key skew:
+    the grouping key is the orderkey's bit length, so bucket b holds
+    ~2^b of the uniform keys — the top bucket owns ~half of ALL rows
+    (the existing salted gate's l_returnflag is low-cardinality but
+    BALANCED; this one is the hot-key shape that actually melts a
+    reducer at 100 TB).  Salting spreads the hot bucket over 32
+    partial states; decimal sums are association-safe, so the oracle
+    is the plain one-stage GROUP BY.  Measured skew/no-skew delta in
+    PERF.md round 12; salt fan-out plan-asserted in
+    tests/test_plans.py."""
+    from dataclass_array_spark.operators.skew import salted_sum
+    from dataclass_array_spark.workload.base import dec_to_double
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    zb = F.length(F.bin(F.col("l_orderkey"))).cast("long").alias("zb")
+    out = salted_sum(
+        li.select(zb, "l_extendedprice", "l_quantity"),
+        ["zb"],
+        {
+            "sum_price": F.col("l_extendedprice").cast("decimal(25,6)"),
+            "sum_qty": F.col("l_quantity").cast("decimal(25,6)"),
+        },
+        n_salts=32,
+    )
+    return out.select(
+        "zb",
+        dec_to_double(F.col("sum_price")).alias("sum_price"),
+        dec_to_double(F.col("sum_qty")).alias("sum_qty"),
+        "n_rows",
+    ).orderBy("zb")
+
+
+def _skew_zipf_oracle() -> str:
+    from dataclass_array_spark.workload.base import sql_dsum
+
+    return f"""
+SELECT CAST(length(bin(l_orderkey)) AS BIGINT) AS zb,
+       {sql_dsum('l_extendedprice', 'sum_price')},
+       {sql_dsum('l_quantity', 'sum_qty')},
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1 ORDER BY zb
+"""
+
+
+QUERIES["skew_zipf_salted_agg"] = Query(
+    skew_zipf_salted_agg, _skew_zipf_oracle(), tags=("agg", "skew")
+)

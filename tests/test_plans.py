@@ -598,3 +598,76 @@ def test_bpe_encode_plan_shapes(spark):
 
     logical = _Q["bpe_encode_docs"].fn(spark, SF)._jdf.queryExecution()
     assert "ResolvedHint" not in logical.analyzed().toString()
+
+
+def test_salted_zipf_agg_fan_out(spark):
+    """The zipf skew gate's stage-1 aggregate must group on
+    (zb, __salt) — the hot-bucket fan-out — and stage 2 on zb alone:
+    two distinct hash exchanges, salt first."""
+    import re
+
+    p = plan(spark, "skew_zipf_salted_agg")
+    ex = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    salted = [e for e in ex if "__salt" in e and "zb" in e]
+    plain = [e for e in ex if "__salt" not in e and "zb" in e]
+    assert salted and plain, ex
+
+
+def test_aqe_skew_join_split_engages(spark, tmp_path):
+    """Round-12 VERDICT item 5: prove AQE's skew-join path actually
+    fires on a zipf-style hot key (uniform TPC-H keys never trip it).
+    99.9% of the fact rows share one key; with broadcast disabled, the
+    SMJ partition for that key exceeds the (lowered) skew threshold
+    and AQE must mark the join skew=true in the FINAL adaptive plan.
+
+    Fixture subtleties this test encodes (each one a silent
+    no-skew-detected otherwise):
+    - the dim side is a PLAIN parquet scan — a post-shuffle aggregate
+      between the Sort and the shuffle stage breaks OptimizeSkewedJoin's
+      SMJ(Sort(Shuffle), Sort(Shuffle)) pattern match;
+    - the fact side has MULTIPLE map tasks — skewed partitions split at
+      mapper boundaries, so a single-mapper shuffle can never split;
+    - the executed query must KEEP the payload column through the join
+      (sum(payload) here) — a bare count() prunes it and the key-only
+      shuffle compresses below any realistic skew threshold;
+    - the final plan is read from the EXECUTED DataFrame's own
+      QueryExecution (a derived action runs a separate, unexecuted
+      plan on the original frame)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 4_000_000, 1, 16).select(
+            F.when(F.col("id") % 1000 == 0, F.col("id"))
+            .otherwise(F.lit(0))
+            .alias("zb"),
+            (F.rand(7) * 1000).alias("payload"),
+        )
+        fact.select("zb").distinct().withColumn(
+            "w", F.col("zb") * 2
+        ).write.parquet(str(tmp_path / "dim"))
+        dim = spark.read.parquet(str(tmp_path / "dim"))
+        agg = fact.join(dim, "zb").agg(
+            F.count("*").alias("n"), F.sum("payload").alias("s")
+        )
+        row = agg.collect()[0]
+        assert row["n"] == 4_000_000
+        p = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p, p[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
