@@ -105,6 +105,8 @@ _PRIORITY: Tuple[str, ...] = (
     "bpe_encode_docs",
     "url_dedup_docs",
     "skew_zipf_salted_agg",
+    "qdigest_quantiles_prices",
+    "streaming_qdigest_prices",
     # ---- driver-verified in round 11 ----
     "order_quantity_arrays",
     "q13_customer_distribution",

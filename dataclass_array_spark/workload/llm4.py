@@ -192,3 +192,117 @@ FROM lineitem GROUP BY 1 ORDER BY zb
 QUERIES["skew_zipf_salted_agg"] = Query(
     skew_zipf_salted_agg, _skew_zipf_oracle(), tags=("agg", "skew")
 )
+
+
+# ------------------------------------------------ q-digest quantiles
+_QD_BITS = 12
+_QD_K = 64
+_QD_PS = [0.5, 0.95, 0.99]
+
+
+def qdigest_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag p50/p95/p99 price estimates from the RANK-based
+    q-digest sketch (``operators/qdigest.py``) — the heavy-tail
+    complement to `hist_quantiles_prices`' equi-width histogram: error
+    is bounded in RANKS (≤ bits·n/k), not bucket widths.  Fully
+    deterministic (greedy bottom-up compression, integer trie), so the
+    oracle replays the digest node-for-node and the estimates
+    bit-for-bit."""
+    from dataclass_array_spark.operators.qdigest import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    r = li.agg(
+        F.min(F.col("l_extendedprice").cast("double")),
+        F.max(F.col("l_extendedprice").cast("double")),
+    ).collect()[0]
+    lo, hi = float(r[0]), float(r[1])
+    d = qdigest_build(
+        li, ["l_returnflag"], "l_extendedprice", lo, hi, _QD_BITS, _QD_K
+    )
+    return qdigest_quantiles(
+        d, ["l_returnflag"], _QD_PS, lo, hi, _QD_BITS
+    ).orderBy("l_returnflag")
+
+
+def _qdigest_oracle() -> str:
+    from dataclass_array_spark.operators.qdigest import (
+        qdigest_quantiles_sql,
+        qdigest_sql_ctes,
+    )
+
+    x = "CAST(l_extendedprice AS DOUBLE)"
+    return f"""
+WITH bnd AS (SELECT MIN({x}) AS lo, MAX({x}) AS hi FROM lineitem),
+{qdigest_sql_ctes("lineitem", ["l_returnflag"], x, _QD_BITS, _QD_K)},
+{qdigest_quantiles_sql(["l_returnflag"], _QD_PS, _QD_BITS)}
+ORDER BY l_returnflag
+"""
+
+
+QUERIES["qdigest_quantiles_prices"] = Query(
+    qdigest_quantiles_prices, _qdigest_oracle(), tags=("sketch", "approx")
+)
+
+
+def streaming_qdigest_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming q-digest: per-batch LEAF histograms (2^bits buckets)
+    stream through the replay-safe batch-partitioned hist sink and
+    cell-SUM merge on read; ONE compression over the merged leaves then
+    equals the single-shot batch digest EXACTLY (leaf merge is exact —
+    stronger than node-level digest merge, which is also valid but
+    carries the merged error bound).  Oracle = the batch q-digest
+    oracle verbatim."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from dataclass_array_spark.operators.qdigest import (
+        qdigest_compress,
+        qdigest_quantiles,
+    )
+    from dataclass_array_spark.streaming import hist_stream
+    from dataclass_array_spark.streaming.core import _parquet_stream
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    r = li.agg(
+        F.min(F.col("l_extendedprice").cast("double")),
+        F.max(F.col("l_extendedprice").cast("double")),
+    ).collect()[0]
+    lo, hi = float(r[0]), float(r[1])
+    s = _parquet_stream(
+        spark.readStream.schema(li.schema), f"{sf_dir}/lineitem.parquet"
+    ).select("l_returnflag", "l_extendedprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"dca-stream-qdigest-{tag}-{os.getpid()}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"dca-stream-qdigest-{tag}-*")
+    ):
+        try:
+            pid = int(stale.rsplit("-", 1)[-1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    leaves = hist_stream(
+        s, ["l_returnflag"], "l_extendedprice", lo, hi,
+        output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
+        nbuckets=1 << _QD_BITS,
+    ).withColumnRenamed("bucket", "id")
+    d = qdigest_compress(leaves, ["l_returnflag"], _QD_BITS, _QD_K)
+    return qdigest_quantiles(
+        d, ["l_returnflag"], _QD_PS, lo, hi, _QD_BITS
+    ).orderBy("l_returnflag")
+
+
+QUERIES["streaming_qdigest_prices"] = Query(
+    streaming_qdigest_prices, _qdigest_oracle(), tags=("streaming", "sketch")
+)
