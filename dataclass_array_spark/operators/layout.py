@@ -383,7 +383,14 @@ def with_hilbert_key_kd(
     space into tight boxes for parquet min/max pruning on EVERY keyed
     column — the same 100 TB scan-pruning story as the 2-d form, now
     for (e.g.) a (customer, day, region) layout where 2-d Hilbert had
-    to fall back to :func:`morton_key`."""
+    to fall back to :func:`morton_key`.
+
+    Compile cost: the unroll emits (bits−1)·k+4 chained projections,
+    and Catalyst ANALYSIS time grows with that count — ~3× the 2-d
+    gate's plan-compile constant at k=3, ~50 projections at k=6/
+    bits=10.  Per-query constant, amortized to nothing on large
+    scans; budget for it when planning many small k-d-keyed queries
+    (PERF.md round 11)."""
     k = len(cols)
     _hilbert_kd_validate(k, bits)
     names = [f"_hil{i}" for i in range(k)] + ["_hil_t"]

@@ -40,9 +40,9 @@ cost is independent of corpus size.  Mergeable two ways: (a) leaf
 histograms merge by cell-SUM then compress once (exactly equal to the
 single-shot digest — what :func:`~dataclass_array_spark.streaming
 .core.hist_stream` + :func:`qdigest_compress` do for streams), or
-(b) compressed digests merge by node-wise SUM + recompress (bounded
-state, standard q-digest merge; estimates then carry the merged
-error bound).
+(b) compressed digests merge by node-wise SUM + recompress
+(:func:`qdigest_merge` — bounded state, standard q-digest merge;
+estimates then carry the merged ≤2× error bound).
 """
 
 from __future__ import annotations
@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "qdigest_build",
     "qdigest_compress",
+    "qdigest_merge",
     "qdigest_quantiles",
     "qdigest_sql_ctes",
     "qdigest_quantiles_sql",
@@ -159,6 +160,81 @@ def qdigest_compress(
         out = out.unionByName(p)
     # the digest itself is re-referenced by every consumer (total + cum
     # window + one pick per quantile) — pin the O(k·bits)-row result
+    return pin_materialization(out, pin)
+
+
+def qdigest_merge(
+    digests: "list[DataFrame]",
+    group_cols: "list[str]",
+    bits: int,
+    k: int = 64,
+    pin: str = "local",
+) -> DataFrame:
+    """Node-level merge of compressed digests (the standard q-digest
+    merge): node-wise count SUM, then one recompression ladder where
+    each level also absorbs the merged nodes CARRIED at that level.
+    Total count is conserved exactly; internal-node counts after a
+    merge are bounded by ≤ 2·T_new (each input's internal nodes were
+    ≤ its own T, and a merged/recompressed node sums at most the two),
+    so the rank error bound doubles per merge generation — use the
+    LEAF-level merge (SUM leaves, compress once — see
+    :func:`qdigest_compress`) when the leaf tables are still
+    available; this node-level form is for merging digests whose
+    leaves are gone (cross-datacenter aggregation of shipped
+    sketches)."""
+    from dataclass_array_spark.core.table import pin_materialization
+
+    merged = digests[0]
+    for d in digests[1:]:
+        merged = merged.unionByName(d)
+    merged = pin_materialization(
+        merged.groupBy(*group_cols, "lvl", "id").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        ),
+        pin,
+    )
+    tot = pin_materialization(
+        merged.groupBy(*group_cols).agg(
+            F.floor(F.sum("cnt") / F.lit(int(k))).cast("long").alias("__t")
+        ),
+        pin,
+    )
+    cur = merged.filter(F.col("lvl") == 0).drop("lvl")
+    parts = []
+    for lvl in range(int(bits)):
+        g = _gjoin(
+            cur.groupBy(
+                *group_cols, F.floor(F.col("id") / 2).cast("long").alias("pid")
+            ).agg(F.sum("cnt").cast("long").alias("s")),
+            tot,
+            group_cols,
+        )
+        emitted = (
+            cur.withColumn("pid", F.floor(F.col("id") / 2).cast("long"))
+            .join(g.filter(F.col("s") > F.col("__t")), [*group_cols, "pid"])
+            .select(
+                *group_cols, F.lit(lvl).cast("long").alias("lvl"), "id", "cnt"
+            )
+        )
+        parts.append(emitted)
+        pushed = g.filter(F.col("s") <= F.col("__t")).select(
+            *group_cols, F.col("pid").alias("id"), F.col("s").alias("cnt")
+        )
+        carried = merged.filter(F.col("lvl") == lvl + 1).drop("lvl")
+        cur = pin_materialization(
+            pushed.unionByName(carried)
+            .groupBy(*group_cols, "id")
+            .agg(F.sum("cnt").cast("long").alias("cnt")),
+            pin,
+        )
+    parts.append(
+        cur.select(
+            *group_cols, F.lit(int(bits)).cast("long").alias("lvl"), "id", "cnt"
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return pin_materialization(out, pin)
 
 

@@ -117,3 +117,37 @@ def test_qdigest_validation_errors(spark):
     d = qdigest_build(df, [], "v", 0.0, 10.0, bits=4, k=4)
     with pytest.raises(ValueError, match="colliding"):
         qdigest_quantiles(d, [], [0.5, 0.505], 0.0, 10.0, bits=4)
+
+
+def test_qdigest_node_level_merge(spark, sf_dir):
+    """Node-level merge of two shipped digests: counts conserved
+    exactly, internal nodes ≤ 2·T_new, quantile estimates within the
+    doubled rank bound."""
+    from dataclass_array_spark.operators.qdigest import (
+        qdigest_build,
+        qdigest_merge,
+        qdigest_quantiles,
+    )
+
+    li, lo, hi = _prices(spark, sf_dir)
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    da = qdigest_build(half_a, [], "l_extendedprice", lo, hi, BITS, K)
+    db = qdigest_build(half_b, [], "l_extendedprice", lo, hi, BITS, K)
+    m = qdigest_merge([da, db], [], BITS, K)
+    rows = m.collect()
+    n = li.count()
+    assert sum(r["cnt"] for r in rows) == n
+    t = n // K
+    bad = [r for r in rows if r["lvl"] > 0 and r["cnt"] > 2 * t]
+    assert not bad, bad[:5]
+
+    vals = np.sort(
+        np.array([r[0] for r in li.select("l_extendedprice").collect()], dtype=float)
+    )
+    row = qdigest_quantiles(m, [], [0.5, 0.9], lo, hi, BITS).collect()[0]
+    slack = 2 * BITS * t + math.ceil(n / (1 << BITS)) * 4 + 2
+    for p, est in [(0.5, row["p50_est"]), (0.9, row["p90_est"])]:
+        target = math.ceil(p * n)
+        rank_le = int(np.searchsorted(vals, est, side="right"))
+        assert abs(rank_le - target) <= slack, (p, est, rank_le, target, slack)
