@@ -107,6 +107,7 @@ _PRIORITY: Tuple[str, ...] = (
     "skew_zipf_salted_agg",
     "qdigest_quantiles_prices",
     "streaming_qdigest_prices",
+    "kneser_ney_lm_docs",
     # ---- driver-verified in round 11 ----
     "order_quantity_arrays",
     "q13_customer_distribution",

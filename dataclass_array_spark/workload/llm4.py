@@ -306,3 +306,71 @@ def streaming_qdigest_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["streaming_qdigest_prices"] = Query(
     streaming_qdigest_prices, _qdigest_oracle(), tags=("streaming", "sketch")
 )
+
+
+# ------------------------------------------------ Kneser-Ney LM score
+def kneser_ney_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc conditional cross-entropy under the corpus's own
+    INTERPOLATED KNESER-NEY bigram LM (D = 3/4) — the
+    industry-standard smoothing, completing the LM-quality family
+    (unigram → add-one bigram → held-out bigram → KN bigram).  With
+    D = 3/4 every probability is a ratio of integers, so ln_exact
+    keeps the gate hash-exact."""
+    from dataclass_array_spark.operators.text import kneser_ney_xent_scores
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return kneser_ney_xent_scores(d, "text", "doc_id").orderBy("doc_id")
+
+
+def _kn_lm_oracle() -> str:
+    from dataclass_array_spark.operators.text import sql_ln_exact_ctes
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+guard AS (
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('KN_LM_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
+big AS (
+  SELECT doc_id, gs.i AS pos, toks[gs.i] AS w1, toks[gs.i + 1] AS w2
+  FROM toks, generate_series(1, 4095) gs(i)
+  WHERE gs.i <= len(toks) - 1
+),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY w1, w2),
+cu AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS cu, CAST(COUNT(*) AS BIGINT) AS n1w1
+  FROM cb GROUP BY w1
+),
+ncw2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncw2 FROM cb GROUP BY w2),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cb),
+numt AS (
+  SELECT cb.w1, cb.w2,
+         (4*cb.c - 3)*(SELECT t FROM tt) + 3*cu.n1w1*ncw2.ncw2 AS c
+  FROM cb JOIN cu USING (w1) JOIN ncw2 USING (w2)
+),
+dent AS (SELECT w1, 4*cu*(SELECT t FROM tt) AS c FROM cu),
+{sql_ln_exact_ctes("numt", "w1, w2", "c", "lnnum_t")},
+{sql_ln_exact_ctes("dent", "w1", "c", "lnden_t")},
+perdoc AS (
+  SELECT b.doc_id, COUNT(*) AS m,
+         list_reduce(list_prepend(0.0, list((d.ln - n.ln) ORDER BY b.pos)),
+                     (a, x) -> a + x) AS s
+  FROM big b
+  JOIN lnnum_t n ON n.w1 = b.w1 AND n.w2 = b.w2
+  JOIN lnden_t d ON d.w1 = b.w1
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, COALESCE(pd.m, 0) AS n_bigrams,
+       COALESCE(pd.s / CAST(pd.m AS DOUBLE), 0.0) AS xent_nats
+FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+CROSS JOIN guard
+WHERE guard.ok = 1
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["kneser_ney_lm_docs"] = Query(
+    kneser_ney_lm_docs, _kn_lm_oracle(), tags=("text", "quality", "lm")
+)

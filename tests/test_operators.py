@@ -2028,3 +2028,67 @@ def test_hist_quantiles_rejects_colliding_labels(spark):
         hist_quantiles(h, ["g"], [0.95, 0.955], 0.0, 1.0, nbuckets=16)
     with _pytest.raises(ValueError, match="colliding column labels"):
         hist_quantiles(h, ["g"], [0.5, 0.5], 0.0, 1.0, nbuckets=16)
+
+
+def test_kneser_ney_xent_matches_fraction_reference(spark):
+    """Interpolated KN (D=3/4): per-doc xent must match a
+    Fraction-exact Python reference (probabilities are ratios of
+    integers by construction), and the smoothed distribution must sum
+    to EXACTLY 1 over the vocabulary per prefix."""
+    import math
+    from collections import Counter
+    from fractions import Fraction
+
+    from dataclass_array_spark.operators.text import kneser_ney_xent_scores
+
+    docs = [
+        ("d1", "a b a b c"),
+        ("d2", "a b c c b"),
+        ("d3", "b a"),
+        ("d4", "x"),       # no bigrams
+        ("d5", ""),        # empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"])
+        for r in kneser_ney_xent_scores(df, "text", "doc_id").collect()
+    }
+
+    bigs = {}
+    cb = Counter()
+    for did, t in docs:
+        toks = t.split()
+        bl = list(zip(toks, toks[1:]))
+        bigs[did] = bl
+        cb.update(bl)
+    cu = Counter()
+    n1w1 = Counter()
+    ncw2 = Counter()
+    for (w1, w2), c in cb.items():
+        cu[w1] += c
+        n1w1[w1] += 1
+        ncw2[w2] += 1
+    T = len(cb)
+    D = Fraction(3, 4)
+
+    def p(w1, w2):
+        return (Fraction(cb[(w1, w2)]) - D) / cu[w1] + (
+            D * n1w1[w1] / cu[w1]
+        ) * Fraction(ncw2[w2], T)
+
+    # sums to exactly 1 over the vocab, per prefix
+    vocab = set(ncw2)
+    for w1 in cu:
+        assert sum(
+            (p(w1, w2) if (w1, w2) in cb else (D * n1w1[w1] / cu[w1]) * Fraction(ncw2[w2], T))
+            for w2 in vocab
+        ) == 1, w1
+
+    for did, bl in bigs.items():
+        n, xe = got[did]
+        assert n == len(bl)
+        if not bl:
+            assert xe == 0.0
+            continue
+        want = sum(-math.log(p(w1, w2)) for w1, w2 in bl) / len(bl)
+        assert abs(xe - want) < 1e-9, (did, xe, want)
