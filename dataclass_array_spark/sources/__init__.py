@@ -52,7 +52,10 @@ def read_text_docs(
     parquet right after this."""
     from pyspark.sql import functions as F
 
-    r = spark.read.option("wholetext", whole_file).text(path)
+    # NOTE: .option("wholetext", <python bool>) is silently IGNORED by
+    # the text source (stringified "True" doesn't parse); the reader
+    # kwarg is the working spelling (round-12 regression test)
+    r = spark.read.text(path, wholetext=bool(whole_file))
     r = r.select(
         F.input_file_name().alias("path"),
         F.monotonically_increasing_id().alias("_ord"),  # per-file order only
@@ -135,3 +138,58 @@ def write(
         w.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(table_name)
         return
     w.save(path)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Common-Crawl WET (WARC conversion) ingestion as PURE column
+    expressions — the raw input format of every crawl-based training
+    pipeline.  One row per WARC record: ``(path, rec_idx, warc_type,
+    target_uri, warc_date, text, n_chars)``.
+
+    Parsing model: each WET file is read whole (``wholetext`` — WET
+    shards are single-task-sized by design, ~150 MB; at 100 TB the
+    parallelism unit is the FILE, which is exactly how Common Crawl
+    shards), newlines normalized, records split on the ``WARC/1.0``
+    version line, headers regex-extracted, the body taken after the
+    first blank line.  ``.gz`` shards decompress transparently through
+    the text source.  No UDF anywhere — the split/extract pipeline is
+    all Catalyst, so a downstream filter on ``target_uri`` or
+    ``n_chars`` stays in the same codegen stage.  Land to parquet
+    immediately after ingestion (text sources have no pruning).
+
+    ``warcinfo`` preamble records are kept (filter ``warc_type ==
+    'conversion'`` for payload-only); ``rec_idx`` is the record's
+    0-based position within its file — (path, rec_idx) is a stable,
+    re-run-deterministic record key."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("path"),
+        F.regexp_replace(F.col("value"), "\r\n", "\n").alias("v"),
+    )
+    recs = raw.select(
+        "path",
+        F.posexplode(
+            F.filter(
+                F.split(F.col("v"), r"(?m)^WARC/1\.0\n"),
+                lambda r: F.trim(r) != F.lit(""),
+            )
+        ).alias("rec_idx", "rec"),
+    )
+    hdr = F.substring_index(F.col("rec"), "\n\n", 1)
+    body = F.when(
+        F.col("rec").contains("\n\n"),
+        F.expr("substring(rec, instr(rec, '\n\n') + 2)"),
+    ).otherwise(F.lit(""))
+    text = F.regexp_replace(body, r"\n+$", "")
+    return recs.select(
+        "path",
+        F.col("rec_idx").cast("long"),
+        F.regexp_extract(hdr, r"(?m)^WARC-Type: *(\S+)", 1).alias("warc_type"),
+        F.regexp_extract(hdr, r"(?m)^WARC-Target-URI: *(\S+)", 1).alias(
+            "target_uri"
+        ),
+        F.regexp_extract(hdr, r"(?m)^WARC-Date: *(\S+)", 1).alias("warc_date"),
+        text.alias("text"),
+        F.length(text).cast("long").alias("n_chars"),
+    )

@@ -116,3 +116,90 @@ def test_avro_jar_gate(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="spark-avro"):
         read_avro(spark, str(tmp_path / "x.avro"))
+
+
+def _wet_bytes(crlf=False):
+    nl = "\r\n" if crlf else "\n"
+    recs = [
+        ("warcinfo", None, "robots: classic"),
+        ("conversion", "http://example.com/a", "Hello world.\nSecond line."),
+        ("conversion", "https://example.org/b?x=1", "Single body line"),
+        ("conversion", "http://example.com/empty", ""),
+    ]
+    out = []
+    for t, uri, body in recs:
+        out.append("WARC/1.0")
+        out.append(f"WARC-Type: {t}")
+        if uri:
+            out.append(f"WARC-Target-URI: {uri}")
+        out.append("WARC-Date: 2024-01-01T00:00:00Z")
+        out.append(f"Content-Length: {len(body)}")
+        out.append("")
+        out.append(body)
+        out.append("")
+    return (nl.join(out) + nl).encode()
+
+
+def test_read_wet_plain_and_gz(spark, tmp_path):
+    """WET ingestion: record split, header extraction, body text, CRLF
+    tolerance, transparent .gz, stable (path, rec_idx) keys — all pure
+    column expressions (no Python eval in the plan)."""
+    import gzip
+    import io
+    from contextlib import redirect_stdout
+
+    from dataclass_array_spark.sources import read_wet
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "shard0.wet").write_bytes(_wet_bytes())
+    with gzip.open(d / "shard1.wet.gz", "wb") as f:
+        f.write(_wet_bytes(crlf=True))
+
+    df = read_wet(spark, str(d))
+    rows = sorted(
+        (r["path"].rsplit("/", 1)[-1], r["rec_idx"], r["warc_type"],
+         r["target_uri"], r["text"], r["n_chars"])
+        for r in df.collect()
+    )
+    assert len(rows) == 8  # 4 records x 2 files
+    for fname in ("shard0.wet", "shard1.wet.gz"):
+        sub = [r for r in rows if r[0] == fname]
+        assert [r[1] for r in sub] == [0, 1, 2, 3]
+        assert [r[2] for r in sub] == ["warcinfo"] + ["conversion"] * 3
+        assert sub[1][3] == "http://example.com/a"
+        assert sub[1][4] == "Hello world.\nSecond line."
+        assert sub[1][5] == len("Hello world.\nSecond line.")
+        assert sub[2][4] == "Single body line"
+        assert sub[3][4] == "" and sub[3][5] == 0
+    # conversion-only filter + URL canonicalization compose in-plan
+    from dataclass_array_spark.operators.url import canonicalize_url
+    from pyspark.sql import functions as F
+
+    conv = df.filter(F.col("warc_type") == "conversion").select(
+        canonicalize_url(F.col("target_uri")).alias("cu")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        conv.explain("formatted")
+    p = buf.getvalue()
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert conv.count() == 6
+
+
+def test_read_text_docs_whole_file_mode(spark, tmp_path):
+    """Regression (round 12): .option('wholetext', <bool>) is silently
+    ignored by the text source — whole_file=True must yield ONE row per
+    file, not one per line."""
+    from dataclass_array_spark.sources import read_text_docs
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line1\nline2\n")
+    (d / "b.txt").write_text("only\n")
+    whole = read_text_docs(spark, str(d), whole_file=True)
+    assert whole.count() == 2
+    texts = {r["text"].strip() for r in whole.collect()}
+    assert "line1\nline2" in texts
+    lines = read_text_docs(spark, str(d), whole_file=False)
+    assert lines.count() == 3

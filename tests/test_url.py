@@ -121,3 +121,43 @@ def test_dedup_urls_plan_is_single_agg_no_python(spark):
     p = buf.getvalue()
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
     assert "Join" not in p  # canonical form is in-scan, not a lookup
+
+
+def test_canonicalize_idempotent_hypothesis(spark):
+    """canonicalize(canonicalize(x)) == canonicalize(x) — the defining
+    canonicalizer property, fuzzed over URL-shaped and garbage inputs
+    (one Spark pass over the whole generated batch)."""
+    from hypothesis import given, settings, strategies as st
+
+    from dataclass_array_spark.operators.url import canonicalize_url
+
+    scheme = st.sampled_from(["http", "HTTP", "https", "ftp", "HtTpS"])
+    host = st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True)
+    port = st.sampled_from(["", ":80", ":443", ":8080", ":0021"])
+    path = st.from_regex(r"(/[A-Za-z0-9%._\-]{0,8}){0,3}", fullmatch=True)
+    query = st.sampled_from(
+        ["", "?a=1", "?utm_source=x", "?a=1&utm_medium=m&b=2", "?", "?&&a=1"]
+    )
+    frag = st.sampled_from(["", "#f", "#a#b"])
+    user = st.sampled_from(["", "u@", "u:p@"])
+    url = st.builds(
+        lambda s, u, h, po, pa, q, f: f"{s}://{u}{h}{po}{pa}{q}{f}",
+        scheme, user, host, port, path, query, frag,
+    )
+    garbage = st.text(
+        alphabet="ab:/?#@&=.% ", min_size=0, max_size=30
+    )
+    cases = st.lists(st.one_of(url, garbage), min_size=1, max_size=40)
+
+    @settings(max_examples=12, deadline=None)
+    @given(cases)
+    def run(batch):
+        df = spark.createDataFrame([(c,) for c in batch], "u string")
+        once = df.select(F.col("u"), canonicalize_url(F.col("u")).alias("c1"))
+        twice = once.select(
+            "u", "c1", canonicalize_url(F.col("c1")).alias("c2")
+        )
+        bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+        assert not bad, [(r["u"], r["c1"], r["c2"]) for r in bad[:3]]
+
+    run()
