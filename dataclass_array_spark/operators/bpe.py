@@ -255,12 +255,45 @@ def bpe_encode(
 # CTEs unless MATERIALIZED, which would compound round over round).
 
 
+def _apply_ctes(cur: str, best: str, out: str, tag: str) -> str:
+    """CTEs applying the (possibly empty) 1-row merge table ``best``
+    to symbol table ``cur`` → ``out`` (one leftmost-greedy pass; an
+    empty best joins NULL → no matches → pass-through).  ``tag``
+    uniquifies the intermediate CTE names."""
+    win = "PARTITION BY wid ORDER BY pos"
+    run = f"{win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return f"""x{tag} AS MATERIALIZED (
+  SELECT wid, cnt, pos, s, LEAD(s) OVER ({win}) AS nxt FROM {cur}
+),
+y{tag} AS MATERIALIZED (
+  SELECT x.wid, x.cnt, x.pos, x.s, x.nxt,
+         COALESCE(x.s = b.l AND x.nxt = b.r_, FALSE) AS m
+  FROM x{tag} x LEFT JOIN {best} b ON TRUE
+),
+z{tag} AS MATERIALIZED (
+  SELECT *, m AND NOT COALESCE(LAG(m) OVER ({win}), FALSE) AS rs FROM y{tag}
+),
+v{tag} AS MATERIALIZED (
+  SELECT *, COALESCE(
+      m AND (pos - MAX(CASE WHEN rs THEN pos END) OVER ({run})) % 2 = 0,
+      FALSE) AS valid
+  FROM z{tag}
+),
+k{tag} AS MATERIALIZED (
+  SELECT *, COALESCE(LAG(valid) OVER ({win}), FALSE) AS consumed FROM v{tag}
+),
+{out} AS MATERIALIZED (
+  SELECT wid, cnt, ROW_NUMBER() OVER ({win}) AS pos,
+         CASE WHEN valid THEN s || nxt ELSE s END AS s
+  FROM k{tag} WHERE NOT consumed
+)"""
+
+
 def _round_ctes(r: int, min_count: int) -> str:
     """CTEs advancing sym{r} → sym{r+1} and exposing best{r}(rank, l,
     r_).  An exhausted best{r} (no pair ≥ min_count) joins empty and
     passes sym through unchanged — the Spark early-stop mirror."""
     win = "PARTITION BY wid ORDER BY pos"
-    run = f"{win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     return f"""pr{r} AS MATERIALIZED (
   SELECT s AS l, nxt AS r_, SUM(cnt) AS total
   FROM (SELECT *, LEAD(s) OVER ({win}) AS nxt FROM sym{r})
@@ -272,44 +305,23 @@ best{r} AS MATERIALIZED (
   SELECT CAST({r} AS BIGINT) AS merge_rank, l, r_ FROM pr{r}
   ORDER BY total DESC, l ASC, r_ ASC LIMIT 1
 ),
-x{r} AS MATERIALIZED (
-  SELECT wid, cnt, pos, s, LEAD(s) OVER ({win}) AS nxt FROM sym{r}
-),
-y{r} AS MATERIALIZED (
-  SELECT x.wid, x.cnt, x.pos, x.s, x.nxt,
-         COALESCE(x.s = b.l AND x.nxt = b.r_, FALSE) AS m
-  FROM x{r} x LEFT JOIN best{r} b ON TRUE
-),
-z{r} AS MATERIALIZED (
-  SELECT *, m AND NOT COALESCE(LAG(m) OVER ({win}), FALSE) AS rs FROM y{r}
-),
-v{r} AS MATERIALIZED (
-  SELECT *, COALESCE(
-      m AND (pos - MAX(CASE WHEN rs THEN pos END) OVER ({run})) % 2 = 0,
-      FALSE) AS valid
-  FROM z{r}
-),
-k{r} AS MATERIALIZED (
-  SELECT *, COALESCE(LAG(valid) OVER ({win}), FALSE) AS consumed FROM v{r}
-),
-sym{r + 1} AS MATERIALIZED (
-  SELECT wid, cnt, ROW_NUMBER() OVER ({win}) AS pos,
-         CASE WHEN valid THEN s || nxt ELSE s END AS s
-  FROM k{r} WHERE NOT consumed
-)"""
+{_apply_ctes(f"sym{r}", f"best{r}", f"sym{r + 1}", str(r))}"""
 
 
 def bpe_sql_ctes(
-    toks_expr: str, num_merges: int, min_count: int = 2
+    toks_expr: str,
+    num_merges: int,
+    min_count: int = 2,
+    src: str = "documents",
 ) -> Tuple[str, str]:
     """(ctes, merge_select): unrolled DuckDB training over the word
-    list produced by ``toks_expr`` (an expression over ``documents``
-    yielding a VARCHAR[] per row, e.g. the shared ``_SQL_TOKS``).
-    ``merge_select`` yields (rank, left, right) — the bpe_train
-    mirror."""
+    list produced by ``toks_expr`` (an expression over ``src`` — a
+    table name or parenthesized subquery — yielding a VARCHAR[] per
+    row, e.g. the shared ``_SQL_TOKS``).  ``merge_select`` yields
+    (rank, left, right) — the bpe_train mirror."""
     head = f"""w0 AS MATERIALIZED (
   SELECT t AS wid, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM (SELECT unnest({toks_expr}) AS t FROM documents)
+  FROM (SELECT unnest({toks_expr}) AS t FROM {src} __bpe_src)
   GROUP BY t
 ),
 sym0 AS MATERIALIZED (
@@ -327,21 +339,52 @@ sym0 AS MATERIALIZED (
 
 
 def bpe_encode_sql_ctes(
-    toks_expr: str, num_merges: int, min_count: int = 2
+    toks_expr: str,
+    num_merges: int,
+    min_count: int = 2,
+    train_src: str = "documents",
+    score_src: str = None,
 ) -> str:
     """CTE chain whose final CTE ``encoded(doc_id, n_bpe_tokens,
-    toks_json)`` mirrors bpe_train + bpe_encode end-to-end (training
-    corpus = encode corpus, the gate shape)."""
-    ctes, _ = bpe_sql_ctes(toks_expr, num_merges, min_count)
+    toks_json)`` mirrors bpe_train + bpe_encode end-to-end.  With
+    ``score_src`` left None the training corpus is also scored (the
+    self-encode gate shape); a distinct ``score_src`` mirrors the
+    HELD-OUT workflow: the trained best{r} merges are applied to the
+    SCORE corpus's own word-symbol table via a second, apply-only
+    unrolled ladder (score words whose characters never merged simply
+    pass through — BPE has no OOV failure mode at the char level)."""
+    held_out = score_src is not None and score_src != train_src
+    score_src = score_src or train_src
+    ctes, _ = bpe_sql_ctes(toks_expr, num_merges, min_count, src=train_src)
+    if held_out:
+        seg = f"""ew0 AS MATERIALIZED (
+  SELECT t AS wid, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({toks_expr}) AS t FROM {score_src} __bpe_score)
+  GROUP BY t
+),
+esym0 AS MATERIALIZED (
+  SELECT wid, cnt,
+         CAST(generate_subscripts(split(wid, ''), 1) AS BIGINT) AS pos,
+         unnest(split(wid, '')) AS s
+  FROM ew0
+),
+""" + ",\n".join(
+            _apply_ctes(f"esym{r}", f"best{r}", f"esym{r + 1}", f"e{r}")
+            for r in range(num_merges)
+        )
+        ctes = ctes + ",\n" + seg
+        final_sym = f"esym{num_merges}"
+    else:
+        final_sym = f"sym{num_merges}"
     return f"""{ctes},
 word_toks AS MATERIALIZED (
-  SELECT wid, list(s ORDER BY pos) AS toks FROM sym{num_merges} GROUP BY wid
+  SELECT wid, list(s ORDER BY pos) AS toks FROM {final_sym} GROUP BY wid
 ),
 doc_words AS MATERIALIZED (
   SELECT doc_id,
          CAST(generate_subscripts(toks, 1) AS BIGINT) AS wpos,
          unnest(toks) AS wid
-  FROM (SELECT doc_id, {toks_expr} AS toks FROM documents)
+  FROM (SELECT doc_id, {toks_expr} AS toks FROM {score_src} __bpe_score2)
 ),
 flat AS MATERIALIZED (
   SELECT doc_id, tok, ROW_NUMBER() OVER (
@@ -357,7 +400,7 @@ encoded AS MATERIALIZED (
   SELECT d.doc_id,
          CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bpe_tokens,
          COALESCE(p.tj, to_json(CAST([] AS VARCHAR[]))) AS toks_json
-  FROM documents d
+  FROM {score_src} d
   LEFT JOIN (
     SELECT doc_id, COUNT(*) AS n, to_json(list(tok ORDER BY tpos)) AS tj
     FROM flat GROUP BY doc_id

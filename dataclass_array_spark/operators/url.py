@@ -169,3 +169,25 @@ def canon_sql(u_expr: str) -> str:
         f"THEN {scheme} || '://' || {host} || {port_part} || {path_part} || {q_part} "
         f"ELSE lower({nf}) END"
     )
+
+
+def host_sql(u_expr: str) -> str:
+    """DuckDB mirror of :func:`url_host` ('' for non-URLs)."""
+    nf = f"regexp_replace(trim({u_expr}), '#.*', '')"
+    after = f"regexp_replace({nf}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    auth = f"COALESCE(regexp_extract({after}, '^([^/?]*)', 1), '')"
+    hostport = f"regexp_replace({auth}, '^[^@]*@', '')"
+    host = f"lower(regexp_replace({hostport}, ':[0-9]*$', ''))"
+    return (
+        f"CASE WHEN regexp_matches({nf}, '^[A-Za-z][A-Za-z0-9+.-]*://') "
+        f"THEN {host} ELSE '' END"
+    )
+
+
+def domain_sql(u_expr: str) -> str:
+    """DuckDB mirror of :func:`url_domain` (last-two-label
+    approximation of the registrable domain)."""
+    return (
+        f"COALESCE(regexp_extract({host_sql(u_expr)}, "
+        "'([^.]+\\.[^.]+)$', 1), '')"
+    )

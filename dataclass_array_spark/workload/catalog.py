@@ -108,6 +108,8 @@ _PRIORITY: Tuple[str, ...] = (
     "qdigest_quantiles_prices",
     "streaming_qdigest_prices",
     "kneser_ney_lm_docs",
+    "url_domain_stats_docs",
+    "bpe_heldout_encode_docs",
     # ---- driver-verified in round 11 ----
     "order_quantity_arrays",
     "q13_customer_distribution",

@@ -374,3 +374,95 @@ ORDER BY d.doc_id
 QUERIES["kneser_ney_lm_docs"] = Query(
     kneser_ney_lm_docs, _kn_lm_oracle(), tags=("text", "quality", "lm")
 )
+
+
+def url_domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup of the derived URL fixture — the
+    crawl-pipeline "per-domain budget" view (domain-level dedup caps,
+    per-domain sampling quotas): → (domain, n_hosts, n_urls, n_rows)
+    with '' for non-URL rows.  host/domain extraction is in-scan; one
+    aggregation."""
+    from dataclass_array_spark.operators.url import (
+        canonicalize_url,
+        url_domain,
+        url_host,
+    )
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    u = d.select(_url_expr_spark().alias("url"))
+    return (
+        u.select(
+            url_domain(F.col("url")).alias("domain"),
+            url_host(F.col("url")).alias("host"),
+            canonicalize_url(F.col("url")).alias("canon"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct("canon").alias("n_urls"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _url_domain_stats_oracle() -> str:
+    from dataclass_array_spark.operators.url import (
+        canon_sql,
+        domain_sql,
+        host_sql,
+    )
+
+    return f"""
+WITH u AS (SELECT {_URL_EXPR_SQL} AS url FROM documents),
+x AS (
+  SELECT {domain_sql('url')} AS domain,
+         {host_sql('url')} AS host,
+         {canon_sql('url')} AS canon
+  FROM u
+)
+SELECT domain,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_urls,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM x GROUP BY domain ORDER BY domain
+"""
+
+
+QUERIES["url_domain_stats_docs"] = Query(
+    url_domain_stats_docs, _url_domain_stats_oracle(), tags=("url", "agg")
+)
+
+
+def bpe_heldout_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production tokenizer workflow: train the BPE merge table on
+    one corpus (even doc_ids), encode a DIFFERENT corpus (odd doc_ids)
+    with it.  BPE has no OOV failure mode at the character level —
+    score-corpus words whose pairs never merged simply stay as finer
+    segments — so the held-out encode is exact end-to-end and the
+    oracle replays both ladders (train + apply-only) unrolled."""
+    from dataclass_array_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    score = d.filter(F.col("doc_id") % 2 == 1)
+    merges = bpe_train(train, "text", _BPE_MERGES, min_count=_BPE_MIN_COUNT)
+    return bpe_encode(score, "text", "doc_id", merges).orderBy("doc_id")
+
+
+def _bpe_heldout_oracle() -> str:
+    from dataclass_array_spark.operators.bpe import bpe_encode_sql_ctes
+
+    ctes = bpe_encode_sql_ctes(
+        _SQL_TOKS,
+        _BPE_MERGES,
+        _BPE_MIN_COUNT,
+        train_src="(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        score_src="(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+    )
+    return f"WITH {ctes}\nSELECT * FROM encoded ORDER BY doc_id"
+
+
+QUERIES["bpe_heldout_encode_docs"] = Query(
+    bpe_heldout_encode_docs, _bpe_heldout_oracle(), tags=("text", "tokenizer")
+)

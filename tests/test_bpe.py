@@ -120,3 +120,26 @@ def test_bpe_run_parity_left_equals_right(spark):
     }
     assert enc["d1"] == ["aa", "aa", "aa", "aa"]
     assert enc["d2"] == ["aa", "aa", "a"]
+
+
+def test_bpe_heldout_encode_unseen_segments(spark):
+    """Encoding a corpus the merges were NOT trained on: words whose
+    pairs never merged stay as finer (char-level) segments — BPE's
+    no-OOV property at the character level."""
+    from dataclass_array_spark.operators.bpe import bpe_encode, bpe_train
+
+    train = spark.createDataFrame(
+        [("t1", "aa aa ab")], "doc_id string, text string"
+    )
+    score = spark.createDataFrame(
+        [("s1", "aab zz"), ("s2", "aaaa")], "doc_id string, text string"
+    )
+    m = bpe_train(train, "text", 3, min_count=2)
+    assert [(r["left_sym"], r["right_sym"]) for r in
+            m.orderBy("merge_rank").collect()] == [("a", "a")]
+    enc = {
+        r["doc_id"]: json.loads(r["toks_json"])
+        for r in bpe_encode(score, "text", "doc_id", m).collect()
+    }
+    assert enc["s1"] == ["aa", "b", "z", "z"]   # unseen 'b'-pairing & 'z' pass through
+    assert enc["s2"] == ["aa", "aa"]
