@@ -143,3 +143,45 @@ def test_bpe_heldout_encode_unseen_segments(spark):
     }
     assert enc["s1"] == ["aa", "b", "z", "z"]   # unseen 'b'-pairing & 'z' pass through
     assert enc["s2"] == ["aa", "aa"]
+
+
+def test_bpe_hypothesis_fuzz_vs_reference(spark):
+    """Randomized corpora (small alphabet → dense merge interactions,
+    including left==right runs and ties): Spark train+encode must
+    match the Python reference token-for-token."""
+    from hypothesis import given, settings, strategies as st
+
+    from dataclass_array_spark.operators.bpe import bpe_encode, bpe_train
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus, st.integers(min_value=1, max_value=6))
+    def run(texts, nm):
+        docs = [(f"d{i}", t) for i, t in enumerate(texts)]
+        wc = collections.Counter()
+        for _, t in docs:
+            wc.update(_py_tokens(t))
+        merges, vocab = _py_bpe_train(wc, nm, 2)
+
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        m = bpe_train(df, "text", nm, min_count=2)
+        got = [
+            (r["merge_rank"], r["left_sym"], r["right_sym"])
+            for r in m.orderBy("merge_rank").collect()
+        ]
+        assert got == merges, (texts, nm, got, merges)
+
+        enc = {
+            r["doc_id"]: json.loads(r["toks_json"])
+            for r in bpe_encode(df, "text", "doc_id", m).collect()
+        }
+        for did, t in docs:
+            want = []
+            for w in _py_tokens(t):
+                want += vocab[w]
+            assert enc[did] == want, (did, t, enc[did], want)
+
+    run()

@@ -671,3 +671,47 @@ def test_aqe_skew_join_split_engages(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bpe_pair_agg_map_side_combined(spark):
+    """The per-round pair-count aggregation must be a two-phase hash
+    aggregate (partial before the exchange) — at 100 TB the shuffle
+    carries pair TYPES per task, not pair instances — and the merge
+    application must stay JVM-side (no Python eval)."""
+    from pyspark.sql import functions as F
+
+    from dataclass_array_spark.operators.bpe import (
+        _apply_merge,
+        _init_symbols,
+        _word_counts,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sym = _init_symbols(_word_counts(d, "text"))
+    sym = sym.select("wid", "cnt", _apply_merge(sym, "e", "r").alias("syms"))
+    pair_arr = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("l"),
+                F.element_at(F.col("syms"), i + F.lit(1)).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    pairs = (
+        sym.select("cnt", F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.l"), F.col("p.r"))
+        .agg(F.sum("cnt").alias("total"))
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pairs.explain("formatted")
+    p = buf.getvalue()
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    # two HashAggregates around one exchange = partial + final
+    import re
+
+    aggs = len(re.findall(r"\(\d+\) HashAggregate", p))
+    exch = len(re.findall(r"\(\d+\) Exchange", p))
+    assert aggs >= 2 and exch >= 1, (aggs, exch)

@@ -151,3 +151,48 @@ def test_qdigest_node_level_merge(spark, sf_dir):
         target = math.ceil(p * n)
         rank_le = int(np.searchsorted(vals, est, side="right"))
         assert abs(rank_le - target) <= slack, (p, est, rank_le, target, slack)
+
+
+def test_qdigest_hypothesis_conservation_and_bound(spark):
+    """Randomized value lists (heavy-tailed by construction): count
+    conservation, internal-node ≤ T, and the rank guarantee — fuzzed."""
+    from hypothesis import given, settings, strategies as st
+
+    from dataclass_array_spark.operators.qdigest import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    vals = st.lists(
+        st.one_of(
+            st.floats(min_value=0.0, max_value=10.0),
+            st.floats(min_value=0.0, max_value=10000.0),
+        ),
+        min_size=3,
+        max_size=120,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(vals, st.integers(min_value=3, max_value=8),
+           st.integers(min_value=2, max_value=16))
+    def run(xs, bits, k):
+        lo, hi = min(xs), max(xs)
+        if not hi > lo:
+            hi = lo + 1.0
+        df = spark.createDataFrame([(float(x),) for x in xs], "v double")
+        d = qdigest_build(df, [], "v", lo, hi, bits, k).collect()
+        n = len(xs)
+        assert sum(r["cnt"] for r in d) == n
+        t = n // k
+        assert not [r for r in d if r["lvl"] > 0 and r["cnt"] > t]
+        dd = spark.createDataFrame(d)
+        row = qdigest_quantiles(dd, [], [0.5], lo, hi, bits).collect()[0]
+        est = row["p50_est"]
+        srt = sorted(xs)
+        target = math.ceil(0.5 * n)
+        import bisect
+        rank_le = bisect.bisect_right(srt, est)
+        slack = bits * t + (n // (1 << bits) + 1) * 4 + 2
+        assert abs(rank_le - target) <= slack, (xs[:5], bits, k, est, rank_le, target)
+
+    run()
