@@ -22,94 +22,90 @@ class Query:
 
 # The driver's per-round correctness gate checks roughly the first 50
 # registry entries, so the window is ROTATED each round to keep every
-# query under recurring driver verification.  Round 12 ordering
-# (VERDICT r11 item 2, followed exactly): the 6 queries NO driver
-# window has ever covered (judge-replayed OK in r11, but driver
-# verification is the record) go FIRST; then the 44 stalest round-9-era
-# queries fill the window — the 6 r9-era queries the r11 judge replayed
-# this session (semantic_dedup_two_level, zorder/hilbert layout,
-# repetition_filter, shape_vectorize, ewma) are the freshest of that
-# cohort and sit just PAST the window, followed by the new round-12
-# gates (each oracle-verified at sf0.01 AND sf1 in-session — see
-# ROADMAP round 12), then the round-11-verified cohort, then the
-# round-10 cohort freshest-last.  token_rarity_docs / lm_quality_docs /
-# bigram_lm* changed plan-wise this round (broadcast-hint removal) but
-# values are hint-independent and all four were re-verified hash-exact
-# in-session; the two r9-era ones claim window slots anyway as stale.
-# Python dicts preserve insertion order, so this ordering is exactly
-# what ``queries()`` exposes to the driver.
+# query under recurring driver verification.  Round 13 ordering
+# (VERDICT r12 item 1, followed exactly): the 9 never-driver-verified
+# round-12 gates FIRST (judge-replayed OK in r12, but driver
+# verification is the record), then the 6 r9-era stalest, then 35 of
+# the 50 round-10-era queries alphabetical from asof_purchase_last_click
+# — exactly 50.  Just past the window: the new round-13 gates (next
+# round's never-verified cohort), then the remaining 15 r10-era
+# queries (the stalest leftover), then the r11 cohort, then the 50
+# queries the r12 driver window verified, freshest-last.  Python dicts
+# preserve insertion order, so this ordering is exactly what
+# ``queries()`` exposes to the driver.
 _PRIORITY: Tuple[str, ...] = (
-    # ---- never driver-verified (added late r11): verify FIRST ----
-    "dedup_keep_best_docs",
-    "embedding_ann_sq8",
-    "hist_quantiles_prices",
-    "hll_overlap_users",
-    "streaming_bloom_orders",
-    "streaming_hist_prices",
-    # ---- 44 stalest round-9-era queries: fill the window ----
-    "gap_fill_events",
-    "embedding_kmeans_clusters",
-    "embedding_kmeans_two_level",
-    "semantic_dedup_auto",
-    "semantic_dedup_embeddings",
-    "text_cluster_topics",
-    "embedding_ann_ivf_kmeans",
-    "embedding_knn_join_kmeans",
-    "dedup_ngram_jaccard",
-    "shape_vectorize_mat",
-    "streaming_purchase_clicks",
-    "streaming_quality_filter",
-    "streaming_tumbling_hourly",
-    "streaming_session_windows",
-    "streaming_dedup_events",
-    "streaming_user_totals_stateful",
-    "streaming_sliding_hourly",
-    "streaming_decontam_docs",
-    "domain_mixture_sample",
-    "multimodal_frames",
-    "pipeline_pretrain_corpus",
-    "tokenize_docs",
-    "token_rarity_docs",
-    "lm_quality_docs",
-    "shape_mask_filter",
-    "shape_gather",
-    "shape_transpose",
-    "shape_slice",
-    "shape_concat_mapfield",
-    "median_quantity_by_flag",
-    "approx_sketches",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q16_supplier_counts",
-    "q20_promotion_suppliers",
-    "q10_returned_items",
-    "q4_order_priority",
-    "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q17_below_avg_parts",
-    "q19_disjunctive_revenue",
-    "q22_in_subquery",
-    "q7_nation_volume",
-    # ---- r9-era but judge-replayed in r11 (freshest of the stale
-    # cohort): just past the window ----
-    "semantic_dedup_two_level",
-    "zorder_orders_layout",
-    "hilbert_orders_layout",
-    "repetition_filter_docs",
-    "shape_vectorize",
-    "ewma_user_values",
-    # ---- NEW in round 12 (each oracle-verified sf0.01 + sf1
-    # in-session; next round's never-verified cohort) ----
+    # ---- 9 never-driver-verified round-12 gates: verify FIRST ----
     "bpe_train_docs",
     "bpe_encode_docs",
+    "bpe_heldout_encode_docs",
     "url_dedup_docs",
+    "url_domain_stats_docs",
     "skew_zipf_salted_agg",
     "qdigest_quantiles_prices",
     "streaming_qdigest_prices",
     "kneser_ney_lm_docs",
-    "url_domain_stats_docs",
-    "bpe_heldout_encode_docs",
+    # ---- 6 r9-era stalest ----
+    "ewma_user_values",
+    "hilbert_orders_layout",
+    "repetition_filter_docs",
+    "semantic_dedup_two_level",
+    "shape_vectorize",
+    "zorder_orders_layout",
+    # ---- 35 r10-era, alphabetical from asof_purchase_last_click ----
+    "asof_purchase_last_click",
+    "budget_select_docs",
+    "cohort_retention_events",
+    "corr_price_quantity",
+    "cube_nation_segment",
+    "date_functions",
+    "dedup_apply_minhash",
+    "dedup_apply_simhash",
+    "dedup_components",
+    "dedup_embedding_neardup",
+    "dedup_exact_docs",
+    "dedup_incremental_docs",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_auto",
+    "dedup_simhash_pairs",
+    "distinct_parts_per_supplier",
+    "dq_validate_orders",
+    "embedding_knn_join",
+    "funnel_conversion_events",
+    "grouping_sets_revenue",
+    "join_variants_nulls",
+    "json_extract_props",
+    "merge_upsert_customers",
+    "ntile_price_quartiles",
+    "pii_scrub_docs",
+    "pivot_user_event_counts",
+    "profile_lineitem",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_price_buckets",
+    "rank_functions",
+    # ==== window boundary (50) ====
+    # ---- NEW in round 13 (oracle-verified sf0.01 + sf1 in-session;
+    # next round's never-verified cohort) ----
+    # ---- remaining 15 r10-era (stalest leftover) ----
+    "rollup_flag_status",
+    "salted_revenue_by_flag",
+    "scalar_functions",
+    "semi_anti_customers",
+    "sessionize_events",
+    "setops_repeat_customers",
+    "sliding_hourly_stats",
+    "string_functions2",
+    "topk_orders_per_segment",
+    "tumbling_hourly_stats",
+    "udtf_bigram_counts",
+    "unpivot_part_metrics",
+    "window_moving_avg",
+    "window_range_frame",
+    "window_running_total",
     # ---- driver-verified in round 11 ----
     "order_quantity_arrays",
     "q13_customer_distribution",
@@ -161,57 +157,57 @@ _PRIORITY: Tuple[str, ...] = (
     "bloom_filter_orders",
     "ols2_price_model",
     "streaming_hll_users",
-    # ---- driver-verified in round 10 (freshest; overflow) ----
-    "q8_market_share",
-    "q9_product_profit",
-    "window_running_total",
-    "window_moving_avg",
-    "topk_orders_per_segment",
-    "rollup_flag_status",
-    "cube_nation_segment",
-    "setops_repeat_customers",
-    "semi_anti_customers",
-    "pivot_user_event_counts",
-    "range_join_price_buckets",
-    "distinct_parts_per_supplier",
-    "scalar_functions",
-    "window_range_frame",
-    "rank_functions",
-    "date_functions",
-    "dedup_embedding_neardup",
-    "udtf_bigram_counts",
-    "grouping_sets_revenue",
-    "unpivot_part_metrics",
-    "salted_revenue_by_flag",
-    "ntile_price_quartiles",
-    "dedup_simhash_pairs",
-    "dedup_apply_simhash",
-    "dedup_incremental_docs",
-    "funnel_conversion_events",
-    "cohort_retention_events",
-    "dq_validate_orders",
-    "profile_lineitem",
-    "budget_select_docs",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_auto",
-    "dedup_apply_minhash",
-    "dedup_components",
-    "embedding_knn_join",
-    "corr_price_quantity",
-    "pii_scrub_docs",
-    "merge_upsert_customers",
-    "join_variants_nulls",
-    "string_functions2",
-    "asof_purchase_last_click",
-    "sessionize_events",
-    "json_extract_props",
-    "tumbling_hourly_stats",
-    "sliding_hourly_stats",
-    "dedup_exact_docs",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
+    # ---- driver-verified in round 12 (freshest; overflow) ----
+    "dedup_keep_best_docs",
+    "embedding_ann_sq8",
+    "hist_quantiles_prices",
+    "hll_overlap_users",
+    "streaming_bloom_orders",
+    "streaming_hist_prices",
+    "gap_fill_events",
+    "embedding_kmeans_clusters",
+    "embedding_kmeans_two_level",
+    "semantic_dedup_auto",
+    "semantic_dedup_embeddings",
+    "text_cluster_topics",
+    "embedding_ann_ivf_kmeans",
+    "embedding_knn_join_kmeans",
+    "dedup_ngram_jaccard",
+    "shape_vectorize_mat",
+    "streaming_purchase_clicks",
+    "streaming_quality_filter",
+    "streaming_tumbling_hourly",
+    "streaming_session_windows",
+    "streaming_dedup_events",
+    "streaming_user_totals_stateful",
+    "streaming_sliding_hourly",
+    "streaming_decontam_docs",
+    "domain_mixture_sample",
+    "multimodal_frames",
+    "pipeline_pretrain_corpus",
+    "tokenize_docs",
+    "token_rarity_docs",
+    "lm_quality_docs",
+    "shape_mask_filter",
+    "shape_gather",
+    "shape_transpose",
+    "shape_slice",
+    "shape_concat_mapfield",
+    "median_quantity_by_flag",
+    "approx_sketches",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_counts",
+    "q20_promotion_suppliers",
+    "q10_returned_items",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q17_below_avg_parts",
+    "q19_disjunctive_revenue",
+    "q22_in_subquery",
+    "q7_nation_volume",
 )
 
 
