@@ -1,5 +1,6 @@
 """URL / domain canonicalization and URL-level dedup — the first pass
-of every crawl pipeline (round-12 VERDICT item 4).
+of every crawl pipeline (round-12 VERDICT item 4; percent-encoding and
+dot-segment normalization added round 13, VERDICT item 6).
 
 Canonicalization contract (the practical crawl-dedup subset of
 RFC 3986 §6 normalization, all pure column expressions):
@@ -11,30 +12,45 @@ RFC 3986 §6 normalization, all pure column expressions):
    data — never part of the resource identity);
 4. drop the port when it is the scheme default (``http:80``,
    ``https:443``), keep any other explicit port;
-5. drop tracking query parameters (``utm_*``, ``gclid``, ``fbclid``,
-   ``msclkid``, ``igshid``, ``mc_eid``) and the ``?`` itself when
-   nothing survives; surviving parameters KEEP their original order
-   (re-sorting can change semantics for duplicate keys);
-6. empty path becomes ``/`` (``http://x.com`` ≡ ``http://x.com/``).
+5. percent-encoding normalization (RFC 3986 §6.2.2.1–2) on the path
+   and query: ``%xx`` hex digits uppercased, and ``%xx`` sequences
+   whose octet is an UNRESERVED character (ALPHA / DIGIT / ``-._~``)
+   decoded (``%41`` → ``A``, ``%7E`` → ``~``); malformed ``%`` (not
+   followed by two hex digits) passes through byte-identically;
+6. dot-segment removal (RFC 3986 §6.2.2.3 / §5.2.4) on the path:
+   ``/./`` and trailing ``/.`` collapse, ``/seg/../`` pops the
+   segment, leading ``/../`` runs are dropped — applied AFTER step 5
+   so a decoded ``%2E`` participates.  Resolution is a fixed
+   :data:`_DOT_PASSES`-pass rewrite (each pass collapses ≥1 nesting
+   level); ``..``-chains deeper than that keep their residue — both
+   engines apply the identical pass count, so the oracle mirrors
+   exactly even past the cap;
+7. drop tracking query parameters (``utm_*``, ``gclid``, ``fbclid``,
+   ``msclkid``, ``igshid``, ``mc_eid`` — with OR without an ``=value``
+   part; bare ``?gclid`` appears in real crawl data) and the ``?``
+   itself when nothing survives; surviving parameters KEEP their
+   original order (re-sorting can change semantics for duplicate
+   keys);
+8. empty path becomes ``/`` (``http://x.com`` ≡ ``http://x.com/``).
 
 Strings without a ``scheme://`` prefix are not URLs; they pass through
-as ``lower(trim(s))`` so the operator is total (crawl frontiers are
-full of bare hosts).  NOT done (documented limitations): percent-
-encoding normalization and dot-segment removal (rare in crawl data,
-expensive as column expressions), and IDN/punycode host folding (needs
-an IDNA table; punycode hosts pass through byte-identically, which is
-still deterministic).
+as ``lower(trim(s))`` with the fragment stripped, so the operator is
+total (crawl frontiers are full of bare hosts).  NOT done (documented
+limitations): percent-normalization of the HOST (rare; punycode/IDN
+hosts pass through byte-identically, which is still deterministic),
+and empty-segment interaction with dot segments (``//../`` pops the
+empty segment like RFC §5.2.4; pathological either way).
 
-Everything is regexp_extract / regexp_replace / split / filter with
-patterns chosen to behave identically in Java regex (Spark) and RE2
-(DuckDB) — anchored, no backrefs, no lookaround — so the oracle
-mirrors the operator expression-for-expression
-(:data:`CANON_SQL_TEMPLATE`).
+Everything is regexp / split / transform / filter with patterns chosen
+to behave identically in Java regex (Spark) and RE2 (DuckDB) —
+anchored, no backrefs, no lookaround — so the oracle mirrors the
+operator expression-for-expression (:func:`canon_sql`).
 
-Registrable-domain extraction (:func:`url_domain`) approximates the
-public-suffix list with "last two labels" (``a.b.example.co.uk`` →
-``co.uk`` is WRONG under the PSL) — documented approximation; a real
-deployment ships the PSL as a broadcast lookup table.
+Registrable-domain extraction: :func:`url_domain` is the LAST-TWO-LABEL
+approximation (``a.b.example.co.uk`` → ``co.uk``, which is WRONG under
+the public-suffix list) — kept as the cheap in-scan column form; the
+PSL-correct path is :mod:`dataclass_array_spark.operators.psl`
+(broadcast longest-matching-suffix join over a rules snapshot).
 """
 
 from __future__ import annotations
@@ -48,17 +64,109 @@ __all__ = [
     "url_domain",
     "dedup_urls",
     "canon_sql",
+    "host_sql",
+    "domain_sql",
     "TRACKING_RE",
 ]
 
-# anchored param-name match; identical semantics in Java regex and RE2
-TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_eid)="
+# anchored param-name match, with or without '=value' (bare '?gclid'
+# occurs in real crawl data); identical semantics in Java regex and RE2
+TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_eid)(=|$)"
 _SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+# %XX whose octet is RFC 3986 unreserved: ALPHA (41-5A, 61-7A),
+# DIGIT (30-39), '-' 2D, '.' 2E, '_' 5F, '~' 7E — matched on the
+# UPPERCASED hex pair, so decode() only ever sees valid ASCII (DuckDB's
+# decode() errors on invalid UTF-8; this guard keeps both engines safe).
+_HEX2_RE = "^[0-9A-Fa-f]{2}"
+_UNRES_HEX_RE = "^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$"
+
+# One pass collapses at least one dot-segment nesting level; 8 passes
+# resolve any '..' ascent of depth ≤ 8 (crawl URLs rarely exceed 2).
+_DOT_PASSES = 8
+_P_DOTSLASH = r"/\.(/|$)"          # '/./' anywhere, '/.' at end
+_P_LEAD = r"^(/\.\.)+(/|$)"        # leading '/../' runs drop at root
+# '/seg/../' pops seg; seg may be empty (RFC pops empty segments) but
+# never '.' or '..' themselves (those are handled by the other two)
+_P_UP = r"/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)?/\.\.(/|$)"
+
+_BIG = 2147483647
+
+
+def _pct_norm(s: Column) -> Column:
+    """RFC 3986 §6.2.2.1–2 percent-encoding normalization of ``s``:
+    split on '%', rewrite each tail element's leading hex pair
+    (uppercase; decode if unreserved), rejoin.  Pure column
+    expression; the ``contains('%')`` guard keeps the common
+    no-escape row at one substring test."""
+
+    def fix(x: Column, i: Column) -> Column:
+        hex2 = F.upper(F.substring(x, 1, 2))
+        rest = F.substring(x, 3, _BIG)
+        return (
+            F.when(i == F.lit(0), x)  # text before the first '%'
+            .when(~x.rlike(_HEX2_RE), F.concat(F.lit("%"), x))
+            .when(
+                hex2.rlike(_UNRES_HEX_RE),
+                F.concat(F.decode(F.unhex(hex2), "UTF-8"), rest),
+            )
+            .otherwise(F.concat(F.lit("%"), hex2, rest))
+        )
+
+    return F.when(
+        s.contains("%"),
+        F.array_join(F.transform(F.split(s, "%", -1), fix), ""),
+    ).otherwise(s)
+
+
+def _pct_sql(e: str) -> str:
+    """DuckDB mirror of :func:`_pct_norm` (list slice instead of the
+    indexed lambda; array_to_string of an empty list is NULL in DuckDB
+    — COALESCE keeps the '' Spark gives for a trailing '%')."""
+    fix = (
+        "CASE WHEN NOT regexp_matches(x, '" + _HEX2_RE + "') THEN '%' || x "
+        "WHEN regexp_matches(upper(substr(x, 1, 2)), '" + _UNRES_HEX_RE + "') "
+        "THEN decode(unhex(upper(substr(x, 1, 2)))) || substr(x, 3) "
+        "ELSE '%' || upper(substr(x, 1, 2)) || substr(x, 3) END"
+    )
+    return (
+        f"CASE WHEN contains({e}, '%') THEN "
+        f"(string_split({e}, '%'))[1] || "
+        f"COALESCE(array_to_string(list_transform("
+        f"(string_split({e}, '%'))[2:], x -> {fix}), ''), '') "
+        f"ELSE {e} END"
+    )
+
+
+def _remove_dot_segments(p: Column) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments as a fixed-pass rewrite
+    (see module docstring item 6).  Guarded on ``contains('/.')`` so
+    dot-free paths pay one substring test."""
+    out = p
+    for _ in range(_DOT_PASSES):
+        out = F.regexp_replace(out, _P_DOTSLASH, "/")
+        out = F.regexp_replace(out, _P_LEAD, "/")
+        out = F.regexp_replace(out, _P_UP, "/")
+    return F.when(p.contains("/."), out).otherwise(p)
+
+
+def _dots_sql(e: str) -> str:
+    """DuckDB mirror of :func:`_remove_dot_segments` — same patterns,
+    same pass count; DuckDB regexp_replace needs the explicit 'g'
+    flag to match Java's replace-all."""
+    out = e
+    for _ in range(_DOT_PASSES):
+        out = f"regexp_replace({out}, '{_P_DOTSLASH}', '/', 'g')"
+        out = f"regexp_replace({out}, '{_P_LEAD}', '/', 'g')"
+        out = f"regexp_replace({out}, '{_P_UP}', '/', 'g')"
+    return f"CASE WHEN contains({e}, '/.') THEN {out} ELSE {e} END"
 
 
 def _parts(u: Column):
     t = F.trim(u)
-    nf = F.regexp_replace(t, "#.*", "")           # fragment
+    # trim AGAIN after the fragment strip: '…a #f' must not leave a
+    # trailing space behind (idempotency — the fuzz caught it)
+    nf = F.trim(F.regexp_replace(t, "#.*", ""))   # fragment
     is_url = nf.rlike(_SCHEME_RE)
     scheme = F.lower(F.regexp_extract(nf, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     after = F.regexp_replace(nf, _SCHEME_RE, "")
@@ -75,9 +183,10 @@ def _parts(u: Column):
 def canonicalize_url(u: Column) -> Column:
     """Canonical form of a URL column under the module contract."""
     t, nf, is_url, scheme, host, port, path, query = _parts(u)
+    norm_path = _remove_dot_segments(_pct_norm(path))
     kept = F.array_join(
         F.filter(
-            F.split(query, "&"),
+            F.split(_pct_norm(query), "&"),
             lambda x: (x != F.lit("")) & ~x.rlike(TRACKING_RE),
         ),
         "&",
@@ -88,7 +197,7 @@ def canonicalize_url(u: Column) -> Column:
         | ((scheme == F.lit("https")) & (port == F.lit("443"))),
         F.lit(""),
     ).otherwise(F.concat(F.lit(":"), port))
-    path_part = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
+    path_part = F.when(norm_path == F.lit(""), F.lit("/")).otherwise(norm_path)
     q_part = F.when(kept == F.lit(""), F.lit("")).otherwise(
         F.concat(F.lit("?"), kept)
     )
@@ -105,15 +214,19 @@ def url_host(u: Column) -> Column:
 
 
 def url_domain(u: Column) -> Column:
-    """Approximate registrable domain: the last two host labels (see
-    module docstring for the PSL caveat)."""
+    """Approximate registrable domain: the last two host labels —
+    WRONG for multi-label public suffixes (``co.uk``); the cheap
+    in-scan form.  PSL-correct extraction is
+    :func:`dataclass_array_spark.operators.psl.host_registrable_map`."""
     return F.regexp_extract(url_host(u), r"([^.]+\.[^.]+)$", 1)
 
 
 def dedup_urls(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     """URL-level exact dedup after canonicalization: → (canon_url,
-    rep_id, n_dups) with the smallest id as the representative.  ONE
-    map-side-combined aggregation on the canonical string — the same
+    rep_id, n_dups) with the smallest id as the representative —
+    ``rep_id`` keeps ``id_col``'s own type (MIN of a string id is the
+    lexicographic representative; no silent cast).  ONE map-side-
+    combined aggregation on the canonical string — the same
     single-shuffle shape as content hash dedup (``dedup.py``), and at
     100 TB the canonical form is computed in-scan (no UDF, no join)."""
     return (
@@ -123,7 +236,7 @@ def dedup_urls(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
         )
         .groupBy("canon_url")
         .agg(
-            F.min(id_col).cast("long").alias("rep_id"),
+            F.min(id_col).alias("rep_id"),
             F.count("*").cast("long").alias("n_dups"),
         )
     )
@@ -132,12 +245,13 @@ def dedup_urls(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
 def canon_sql(u_expr: str) -> str:
     """DuckDB mirror of :func:`canonicalize_url` for ``u_expr`` — same
     pipeline, same patterns, inlined as one scalar expression.  DuckDB
-    regexp_replace is first-match (all patterns here are anchored or
-    rest-of-string, so first-match ≡ Spark's replace-all) and
+    regexp_replace is first-match unless flagged 'g' (the parse-stage
+    patterns are anchored or rest-of-string, so first-match ≡ Spark's
+    replace-all; the dot-segment passes pass 'g' explicitly) and
     regexp_extract returns NULL on no-match where Spark returns '' —
     every extract is COALESCE-wrapped to '' so each stage mirrors
     1:1."""
-    nf = f"regexp_replace(trim({u_expr}), '#.*', '')"
+    nf = f"trim(regexp_replace(trim({u_expr}), '#.*', ''))"
     scheme = (
         "lower(COALESCE(regexp_extract("
         f"{nf}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''))"
@@ -150,10 +264,11 @@ def canon_sql(u_expr: str) -> str:
     pathq = f"regexp_replace({after}, '^[^/?]*', '')"
     path = f"COALESCE(regexp_extract({pathq}, '^([^?]*)', 1), '')"
     query = f"COALESCE(regexp_extract({pathq}, '\\?(.*)$', 1), '')"
+    norm_path = _dots_sql(_pct_sql(path))
     # array_to_string of an empty list is NULL in DuckDB ('' in Spark)
     kept = (
         "COALESCE(array_to_string(list_filter(string_split("
-        + query
+        + _pct_sql(query)
         + ", '&'), "
         f"x -> x != '' AND NOT regexp_matches(x, '{TRACKING_RE}')), '&'), '')"
     )
@@ -162,7 +277,7 @@ def canon_sql(u_expr: str) -> str:
         f"OR ({scheme} = 'https' AND {port} = '443') THEN '' "
         f"ELSE ':' || {port} END"
     )
-    path_part = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    path_part = f"CASE WHEN {norm_path} = '' THEN '/' ELSE {norm_path} END"
     q_part = f"CASE WHEN {kept} = '' THEN '' ELSE '?' || {kept} END"
     return (
         f"CASE WHEN regexp_matches({nf}, '^[A-Za-z][A-Za-z0-9+.-]*://') "
@@ -173,7 +288,7 @@ def canon_sql(u_expr: str) -> str:
 
 def host_sql(u_expr: str) -> str:
     """DuckDB mirror of :func:`url_host` ('' for non-URLs)."""
-    nf = f"regexp_replace(trim({u_expr}), '#.*', '')"
+    nf = f"trim(regexp_replace(trim({u_expr}), '#.*', ''))"
     after = f"regexp_replace({nf}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
     auth = f"COALESCE(regexp_extract({after}, '^([^/?]*)', 1), '')"
     hostport = f"regexp_replace({auth}, '^[^@]*@', '')"

@@ -149,9 +149,11 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     Parsing model: each WET file is read whole (``wholetext`` — WET
     shards are single-task-sized by design, ~150 MB; at 100 TB the
     parallelism unit is the FILE, which is exactly how Common Crawl
-    shards), newlines normalized, records split on the ``WARC/1.0``
-    version line, headers regex-extracted, the body taken after the
-    first blank line.  ``.gz`` shards decompress transparently through
+    shards), newlines normalized, records split on a ``WARC/1.0``
+    version line ONLY when a ``WARC-`` header line follows (lookahead;
+    a page body line that merely says ``WARC/1.0`` must not split the
+    record — r12 advice), headers regex-extracted, the body taken
+    after the first blank line.  ``.gz`` shards decompress transparently through
     the text source.  No UDF anywhere — the split/extract pipeline is
     all Catalyst, so a downstream filter on ``target_uri`` or
     ``n_chars`` stays in the same codegen stage.  Land to parquet
@@ -171,7 +173,7 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
         "path",
         F.posexplode(
             F.filter(
-                F.split(F.col("v"), r"(?m)^WARC/1\.0\n"),
+                F.split(F.col("v"), r"(?m)^WARC/1\.0\n(?=WARC-)"),
                 lambda r: F.trim(r) != F.lit(""),
             )
         ).alias("rec_idx", "rec"),

@@ -79,12 +79,14 @@ QUERIES["bpe_encode_docs"] = Query(
 
 # ------------------------------------------------ URL canonical dedup
 def _url_expr_spark():
-    """Deterministic URL fixture derived from documents columns — five
+    """Deterministic URL fixture derived from documents columns — six
     variants per doc_id exercising scheme/host case-folding, default
-    ports, tracking params, fragments, userinfo, and the non-URL
-    fallback; variants 0/1 and 2/3 canonicalize to the SAME url, so
-    the dedup has real work to do."""
-    v = F.col("doc_id") % 5
+    ports, tracking params (incl. a bare valueless one), fragments,
+    userinfo, dot segments, percent-encoding normalization, a
+    multi-label public suffix (``co.uk``), and the non-URL fallback;
+    variants 0/1 and 2/3 canonicalize to the SAME url, so the dedup
+    has real work to do."""
+    v = F.col("doc_id") % 6
     page = (F.col("doc_id") % 40).cast("string")
     src = F.col("source")
     c = F.concat
@@ -92,21 +94,23 @@ def _url_expr_spark():
     return (
         F.when(v == 0, c(L("HTTP://WWW."), src, L(".COM:80/page/"), page,
                          L("?utm_source=feed&id=1#top")))
-        .when(v == 1, c(L("http://www."), src, L(".com/page/"), page,
-                        L("?id=1")))
+        .when(v == 1, c(L("http://www."), src, L(".com/a/../page/./"), page,
+                        L("?id=1&gclid")))
         .when(v == 2, c(L("https://U:p@CDN."), src, L(".com:443/asset%20"),
                         page, L("?b=2&gclid=xyz")))
-        .when(v == 3, c(L("https://cdn."), src, L(".com/asset%20"), page,
+        .when(v == 3, c(L("https://cdn."), src, L(".com/%61sset%20"), page,
                         L("?b=2")))
+        .when(v == 4, c(L("https://a.shop."), src, L(".co.uk/item/"), page))
         .otherwise(c(src, L(".com/bare/"), page))
     )
 
 
-_URL_EXPR_SQL = """CASE doc_id % 5
+_URL_EXPR_SQL = """CASE doc_id % 6
   WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80/page/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&id=1#top'
-  WHEN 1 THEN 'http://www.' || source || '.com/page/' || CAST(doc_id % 40 AS VARCHAR) || '?id=1'
+  WHEN 1 THEN 'http://www.' || source || '.com/a/../page/./' || CAST(doc_id % 40 AS VARCHAR) || '?id=1&gclid'
   WHEN 2 THEN 'https://U:p@CDN.' || source || '.com:443/asset%20' || CAST(doc_id % 40 AS VARCHAR) || '?b=2&gclid=xyz'
-  WHEN 3 THEN 'https://cdn.' || source || '.com/asset%20' || CAST(doc_id % 40 AS VARCHAR) || '?b=2'
+  WHEN 3 THEN 'https://cdn.' || source || '.com/%61sset%20' || CAST(doc_id % 40 AS VARCHAR) || '?b=2'
+  WHEN 4 THEN 'https://a.shop.' || source || '.co.uk/item/' || CAST(doc_id % 40 AS VARCHAR)
   ELSE source || '.com/bare/' || CAST(doc_id % 40 AS VARCHAR)
 END"""
 
@@ -377,55 +381,66 @@ QUERIES["kneser_ney_lm_docs"] = Query(
 
 
 def url_domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registrable-domain rollup of the derived URL fixture — the
+    """PSL-registrable-domain rollup of the derived URL fixture — the
     crawl-pipeline "per-domain budget" view (domain-level dedup caps,
     per-domain sampling quotas): → (domain, n_hosts, n_urls, n_rows)
-    with '' for non-URL rows.  host/domain extraction is in-scan; one
-    aggregation."""
-    from dataclass_array_spark.operators.url import (
-        canonicalize_url,
-        url_domain,
-        url_host,
-    )
+    with '' for non-URL rows.  The 100 TB shape: ONE corpus-sized
+    map-side-combined aggregation BY HOST (canon URLs embed their
+    host, so per-domain distinct-URL counts are exact sums of per-host
+    ones), then the public-suffix longest-matching-suffix map
+    (``operators/psl.py`` — candidate explode + broadcast rules join)
+    runs on the HOST DIMENSION only, then a dimension-sized domain
+    rollup.  Round 13: replaces the last-two-label approximation
+    (``a.shop.<src>.co.uk`` now rolls up to ``<src>.co.uk``, not
+    ``co.uk``)."""
+    from dataclass_array_spark.operators.psl import host_registrable_map
+    from dataclass_array_spark.operators.url import canonicalize_url, url_host
 
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     u = d.select(_url_expr_spark().alias("url"))
-    return (
+    per_host = (
         u.select(
-            url_domain(F.col("url")).alias("domain"),
             url_host(F.col("url")).alias("host"),
             canonicalize_url(F.col("url")).alias("canon"),
         )
-        .groupBy("domain")
+        .groupBy("host")
         .agg(
-            F.countDistinct("host").alias("n_hosts"),
             F.countDistinct("canon").alias("n_urls"),
             F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+    hd = host_registrable_map(per_host.select("host"), "host")
+    return (
+        per_host.join(hd, "host")
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_hosts"),
+            F.sum("n_urls").cast("long").alias("n_urls"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
         )
         .orderBy("domain")
     )
 
 
 def _url_domain_stats_oracle() -> str:
-    from dataclass_array_spark.operators.url import (
-        canon_sql,
-        domain_sql,
-        host_sql,
-    )
+    from dataclass_array_spark.operators.psl import registrable_sql_ctes
+    from dataclass_array_spark.operators.url import canon_sql, host_sql
 
     return f"""
 WITH u AS (SELECT {_URL_EXPR_SQL} AS url FROM documents),
-x AS (
-  SELECT {domain_sql('url')} AS domain,
-         {host_sql('url')} AS host,
-         {canon_sql('url')} AS canon
-  FROM u
-)
-SELECT domain,
-       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
-       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_urls,
-       CAST(COUNT(*) AS BIGINT) AS n_rows
-FROM x GROUP BY domain ORDER BY domain
+ph AS (
+  SELECT {host_sql('url')} AS host,
+         CAST(COUNT(DISTINCT {canon_sql('url')}) AS BIGINT) AS n_urls,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM u GROUP BY 1
+),
+{registrable_sql_ctes('ph', 'host')}
+SELECT m.domain,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(ph.n_urls) AS BIGINT) AS n_urls,
+       CAST(SUM(ph.n_rows) AS BIGINT) AS n_rows
+FROM ph JOIN psl_map m USING (host)
+GROUP BY m.domain ORDER BY domain
 """
 
 

@@ -118,14 +118,15 @@ def test_avro_jar_gate(spark, tmp_path):
         read_avro(spark, str(tmp_path / "x.avro"))
 
 
-def _wet_bytes(crlf=False):
+def _wet_bytes(crlf=False, recs=None):
     nl = "\r\n" if crlf else "\n"
-    recs = [
-        ("warcinfo", None, "robots: classic"),
-        ("conversion", "http://example.com/a", "Hello world.\nSecond line."),
-        ("conversion", "https://example.org/b?x=1", "Single body line"),
-        ("conversion", "http://example.com/empty", ""),
-    ]
+    if recs is None:
+        recs = [
+            ("warcinfo", None, "robots: classic"),
+            ("conversion", "http://example.com/a", "Hello world.\nSecond line."),
+            ("conversion", "https://example.org/b?x=1", "Single body line"),
+            ("conversion", "http://example.com/empty", ""),
+        ]
     out = []
     for t, uri, body in recs:
         out.append("WARC/1.0")
@@ -187,7 +188,23 @@ def test_read_wet_plain_and_gz(spark, tmp_path):
     assert conv.count() == 6
 
 
-def test_read_text_docs_whole_file_mode(spark, tmp_path):
+def test_read_wet_body_warc_line_does_not_split(spark, tmp_path):
+    """Regression (r12 advice): a conversion record whose extracted
+    page text contains a line that merely says 'WARC/1.0' must NOT be
+    split into two bogus records — the split requires a following
+    WARC- header line (lookahead)."""
+    from dataclass_array_spark.sources import read_wet
+
+    body = "Quote of the spec:\nWARC/1.0\nis the version line."
+    d = tmp_path / "wet2"
+    d.mkdir()
+    (d / "s.wet").write_bytes(
+        _wet_bytes(recs=[("conversion", "http://example.com/q", body)])
+    )
+    rows = read_wet(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == body
+    assert rows[0]["n_chars"] == len(body)
     """Regression (round 12): .option('wholetext', <bool>) is silently
     ignored by the text source — whole_file=True must yield ONE row per
     file, not one per line."""

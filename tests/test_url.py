@@ -1,5 +1,7 @@
 """URL canonicalization: expected-value cases (the RFC-3986-subset
-contract), Spark↔DuckDB expression parity, and dedup semantics."""
+contract incl. §6.2.2.1-3 percent/dot-segment normalization),
+Spark↔DuckDB expression parity, dedup semantics, and PSL
+registrable-domain extraction."""
 
 import duckdb
 import pytest
@@ -13,7 +15,7 @@ CASES = [
     # already canonical
     ("http://www.example.com/Path/To?id=3",
      "http://www.example.com/Path/To?id=3"),
-    # https default port + two tracking params; %-escapes untouched
+    # https default port + two tracking params; reserved %-escape kept
     ("https://Sub.Example.com:443/a%20b?b=2&utm_campaign=z&gclid=1",
      "https://sub.example.com/a%20b?b=2"),
     # non-default port kept
@@ -26,8 +28,15 @@ CASES = [
     ("http://example.com", "http://example.com/"),
     # query entirely tracking -> no '?'
     ("http://example.com?utm_source=only#f", "http://example.com/"),
-    # non-URL fallback: lower(trim), fragment-stripped, params kept
+    # BARE tracking params (no '=value') are dropped too (r13 advice)
+    ("http://example.com?gclid", "http://example.com/"),
+    ("http://example.com/p?utm_source&a=1", "http://example.com/p?a=1"),
+    # but a tracking-PREFIXED name with a suffix is NOT tracking
+    ("http://example.com/p?gclid2=x", "http://example.com/p?gclid2=x"),
+    # non-URL fallback: lower(trim), fragment-stripped, params kept,
+    # NO percent/dot normalization
     ("example.com/no-scheme?utm_source=x", "example.com/no-scheme?utm_source=x"),
+    ("Not a URL %41 /../x#f", "not a url %41 /../x"),
     # non-http scheme: port NOT a default, kept
     ("ftp://Files.Example.org:21/pub/", "ftp://files.example.org:21/pub/"),
     # dangling '?'
@@ -37,6 +46,29 @@ CASES = [
     ("http://example.com#justfrag", "http://example.com/"),
     ("", ""),
     ("https://example.com:443", "https://example.com/"),
+    # ---- percent-encoding normalization (RFC 3986 §6.2.2.1-2) ----
+    # unreserved octets decode; hex uppercased; malformed '%' kept
+    ("http://x.com/%61sset%2d1/%7e%zz%4", "http://x.com/asset-1/~%zz%4"),
+    # reserved octets stay encoded ('/' '?' '&'), hex uppercased
+    ("http://x.com/a%2fb?q=%3f%26", "http://x.com/a%2Fb?q=%3F%26"),
+    # '%25' ('%') never double-decodes
+    ("http://x.com/a%2541", "http://x.com/a%2541"),
+    # query decode can EXPOSE a tracking param, which is then dropped
+    ("http://x.com/p?%75tm_source=x&a=1", "http://x.com/p?a=1"),
+    # ---- dot-segment removal (RFC 3986 §6.2.2.3 / §5.2.4) ----
+    ("http://x.com/a/./b/../c", "http://x.com/a/c"),
+    ("http://x.com/a/b/c/../../../d", "http://x.com/d"),
+    ("http://x.com/../../a", "http://x.com/a"),
+    ("http://x.com/a/..", "http://x.com/"),
+    ("http://x.com/a/.", "http://x.com/a/"),
+    ("http://x.com/.", "http://x.com/"),
+    ("http://x.com/..", "http://x.com/"),
+    # '...' is a legitimate segment name, not a dot segment
+    ("http://x.com/...", "http://x.com/..."),
+    # decoded %2E participates in dot-segment removal (decode-then-dots)
+    ("http://x.com/a/%2E%2E/b", "http://x.com/b"),
+    # empty segments pop like RFC 5.2.4
+    ("http://x.com/a//../b", "http://x.com/a/b"),
 ]
 
 
@@ -86,6 +118,103 @@ def test_url_host_and_domain(spark):
     ]
 
 
+# ---- PSL registrable domains (operators/psl.py) ----
+
+# (host, registrable domain) — ICANN ccSLD cases incl. wildcard rules,
+# the !www.ck exception, 3-label rules, and public-suffix-only hosts
+PSL_CASES = [
+    ("a.b.example.co.uk", "example.co.uk"),
+    ("example.co.uk", "example.co.uk"),
+    ("co.uk", ""),                      # the host IS a public suffix
+    ("www.example.com", "example.com"),  # default rule '*'
+    ("example.com", "example.com"),
+    ("com", ""),
+    ("www.ck", "www.ck"),               # exception rule !www.ck
+    ("a.www.ck", "www.ck"),
+    ("b.ck", ""),                       # wildcard *.ck: b.ck is a suffix
+    ("x.b.ck", "x.b.ck"),
+    ("foo.k12.ca.us", "foo.k12.ca.us"),  # 3-label rule
+    ("k12.ca.us", ""),
+    ("city.kawasaki.jp", "city.kawasaki.jp"),  # exception beats *.kawasaki.jp
+    ("x.city.kawasaki.jp", "city.kawasaki.jp"),
+    ("blog.y.kawasaki.jp", "blog.y.kawasaki.jp"),
+    ("shop.example.tokyo.jp", "example.tokyo.jp"),
+    ("", ""),                           # non-URL rows carry '' hosts
+    ("localhost", ""),
+    ("pref.hokkaido.jp", "pref.hokkaido.jp"),
+]
+
+
+def test_psl_registrable_map_expected(spark):
+    from dataclass_array_spark.operators.psl import host_registrable_map
+
+    df = spark.createDataFrame([(h,) for h, _ in PSL_CASES], "host string")
+    got = {r["host"]: r["domain"] for r in host_registrable_map(df).collect()}
+    assert got == dict(PSL_CASES)
+
+
+def test_psl_registrable_duckdb_parity(spark):
+    """The oracle CTE chain replays the candidate/score pipeline
+    stage-for-stage on the same rule snapshot."""
+    from dataclass_array_spark.operators.psl import (
+        host_registrable_map,
+        registrable_sql_ctes,
+    )
+
+    df = spark.createDataFrame([(h,) for h, _ in PSL_CASES], "host string")
+    got = {r["host"]: r["domain"] for r in host_registrable_map(df).collect()}
+    vals = ", ".join(f"('{h}')" for h, _ in PSL_CASES)
+    sql = (
+        f"WITH h(host) AS (VALUES {vals}), {registrable_sql_ctes('h')} "
+        "SELECT host, domain FROM psl_map"
+    )
+    assert dict(duckdb.sql(sql).fetchall()) == got
+
+
+def test_psl_rules_are_broadcast_joined(spark):
+    """Plan shape: the rules side is bounded by construction, so the
+    suffix join must be a BroadcastHashJoin with no corpus-side
+    exchange beyond the per-host aggregate; no Python in the plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dataclass_array_spark.operators.psl import host_registrable_map
+
+    hosts = spark.range(200).select(
+        F.concat(F.lit("h"), F.col("id") % 50, F.lit(".example.co.uk")).alias("host")
+    ).distinct()
+    out = host_registrable_map(hosts)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_psl_parse_full_file_format():
+    """parse_psl_rules accepts the published publicsuffix.org file
+    format (comments, blanks, exceptions, wildcards)."""
+    from dataclass_array_spark.operators.psl import parse_psl_rules
+
+    lines = [
+        "// ===BEGIN ICANN DOMAINS===",
+        "",
+        "com",
+        "co.uk",
+        "*.ck",
+        "!www.ck",
+        "  k12.ca.us  ",
+    ]
+    assert parse_psl_rules(lines) == [
+        ("com", 1, 0),
+        ("co.uk", 2, 0),
+        ("*.ck", 2, 0),
+        ("www.ck", 2, 1),
+        ("k12.ca.us", 3, 0),
+    ]
+
+
 def test_dedup_urls_collapses_variants(spark):
     from dataclass_array_spark.operators.url import dedup_urls
 
@@ -103,6 +232,23 @@ def test_dedup_urls_collapses_variants(spark):
         for r in dedup_urls(df, "url", "id").collect()
     }
     assert got == {"http://x.com/a": (1, 3), "http://x.com/b": (4, 1)}
+
+
+def test_dedup_urls_string_ids_keep_type(spark):
+    """Regression (r12 advice): rep_id keeps the id column's own type —
+    a string id must NOT silently cast to NULL."""
+    from dataclass_array_spark.operators.url import dedup_urls
+
+    df = spark.createDataFrame(
+        [("b", "http://x.com/a"), ("a", "http://x.com/a#f")],
+        "id string, url string",
+    )
+    out = dedup_urls(df, "url", "id")
+    assert dict(out.dtypes)["rep_id"] == "string"
+    rows = out.collect()
+    assert [(r["canon_url"], r["rep_id"], r["n_dups"]) for r in rows] == [
+        ("http://x.com/a", "a", 2)
+    ]
 
 
 def test_dedup_urls_plan_is_single_agg_no_python(spark):
@@ -126,7 +272,9 @@ def test_dedup_urls_plan_is_single_agg_no_python(spark):
 def test_canonicalize_idempotent_hypothesis(spark):
     """canonicalize(canonicalize(x)) == canonicalize(x) — the defining
     canonicalizer property, fuzzed over URL-shaped and garbage inputs
-    (one Spark pass over the whole generated batch)."""
+    including %-escapes and dot segments (one Spark pass over the whole
+    generated batch).  Dot-segment depth stays under the fixed pass
+    cap, where idempotency is exact by construction."""
     from hypothesis import given, settings, strategies as st
 
     from dataclass_array_spark.operators.url import canonicalize_url
@@ -134,9 +282,16 @@ def test_canonicalize_idempotent_hypothesis(spark):
     scheme = st.sampled_from(["http", "HTTP", "https", "ftp", "HtTpS"])
     host = st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True)
     port = st.sampled_from(["", ":80", ":443", ":8080", ":0021"])
-    path = st.from_regex(r"(/[A-Za-z0-9%._\-]{0,8}){0,3}", fullmatch=True)
+    seg = st.sampled_from(
+        ["a", "bB", ".", "..", "...", "%41", "%2e", "%2E%2e", "%7e",
+         "%2f", "%zz", "a%3", "x.y", ""]
+    )
+    path = st.lists(seg, min_size=0, max_size=5).map(
+        lambda segs: "".join("/" + s for s in segs)
+    )
     query = st.sampled_from(
-        ["", "?a=1", "?utm_source=x", "?a=1&utm_medium=m&b=2", "?", "?&&a=1"]
+        ["", "?a=1", "?utm_source=x", "?a=1&utm_medium=m&b=2", "?", "?&&a=1",
+         "?gclid", "?%75tm_source=x&b=%3f", "?a=%2D"]
     )
     frag = st.sampled_from(["", "#f", "#a#b"])
     user = st.sampled_from(["", "u@", "u:p@"])
@@ -159,5 +314,36 @@ def test_canonicalize_idempotent_hypothesis(spark):
         )
         bad = twice.filter(F.col("c1") != F.col("c2")).collect()
         assert not bad, [(r["u"], r["c1"], r["c2"]) for r in bad[:3]]
+
+    run()
+
+
+def test_canonicalize_spark_duckdb_fuzz_parity(spark):
+    """Differential fuzz: Spark and the DuckDB mirror agree on
+    arbitrary %-and-dot-heavy inputs, not just the curated cases."""
+    from hypothesis import given, settings, strategies as st
+
+    from dataclass_array_spark.operators.url import canon_sql, canonicalize_url
+
+    raw = st.text(alphabet="aZ/.%2eE417~-_:?&=#", min_size=0, max_size=40)
+    urlish = raw.map(lambda s: "http://Host.com" + ("/" + s if s else ""))
+    cases = st.lists(st.one_of(raw, urlish), min_size=1, max_size=40)
+
+    @settings(max_examples=10, deadline=None)
+    @given(cases)
+    def run(batch):
+        df = spark.createDataFrame([(c,) for c in batch], "u string")
+        got = [
+            r["c"]
+            for r in df.select(canonicalize_url(F.col("u")).alias("c")).collect()
+        ]
+        vals = ", ".join("(" + repr(c).replace('"', "'") + ")" for c in batch)
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT {canon_sql('u')} FROM (VALUES {vals}) t(u)"
+            ).fetchall()
+        ]
+        assert got == want
 
     run()
