@@ -371,6 +371,38 @@ def sql_ln_exact_ctes(src: str, key: str, n: str, out: str) -> str:
 )"""
 
 
+_I64_MAX = (1 << 63) - 1
+
+
+def checked_i64(n: Column, what: str) -> Column:
+    """A ``decimal(38,0)``-computed non-negative integer expression →
+    BIGINT, failing LOUDLY (``assert_true``) instead of wrapping when
+    the value exceeds ``2^63 - 1``.  Used by the Kneser-Ney exact-integer
+    rewrite, whose numerator/denominator products (``4·c·T``,
+    ``3·N1+·N1+``) are documented to fit BIGINT only through ~10^9
+    bigram types — past that, silent wraparound would corrupt scores.
+    Computing the products in decimal(38,0) and gating the cast makes
+    the documented bound ENFORCED behavior: DuckDB raises natively on
+    BIGINT overflow, so the two engines now fail the same way.
+
+    A decimal(38,0) product that itself overflows (≥10^38, i.e. far
+    past BIGINT) evaluates to NULL under Spark's non-ANSI decimal
+    rules; NULL fails the ``<=`` test, routing to the same loud raise.
+    Per-row cost is two decimal ops — noise next to the 20-term ln
+    series that consumes the result."""
+    lim = F.lit(str(_I64_MAX)).cast("decimal(38,0)")
+    ok = n <= lim
+    return F.when(ok, n.cast("long")).otherwise(
+        F.assert_true(
+            ok, F.lit(f"kneser_ney: {what} exceeds BIGINT (2^63-1)")
+        ).cast("long")
+    )
+
+
+def _dec38(c: Column) -> Column:
+    return c.cast("decimal(38,0)")
+
+
 def unigram_xent_scores(df, text_col: str, id_col: str):
     """Perplexity-style LM quality score: per-document cross-entropy in
     nats/token under the corpus's own unigram LM —
@@ -701,9 +733,12 @@ def kneser_ney_xent_scores(df, text_col: str, id_col: str):
     c ≥ 1 keeps the numerator positive without the max(·,0) branch.
 
     Integer-width bound: num needs 4·c·T and 3·N1+(w1·)·N1+(·w2) to
-    fit BIGINT — holds through ~10^9 bigram types / 10^9 max counts;
-    beyond that, split T into a scaled pair (not done here, noted for
-    the 100 TB edge).
+    fit BIGINT — holds through ~10^9 bigram types / 10^9 max counts.
+    ENFORCED (round 13): both products are computed in decimal(38,0)
+    and gated through :func:`checked_i64`, so an over-scale corpus
+    raises ``kneser_ney: … exceeds BIGINT`` instead of silently
+    wrapping — matching DuckDB, which raises natively on BIGINT
+    overflow.  Past the bound, split T into a scaled pair (future).
 
     Plan shape: one bigram aggregation (LM-sized), two derived
     aggregations (prefix table, predecessor table), a 1-row type
@@ -728,14 +763,22 @@ def kneser_ney_xent_scores(df, text_col: str, id_col: str):
             "w1",
             "w2",
             ln_exact(
-                (F.lit(4) * F.col("cb") - F.lit(3)) * F.col("T")
-                + F.lit(3) * F.col("n1w1") * F.col("ncw2")
+                checked_i64(
+                    (_dec38(F.col("cb")) * 4 - 3) * _dec38(F.col("T"))
+                    + _dec38(F.col("n1w1")) * _dec38(F.col("ncw2")) * 3,
+                    "numerator (4c-3)T + 3*N1+*N1+",
+                )
             ).alias("ln_num"),
         )
     )
     den = cu.crossJoin(F.broadcast(tt)).select(
         "w1",
-        ln_exact(F.lit(4) * F.col("cu") * F.col("T")).alias("ln_den"),
+        ln_exact(
+            checked_i64(
+                _dec38(F.col("cu")) * 4 * _dec38(F.col("T")),
+                "denominator 4*c(w1.)*T",
+            )
+        ).alias("ln_den"),
     )
     entry = F.when(
         F.col("pos").isNotNull(),
@@ -746,6 +789,141 @@ def kneser_ney_xent_scores(df, text_col: str, id_col: str):
     per_doc = (
         inst.join(num, ["w1", "w2"], "left")
         .join(den, ["w1"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("pos").cast("long").alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(entry)), lambda s: s.nll
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("__s"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("__s") / F.col("n_bigrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("xent_nats"),
+    )
+
+
+def kneser_ney_xent_scores_heldout(train_df, score_df, text_col: str, id_col: str):
+    """:func:`kneser_ney_xent_scores` scoring a (possibly different)
+    corpus against a Kneser-Ney LM trained on ``train_df`` — the
+    HELD-OUT form a production quality filter runs (train on the
+    trusted reference corpus, score the crawl).  Per scored bigram,
+    three branches, every probability still a ratio of INTEGERS so the
+    gate hash-matches DuckDB bit-for-bit:
+
+      seen bigram (c ≥ 1):  the self-scoring formula unchanged,
+          p = [(4c−3)·T + 3·N1+(w1·)·N1+(·w2)] / [4·c(w1·)·T]
+      unseen bigram, seen prefix:  the (c−D)⁺ term vanishes, leaving
+          the interpolation mass — the continuation-probability backoff
+          p = D·N1+(w1·)/c(w1·) · N1+(·w2)/T
+            = 3·N1+(w1·)·max(N1+(·w2),1) / [4·c(w1·)·T]
+          (an OOV w2 has N1+(·w2) = 0; flooring at 1 is the minimal
+          one-context pseudo-continuation — the <unk>-token convention
+          — keeping ln's argument positive without touching any seen
+          value)
+      unseen prefix:  no bigram evidence at all — back off wholly to
+          the continuation distribution,
+          p = max(N1+(·w2),1) / T
+
+    Self-scoring (``train_df is score_df``) reproduces
+    :func:`kneser_ney_xent_scores` value-identically: every scored
+    bigram is then observed, so branches 2-3 never fire.  ``train_df``
+    must contain ≥ 1 bigram (else loud ``assert_true``, mirroring the
+    Laplace held-out V>0 guard).  All numerator/denominator products
+    run through :func:`checked_i64` (decimal(38,0) → BIGINT, loud
+    overflow).
+
+    Plan shape: LM-sized tables exactly as the self-scoring form
+    (bigram agg, prefix agg, predecessor agg, 1-row T) with the
+    join-backs UNHINTED (corpus-derived); only the 1-row T / ln T is
+    broadcast.  Branch-2 lns run per scored INSTANCE (a narrow in-scan
+    expression — linear tax, no extra shuffle); the DuckDB mirror
+    computes them per DISTINCT pair, bit-identical because ln_exact is
+    a pure function of the integer."""
+    inst_t = _bigram_instances(train_df, text_col, id_col).filter(
+        F.col("pos").isNotNull()
+    )
+    cb = inst_t.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cu = cb.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cu"),
+        F.count("*").cast("long").alias("n1w1"),
+    )
+    ncw2 = cb.groupBy("w2").agg(F.count("*").cast("long").alias("ncw2"))
+    # empty training corpus → T = 0 → ln garbage everywhere; fail loudly
+    # on the 1-row aggregate instead (cf. bigram_xent_scores_heldout's V)
+    tt = cb.agg(F.count("*").cast("long").alias("T")).select(
+        F.when(F.col("T") > 0, F.col("T"))
+        .otherwise(
+            F.assert_true(
+                F.col("T") > 0,
+                F.lit("kneser_ney heldout: empty training corpus (T = 0)"),
+            ).cast("long")
+        )
+        .alias("T")
+    )
+    num1 = (
+        cb.join(ncw2, ["w2"])
+        .join(cu.select("w1", "n1w1"), ["w1"])
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            ln_exact(
+                checked_i64(
+                    (_dec38(F.col("cb")) * 4 - 3) * _dec38(F.col("T"))
+                    + _dec38(F.col("n1w1")) * _dec38(F.col("ncw2")) * 3,
+                    "numerator (4c-3)T + 3*N1+*N1+",
+                )
+            ).alias("ln_num"),
+        )
+    )
+    # carries n1w1 so the branch-2 numerator needs no second w1 join
+    den = cu.crossJoin(F.broadcast(tt)).select(
+        "w1",
+        F.col("n1w1"),
+        ln_exact(
+            checked_i64(
+                _dec38(F.col("cu")) * 4 * _dec38(F.col("T")),
+                "denominator 4*c(w1.)*T",
+            )
+        ).alias("ln_den"),
+    )
+    ln_t = tt.select(ln_exact(F.col("T")).alias("ln_t"))
+    inst_s = _bigram_instances(score_df, text_col, id_col)
+    ncf = F.coalesce(F.col("ncw2"), F.lit(1).cast("long"))
+    nll = (
+        F.when(F.col("ln_num").isNotNull(), F.col("ln_den") - F.col("ln_num"))
+        .when(
+            F.col("ln_den").isNotNull(),
+            F.col("ln_den")
+            - ln_exact(
+                checked_i64(
+                    _dec38(F.col("n1w1")) * _dec38(ncf) * 3,
+                    "backoff numerator 3*N1+*N1+",
+                )
+            ),
+        )
+        .otherwise(F.col("ln_t") - ln_exact(ncf))
+    )
+    entry = F.when(
+        F.col("pos").isNotNull(),
+        F.struct(F.col("pos"), nll.alias("nll")),
+    )
+    per_doc = (
+        inst_s.join(num1, ["w1", "w2"], "left")
+        .join(den, ["w1"], "left")
+        .join(ncw2, ["w2"], "left")
+        .crossJoin(F.broadcast(ln_t))
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_bigrams"),

@@ -90,6 +90,7 @@ _PRIORITY: Tuple[str, ...] = (
     # ==== window boundary (50) ====
     # ---- NEW in round 13 (oracle-verified sf0.01 + sf1 in-session;
     # next round's never-verified cohort) ----
+    "kneser_ney_heldout_docs",
     # ---- remaining 15 r10-era (stalest leftover) ----
     "rollup_flag_status",
     "salted_revenue_by_flag",

@@ -481,3 +481,112 @@ def _bpe_heldout_oracle() -> str:
 QUERIES["bpe_heldout_encode_docs"] = Query(
     bpe_heldout_encode_docs, _bpe_heldout_oracle(), tags=("text", "tokenizer")
 )
+
+
+# ------------------------------------------------ held-out Kneser-Ney
+def kneser_ney_heldout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT Kneser-Ney scoring — train the KN bigram LM on the
+    English docs, score the WHOLE corpus (the production filter shape;
+    CCNet-style: trusted reference corpus → crawl).  Non-English docs
+    exercise all three OOV branches (unseen bigram → continuation-
+    probability backoff; unseen prefix → pure continuation
+    distribution; OOV word → one-context pseudo-continuation floor)
+    that the self-scoring ``kneser_ney_lm_docs`` structurally cannot
+    reach."""
+    from dataclass_array_spark.operators.text import (
+        kneser_ney_xent_scores_heldout,
+    )
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return kneser_ney_xent_scores_heldout(
+        d.filter(F.col("lang") == "en"), d, "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+def _kn_heldout_oracle() -> str:
+    from dataclass_array_spark.operators.text import sql_ln_exact_ctes
+
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+guard AS (
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('KN_HELDOUT_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
+bigt AS (
+  SELECT doc_id, gs.i AS pos, toks[gs.i] AS w1, toks[gs.i + 1] AS w2
+  FROM toks, generate_series(1, 4095) gs(i)
+  WHERE gs.i <= len(toks) - 1 AND lang = 'en'
+),
+bigs AS (
+  SELECT doc_id, gs.i AS pos, toks[gs.i] AS w1, toks[gs.i + 1] AS w2
+  FROM toks, generate_series(1, 4095) gs(i)
+  WHERE gs.i <= len(toks) - 1
+),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bigt GROUP BY w1, w2),
+cu AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS cu, CAST(COUNT(*) AS BIGINT) AS n1w1
+  FROM cb GROUP BY w1
+),
+ncw2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncw2 FROM cb GROUP BY w2),
+tt AS (
+  SELECT CASE WHEN COUNT(*) = 0
+              THEN error('KN_HELDOUT_SQL: empty training corpus (T = 0)')
+              ELSE CAST(COUNT(*) AS BIGINT) END AS t
+  FROM cb
+),
+numt AS (
+  SELECT cb.w1, cb.w2,
+         (4*cb.c - 3)*(SELECT t FROM tt) + 3*cu.n1w1*ncw2.ncw2 AS c
+  FROM cb JOIN cu USING (w1) JOIN ncw2 USING (w2)
+),
+dent AS (SELECT w1, 4*cu*(SELECT t FROM tt) AS c FROM cu),
+b2p AS (
+  SELECT DISTINCT b.w1, b.w2, 3*cu.n1w1*COALESCE(nc.ncw2, 1) AS c
+  FROM bigs b
+  JOIN cu ON cu.w1 = b.w1
+  LEFT JOIN ncw2 nc ON nc.w2 = b.w2
+  LEFT JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+  WHERE cb.w1 IS NULL
+),
+b4w AS (
+  SELECT DISTINCT b.w2, COALESCE(nc.ncw2, 1) AS c
+  FROM bigs b
+  LEFT JOIN cu ON cu.w1 = b.w1
+  LEFT JOIN ncw2 nc ON nc.w2 = b.w2
+  WHERE cu.w1 IS NULL
+),
+{sql_ln_exact_ctes("numt", "w1, w2", "c", "lnnum_t")},
+{sql_ln_exact_ctes("dent", "w1", "c", "lnden_t")},
+{sql_ln_exact_ctes("b2p", "w1, w2", "c", "lnb2_t")},
+{sql_ln_exact_ctes("b4w", "w2", "c", "lnb4_t")},
+{sql_ln_exact_ctes("tt", "t", "t", "lnt_t")},
+perdoc AS (
+  SELECT b.doc_id, COUNT(*) AS m,
+         list_reduce(list_prepend(0.0, list(
+           (CASE WHEN n1.ln IS NOT NULL THEN d.ln - n1.ln
+                 WHEN d.ln IS NOT NULL THEN d.ln - n2.ln
+                 ELSE g.lnt - n4.ln END) ORDER BY b.pos)),
+                     (a, x) -> a + x) AS s
+  FROM bigs b
+  LEFT JOIN lnnum_t n1 ON n1.w1 = b.w1 AND n1.w2 = b.w2
+  LEFT JOIN lnden_t d ON d.w1 = b.w1
+  LEFT JOIN lnb2_t n2 ON n2.w1 = b.w1 AND n2.w2 = b.w2
+  LEFT JOIN lnb4_t n4 ON n4.w2 = b.w2
+  CROSS JOIN (SELECT ln AS lnt FROM lnt_t) g
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, COALESCE(pd.m, 0) AS n_bigrams,
+       COALESCE(pd.s / CAST(pd.m AS DOUBLE), 0.0) AS xent_nats
+FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+CROSS JOIN guard
+WHERE guard.ok = 1
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["kneser_ney_heldout_docs"] = Query(
+    kneser_ney_heldout_docs, _kn_heldout_oracle(),
+    tags=("text", "quality", "lm", "heldout"),
+)

@@ -2092,3 +2092,146 @@ def test_kneser_ney_xent_matches_fraction_reference(spark):
             continue
         want = sum(-math.log(p(w1, w2)) for w1, w2 in bl) / len(bl)
         assert abs(xe - want) < 1e-9, (did, xe, want)
+
+
+def test_checked_i64_guard_fires_past_bigint(spark):
+    """The KN overflow guard (round-13, VERDICT r12 item 5): a
+    decimal(38,0) product past 2^63-1 must raise loudly instead of
+    wrapping — including one so large the decimal itself overflows to
+    NULL — while in-range values cast through unchanged."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataclass_array_spark.operators.text import _dec38, checked_i64
+
+    one = spark.range(1)
+    # in range: identity
+    assert one.select(
+        checked_i64(_dec38(F.lit((1 << 62) - 1)), "x").alias("v")
+    ).collect()[0]["v"] == (1 << 62) - 1
+    # 4·c·T with c,T near 2^31.5 → just past 2^63-1
+    with _pytest.raises(Exception, match="exceeds BIGINT"):
+        one.select(
+            checked_i64(
+                _dec38(F.lit(1 << 31)) * 4 * _dec38(F.lit(1 << 31)), "4*c*T"
+            )
+        ).collect()
+    # decimal(38,0) itself overflows (NULL under non-ANSI) → same raise
+    with _pytest.raises(Exception, match="exceeds BIGINT"):
+        one.select(
+            checked_i64(
+                _dec38(F.lit((1 << 62) + 1)) * _dec38(F.lit((1 << 62) + 1)),
+                "t^2",
+            )
+        ).collect()
+
+
+def test_kneser_ney_heldout_self_scoring_equivalence(spark):
+    """heldout(train=d, score=d) must reproduce the self-scoring
+    operator BIT-identically — every scored bigram is observed, so the
+    OOV branches never fire and branch 1 shares the exact expressions."""
+    from dataclass_array_spark.operators.text import (
+        kneser_ney_xent_scores,
+        kneser_ney_xent_scores_heldout,
+    )
+
+    docs = [
+        ("d1", "a b a b c"),
+        ("d2", "a b c c b"),
+        ("d3", "b a"),
+        ("d4", "x"),
+        ("d5", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    a = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"])
+        for r in kneser_ney_xent_scores(df, "text", "doc_id").collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"])
+        for r in kneser_ney_xent_scores_heldout(
+            df, df, "text", "doc_id"
+        ).collect()
+    }
+    assert a == b  # exact, including float bits
+
+
+def test_kneser_ney_heldout_matches_fraction_reference(spark):
+    """All three held-out branches against a Fraction-exact Python
+    reference: seen bigram, unseen bigram w/ seen prefix (seen and OOV
+    continuation word), and unseen prefix."""
+    import math
+    from collections import Counter
+    from fractions import Fraction
+
+    from dataclass_array_spark.operators.text import (
+        kneser_ney_xent_scores_heldout,
+    )
+
+    train = [
+        ("t1", "a b a b c"),
+        ("t2", "a b c c b"),
+        ("t3", "b a"),
+    ]
+    score = [
+        ("s1", "a b c"),      # all bigrams seen (branch 1)
+        ("s2", "a c b"),      # (a,c): unseen bigram, seen prefix+cont (b2)
+        ("s3", "a z b"),      # (a,z): b2 with OOV cont; (z,b): unseen prefix
+        ("s4", "z q"),        # unseen prefix + OOV cont (branch 4, floor)
+        ("s5", "x"),          # no bigrams
+    ]
+    tdf = spark.createDataFrame(train, "doc_id string, text string")
+    sdf = spark.createDataFrame(score, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"])
+        for r in kneser_ney_xent_scores_heldout(
+            tdf, sdf, "text", "doc_id"
+        ).collect()
+    }
+
+    cb = Counter()
+    for _, t in train:
+        toks = t.split()
+        cb.update(zip(toks, toks[1:]))
+    cu, n1w1, ncw2 = Counter(), Counter(), Counter()
+    for (w1, w2), c in cb.items():
+        cu[w1] += c
+        n1w1[w1] += 1
+        ncw2[w2] += 1
+    T = len(cb)
+
+    def p(w1, w2):
+        ncf = max(ncw2[w2], 1)
+        if (w1, w2) in cb:
+            return Fraction(
+                (4 * cb[(w1, w2)] - 3) * T + 3 * n1w1[w1] * ncw2[w2],
+                4 * cu[w1] * T,
+            )
+        if w1 in cu:
+            return Fraction(3 * n1w1[w1] * ncf, 4 * cu[w1] * T)
+        return Fraction(ncf, T)
+
+    for did, t in score:
+        toks = t.split()
+        bl = list(zip(toks, toks[1:]))
+        n, xe = got[did]
+        assert n == len(bl)
+        if not bl:
+            assert xe == 0.0
+            continue
+        want = sum(-math.log(p(w1, w2)) for w1, w2 in bl) / len(bl)
+        assert abs(xe - want) < 1e-9, (did, xe, want)
+
+
+def test_kneser_ney_heldout_empty_train_raises(spark):
+    """Empty training corpus → loud assert (T = 0 would feed ln(0))."""
+    import pytest as _pytest
+
+    from dataclass_array_spark.operators.text import (
+        kneser_ney_xent_scores_heldout,
+    )
+
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    sdf = spark.createDataFrame([("s1", "a b")], "doc_id string, text string")
+    with _pytest.raises(Exception, match="empty training corpus"):
+        kneser_ney_xent_scores_heldout(empty, sdf, "text", "doc_id").collect()
