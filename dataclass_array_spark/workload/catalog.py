@@ -91,6 +91,7 @@ _PRIORITY: Tuple[str, ...] = (
     # ---- NEW in round 13 (oracle-verified sf0.01 + sf1 in-session;
     # next round's never-verified cohort) ----
     "kneser_ney_heldout_docs",
+    "bpe_train_batched_docs",
     # ---- remaining 15 r10-era (stalest leftover) ----
     "rollup_flag_status",
     "salted_revenue_by_flag",

@@ -52,6 +52,30 @@ QUERIES["bpe_train_docs"] = Query(
 )
 
 
+def bpe_train_batched_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`bpe_train_docs` with ``batch_pairs=16`` — up to 16
+    mutually non-conflicting merges accepted per pair-count round and
+    applied in ONE fold pass, provably identical to the sequential
+    ladder (proof on ``_best_pairs_batch``).  Same oracle VALUES as
+    ``bpe_train_docs`` by construction: the batching is the round-13
+    fix for the merge-COUNT scale axis (16 merges in 10 rounds on the
+    sf0.01 corpus — early rounds conflict densely over the hot
+    characters, batch width grows as the vocabulary spreads; a
+    production 30-50k-merge vocab drops from tens of thousands of
+    sequential Spark jobs to hundreds of batches)."""
+    from dataclass_array_spark.operators.bpe import bpe_train
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return bpe_train(
+        d, "text", _BPE_MERGES, min_count=_BPE_MIN_COUNT, batch_pairs=16
+    ).orderBy("merge_rank")
+
+
+QUERIES["bpe_train_batched_docs"] = Query(
+    bpe_train_batched_docs, _bpe_train_oracle(), tags=("text", "tokenizer")
+)
+
+
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-encode: segment every document with the corpus's own
     BPE merges → (doc_id, n_bpe_tokens, toks_json).  The iterative part

@@ -185,3 +185,103 @@ def test_bpe_hypothesis_fuzz_vs_reference(spark):
             assert enc[did] == want, (did, t, enc[did], want)
 
     run()
+
+
+def test_bpe_batched_equals_sequential_on_fixture(spark, sf_dir):
+    """batch_pairs > 1 must learn the IDENTICAL merge table (the
+    _best_pairs_batch proof, checked end-to-end on real documents),
+    while taking fewer pair-count rounds."""
+    from dataclass_array_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seq = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, "text", 16, min_count=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert len(seq) == 16
+    for k in (4, 16):
+        got = [
+            (r["merge_rank"], r["left_sym"], r["right_sym"])
+            for r in bpe_train(docs, "text", 16, min_count=2, batch_pairs=k)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == seq, (k, got, seq)
+
+
+def test_bpe_batched_hypothesis_fuzz_equality(spark):
+    """Randomized dense-conflict corpora (tiny alphabet → heavy symbol
+    sharing, ties, left==right runs, chained merges): every batch size
+    must reproduce the sequential ladder's merge table exactly — the
+    adversarial regime for the conflict/tie rules (C* stop, strict->
+    trailing-tie drop, occupied-set concat collisions)."""
+    import collections
+
+    from hypothesis import given, settings, strategies as st
+
+    from dataclass_array_spark.operators.bpe import bpe_train
+
+    word = st.text(alphabet="ab", min_size=1, max_size=8)
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(max_examples=6, deadline=None)
+    @given(corpus, st.integers(min_value=2, max_value=8))
+    def run(texts, nm):
+        docs = [(f"d{i}", t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        seq = [
+            tuple(r)
+            for r in bpe_train(df, "text", nm, min_count=2)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        for k in (2, nm):
+            got = [
+                tuple(r)
+                for r in bpe_train(df, "text", nm, min_count=2, batch_pairs=k)
+                .orderBy("merge_rank")
+                .collect()
+            ]
+            assert got == seq, (texts, nm, k, got, seq)
+
+    run()
+
+
+def test_bpe_group_nonconflicting_runs():
+    """The encode-side grouping: rank order preserved, groups are
+    maximal consecutive conflict-free runs, chains ((a,b) then (ab,c))
+    and concat collisions split."""
+    from dataclass_array_spark.operators.bpe import _group_nonconflicting
+
+    assert _group_nonconflicting([]) == []
+    # disjoint → one group
+    assert _group_nonconflicting([("a", "b"), ("c", "d")]) == [
+        [("a", "b"), ("c", "d")]
+    ]
+    # chain: (a,b) then (ab,c) share 'ab'
+    assert _group_nonconflicting([("a", "b"), ("ab", "c")]) == [
+        [("a", "b")],
+        [("ab", "c")],
+    ]
+    # shared right symbol
+    assert _group_nonconflicting([("a", "b"), ("c", "b")]) == [
+        [("a", "b")],
+        [("c", "b")],
+    ]
+    # concat collision: (c,d) output 'cd' equals later left 'cd'
+    assert _group_nonconflicting([("c", "d"), ("cd", "x"), ("p", "q")]) == [
+        [("c", "d")],
+        [("cd", "x"), ("p", "q")],
+    ]
+    # order is preserved within and across groups
+    flat = [
+        p
+        for g in _group_nonconflicting(
+            [("a", "b"), ("c", "d"), ("ab", "cd"), ("x", "y")]
+        )
+        for p in g
+    ]
+    assert flat == [("a", "b"), ("c", "d"), ("ab", "cd"), ("x", "y")]

@@ -688,7 +688,9 @@ def test_bpe_pair_agg_map_side_combined(spark):
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
     sym = _init_symbols(_word_counts(d, "text"))
-    sym = sym.select("wid", "cnt", _apply_merge(sym, "e", "r").alias("syms"))
+    sym = sym.select(
+        "wid", "cnt", _apply_merge(F.col("syms"), "e", "r").alias("syms")
+    )
     pair_arr = F.when(
         F.size("syms") >= 2,
         F.transform(
