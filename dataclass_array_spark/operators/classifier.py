@@ -1,0 +1,218 @@
+"""Hashed-n-gram LINEAR quality classifier — the trained-filter half of
+a production quality pipeline (CCNet / fastText style: a perplexity
+score from the LM family PLUS a linear classifier over hashed n-gram
+features).  Round-13 VERDICT item 4.
+
+Model: a document's features are its word UNIGRAMS and word BIGRAMS
+(fastText's default ``wordNgrams=2``), each hashed into one of
+``nbuckets`` buckets; the score is the dot product of the document's
+feature-instance multiset with a bucket→weight table:
+
+    score(d)  = Σ_{f ∈ features(d)} w[bucket(f)]      (with multiplicity)
+    margin(d) = score(d) / n_features(d)              (fastText's mean)
+
+The logistic squash ``1/(1+e^-margin)`` is LEFT TO THE CALLER: ``exp``
+is not bit-portable across engines, and it is monotone — thresholding
+the margin is equivalent (the same discipline as the xent scorers,
+which return nats and leave perplexity's ``exp`` to the caller).
+
+Exactness: bucket = md5-derived (the house ``sampling.py`` hash —
+the only hash portable bit-for-bit across Spark and DuckDB); weights
+are cast to decimal(20,9) and summed as decimals (associative,
+order-free), so the dot product is EXACT; one final decimal→double
+cast is correctly rounded and identical in both engines while the
+scaled sum stays under 2^53 (|w| ≤ ~10^6 at 4096-token docs — far
+beyond any real model's weight range; the gate keeps |w| ≤ 1).
+
+Plan shape / 100 TB story: feature extraction is IN-SCAN (token
+array → unigram+bigram array, one explode); the weight lookup is a
+join against a MODEL-SIZED table — bounded by construction at
+``nbuckets`` rows (the user declared the model size), so the
+``F.broadcast`` hint is legal under the round-12 rule (corpus-derived
+tables must stay unhinted; model/sketch-sized tables may hint).  One
+map-side-combinable per-doc aggregation after the broadcast join —
+the whole op is scan + broadcast-join + one shuffle on the doc key.
+Inference cost is linear in tokens, independent of model size.
+
+Reference parity: the reference repo is an array library with no text
+classifier; this extends SURVEY.md §2.B's training-data-pipeline rows
+alongside the LM-quality family (``text.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataclass_array_spark.operators.text import let, tokens
+
+__all__ = [
+    "ngram_features",
+    "feature_bucket",
+    "classifier_score",
+    "hash_weights",
+    "sql_ngram_feats",
+    "sql_feature_bucket",
+    "sql_hash_weights",
+]
+
+
+def ngram_features(text: Column, n_max: int = 2) -> Column:
+    """array<string> of word n-gram features (n = 1..n_max, space-
+    joined, with multiplicity) of lowercased whitespace tokens — the
+    fastText feature set.  Pure column expression; the token array is
+    let-bound so the regex split runs once per row."""
+    if not 1 <= int(n_max) <= 3:
+        raise ValueError("ngram_features: n_max must be in 1..3")
+
+    def _gram_at(toks: Column, n: int):
+        # NB: the transform lambda must be UNARY — pyspark passes the
+        # element index to a second parameter, clobbering defaults
+        return lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        )
+
+    def build(toks: Column) -> Column:
+        parts = [toks]
+        for n in range(2, int(n_max) + 1):
+            gram = F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    _gram_at(toks, n),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            parts.append(gram)
+        return F.concat(*parts)
+
+    return let(tokens(text), build)
+
+
+def feature_bucket(feat: Column, nbuckets: int, salt: str = "clf") -> Column:
+    """Feature string → bucket in [0, nbuckets): the house md5 hash
+    (``sampling.py`` style — 15 hex digits fit a long exactly, and
+    md5 is the only hash both engines compute bit-identically)."""
+    h = F.md5(F.concat(F.lit(salt + "|"), feat))
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % int(nbuckets)).cast(
+        "long"
+    )
+
+
+def hash_weights(spark, nbuckets: int) -> DataFrame:
+    """A deterministic synthetic weight table (bucket, w decimal(12,6))
+    with |w| ≤ 1 — a Knuth-multiplicative mix of the bucket id.  Used
+    by the gate (no model file to ship); a real model would supply its
+    own (bucket, w) table of the same shape."""
+    return spark.range(int(nbuckets)).select(
+        F.col("id").alias("bucket"),
+        (
+            ((F.col("id") * F.lit(2654435761) + F.lit(12345)) % F.lit(2000001)
+             - F.lit(1000000)).cast("decimal(12,0)")
+            * F.lit("0.000001").cast("decimal(7,6)")
+        ).cast("decimal(12,6)").alias("w"),
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    weights_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    nbuckets: int,
+    salt: str = "clf",
+    n_max: int = 2,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Score every document with a hashed-n-gram linear model:
+    → (id, n_features, score, margin).  ``weights_df(bucket, w)`` is
+    the model (≤ nbuckets rows — BOUNDED by construction, hence the
+    broadcast hint).  Missing buckets weigh 0.  ``score`` is the exact
+    decimal dot product cast to double; ``margin`` its per-feature
+    mean (0.0 for featureless docs); apply the logistic caller-side."""
+    if int(nbuckets) < 1:
+        raise ValueError("classifier_score: nbuckets must be >= 1")
+    feats = df.select(
+        F.col(id_col),
+        F.posexplode_outer(ngram_features(F.col(text_col), n_max)).alias(
+            "__fpos", "__f"
+        ),
+    ).select(
+        id_col,
+        "__fpos",
+        F.when(
+            F.col("__f").isNotNull(),
+            feature_bucket(F.col("__f"), nbuckets, salt),
+        ).alias("bucket"),
+    )
+    w = F.broadcast(
+        weights_df.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col(weight_col).cast("decimal(20,9)").alias("__w"),
+        )
+    )
+    per_doc = (
+        feats.join(w, "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("__fpos").cast("long").alias("n_features"),
+            F.sum(
+                F.when(F.col("__fpos").isNotNull(), F.coalesce(F.col("__w"), F.lit(0)))
+            )
+            .cast("decimal(38,9)")
+            .alias("__s"),
+        )
+    )
+    score = F.coalesce(F.col("__s"), F.lit(0).cast("decimal(38,9)")).cast(
+        "double"
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_features"),
+        score.alias("score"),
+        F.when(
+            F.col("n_features") > 0,
+            score / F.col("n_features").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("margin"),
+    )
+
+
+# ---- SQL (DuckDB) mirrors ----
+
+
+def sql_ngram_feats(toks_cte: str, cap: int = 4096, n_max: int = 2) -> str:
+    """CTE body producing (doc_id, f) feature instances from
+    ``{toks_cte}(doc_id, toks)`` — unigrams + n-grams up to n_max,
+    mirroring :func:`ngram_features` (requires the standard ≤``cap``
+    token oracle guard upstream)."""
+    parts = [
+        f"""SELECT doc_id, toks[gs.i] AS f
+  FROM {toks_cte}, generate_series(1, {cap}) gs(i)
+  WHERE gs.i <= len(toks)"""
+    ]
+    for n in range(2, int(n_max) + 1):
+        joined = " || ' ' || ".join(f"toks[gs.i + {j}]" for j in range(n))
+        joined = joined.replace("toks[gs.i + 0]", "toks[gs.i]")
+        parts.append(
+            f"""SELECT doc_id, {joined} AS f
+  FROM {toks_cte}, generate_series(1, {cap - 1}) gs(i)
+  WHERE gs.i <= len(toks) - {n - 1}"""
+        )
+    return "\n  UNION ALL\n  ".join(parts)
+
+
+def sql_feature_bucket(f_expr: str, nbuckets: int, salt: str = "clf") -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{salt}|' || ({f_expr})), 1, 15)) AS BIGINT)"
+        f" % {int(nbuckets)}"
+    )
+
+
+def sql_hash_weights(nbuckets: int) -> str:
+    """CTE body mirroring :func:`hash_weights`."""
+    return f"""SELECT gs.i AS bucket,
+         CAST(CAST((gs.i * 2654435761 + 12345) % 2000001 - 1000000
+                   AS DECIMAL(12,0)) * CAST('0.000001' AS DECIMAL(7,6))
+              AS DECIMAL(12,6)) AS w
+  FROM generate_series(0, {int(nbuckets) - 1}) gs(i)"""

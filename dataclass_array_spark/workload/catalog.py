@@ -92,6 +92,7 @@ _PRIORITY: Tuple[str, ...] = (
     # next round's never-verified cohort) ----
     "kneser_ney_heldout_docs",
     "bpe_train_batched_docs",
+    "classifier_quality_docs",
     # ---- remaining 15 r10-era (stalest leftover) ----
     "rollup_flag_status",
     "salted_revenue_by_flag",

@@ -614,3 +614,73 @@ QUERIES["kneser_ney_heldout_docs"] = Query(
     kneser_ney_heldout_docs, _kn_heldout_oracle(),
     tags=("text", "quality", "lm", "heldout"),
 )
+
+
+# ------------------------------------------------ hashed-n-gram classifier
+_CLF_BUCKETS = 4096
+
+
+def classifier_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-n-gram LINEAR classifier inference over
+    the documents corpus (word uni+bigrams → md5 buckets → broadcast
+    weight lookup → exact decimal dot product; logistic left to the
+    caller).  The weight table is the deterministic
+    ``hash_weights`` fixture — a real model supplies its own
+    (bucket, w) table of the same shape."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return classifier_score(
+        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
+    ).orderBy("doc_id")
+
+
+def _clf_oracle() -> str:
+    from dataclass_array_spark.operators.classifier import (
+        sql_feature_bucket,
+        sql_hash_weights,
+        sql_ngram_feats,
+    )
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+guard AS (
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('CLF_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
+weights AS (
+  {sql_hash_weights(_CLF_BUCKETS)}
+),
+feats AS (
+  {sql_ngram_feats("toks")}
+),
+fb AS (
+  SELECT doc_id, {sql_feature_bucket("f", _CLF_BUCKETS)} AS bucket FROM feats
+),
+perdoc AS (
+  SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         CAST(SUM(CAST(COALESCE(w.w, 0) AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS s
+  FROM fb LEFT JOIN weights w USING (bucket)
+  GROUP BY fb.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(pd.n_features, CAST(0 AS BIGINT)) AS n_features,
+       CAST(COALESCE(pd.s, 0) AS DOUBLE) AS score,
+       CASE WHEN COALESCE(pd.n_features, 0) > 0
+            THEN CAST(pd.s AS DOUBLE) / CAST(pd.n_features AS DOUBLE)
+            ELSE 0.0 END AS margin
+FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+CROSS JOIN guard
+WHERE guard.ok = 1
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["classifier_quality_docs"] = Query(
+    classifier_quality_docs, _clf_oracle(), tags=("text", "quality", "classifier")
+)

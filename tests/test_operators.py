@@ -2235,3 +2235,49 @@ def test_kneser_ney_heldout_empty_train_raises(spark):
     sdf = spark.createDataFrame([("s1", "a b")], "doc_id string, text string")
     with _pytest.raises(Exception, match="empty training corpus"):
         kneser_ney_xent_scores_heldout(empty, sdf, "text", "doc_id").collect()
+
+
+def test_classifier_score_matches_python_reference(spark):
+    """Hashed-n-gram linear classifier vs a straight-line Python model
+    (hashlib md5 buckets, Fraction-exact dot product): n_features,
+    score, and margin must match on mixed docs including empties,
+    repeated n-grams, and sub-bigram docs."""
+    import hashlib
+    from fractions import Fraction
+
+    from dataclass_array_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+
+    nb = 64  # tiny → guaranteed bucket collisions
+    docs = [
+        ("d1", "the quick brown fox the quick"),
+        ("d2", "single"),
+        ("d3", ""),
+        ("d4", "a a a a"),
+        ("d5", "  spaced   out  tokens "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_features"], r["score"], r["margin"])
+        for r in classifier_score(
+            df, hash_weights(spark, nb), "text", "doc_id", nb
+        ).collect()
+    }
+
+    def bucket(f):
+        return int(hashlib.md5(f"clf|{f}".encode()).hexdigest()[:15], 16) % nb
+
+    def w(b):
+        return Fraction((b * 2654435761 + 12345) % 2000001 - 1000000, 10**6)
+
+    for did, t in docs:
+        toks = t.lower().split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        s = sum((w(bucket(f)) for f in feats), Fraction(0))
+        n, score, margin = got[did]
+        assert n == len(feats), (did, n, len(feats))
+        assert score == float(s), (did, score, float(s))
+        want_m = float(s) / len(feats) if feats else 0.0
+        assert margin == want_m, (did, margin, want_m)

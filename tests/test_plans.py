@@ -717,3 +717,28 @@ def test_bpe_pair_agg_map_side_combined(spark):
     aggs = len(re.findall(r"\(\d+\) HashAggregate", p))
     exch = len(re.findall(r"\(\d+\) Exchange", p))
     assert aggs >= 2 and exch >= 1, (aggs, exch)
+
+
+def test_classifier_weights_broadcast_and_jvm_only(spark):
+    """The classifier's weight table is model-sized (bounded by the
+    declared nbuckets), so its broadcast hint must survive even with
+    the auto threshold disabled (the legal-hint side of the round-12
+    vocab-join rule), and the whole op must stay JVM-side (no
+    Python/Arrow eval in the plan)."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    with _no_broadcast_conf(spark):
+        out = classifier_score(
+            d, hash_weights(spark, 1024), "text", "doc_id", 1024
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        p = buf.getvalue()
+    assert "BroadcastHashJoin" in p, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert marker not in p, marker
