@@ -50,8 +50,10 @@ __all__ = [
     "ngram_features",
     "feature_bucket",
     "classifier_score",
+    "dsir_log_weights",
     "hash_weights",
     "sql_ngram_feats",
+    "sql_ngram_feats_pos",
     "sql_feature_bucket",
     "sql_hash_weights",
 ]
@@ -216,3 +218,142 @@ def sql_hash_weights(nbuckets: int) -> str:
                    AS DECIMAL(12,0)) * CAST('0.000001' AS DECIMAL(7,6))
               AS DECIMAL(12,6)) AS w
   FROM generate_series(0, {int(nbuckets) - 1}) gs(i)"""
+
+
+def dsir_log_weights(
+    target_df: DataFrame,
+    source_df: DataFrame,
+    score_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    nbuckets: int,
+    salt: str = "dsir",
+    n_max: int = 2,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per-document log importance weight of a hashed-n-gram bag-of-
+    features model of the TARGET distribution over the SOURCE
+    distribution —
+
+        ln w(d) = Σ_{f ∈ d} [ ln p̂_t(b(f)) − ln p̂_s(b(f)) ]
+        p̂(b)   = (count(b) + 1) / (N + nbuckets)     (Laplace)
+
+    Resampling/top-k selection by ``log_weight`` is the caller's move
+    (as with the classifier's logistic: the sort key is what matters).
+    → (id, n_features, log_weight); featureless docs score 0.0.
+
+    Exactness: every ln is :func:`~dataclass_array_spark.operators.
+    text.ln_exact` of a POSITIVE INTEGER (count+1, N+nbuckets), the
+    per-doc sum folds in feature-position order (the house IEEE-sum
+    recipe), and the closed form groups per-instance terms as
+    ``Σ (ln(ct+1) − ln(cs+1)) + n·(ln(Ns+nb) − ln(Nt+nb))`` — the
+    DuckDB oracle mirrors that grouping token-for-token, so the gate
+    is hash-exact.
+
+    Plan shape / 100 TB story: the target/source corpora each take ONE
+    in-scan featurize + map-side-combined bucket aggregation whose
+    output is CAPPED at ``nbuckets`` rows (bounded by construction →
+    the per-bucket delta table broadcasts legally, as do the 1-row
+    totals); the scored corpus streams through one broadcast lookup +
+    one per-doc aggregation.  No corpus-sized table is ever joined
+    against another."""
+    from dataclass_array_spark.operators.text import ln_exact
+
+    spark = score_df.sparkSession
+    nb = int(nbuckets)
+    if nb < 1:
+        raise ValueError("dsir_log_weights: nbuckets must be >= 1")
+
+    def corpus_buckets(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(ngram_features(F.col(text_col), n_max)).alias("__f")
+            )
+            .select(feature_bucket(F.col("__f"), nb, salt).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias(alias))
+        )
+
+    ct = corpus_buckets(target_df, "ct")
+    cs = corpus_buckets(source_df, "cs")
+    delta = (
+        spark.range(nb)
+        .select(F.col("id").alias("bucket"))
+        .join(ct, "bucket", "left")
+        .join(cs, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                ln_exact(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+                - ln_exact(F.coalesce(F.col("cs"), F.lit(0)) + F.lit(1))
+            ).alias("__d"),
+        )
+    )
+    scal = (
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("nt"))
+        .crossJoin(
+            cs.agg(F.coalesce(F.sum("cs"), F.lit(0)).cast("long").alias("ns"))
+        )
+        .select(
+            (
+                ln_exact(F.col("ns") + F.lit(nb))
+                - ln_exact(F.col("nt") + F.lit(nb))
+            ).alias("__scal")
+        )
+    )
+    feats = score_df.select(
+        F.col(id_col),
+        F.posexplode_outer(ngram_features(F.col(text_col), n_max)).alias(
+            "__fpos", "__f"
+        ),
+    ).select(
+        id_col,
+        "__fpos",
+        F.when(
+            F.col("__f").isNotNull(), feature_bucket(F.col("__f"), nb, salt)
+        ).alias("bucket"),
+    )
+    entry = F.when(
+        F.col("__fpos").isNotNull(),
+        F.struct(F.col("__fpos"), F.col("__d").alias("d")),
+    )
+    per_doc = (
+        feats.join(F.broadcast(delta), "bucket", "left")
+        .crossJoin(F.broadcast(scal))
+        .groupBy(id_col)
+        .agg(
+            F.count("__fpos").cast("long").alias("n_features"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(entry)), lambda s: s.d
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("__s"),
+            F.first("__scal").alias("__scal"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_features"),
+        (
+            F.col("__s")
+            + F.col("n_features").cast("double") * F.col("__scal")
+        ).alias("log_weight"),
+    )
+
+
+def sql_ngram_feats_pos(toks_cte: str, cap: int = 4096) -> str:
+    """CTE body producing (doc_id, fpos, f) feature INSTANCES with the
+    0-based position matching :func:`ngram_features`'s concat layout
+    (unigrams first, then bigrams) — the order key for the per-doc
+    IEEE fold in :func:`dsir_log_weights`'s oracle.  n_max = 2 only."""
+    return f"""SELECT doc_id, CAST(gs.i - 1 AS BIGINT) AS fpos, toks[gs.i] AS f
+  FROM {toks_cte}, generate_series(1, {cap}) gs(i)
+  WHERE gs.i <= len(toks)
+  UNION ALL
+  SELECT doc_id, CAST(len(toks) + gs.i - 1 AS BIGINT) AS fpos,
+         toks[gs.i] || ' ' || toks[gs.i + 1] AS f
+  FROM {toks_cte}, generate_series(1, {cap - 1}) gs(i)
+  WHERE gs.i <= len(toks) - 1"""

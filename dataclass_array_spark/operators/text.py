@@ -946,3 +946,61 @@ def kneser_ney_xent_scores_heldout(train_df, score_df, text_col: str, id_col: st
         .otherwise(F.lit(0.0))
         .alias("xent_nats"),
     )
+
+
+def pmi_collocations(
+    df, text_col: str, min_count: int = 5, top_k: int = 100
+):
+    """Top-k COLLOCATIONS by pointwise mutual information over adjacent
+    token pairs (Church & Hanks 1990) — the phrase-vocabulary
+    construction pass of a training pipeline (word2vec-style phrase
+    detection joins high-PMI pairs into single tokens):
+
+        pmi(w1, w2) = ln [ c(w1,w2) · N / (c(w1·) · c(·w2)) ]
+
+    with c(w1,w2) the bigram instance count, c(w1·) / c(·w2) the
+    first- / second-position marginals over the SAME bigram instance
+    table, and N the total bigram instances — so every probability is
+    a ratio of positive integers and pmi = :func:`ln_exact`(c·N) −
+    ln_exact(c1·c2) replays bit-for-bit in DuckDB.  Both products run
+    through :func:`checked_i64` (loud BIGINT overflow, matching
+    DuckDB's native behavior).  → (w1, w2, n_pair, pmi), ordered
+    pmi DESC then (w1, w2) ASC (a full tie-break: the doubles are
+    bit-identical cross-engine), limited to ``top_k``.
+
+    Plan shape: ONE corpus-sized bigram aggregation (map-side
+    combined); marginals and N are LM-sized derived aggs; the ln
+    series runs only on pairs passing ``min_count``; final TakeOrdered
+    top-k (no global sort materialization).  100 TB story: identical
+    to the LM scorers — Heaps-bounded LM tables, unhinted join-backs,
+    1-row N broadcast."""
+    if min_count < 1:
+        raise ValueError("pmi_collocations: min_count must be >= 1")
+    inst = _bigram_instances(
+        df.select(F.lit(1).alias("__one"), F.col(text_col)), text_col, "__one"
+    ).filter(F.col("pos").isNotNull())
+    cb = inst.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_pair"))
+    c1 = cb.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("c1"))
+    c2 = cb.groupBy("w2").agg(F.sum("n_pair").cast("long").alias("c2"))
+    nn = cb.agg(F.sum("n_pair").cast("long").alias("N"))
+    cand = (
+        cb.filter(F.col("n_pair") >= F.lit(int(min_count)))
+        .join(c1, ["w1"])
+        .join(c2, ["w2"])
+        .crossJoin(F.broadcast(nn))
+    )
+    pmi = ln_exact(
+        checked_i64(
+            _dec38(F.col("n_pair")) * _dec38(F.col("N")), "pmi numerator c*N"
+        )
+    ) - ln_exact(
+        checked_i64(
+            _dec38(F.col("c1")) * _dec38(F.col("c2")),
+            "pmi denominator c1*c2",
+        )
+    )
+    return (
+        cand.select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(int(top_k))
+    )

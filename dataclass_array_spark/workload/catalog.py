@@ -93,6 +93,8 @@ _PRIORITY: Tuple[str, ...] = (
     "kneser_ney_heldout_docs",
     "bpe_train_batched_docs",
     "classifier_quality_docs",
+    "pmi_collocations_docs",
+    "dsir_weights_docs",
     # ---- remaining 15 r10-era (stalest leftover) ----
     "rollup_flag_status",
     "salted_revenue_by_flag",

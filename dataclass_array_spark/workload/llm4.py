@@ -684,3 +684,176 @@ ORDER BY d.doc_id
 QUERIES["classifier_quality_docs"] = Query(
     classifier_quality_docs, _clf_oracle(), tags=("text", "quality", "classifier")
 )
+
+
+# ------------------------------------------------ PMI collocations
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 200
+
+
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 adjacent-pair collocations by pointwise mutual
+    information (Church & Hanks) over the documents corpus — the
+    phrase-vocabulary construction pass (word2vec-style phrase
+    joining).  Every probability is a ratio of integers, so the PMI
+    doubles are bit-identical to the DuckDB oracle and the top-k
+    order (pmi DESC, w1, w2) is engine-stable."""
+    from dataclass_array_spark.operators.text import pmi_collocations
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return pmi_collocations(
+        d, "text", min_count=_PMI_MIN_COUNT, top_k=_PMI_TOP_K
+    )
+
+
+def _pmi_oracle() -> str:
+    from dataclass_array_spark.operators.text import sql_ln_exact_ctes
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+guard AS (
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('PMI_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
+big AS (
+  SELECT toks[gs.i] AS w1, toks[gs.i + 1] AS w2
+  FROM toks, generate_series(1, 4095) gs(i)
+  WHERE gs.i <= len(toks) - 1
+),
+cb AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM big GROUP BY w1, w2
+),
+c1 AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+c2 AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS c2 FROM cb GROUP BY w2),
+nn AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n FROM cb),
+cand AS (
+  SELECT cb.w1, cb.w2, cb.n_pair, c1.c1, c2.c2
+  FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2)
+  WHERE cb.n_pair >= {_PMI_MIN_COUNT}
+),
+numt AS (
+  SELECT w1, w2, n_pair * (SELECT n FROM nn) AS c FROM cand
+),
+dent AS (
+  SELECT w1, w2, c1 * c2 AS c FROM cand
+),
+{sql_ln_exact_ctes("numt", "w1, w2", "c", "lnnum_t")},
+{sql_ln_exact_ctes("dent", "w1, w2", "c", "lnden_t")}
+SELECT cand.w1, cand.w2, cand.n_pair, n.ln - d.ln AS pmi
+FROM cand
+JOIN lnnum_t n ON n.w1 = cand.w1 AND n.w2 = cand.w2
+JOIN lnden_t d ON d.w1 = cand.w1 AND d.w2 = cand.w2
+CROSS JOIN guard
+WHERE guard.ok = 1
+ORDER BY pmi DESC, cand.w1 ASC, cand.w2 ASC
+LIMIT {_PMI_TOP_K}
+"""
+
+
+QUERIES["pmi_collocations_docs"] = Query(
+    pmi_collocations_docs, _pmi_oracle(), tags=("text", "lm", "phrases")
+)
+
+
+# ------------------------------------------------ DSIR importance weights
+_DSIR_BUCKETS = 4096
+
+
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-n-gram importance
+    weight of every document toward the English-docs TARGET
+    distribution, with the whole corpus as SOURCE — the published
+    recipe for selecting pre-training data that looks like a trusted
+    reference set.  Every ln is ln_exact of a positive integer, so the
+    gate is hash-exact against DuckDB."""
+    from dataclass_array_spark.operators.classifier import dsir_log_weights
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return dsir_log_weights(
+        d.filter(F.col("lang") == "en"), d, d, "text", "doc_id", _DSIR_BUCKETS
+    ).orderBy("doc_id")
+
+
+def _dsir_oracle() -> str:
+    from dataclass_array_spark.operators.classifier import (
+        sql_feature_bucket,
+        sql_ngram_feats,
+        sql_ngram_feats_pos,
+    )
+    from dataclass_array_spark.operators.text import sql_ln_exact_ctes
+
+    nb = _DSIR_BUCKETS
+    bexpr = sql_feature_bucket("f", nb, salt="dsir")
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+guard AS (
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('DSIR_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
+tokst AS (SELECT doc_id, toks FROM toks WHERE lang = 'en'),
+featst AS (
+  {sql_ngram_feats("tokst")}
+),
+featss AS (
+  {sql_ngram_feats("toks")}
+),
+ct AS (
+  SELECT {bexpr} AS bucket, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM featst GROUP BY 1
+),
+cs AS (
+  SELECT {bexpr} AS bucket, CAST(COUNT(*) AS BIGINT) AS cs
+  FROM featss GROUP BY 1
+),
+buckets AS (SELECT gs.i AS bucket FROM generate_series(0, {nb - 1}) gs(i)),
+bt AS (
+  SELECT b.bucket, COALESCE(ct.ct, 0) + 1 AS c
+  FROM buckets b LEFT JOIN ct USING (bucket)
+),
+bs AS (
+  SELECT b.bucket, COALESCE(cs.cs, 0) + 1 AS c
+  FROM buckets b LEFT JOIN cs USING (bucket)
+),
+{sql_ln_exact_ctes("bt", "bucket", "c", "lnt_b")},
+{sql_ln_exact_ctes("bs", "bucket", "c", "lns_b")},
+delta AS (
+  SELECT t.bucket, t.ln - s.ln AS d
+  FROM lnt_b t JOIN lns_b s USING (bucket)
+),
+nt AS (SELECT COALESCE(SUM(ct), 0) + {nb} AS c FROM ct),
+ns AS (SELECT COALESCE(SUM(cs), 0) + {nb} AS c FROM cs),
+{sql_ln_exact_ctes("nt", "c", "c", "lnnt")},
+{sql_ln_exact_ctes("ns", "c", "c", "lnns")},
+scal AS (
+  SELECT (SELECT ln FROM lnns) - (SELECT ln FROM lnnt) AS scal
+),
+fp AS (
+  {sql_ngram_feats_pos("toks")}
+),
+fb AS (SELECT doc_id, fpos, {bexpr} AS bucket FROM fp),
+perdoc AS (
+  SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         list_reduce(list_prepend(0.0, list(dl.d ORDER BY fb.fpos)),
+                     (a, x) -> a + x) AS s
+  FROM fb JOIN delta dl USING (bucket)
+  GROUP BY fb.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(pd.n, CAST(0 AS BIGINT)) AS n_features,
+       COALESCE(pd.s + CAST(pd.n AS DOUBLE) * (SELECT scal FROM scal),
+                0.0) AS log_weight
+FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+CROSS JOIN guard
+WHERE guard.ok = 1
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["dsir_weights_docs"] = Query(
+    dsir_weights_docs, _dsir_oracle(),
+    tags=("text", "quality", "sampling", "classifier"),
+)

@@ -2281,3 +2281,103 @@ def test_classifier_score_matches_python_reference(spark):
         assert score == float(s), (did, score, float(s))
         want_m = float(s) / len(feats) if feats else 0.0
         assert margin == want_m, (did, margin, want_m)
+
+
+def test_pmi_collocations_matches_python_reference(spark):
+    """PMI over adjacent pairs vs a Counter/math Python reference:
+    values, min_count filter, top-k order (pmi DESC, w1, w2)."""
+    import math
+    from collections import Counter
+
+    from dataclass_array_spark.operators.text import pmi_collocations
+
+    docs = [
+        ("d1", "new york new york city"),
+        ("d2", "new york is a big city"),
+        ("d3", "a big apple in new york"),
+        ("d4", "city of new york"),
+        ("d5", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = [
+        (r["w1"], r["w2"], r["n_pair"], r["pmi"])
+        for r in pmi_collocations(df, "text", min_count=2, top_k=5).collect()
+    ]
+
+    cb = Counter()
+    for _, t in docs:
+        toks = t.split()
+        cb.update(zip(toks, toks[1:]))
+    c1, c2 = Counter(), Counter()
+    for (w1, w2), c in cb.items():
+        c1[w1] += c
+        c2[w2] += c
+    n = sum(cb.values())
+    cands = [
+        (w1, w2, c, math.log(c * n) - math.log(c1[w1] * c2[w2]))
+        for (w1, w2), c in cb.items()
+        if c >= 2
+    ]
+    cands.sort(key=lambda x: (-x[3], x[0], x[1]))
+    want = cands[:5]
+    assert [(a, b, c) for a, b, c, _ in want] == [
+        (a, b, c) for a, b, c, _ in got
+    ]
+    for (_, _, _, wp), (_, _, _, gp) in zip(want, got):
+        assert abs(wp - gp) < 1e-9
+
+
+def test_dsir_log_weights_matches_python_reference(spark):
+    """DSIR importance weights vs a hashlib/math Python reference:
+    Laplace-smoothed hashed-feature distributions, per-doc ordered sum,
+    empty-doc zero.  Target docs must score higher than off-target."""
+    import hashlib
+    import math
+
+    from dataclass_array_spark.operators.classifier import dsir_log_weights
+
+    nb = 128
+    target = [("t1", "the cat sat on the mat"), ("t2", "the cat ran")]
+    source = target + [
+        ("s1", "der hund lief schnell weg"),
+        ("s2", "el gato corre"),
+        ("s3", ""),
+    ]
+    tdf = spark.createDataFrame(target, "doc_id string, text string")
+    sdf = spark.createDataFrame(source, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_features"], r["log_weight"])
+        for r in dsir_log_weights(
+            tdf, sdf, sdf, "text", "doc_id", nb
+        ).collect()
+    }
+
+    def feats(t):
+        toks = t.lower().split()
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f"dsir|{f}".encode()).hexdigest()[:15], 16) % nb
+
+    ct, cs = {}, {}
+    for _, t in target:
+        for f in feats(t):
+            ct[bucket(f)] = ct.get(bucket(f), 0) + 1
+    for _, t in source:
+        for f in feats(t):
+            cs[bucket(f)] = cs.get(bucket(f), 0) + 1
+    nt, ns = sum(ct.values()) + nb, sum(cs.values()) + nb
+    scal = math.log(ns) - math.log(nt)
+    for did, t in source:
+        fs = feats(t)
+        s = 0.0
+        for f in fs:
+            b = bucket(f)
+            s += math.log(ct.get(b, 0) + 1) - math.log(cs.get(b, 0) + 1)
+        want = s + len(fs) * scal if fs else 0.0
+        n, lw = got[did]
+        assert n == len(fs), (did, n, len(fs))
+        assert abs(lw - want) < 1e-9, (did, lw, want)
+    # in-target docs outscore off-target docs
+    assert min(got["t1"][1], got["t2"][1]) > max(got["s1"][1], got["s2"][1])
+    assert got["s3"] == (0, 0.0)

@@ -742,3 +742,23 @@ def test_classifier_weights_broadcast_and_jvm_only(spark):
     assert "BroadcastHashJoin" in p, p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
         assert marker not in p, marker
+
+
+def test_dsir_delta_broadcast_and_jvm_only(spark):
+    """DSIR's per-bucket delta table is CAPPED at nbuckets rows (the
+    range side bounds the joins), so its broadcast hint must survive a
+    disabled auto threshold; the scored corpus must never sort-merge
+    join, and the whole plan stays JVM-side."""
+    from dataclass_array_spark.operators.classifier import dsir_log_weights
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    t = d.limit(100)
+    with _no_broadcast_conf(spark):
+        out = dsir_log_weights(t, d, d, "text", "doc_id", 512)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        p = buf.getvalue()
+    assert "BroadcastHashJoin" in p, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert marker not in p, marker
