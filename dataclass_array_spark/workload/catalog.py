@@ -95,6 +95,7 @@ _PRIORITY: Tuple[str, ...] = (
     "classifier_quality_docs",
     "pmi_collocations_docs",
     "dsir_weights_docs",
+    "ccnet_buckets_docs",
     # ---- remaining 15 r10-era (stalest leftover) ----
     "rollup_flag_status",
     "salted_revenue_by_flag",

@@ -857,3 +857,55 @@ QUERIES["dsir_weights_docs"] = Query(
     dsir_weights_docs, _dsir_oracle(),
     tags=("text", "quality", "sampling", "classifier"),
 )
+
+
+# ------------------------------------------------ CCNet perplexity buckets
+def ccnet_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): per
+    LANGUAGE, split documents into head/middle/tail terciles of LM
+    cross-entropy (head = lowest perplexity = cleanest) — the
+    selection step that consumes the KN scores.  ntile ties are fully
+    broken by (xent_nats, doc_id); xent doubles are bit-identical
+    cross-engine, so the tercile assignment is engine-stable.
+    Composition gate: kneser_ney_xent_scores → window ntile."""
+    from pyspark.sql import Window
+
+    from dataclass_array_spark.operators.text import kneser_ney_xent_scores
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    scored = kneser_ney_xent_scores(d, "text", "doc_id").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("xent_nats"), F.asc("doc_id")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "xent_nats",
+            F.ntile(3).over(w).cast("long").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ccnet_oracle() -> str:
+    kn = _kn_lm_oracle().strip()
+    # reuse the KN oracle as a subquery; bucket by per-lang xent terciles
+    return f"""
+WITH kn AS (
+{kn}
+)
+SELECT kn.doc_id, d.lang, kn.xent_nats,
+       CAST(NTILE(3) OVER (PARTITION BY d.lang
+                           ORDER BY kn.xent_nats ASC, kn.doc_id ASC)
+            AS BIGINT) AS bucket
+FROM kn JOIN documents d USING (doc_id)
+ORDER BY kn.doc_id
+"""
+
+
+QUERIES["ccnet_buckets_docs"] = Query(
+    ccnet_buckets_docs, _ccnet_oracle(), tags=("text", "quality", "sampling")
+)
