@@ -1,9 +1,11 @@
-"""Round-12 query extensions: BPE tokenizer training + encoding (the
-vocab-CONSTRUCTION half of the tokenize story — ``tokenize_with_vocab``
-consumes a vocabulary, these build one), URL/domain canonicalization +
-URL-level dedup (the first pass of every crawl pipeline), a
-zipfian-skew salted aggregation stress gate, and the KLL-style
-mergeable rank sketch.
+"""Round-12/13 query extensions: BPE tokenizer training + encoding
+(sequential and provably-equal batched forms), URL/domain
+canonicalization + URL-level dedup + PSL registrable-domain rollups
+(the first pass of every crawl pipeline), a zipfian-skew salted
+aggregation stress gate, the q-digest mergeable rank sketch,
+Kneser-Ney LM scoring (self + held-out), the hashed-n-gram linear
+classifier + DSIR importance weights, PMI collocations, and CCNet
+perplexity buckets.
 
 Same contract as :mod:`workload.llm`: every query binds an operator to
 the driver tables and carries a value-exact DuckDB oracle.
