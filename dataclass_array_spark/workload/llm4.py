@@ -83,11 +83,15 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE merges → (doc_id, n_bpe_tokens, toks_json).  The iterative part
     runs over the DISTINCT-WORD table only; documents get their
     segmentations back via one corpus-side join (unhinted — both sides
-    corpus-derived)."""
+    corpus-derived).  Training runs batched (``batch_pairs=16`` —
+    provably identical merges, fewer sequential jobs); the oracle is
+    unchanged by the equality proof."""
     from dataclass_array_spark.operators.bpe import bpe_encode, bpe_train
 
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    merges = bpe_train(d, "text", _BPE_MERGES, min_count=_BPE_MIN_COUNT)
+    merges = bpe_train(
+        d, "text", _BPE_MERGES, min_count=_BPE_MIN_COUNT, batch_pairs=16
+    )
     return bpe_encode(d, "text", "doc_id", merges).orderBy("doc_id")
 
 
@@ -481,13 +485,17 @@ def bpe_heldout_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with it.  BPE has no OOV failure mode at the character level —
     score-corpus words whose pairs never merged simply stay as finer
     segments — so the held-out encode is exact end-to-end and the
-    oracle replays both ladders (train + apply-only) unrolled."""
+    oracle replays both ladders (train + apply-only) unrolled.
+    Training runs batched (``batch_pairs=16`` — provably identical
+    merges; oracle unchanged)."""
     from dataclass_array_spark.operators.bpe import bpe_encode, bpe_train
 
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     train = d.filter(F.col("doc_id") % 2 == 0)
     score = d.filter(F.col("doc_id") % 2 == 1)
-    merges = bpe_train(train, "text", _BPE_MERGES, min_count=_BPE_MIN_COUNT)
+    merges = bpe_train(
+        train, "text", _BPE_MERGES, min_count=_BPE_MIN_COUNT, batch_pairs=16
+    )
     return bpe_encode(score, "text", "doc_id", merges).orderBy("doc_id")
 
 
