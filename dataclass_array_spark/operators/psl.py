@@ -240,10 +240,25 @@ def host_registrable_map(
     sized, never corpus-sized — callers aggregate the corpus by host
     FIRST (see module docstring)."""
     spark = hosts_df.sparkSession
+    custom_rules = rules_df is not None
     if rules_df is None:
         rules_df = psl_rules_df(spark)
     if max_rule_labels is None:
-        max_rule_labels = _max_rule_labels(parse_psl_rules(PSL_SNAPSHOT))
+        if custom_rules:
+            # derive from the rules ACTUALLY supplied — defaulting from
+            # the snapshot silently truncated candidate generation for
+            # deeper custom rules (round-13 review fix); the rules
+            # table is bounded, so this 1-row agg is free
+            max_rule_labels = rules_df.agg(
+                F.max("rule_labels")
+            ).collect()[0][0]
+            if max_rule_labels is None:
+                raise ValueError(
+                    "host_registrable_map: rules_df is empty; pass "
+                    "max_rule_labels or a non-empty rules table"
+                )
+        else:
+            max_rule_labels = _max_rule_labels(parse_psl_rules(PSL_SNAPSHOT))
     labels = F.split(F.col(host_col), r"\.")
     cand = hosts_df.select(
         F.col(host_col),
@@ -298,7 +313,7 @@ def registrable_sql_ctes(
     as ``WITH …, {this}, … SELECT``."""
     parsed = parse_psl_rules(rules if rules is not None else PSL_SNAPSHOT)
     max_l = _max_rule_labels(parsed)
-    values = ", ".join(f"('{k}', {n}, {e})" for k, n, e in parsed)
+    values = psl_rules_values_sql(rules)  # single source with psl_rules_df
     h = host_col
     return f"""{prefix}_rules(rule_key, rule_labels, is_exc) AS (VALUES {values}),
 {prefix}_hl AS (

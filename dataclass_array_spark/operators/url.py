@@ -1,4 +1,4 @@
-"""URL / domain canonicalization and URL-level dedup — the first pass
+r"""URL / domain canonicalization and URL-level dedup — the first pass
 of every crawl pipeline (round-12 VERDICT item 4; percent-encoding and
 dot-segment normalization added round 13, VERDICT item 6).
 
@@ -44,7 +44,11 @@ empty segment like RFC §5.2.4; pathological either way).
 Everything is regexp / split / transform / filter with patterns chosen
 to behave identically in Java regex (Spark) and RE2 (DuckDB) —
 anchored, no backrefs, no lookaround — so the oracle mirrors the
-operator expression-for-expression (:func:`canon_sql`).
+operator expression-for-expression (:func:`canon_sql`).  End anchors
+are ``\z`` (end of TEXT in both engines), never ``$``: Java's ``$``
+matches before a final line terminator while RE2's does not, so a
+crawl URL ending in a newline would canonicalize differently per
+engine (round-13 review fix; the fuzz alphabet includes ``\n``).
 
 Registrable-domain extraction: :func:`url_domain` is the LAST-TWO-LABEL
 approximation (``a.b.example.co.uk`` → ``co.uk``, which is WRONG under
@@ -71,7 +75,7 @@ __all__ = [
 
 # anchored param-name match, with or without '=value' (bare '?gclid'
 # occurs in real crawl data); identical semantics in Java regex and RE2
-TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_eid)(=|$)"
+TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_eid)(=|\\z)"
 _SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
 
 # %XX whose octet is RFC 3986 unreserved: ALPHA (41-5A, 61-7A),
@@ -79,16 +83,16 @@ _SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
 # UPPERCASED hex pair, so decode() only ever sees valid ASCII (DuckDB's
 # decode() errors on invalid UTF-8; this guard keeps both engines safe).
 _HEX2_RE = "^[0-9A-Fa-f]{2}"
-_UNRES_HEX_RE = "^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$"
+_UNRES_HEX_RE = "^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)\\z"
 
 # One pass collapses at least one dot-segment nesting level; 8 passes
 # resolve any '..' ascent of depth ≤ 8 (crawl URLs rarely exceed 2).
 _DOT_PASSES = 8
-_P_DOTSLASH = r"/\.(/|$)"          # '/./' anywhere, '/.' at end
-_P_LEAD = r"^(/\.\.)+(/|$)"        # leading '/../' runs drop at root
+_P_DOTSLASH = r"/\.(/|\z)"          # '/./' anywhere, '/.' at end
+_P_LEAD = r"^(/\.\.)+(/|\z)"        # leading '/../' runs drop at root
 # '/seg/../' pops seg; seg may be empty (RFC pops empty segments) but
 # never '.' or '..' themselves (those are handled by the other two)
-_P_UP = r"/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)?/\.\.(/|$)"
+_P_UP = r"/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)?/\.\.(/|\z)"
 
 _BIG = 2147483647
 
@@ -166,17 +170,23 @@ def _parts(u: Column):
     t = F.trim(u)
     # trim AGAIN after the fragment strip: '…a #f' must not leave a
     # trailing space behind (idempotency — the fuzz caught it)
-    nf = F.trim(F.regexp_replace(t, "#.*", ""))   # fragment
+    # '#[\\s\\S]*' (not '#.*'): '.' excludes \n in both engines, so a
+    # fragment containing a newline would leave '#'-splinters -- and
+    # Spark replaces ALL matches while DuckDB replaces the FIRST, so
+    # '#a\n#b' diverged (found by the newline fuzz).  [\\s\\S] makes it
+    # one rest-of-string match in both engines (and is the RFC-true
+    # fragment: everything after the FIRST '#')
+    nf = F.trim(F.regexp_replace(t, "#[\\s\\S]*", ""))   # fragment
     is_url = nf.rlike(_SCHEME_RE)
     scheme = F.lower(F.regexp_extract(nf, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     after = F.regexp_replace(nf, _SCHEME_RE, "")
     auth = F.regexp_extract(after, "^([^/?]*)", 1)
     hostport = F.regexp_replace(auth, "^[^@]*@", "")
-    host = F.lower(F.regexp_replace(hostport, ":[0-9]*$", ""))
-    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    host = F.lower(F.regexp_replace(hostport, ":[0-9]*\\z", ""))
+    port = F.regexp_extract(hostport, ":([0-9]+)\\z", 1)
     pathq = F.regexp_replace(after, "^[^/?]*", "")
     path = F.regexp_extract(pathq, "^([^?]*)", 1)
-    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    query = F.regexp_extract(pathq, r"\?(.*)\z", 1)
     return t, nf, is_url, scheme, host, port, path, query
 
 
@@ -218,7 +228,7 @@ def url_domain(u: Column) -> Column:
     WRONG for multi-label public suffixes (``co.uk``); the cheap
     in-scan form.  PSL-correct extraction is
     :func:`dataclass_array_spark.operators.psl.host_registrable_map`."""
-    return F.regexp_extract(url_host(u), r"([^.]+\.[^.]+)$", 1)
+    return F.regexp_extract(url_host(u), r"([^.]+\.[^.]+)\z", 1)
 
 
 def dedup_urls(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
@@ -251,7 +261,7 @@ def canon_sql(u_expr: str) -> str:
     regexp_extract returns NULL on no-match where Spark returns '' —
     every extract is COALESCE-wrapped to '' so each stage mirrors
     1:1."""
-    nf = f"trim(regexp_replace(trim({u_expr}), '#.*', ''))"
+    nf = f"trim(regexp_replace(trim({u_expr}), '#[\\s\\S]*', ''))"
     scheme = (
         "lower(COALESCE(regexp_extract("
         f"{nf}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''))"
@@ -259,11 +269,11 @@ def canon_sql(u_expr: str) -> str:
     after = f"regexp_replace({nf}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
     auth = f"COALESCE(regexp_extract({after}, '^([^/?]*)', 1), '')"
     hostport = f"regexp_replace({auth}, '^[^@]*@', '')"
-    host = f"lower(regexp_replace({hostport}, ':[0-9]*$', ''))"
-    port = f"COALESCE(regexp_extract({hostport}, ':([0-9]+)$', 1), '')"
+    host = f"lower(regexp_replace({hostport}, ':[0-9]*\\z', ''))"
+    port = f"COALESCE(regexp_extract({hostport}, ':([0-9]+)\\z', 1), '')"
     pathq = f"regexp_replace({after}, '^[^/?]*', '')"
     path = f"COALESCE(regexp_extract({pathq}, '^([^?]*)', 1), '')"
-    query = f"COALESCE(regexp_extract({pathq}, '\\?(.*)$', 1), '')"
+    query = f"COALESCE(regexp_extract({pathq}, '\\?(.*)\\z', 1), '')"
     norm_path = _dots_sql(_pct_sql(path))
     # array_to_string of an empty list is NULL in DuckDB ('' in Spark)
     kept = (
@@ -288,11 +298,11 @@ def canon_sql(u_expr: str) -> str:
 
 def host_sql(u_expr: str) -> str:
     """DuckDB mirror of :func:`url_host` ('' for non-URLs)."""
-    nf = f"trim(regexp_replace(trim({u_expr}), '#.*', ''))"
+    nf = f"trim(regexp_replace(trim({u_expr}), '#[\\s\\S]*', ''))"
     after = f"regexp_replace({nf}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
     auth = f"COALESCE(regexp_extract({after}, '^([^/?]*)', 1), '')"
     hostport = f"regexp_replace({auth}, '^[^@]*@', '')"
-    host = f"lower(regexp_replace({hostport}, ':[0-9]*$', ''))"
+    host = f"lower(regexp_replace({hostport}, ':[0-9]*\\z', ''))"
     return (
         f"CASE WHEN regexp_matches({nf}, '^[A-Za-z][A-Za-z0-9+.-]*://') "
         f"THEN {host} ELSE '' END"
@@ -304,5 +314,5 @@ def domain_sql(u_expr: str) -> str:
     approximation of the registrable domain)."""
     return (
         f"COALESCE(regexp_extract({host_sql(u_expr)}, "
-        "'([^.]+\\.[^.]+)$', 1), '')"
+        "'([^.]+\\.[^.]+)\\z', 1), '')"
     )

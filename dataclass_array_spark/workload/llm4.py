@@ -877,25 +877,21 @@ def ccnet_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection step that consumes the KN scores.  ntile ties are fully
     broken by (xent_nats, doc_id); xent doubles are bit-identical
     cross-engine, so the tercile assignment is engine-stable.
-    Composition gate: kneser_ney_xent_scores → window ntile."""
-    from pyspark.sql import Window
-
+    Composition gate: kneser_ney_xent_scores → ``rank.grouped_ntile``
+    — the TWO-PHASE exact ntile (round-13 review fix: a window
+    partitioned only by low-cardinality ``lang`` is a corpus-sized
+    single-task sort at 100 TB; grouped_ntile range-partitions and
+    ranks per task, value-identical by differential test)."""
+    from dataclass_array_spark.operators.rank import grouped_ntile
     from dataclass_array_spark.operators.text import kneser_ney_xent_scores
 
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     scored = kneser_ney_xent_scores(d, "text", "doc_id").join(
         d.select("doc_id", "lang"), "doc_id"
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.asc("xent_nats"), F.asc("doc_id")
-    )
     return (
-        scored.select(
-            "doc_id",
-            "lang",
-            "xent_nats",
-            F.ntile(3).over(w).cast("long").alias("bucket"),
-        )
+        grouped_ntile(scored, "lang", ["xent_nats", "doc_id"], 3)
+        .select("doc_id", "lang", "xent_nats", "bucket")
         .orderBy("doc_id")
     )
 

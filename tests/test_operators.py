@@ -2381,3 +2381,54 @@ def test_dsir_log_weights_matches_python_reference(spark):
     # in-target docs outscore off-target docs
     assert min(got["t1"][1], got["t2"][1]) > max(got["s1"][1], got["s2"][1])
     assert got["s3"] == (0, 0.0)
+
+
+def test_grouped_ntile_matches_window_ntile(spark):
+    """grouped_ntile (two-phase, no single-task-per-group sort) must be
+    value-identical to F.ntile over the same fully tie-broken order —
+    including groups smaller than n, ties in the order value, and
+    uneven divisions."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataclass_array_spark.operators.rank import (
+        grouped_ntile,
+        grouped_rank,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (f"g{rng.randint(0, 4)}", float(rng.randint(0, 9)), i)
+        for i in range(500)
+    ] + [("tiny", 1.0, 1000), ("tiny", 1.0, 1001)]  # group smaller than n
+    df = spark.createDataFrame(rows, "g string, v double, id long").repartition(8)
+
+    for n in (2, 3, 4, 7):
+        got = {
+            r["id"]: r["bucket"]
+            for r in grouped_ntile(df, "g", ["v", "id"], n).collect()
+        }
+        w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+        want = {
+            r["id"]: r["b"]
+            for r in df.select(
+                "id", F.ntile(n).over(w).cast("long").alias("b")
+            ).collect()
+        }
+        assert got == want, (n, {k: (got[k], want[k]) for k in got if got[k] != want[k]})
+
+    # rank itself: dense global order per group
+    ranked = {
+        r["id"]: r["rank"]
+        for r in grouped_rank(df, "g", ["v", "id"]).collect()
+    }
+    wr = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    want_r = {
+        r["id"]: r["r"]
+        for r in df.select(
+            "id", F.row_number().over(wr).cast("long").alias("r")
+        ).collect()
+    }
+    assert ranked == want_r

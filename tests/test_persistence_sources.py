@@ -205,6 +205,9 @@ def test_read_wet_body_warc_line_does_not_split(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["text"] == body
     assert rows[0]["n_chars"] == len(body)
+
+
+def test_read_text_docs_whole_file_mode(spark, tmp_path):
     """Regression (round 12): .option('wholetext', <bool>) is silently
     ignored by the text source — whole_file=True must yield ONE row per
     file, not one per line."""

@@ -347,3 +347,90 @@ def test_canonicalize_spark_duckdb_fuzz_parity(spark):
         assert got == want
 
     run()
+
+
+def _sql_str(c: str) -> str:
+    """Proper SQL standard-string literal (embedded newlines stay raw;
+    quotes doubled) — repr() would turn \\n into a backslash-n."""
+    return "'" + c.replace("'", "''") + "'"
+
+
+def test_canonicalize_newline_parity(spark):
+    """Round-13 review fix: Java's '$' matches before a FINAL line
+    terminator, RE2's does not — end anchors must be '\\z' in both
+    engines or a crawl URL ending in a newline canonicalizes
+    differently per engine.  Curated newline cases + a newline-heavy
+    differential fuzz."""
+    from hypothesis import given, settings, strategies as st
+
+    from dataclass_array_spark.operators.url import canon_sql, canonicalize_url
+
+    def both(batch):
+        df = spark.createDataFrame([(c,) for c in batch], "u string")
+        got = [
+            r["c"]
+            for r in df.select(canonicalize_url(F.col("u")).alias("c")).collect()
+        ]
+        vals = ", ".join(f"({_sql_str(c)})" for c in batch)
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT {canon_sql('u')} FROM (VALUES {vals}) t(u)"
+            ).fetchall()
+        ]
+        return got, want
+
+    curated = [
+        "http://x.com/a/..\n",          # the review's exact divergence
+        "http://x.com/a/.\n",
+        "http://x.com/?gclid\n",
+        "http://x.com:80\n",
+        "http://x.com/p?q=1\n",
+        "http://x.com/%41\n",
+        "b.example.co.uk\n",
+    ]
+    got, want = both(curated)
+    assert got == want, list(zip(curated, got, want))
+
+    raw = st.text(alphabet="a/.%41:?&=#\n", min_size=0, max_size=30)
+    urlish = raw.map(lambda s: "http://x.com" + ("/" + s if s else ""))
+    cases = st.lists(st.one_of(raw, urlish), min_size=1, max_size=30)
+
+    @settings(max_examples=10, deadline=None)
+    @given(cases)
+    def run(batch):
+        got, want = both(batch)
+        assert got == want, [
+            (b, g, w) for b, g, w in zip(batch, got, want) if g != w
+        ][:3]
+
+    run()
+
+
+def test_psl_custom_rules_derive_max_labels(spark):
+    """Round-13 review fix: with a CUSTOM rules_df, max_rule_labels
+    must derive from the rules actually supplied — defaulting from the
+    snapshot (max 3 labels) silently never matched deeper rules."""
+    from dataclass_array_spark.operators.psl import (
+        host_registrable_map,
+        psl_rules_df,
+    )
+
+    rules = psl_rules_df(spark, ["a.b.c.d", "com"])  # a 4-label rule
+    hosts = spark.createDataFrame(
+        [("x.a.b.c.d",), ("y.x.a.b.c.d",), ("e.com",)], "host string"
+    )
+    got = {
+        r["host"]: r["domain"]
+        for r in host_registrable_map(hosts, "host", rules_df=rules).collect()
+    }
+    # the 4-label suffix must match: registrable = one label more
+    assert got["x.a.b.c.d"] == "x.a.b.c.d"
+    assert got["y.x.a.b.c.d"] == "x.a.b.c.d"
+    assert got["e.com"] == "e.com"
+
+    import pytest as _pytest
+
+    empty = psl_rules_df(spark, [])
+    with _pytest.raises(ValueError, match="rules_df is empty"):
+        host_registrable_map(hosts, "host", rules_df=empty)
