@@ -96,6 +96,7 @@ _PRIORITY: Tuple[str, ...] = (
     "pmi_collocations_docs",
     "dsir_weights_docs",
     "ccnet_buckets_docs",
+    "grouped_rank_prices",
     # ---- remaining 15 r10-era (stalest leftover) ----
     "rollup_flag_status",
     "salted_revenue_by_flag",

@@ -915,3 +915,53 @@ ORDER BY kn.doc_id
 QUERIES["ccnet_buckets_docs"] = Query(
     ccnet_buckets_docs, _ccnet_oracle(), tags=("text", "quality", "sampling")
 )
+
+
+# ------------------------------------------------ two-phase grouped rank
+def grouped_rank_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct driver verification of ``rank.grouped_rank``: per
+    l_returnflag, the 100 cheapest lineitems by (price, orderkey,
+    linenumber) with their EXACT within-group rank — computed by the
+    two-phase range-partition + offset machinery (never a single-task
+    per-group sort), verified against the window ROW_NUMBER oracle."""
+    from dataclass_array_spark.operators.rank import grouped_rank
+
+    t = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    d = spread(
+        t.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+    ranked = grouped_rank(
+        d, "l_returnflag", ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    )
+    return (
+        ranked.filter(F.col("rank") <= 100)
+        .select(
+            "l_returnflag",
+            F.col("rank"),
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "l_extendedprice",
+        )
+        .orderBy("l_returnflag", "rank")
+    )
+
+
+_GROUPED_RANK_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC
+         ) AS BIGINT) AS rank,
+         l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT * FROM r WHERE rank <= 100
+ORDER BY l_returnflag, rank
+"""
+
+
+QUERIES["grouped_rank_prices"] = Query(
+    grouped_rank_prices, _GROUPED_RANK_ORACLE, tags=("relational", "rank")
+)

@@ -762,3 +762,18 @@ def test_dsir_delta_broadcast_and_jvm_only(spark):
     assert "BroadcastHashJoin" in p, p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
         assert marker not in p, marker
+
+
+def test_grouped_ntile_no_single_task_group_sort(spark):
+    """The ccnet bucket gate must rank through the two-phase path: its
+    executed plan's window specs partition by (spark_partition_id,
+    group), never by the low-cardinality group alone (which would be a
+    corpus-sized single-task sort per language at 100 TB)."""
+    import re
+
+    p = plan(spark, "ccnet_buckets_docs")
+    assert "__pid" in p, p  # the two-phase partition-id column
+    # no window partitioned by lang alone
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        head = [s.strip().split("#")[0] for s in spec.split(",")[:2]]
+        assert head[:1] != ["lang"], spec
