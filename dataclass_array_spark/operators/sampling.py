@@ -423,3 +423,61 @@ WITH t AS (
 SELECT {id_col}, {group_col}, CAST(cum * 1000000 AS BIGINT) AS cum_e6
 FROM r WHERE cum * {int(p_den)} <= tot * {int(p_num)}
 ORDER BY {id_col}"""
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    cap: int,
+    id_cols: Sequence[str],
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key — the crawl pipeline's
+    PER-DOMAIN QUOTA (every production crawl caps documents per
+    registrable domain so megasites don't dominate the corpus; see
+    e.g. the C4/Gopher per-domain budgets).  Deterministic: surviving
+    rows are the ``cap`` smallest under ``md5(salt | id)`` — an
+    unbiased, re-run-stable uniform choice per key (the
+    :func:`hash_bucket` discipline), with ``id_cols`` (a unique key)
+    as the final tie-break so the order is total.
+
+    Plan shape (100 TB): one hash-partition-by-key window.  The key is
+    high-cardinality by use case (domains, hosts), so per-group state
+    is tiny and parallelism is full; Spark's WindowGroupLimit pushes
+    the ``rank <= cap`` filter below the shuffle (partial per-task
+    top-cap before the exchange — plan-asserted in tests), so the
+    shuffle carries at most ``cap`` rows per (task, key), not the full
+    corpus.  For LOW-cardinality keys use ``operators.rank.grouped_rank``
+    + a filter instead (the single-task-per-group sort caveat there).
+    """
+    if cap < 1:
+        raise ValueError("cap_per_key: cap must be >= 1")
+    from pyspark.sql import Window
+
+    pri = F.md5(
+        F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in id_cols])
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        pri, *[F.col(c) for c in id_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def sql_cap_per_key_pred(
+    key_cols: Sequence[str],
+    cap: int,
+    id_cols: Sequence[str],
+    salt: str = "cap",
+) -> str:
+    """DuckDB QUALIFY predicate mirroring :func:`cap_per_key` (same
+    md5 priority, same tie-break)."""
+    id_cat = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in id_cols)
+    order = ", ".join([f"md5('{salt}|' || {id_cat})", *id_cols])
+    keys = ", ".join(key_cols)
+    return (
+        f"ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY {order}) <= {int(cap)}"
+    )

@@ -318,6 +318,19 @@ LN2_DOUBLE = 0.6931471805599453  # shortest repr; parses to the same bits
 _LN_SERIES_K = 20
 
 
+def _artanh_series(z: Column) -> Column:
+    """The fixed-order artanh series shared by :func:`ln_exact` and
+    :func:`ln_exact_dec` — one evaluation order, mirrored textually by
+    :func:`sql_ln_series`."""
+    z2 = z * z
+    term = z
+    acc = z
+    for k in range(1, _LN_SERIES_K):
+        term = term * z2
+        acc = acc + term / F.lit(float(2 * k + 1))
+    return acc
+
+
 def ln_exact(n: Column) -> Column:
     """ln of a positive integer column as DOUBLE via the fixed-order
     series above; bit-identical to :func:`sql_ln_exact_ctes` in DuckDB
@@ -328,18 +341,10 @@ def ln_exact(n: Column) -> Column:
         "shiftleft", F.lit(1).cast("long"), e
     ).cast("double")
 
-    def series(z: Column) -> Column:
-        z2 = z * z
-        term = z
-        acc = z
-        for k in range(1, _LN_SERIES_K):
-            term = term * z2
-            acc = acc + term / F.lit(float(2 * k + 1))
-        return acc
-
     return let(
         (m - F.lit(1.0)) / (m + F.lit(1.0)),
-        lambda z: e.cast("double") * F.lit(LN2_DOUBLE) + F.lit(2.0) * series(z),
+        lambda z: e.cast("double") * F.lit(LN2_DOUBLE)
+        + F.lit(2.0) * _artanh_series(z),
     )
 
 

@@ -97,6 +97,8 @@ _PRIORITY: Tuple[str, ...] = (
     "dsir_weights_docs",
     "ccnet_buckets_docs",
     "grouped_rank_prices",
+    "blocklist_filter_docs",
+    "domain_cap_docs",
     # ---- remaining 15 r10-era (stalest leftover) ----
     "rollup_flag_status",
     "salted_revenue_by_flag",
@@ -225,7 +227,8 @@ def _collect() -> Dict[str, Query]:
     # fewer queries instead of a failure.
     for modname in (
         "tpch", "tpch2", "tpch3", "relational", "relational2",
-        "events", "llm", "llm2", "llm3", "llm4", "streaming", "shapes",
+        "events", "llm", "llm2", "llm3", "llm4", "llm5", "streaming",
+        "shapes",
     ):
         mod = __import__(
             f"dataclass_array_spark.workload.{modname}", fromlist=["QUERIES"]

@@ -777,3 +777,29 @@ def test_grouped_ntile_no_single_task_group_sort(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         head = [s.strip().split("#")[0] for s in spec.split(",")[:2]]
         assert head[:1] != ["lang"], spec
+
+
+def test_blocklist_phrases_broadcast_and_jvm_only(spark):
+    """The blocklist phrase table is user-supplied and bounded by
+    construction (the BPE-user-vocab rule), so its broadcast hint must
+    survive a disabled auto threshold; the whole op stays JVM-side."""
+    from dataclass_array_spark.operators.blocklist import blocklist_matches
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    with _no_broadcast_conf(spark):
+        out = blocklist_matches(d, "text", "doc_id", ["hash join", "dup"])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        p = buf.getvalue()
+    assert "BroadcastHashJoin" in p, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert marker not in p, marker
+
+
+def test_cap_per_key_window_group_limit(spark):
+    """cap_per_key's rank<=cap filter must reach WindowGroupLimit so
+    the shuffle carries at most cap rows per (task, key) — the
+    map-side top-k pushdown the 100 TB per-domain quota depends on."""
+    p = plan(spark, "domain_cap_docs")
+    assert "WindowGroupLimit" in p, p
