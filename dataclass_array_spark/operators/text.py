@@ -376,6 +376,121 @@ def sql_ln_exact_ctes(src: str, key: str, n: str, out: str) -> str:
 )"""
 
 
+# ---- decimal(38,0)-wide exact ln -----------------------------------
+# ln_exact's m = n/2^e trick needs n as ONE machine integer, capping it
+# at BIGINT (the Kneser-Ney ~10^9-bigram-type ceiling).  ln_exact_dec
+# lifts the domain to integer-valued decimal(38,0) — wide enough for
+# the trigram-KN numerator at full 100 TB scale — by splitting n into
+# three EXACT machine integers first:
+#     n = a·2^124 + b·2^62 + c,   a < 2^3, b < 2^62, c < 2^62
+# (every split op below is value-exact in both engines: decimal
+# %/−// with integer results), then rebuilding m in a FIXED double
+# sequence — each engine performs the identical op list, so the
+# doubles match bit-for-bit even though b, c exceed 2^53:
+#     a > 0:  e = 124 + e_a,  m = (a + b/2^62 + c/2^124) / 2^e_a
+#     b > 0:  e =  62 + e_b,  m = (b + c/2^62) / 2^e_b
+#     else:   e = e_c,        m = c / 2^e_c           (== ln_exact)
+# with e_x = floor(log2 x) via length(bin(x)) − 1 and the 2^62 / 2^124
+# divisors as double literals (exact powers of two).  m lands within a
+# few ulp of [1, 2) — the artanh series converges identically there.
+_POW2_62 = 1 << 62
+_POW2_124 = 1 << 124
+_D62_LIT = float(_POW2_62)  # shortest repr round-trips in both engines
+_D124_LIT = float(_POW2_124)
+
+
+def ln_exact_dec(n: Column) -> Column:
+    """ln of a positive INTEGER-VALUED ``decimal(38,0)`` column as
+    DOUBLE — :func:`ln_exact` lifted past BIGINT via the exact
+    a/b/c split above; bit-identical to :func:`sql_ln_exact_dec_ctes`
+    in DuckDB (op sequences textually parallel — edits must mirror).
+    For n < 2^62 the op sequence degenerates to ln_exact's exactly."""
+
+    def p2d(e: Column) -> Column:  # 2^e as double, e <= 62 (exact)
+        return F.call_function(
+            "shiftleft", F.lit(1).cast("long"), e
+        ).cast("double")
+
+    def fin(abc: Column) -> Column:
+        a, b, c = abc[0], abc[1], abc[2]
+        ad, bd, cd = a.cast("double"), b.cast("double"), c.cast("double")
+        ea = F.length(F.bin(a)) - 1
+        eb = F.length(F.bin(b)) - 1
+        ec = F.length(F.bin(c)) - 1
+        m = (
+            F.when(
+                a > 0,
+                (ad + bd / F.lit(_D62_LIT) + cd / F.lit(_D124_LIT)) / p2d(ea),
+            )
+            .when(b > 0, (bd + cd / F.lit(_D62_LIT)) / p2d(eb))
+            .otherwise(cd / p2d(ec))
+        )
+        e = F.when(a > 0, ea + 124).when(b > 0, eb + 62).otherwise(ec)
+        return let(
+            m,
+            lambda mm: let(
+                (mm - F.lit(1.0)) / (mm + F.lit(1.0)),
+                lambda z: e.cast("double") * F.lit(LN2_DOUBLE)
+                + F.lit(2.0) * _artanh_series(z),
+            ),
+        )
+
+    h62 = F.lit(str(_POW2_62)).cast("decimal(38,0)")
+    h124 = F.lit(str(_POW2_124)).cast("decimal(38,0)")
+
+    def split(nn: Column) -> Column:
+        c = nn % h62
+        r = nn % h124
+        # both divisions are exact: the dividends are multiples of the
+        # divisors and the quotients fit the result scale
+        b = (r - c) / h62
+        a = (nn - r) / h124
+        return F.array(a.cast("long"), b.cast("long"), c.cast("long"))
+
+    return let(n, lambda nn: let(split(nn), fin))
+
+
+def sql_ln_exact_dec_ctes(src: str, key: str, n: str, out: str) -> str:
+    """CTE chain computing ``{out}({key}, ln double)`` = ln({n}) for
+    every row of ``{src}`` where ``{n}`` is HUGEINT/decimal-valued —
+    the DuckDB mirror of :func:`ln_exact_dec` (HUGEINT ``//``/``%``
+    produce the same exact a/b/c split; the double rebuild is the
+    identical op list)."""
+    h62 = str(_POW2_62)
+    h124 = str(_POW2_124)
+    return f"""{out}_p AS (
+  SELECT {key},
+         CAST(CAST({n} AS HUGEINT) // CAST('{h124}' AS HUGEINT) AS BIGINT) AS a,
+         CAST((CAST({n} AS HUGEINT) % CAST('{h124}' AS HUGEINT))
+              // CAST('{h62}' AS HUGEINT) AS BIGINT) AS b,
+         CAST(CAST({n} AS HUGEINT) % CAST('{h62}' AS HUGEINT) AS BIGINT) AS c
+  FROM {src}
+),
+{out}_em AS (
+  SELECT {key},
+    CASE WHEN a > 0 THEN 124 + length(bin(a)) - 1
+         WHEN b > 0 THEN 62 + length(bin(b)) - 1
+         ELSE length(bin(c)) - 1 END AS e,
+    CASE WHEN a > 0 THEN
+           (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)/{_D62_LIT!r}
+            + CAST(c AS DOUBLE)/{_D124_LIT!r})
+           / CAST((CAST(1 AS BIGINT) << (length(bin(a)) - 1)) AS DOUBLE)
+         WHEN b > 0 THEN
+           (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)/{_D62_LIT!r})
+           / CAST((CAST(1 AS BIGINT) << (length(bin(b)) - 1)) AS DOUBLE)
+         ELSE CAST(c AS DOUBLE)
+           / CAST((CAST(1 AS BIGINT) << (length(bin(c)) - 1)) AS DOUBLE)
+    END AS m
+  FROM {out}_p
+),
+{out}_z AS (SELECT *, (m - 1.0) / (m + 1.0) AS z FROM {out}_em),
+{out}_z2 AS (SELECT *, z*z AS z2 FROM {out}_z),
+{out} AS (
+  SELECT {key}, CAST(e AS DOUBLE) * {LN2_DOUBLE!r} + 2.0 * ({sql_ln_series()}) AS ln
+  FROM {out}_z2
+)"""
+
+
 _I64_MAX = (1 << 63) - 1
 
 
@@ -406,6 +521,22 @@ def checked_i64(n: Column, what: str) -> Column:
 
 def _dec38(c: Column) -> Column:
     return c.cast("decimal(38,0)")
+
+
+def checked_dec38(n: Column, what: str) -> Column:
+    """A ``decimal(38,0)`` integer product, guarded: Spark's non-ANSI
+    decimal overflow yields NULL, which this converts to a LOUD
+    ``assert_true`` failure instead of propagating silently (the
+    :func:`checked_i64` discipline one level up — DuckDB's HUGEINT
+    raises natively on overflow, so both engines fail loudly).
+    Callers must guarantee the logical value is non-NULL — every
+    input of the trigram-KN products joins on its own grouping keys."""
+    ok = n.isNotNull()
+    return F.when(ok, n).otherwise(
+        F.assert_true(
+            ok, F.lit(f"kneser_ney3: {what} exceeds decimal(38,0)")
+        ).cast("decimal(38,0)")
+    )
 
 
 def unigram_xent_scores(df, text_col: str, id_col: str):
@@ -1008,4 +1139,167 @@ def pmi_collocations(
         cand.select("w1", "w2", "n_pair", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(int(top_k))
+    )
+
+
+def _trigram_instances(df, text_col: str, id_col: str):
+    """(id, pos, w1, w2, w3) trigram instances of each doc, with a
+    single (pos NULL) row for docs that have < 3 tokens (downstream
+    per-doc aggregation still sees every doc) — the order-3 analog of
+    :func:`_bigram_instances`."""
+    toks = tokens(F.col(text_col))
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+            F.element_at(toks, i + 2).alias("w3"),
+        ),
+    )
+    # sequence(1, n-2) DESCENDS for n < 3 — guard like _bigram_instances
+    tri_arr = F.when(F.size(toks) >= 3, mk).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+    return df.select(
+        F.col(id_col), F.posexplode_outer(tri_arr).alias("pos", "tg")
+    ).select(
+        id_col,
+        "pos",
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+
+
+def kneser_ney3_xent_scores(df, text_col: str, id_col: str):
+    """Per-document conditional cross-entropy (nats/trigram) under the
+    corpus's own INTERPOLATED KNESER-NEY TRIGRAM LM — the production
+    n-gram order (CCNet/KenLM filters run order 3-5), extending
+    :func:`kneser_ney_xent_scores` one level up the Chen & Goodman
+    recursion.  With discount D = 3/4 at both levels:
+
+        p(w3|w1,w2) = (c(w1w2w3) − D)/c(w1w2·)
+                      + (D·N1+(w1w2·)/c(w1w2·)) · p2(w3|w2)
+        p2(w3|w2)   = (N1+(·w2w3) − D)/N1+(·w2·)
+                      + (D·N1+(w2·)/N1+(·w2·)) · N1+(·w3)/T
+
+    where the lower order uses CONTINUATION counts (the KN insight):
+    N1+(·w2w3) = distinct w1 preceding (w2,w3), N1+(·w2·) = distinct
+    (w1,w3) around w2, N1+(w2·) = distinct continuations of w2,
+    N1+(·w3) = distinct (w2) contexts completed by w3, and T the total
+    (w2,w3) continuation-type count — ALL derived from the single
+    trigram-type table.  Multiplying through by 16·c(w1w2·)·N1+(·w2·)·T
+    makes every probability a ratio of INTEGERS:
+
+        num = (4c−3)·4·E·T + 3·N1·[(4n−3)·T + 3·N2·M]
+        den = 16·B·E·T
+
+    (B = c(w1w2·), N1 = N1+(w1w2·), n = N1+(·w2w3), E = N1+(·w2·),
+    N2 = N1+(w2·), M = N1+(·w3)), so ln p = ln(num) − ln(den) with
+    both arguments positive integers — but integers that exceed BIGINT
+    long before 100 TB.  Both sides therefore compute in decimal(38,0)
+    (:func:`checked_dec38` — loud on overflow, matching DuckDB's
+    native HUGEINT raise) and take :func:`ln_exact_dec`, the
+    decimal-wide exact ln: the width ceiling moves from the bigram
+    form's ~10^9 types to 16·c·E·T < 10^38 — ~10^12 tokens × ~10^12
+    types × ~10^12 types, comfortably past a 100 TB crawl.
+
+    Self-scoring: every instance trigram is observed, so c ≥ 1 and
+    n ≥ 1 keep both max(·−D, 0) branches positive without the clamp.
+    Interpolation masses telescope: Σ_w3 p2(·|w2) = 1 and
+    Σ_w3 p(·|w1,w2) = 1 over the continuation vocabulary
+    (property-tested with exact Fractions).
+
+    Plan shape (100 TB): ONE trigram aggregation (LM-sized) feeds five
+    bounded derived aggregations (prefix/continuation tables) and a
+    1-row T; the ln series runs once per DISTINCT trigram / prefix
+    type; all LM join-backs are UNHINTED (corpus-derived — the
+    round-12 vocab-join rule; only the 1-row T broadcasts); per-doc
+    sums fold in position order (the order-dependent IEEE sum
+    recipe)."""
+    inst = _trigram_instances(df, text_col, id_col)
+    nn = inst.filter(F.col("pos").isNotNull())
+    t3 = nn.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c"))
+    b12 = t3.groupBy("w1", "w2").agg(
+        F.sum("c").cast("long").alias("bb"),
+        F.count("*").cast("long").alias("n1"),
+    )
+    t23 = t3.groupBy("w2", "w3").agg(F.count("*").cast("long").alias("n23"))
+    e2 = t3.groupBy("w2").agg(F.count("*").cast("long").alias("ee"))
+    n2 = t23.groupBy("w2").agg(F.count("*").cast("long").alias("nn2"))
+    m3 = t23.groupBy("w3").agg(F.count("*").cast("long").alias("mm"))
+    tt = t23.agg(F.count("*").cast("long").alias("T"))
+    w2tab = e2.join(n2, ["w2"])
+    num = (
+        t3.join(t23, ["w2", "w3"])
+        .join(b12.select("w1", "w2", "n1"), ["w1", "w2"])
+        .join(w2tab, ["w2"])
+        .join(m3, ["w3"])
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            ln_exact_dec(
+                checked_dec38(
+                    (_dec38(F.col("c")) * 4 - 3)
+                    * 4
+                    * _dec38(F.col("ee"))
+                    * _dec38(F.col("T"))
+                    + _dec38(F.col("n1"))
+                    * 3
+                    * (
+                        (_dec38(F.col("n23")) * 4 - 3) * _dec38(F.col("T"))
+                        + _dec38(F.col("nn2")) * 3 * _dec38(F.col("mm"))
+                    ),
+                    "numerator (4c-3)*4*E*T + 3*N1*((4n-3)*T + 3*N2*M)",
+                )
+            ).alias("ln_num"),
+        )
+    )
+    den = (
+        b12.join(e2, ["w2"])
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            ln_exact_dec(
+                checked_dec38(
+                    _dec38(F.col("bb")) * 16 * _dec38(F.col("ee"))
+                    * _dec38(F.col("T")),
+                    "denominator 16*B*E*T",
+                )
+            ).alias("ln_den"),
+        )
+    )
+    entry = F.when(
+        F.col("pos").isNotNull(),
+        F.struct(
+            F.col("pos"), (F.col("ln_den") - F.col("ln_num")).alias("nll")
+        ),
+    )
+    per_doc = (
+        inst.join(num, ["w1", "w2", "w3"], "left")
+        .join(den, ["w1", "w2"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("pos").cast("long").alias("n_trigrams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(entry)), lambda s: s.nll
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("__s"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_trigrams"),
+        F.when(
+            F.col("n_trigrams") > 0,
+            F.col("__s") / F.col("n_trigrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("xent_nats"),
     )

@@ -99,6 +99,8 @@ _PRIORITY: Tuple[str, ...] = (
     "grouped_rank_prices",
     "blocklist_filter_docs",
     "domain_cap_docs",
+    "kneser_ney3_lm_docs",
+    "bpe_fertility_langs",
     # ---- remaining 15 r10-era (stalest leftover) ----
     "rollup_flag_status",
     "salted_revenue_by_flag",

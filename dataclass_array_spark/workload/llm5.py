@@ -109,3 +109,154 @@ ORDER BY host, doc_id
 QUERIES["domain_cap_docs"] = Query(
     domain_cap_docs, _domain_cap_oracle(), tags=("sampling", "url")
 )
+
+
+# ------------------------------------------------ trigram Kneser-Ney
+def kneser_ney3_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc conditional cross-entropy under the corpus's own
+    INTERPOLATED KNESER-NEY TRIGRAM LM (D = 3/4 at both levels) — the
+    production n-gram order, completing the LM-quality ladder
+    (unigram → Laplace bigram → KN bigram → KN trigram).  Probabilities
+    are ratios of integers that exceed BIGINT, so the gate runs on the
+    decimal(38)-wide exact ln (``text.ln_exact_dec``) and stays
+    hash-exact."""
+    from dataclass_array_spark.operators.text import kneser_ney3_xent_scores
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return kneser_ney3_xent_scores(d, "text", "doc_id").orderBy("doc_id")
+
+
+def _kn3_oracle() -> str:
+    from dataclass_array_spark.operators.text import sql_ln_exact_dec_ctes
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+guard AS (
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('KN3_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
+tri AS (
+  SELECT doc_id, gs.i AS pos,
+         toks[gs.i] AS w1, toks[gs.i + 1] AS w2, toks[gs.i + 2] AS w3
+  FROM toks, generate_series(1, 4094) gs(i)
+  WHERE gs.i <= len(toks) - 2
+),
+t3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS HUGEINT) AS c FROM tri GROUP BY 1, 2, 3),
+b12 AS (
+  SELECT w1, w2, CAST(SUM(c) AS HUGEINT) AS bb, CAST(COUNT(*) AS HUGEINT) AS n1
+  FROM t3 GROUP BY 1, 2
+),
+t23 AS (SELECT w2, w3, CAST(COUNT(*) AS HUGEINT) AS n23 FROM t3 GROUP BY 1, 2),
+e2 AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS ee FROM t3 GROUP BY 1),
+n2t AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS nn2 FROM t23 GROUP BY 1),
+m3 AS (SELECT w3, CAST(COUNT(*) AS HUGEINT) AS mm FROM t23 GROUP BY 1),
+tt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM t23),
+numt AS (
+  SELECT t3.w1, t3.w2, t3.w3,
+         (4*t3.c - 3) * 4 * e2.ee * (SELECT t FROM tt)
+         + 3*b12.n1 * ((4*t23.n23 - 3) * (SELECT t FROM tt) + 3*n2t.nn2*m3.mm) AS nn
+  FROM t3
+  JOIN t23 USING (w2, w3)
+  JOIN b12 USING (w1, w2)
+  JOIN e2 USING (w2)
+  JOIN n2t USING (w2)
+  JOIN m3 USING (w3)
+),
+dent AS (
+  SELECT b12.w1, b12.w2, 16 * b12.bb * e2.ee * (SELECT t FROM tt) AS nn
+  FROM b12 JOIN e2 USING (w2)
+),
+{sql_ln_exact_dec_ctes("numt", "w1, w2, w3", "nn", "lnnum_t")},
+{sql_ln_exact_dec_ctes("dent", "w1, w2", "nn", "lnden_t")},
+perdoc AS (
+  SELECT tr.doc_id, COUNT(*) AS m,
+         list_reduce(list_prepend(0.0, list((d.ln - n.ln) ORDER BY tr.pos)),
+                     (a, x) -> a + x) AS s
+  FROM tri tr
+  JOIN lnnum_t n ON n.w1 = tr.w1 AND n.w2 = tr.w2 AND n.w3 = tr.w3
+  JOIN lnden_t d ON d.w1 = tr.w1 AND d.w2 = tr.w2
+  GROUP BY tr.doc_id
+)
+SELECT d.doc_id, COALESCE(pd.m, 0) AS n_trigrams,
+       COALESCE(pd.s / CAST(pd.m AS DOUBLE), 0.0) AS xent_nats
+FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+CROSS JOIN guard
+WHERE guard.ok = 1
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["kneser_ney3_lm_docs"] = Query(
+    kneser_ney3_lm_docs, _kn3_oracle(), tags=("text", "quality", "lm")
+)
+
+
+# ------------------------------------------------ tokenizer fertility
+_FERT_MERGES = 16
+_FERT_MIN_COUNT = 2
+
+
+def bpe_fertility_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: chars-per-BPE-token over the
+    corpus's own trained tokenizer — the standard tokenizer-fairness
+    diagnostic (a vocab trained on skewed data segments some languages
+    into many more tokens per character, inflating their training and
+    inference cost; fertility tables are how that bias is measured).
+    Composes bpe_train(batched) → bpe_encode → one dimension-sized
+    per-language aggregation; the ratio is a single integer÷integer
+    double division, so the gate stays hash-exact."""
+    from dataclass_array_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    merges = bpe_train(
+        d, "text", _FERT_MERGES, min_count=_FERT_MIN_COUNT, batch_pairs=16
+    )
+    enc = bpe_encode(d, "text", "doc_id", merges)
+    j = enc.join(d.select("doc_id", "lang", "n_chars"), "doc_id")
+    agg = j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_token"),
+    ).orderBy("lang")
+
+
+def _fertility_oracle() -> str:
+    from dataclass_array_spark.operators.bpe import bpe_encode_sql_ctes
+
+    ctes = bpe_encode_sql_ctes(_SQL_TOKS, _FERT_MERGES, _FERT_MIN_COUNT)
+    return f"""
+WITH {ctes},
+agg AS (
+  SELECT d.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(d.n_chars) AS BIGINT) AS n_chars
+  FROM encoded e JOIN documents d USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT lang, n_docs, n_tokens, n_chars,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            ELSE 0.0 END AS chars_per_token
+FROM agg
+ORDER BY lang
+"""
+
+
+QUERIES["bpe_fertility_langs"] = Query(
+    bpe_fertility_langs, _fertility_oracle(), tags=("text", "tokenizer")
+)

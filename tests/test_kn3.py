@@ -1,0 +1,169 @@
+"""Trigram interpolated Kneser-Ney + the decimal(38)-wide exact ln
+(``text.kneser_ney3_xent_scores``, ``text.ln_exact_dec``)."""
+
+import math
+import struct
+from collections import Counter, defaultdict
+from fractions import Fraction
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dataclass_array_spark.operators.text import (
+    checked_dec38,
+    kneser_ney3_xent_scores,
+    ln_exact_dec,
+    sql_ln_exact_dec_ctes,
+)
+
+_D = Fraction(3, 4)
+
+
+def _kn3_tables(docs):
+    """Exact count tables from a list of (id, text) docs."""
+    tris = {}
+    c3 = Counter()
+    for did, t in docs:
+        toks = t.split()
+        tl = list(zip(toks, toks[1:], toks[2:]))
+        tris[did] = tl
+        c3.update(tl)
+    b12, n1 = Counter(), Counter()
+    t23 = set()
+    for (w1, w2, w3), c in c3.items():
+        b12[(w1, w2)] += c
+        n1[(w1, w2)] += 1
+        t23.add((w2, w3))
+    n23 = Counter((w2, w3) for (w1, w2, w3) in c3)
+    ee = Counter(w2 for (w1, w2, w3) in c3)
+    nn2 = Counter(w2 for (w2, w3) in t23)
+    mm = Counter(w3 for (w2, w3) in t23)
+    T = len(t23)
+    return tris, c3, b12, n1, n23, ee, nn2, mm, T
+
+
+def _p_kn3(tri, c3, b12, n1, n23, ee, nn2, mm, T):
+    """Exact-Fraction interpolated trigram KN probability (with the
+    max(·-D,0) clamps, so it is defined for unseen events too)."""
+    w1, w2, w3 = tri
+    p2 = (
+        max(Fraction(n23[(w2, w3)]) - _D, Fraction(0)) / ee[w2]
+        + (_D * nn2[w2] / ee[w2]) * Fraction(mm[w3], T)
+    )
+    return (
+        max(Fraction(c3[tri]) - _D, Fraction(0)) / b12[(w1, w2)]
+        + (_D * n1[(w1, w2)] / b12[(w1, w2)]) * p2
+    )
+
+
+def test_kn3_matches_fraction_reference(spark):
+    docs = [
+        ("d1", "a b a b c a b"),
+        ("d2", "a b c c b a"),
+        ("d3", "b a c"),
+        ("d4", "x y"),  # no trigrams
+        ("d5", ""),  # empty
+        ("d6", "c c c c"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["xent_nats"])
+        for r in kneser_ney3_xent_scores(df, "text", "doc_id").collect()
+    }
+    tabs = _kn3_tables(docs)
+    tris = tabs[0]
+    for did, tl in tris.items():
+        assert got[did][0] == len(tl), did
+        if not tl:
+            assert got[did][1] == 0.0
+            continue
+        want = sum(-math.log(_p_kn3(tr, *tabs[1:])) for tr in tl) / len(tl)
+        assert got[did][1] == pytest.approx(want, rel=1e-9), did
+
+
+def test_kn3_distribution_sums_to_one_exactly():
+    """Both interpolation levels telescope: Σ_w3 p(w3|w1,w2) == 1 as
+    exact Fractions over the continuation vocabulary, for every
+    observed prefix."""
+    docs = [("d1", "a b a b c a b x"), ("d2", "a b c c b a b a")]
+    tabs = _kn3_tables(docs)
+    _, c3, b12, n1, n23, ee, nn2, mm, T = tabs
+    cont_vocab = set(mm)
+    for (w1, w2) in b12:
+        tot = sum(
+            _p_kn3((w1, w2, w3), c3, b12, n1, n23, ee, nn2, mm, T)
+            for w3 in cont_vocab
+        )
+        assert tot == 1, (w1, w2, tot)
+
+
+def test_ln_exact_dec_bitwise_matches_duckdb(spark):
+    """Spark ln_exact_dec and its DuckDB CTE mirror must agree
+    BIT-FOR-BIT across the full decimal(38) domain, including every
+    split boundary (2^62, 2^124) — and stay within 1e-11 of libm."""
+    import random
+
+    random.seed(13)
+    vals = [
+        1, 2, 3, 7,
+        (1 << 62) - 1, 1 << 62, (1 << 62) + 1,
+        (1 << 63) - 1, 1 << 63,
+        (1 << 124) - 1, 1 << 124, (1 << 124) + 1,
+        10**38 - 1, 10**19, 10**30 + 12345,
+    ]
+    vals += [random.randrange(1, 10**38) for _ in range(40)]
+    vals += [random.randrange(1, 2**62) for _ in range(20)]
+    df = spark.createDataFrame(
+        [(str(v),) for v in vals], "ns string"
+    ).select("ns", F.col("ns").cast("decimal(38,0)").alias("n"))
+    got = {
+        r["ns"]: r["ln"]
+        for r in df.select("ns", ln_exact_dec(F.col("n")).alias("ln")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (ns VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(str(v),) for v in vals])
+    q = (
+        "WITH src AS (SELECT ns, CAST(ns AS HUGEINT) AS n FROM t),\n"
+        + sql_ln_exact_dec_ctes("src", "ns", "n", "lnout")
+        + "\nSELECT ns, ln FROM lnout"
+    )
+    want = {r[0]: r[1] for r in con.sql(q).fetchall()}
+    for v in vals:
+        a, b = got[str(v)], want[str(v)]
+        assert struct.pack("<d", a) == struct.pack("<d", b), (v, a, b)
+        lv = math.log(v)
+        assert abs(a - lv) <= 1e-11 * max(1.0, abs(lv)), (v, a, lv)
+
+
+def test_checked_dec38_guard_fires_on_overflow(spark):
+    """A decimal(38,0) product that overflows (Spark -> NULL) must
+    raise the loud kneser_ney3 message, never propagate NULL."""
+    df = spark.createDataFrame([("99999999999999999999999999999999999999",)], "s string")
+    big = F.col("s").cast("decimal(38,0)")
+    with pytest.raises(Exception, match="exceeds decimal"):
+        df.select(checked_dec38(big * big, "numerator")).collect()
+
+
+def test_kn3_lm_joins_unhinted(spark):
+    """All trigram-LM join-backs are corpus-derived and must stay
+    UNHINTED (the round-12 vocab-join rule): with the auto threshold
+    disabled, no BroadcastHashJoin survives (the 1-row T rides a
+    BroadcastNestedLoopJoin, which is allowed), and the plan stays
+    JVM-side."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tests.test_plans import _no_broadcast_conf
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with _no_broadcast_conf(spark):
+        out = kneser_ney3_xent_scores(d, "text", "doc_id")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        p = buf.getvalue()
+    assert "BroadcastHashJoin" not in p, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert marker not in p, marker
