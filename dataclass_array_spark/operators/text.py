@@ -1303,3 +1303,213 @@ def kneser_ney3_xent_scores(df, text_col: str, id_col: str):
         .otherwise(F.lit(0.0))
         .alias("xent_nats"),
     )
+
+
+def kneser_ney3_xent_scores_heldout(
+    train_df, score_df, text_col: str, id_col: str
+):
+    """:func:`kneser_ney3_xent_scores` scoring a (possibly different)
+    corpus against a trigram KN LM trained on ``train_df`` — the
+    production filter shape at the production n-gram ORDER (train on
+    the trusted corpus, score the crawl).  Per scored trigram the Chen
+    & Goodman backoff recursion yields SIX branches; every probability
+    stays a ratio of integers, composed as SUMS OF EXACT LNS (ln of a
+    product = the same fixed ln series per factor, added in a fixed
+    order — both engines run the identical op list, so the gate is
+    hash-exact even though the factored form differs from a single
+    fused ln in the last ulp):
+
+      1a. seen trigram — the self-scoring formula UNCHANGED (fused
+          numerator over 16·B·E·T), so self-scoring reproduces
+          :func:`kneser_ney3_xent_scores` bit-for-bit;
+      1b. unseen trigram, seen (w1,w2) prefix — the (c−D)⁺ term
+          vanishes, leaving the interpolation mass
+          p = (3·N1/(4·B)) · p2(w3|w2), with p2 by sub-branch:
+          (a) seen (w2,w3):  p2 = [(4n−3)·T + 3·N2·M] / (4·E·T)
+          (b) unseen (w2,w3), seen w2:
+              p2 = 3·N2·max(M,1) / (4·E·T)
+              (an OOV w3 has M = 0; flooring at 1 is the one-context
+              pseudo-continuation — the <unk> convention, exactly as
+              the bigram held-out form)
+          — a seen (w1,w2) prefix implies w2 was a middle word, so E
+          is always defined here;
+      2.  unseen prefix — no trigram evidence at all: p = p2(w3|w2)
+          wholly, with p2's three sub-branches
+          (a) seen (w2,w3), (b) seen w2 only, and
+          (c) unseen w2:  p2 = max(M,1) / T
+          (the pure continuation distribution).
+
+    ``train_df`` must contain ≥ 1 trigram (loud ``assert_true``
+    otherwise).  All products run in decimal(38,0) through
+    :func:`checked_dec38` and :func:`ln_exact_dec` — the width story
+    of the self-scoring form, unchanged.
+
+    Plan shape: LM-sized per-type tables (trigram / prefix /
+    continuation / unigram-continuation) carry PRE-COMPUTED ln
+    columns, so the ln series runs once per DISTINCT type, never per
+    scored instance; all join-backs UNHINTED (corpus-derived); only
+    the 1-row T / ln T broadcasts; per-doc sums fold in position
+    order."""
+    inst_t = _trigram_instances(train_df, text_col, id_col).filter(
+        F.col("pos").isNotNull()
+    )
+    t3 = inst_t.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c"))
+    b12 = t3.groupBy("w1", "w2").agg(
+        F.sum("c").cast("long").alias("bb"),
+        F.count("*").cast("long").alias("n1"),
+    )
+    t23 = t3.groupBy("w2", "w3").agg(F.count("*").cast("long").alias("n23"))
+    e2 = t3.groupBy("w2").agg(F.count("*").cast("long").alias("ee"))
+    n2 = t23.groupBy("w2").agg(F.count("*").cast("long").alias("nn2"))
+    m3 = t23.groupBy("w3").agg(F.count("*").cast("long").alias("mm"))
+    # empty training corpus -> T = 0 -> ln garbage everywhere; fail
+    # loudly on the 1-row aggregate (the bigram held-out discipline)
+    tt = t23.agg(F.count("*").cast("long").alias("T")).select(
+        F.when(F.col("T") > 0, F.col("T"))
+        .otherwise(
+            F.assert_true(
+                F.col("T") > 0,
+                F.lit("kneser_ney3 heldout: empty training corpus (T = 0)"),
+            ).cast("long")
+        )
+        .alias("T")
+    )
+    num1a = (
+        t3.join(t23, ["w2", "w3"])
+        .join(b12.select("w1", "w2", "n1"), ["w1", "w2"])
+        .join(e2, ["w2"])
+        .join(n2, ["w2"])
+        .join(m3, ["w3"])
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            ln_exact_dec(
+                checked_dec38(
+                    (_dec38(F.col("c")) * 4 - 3)
+                    * 4
+                    * _dec38(F.col("ee"))
+                    * _dec38(F.col("T"))
+                    + _dec38(F.col("n1"))
+                    * 3
+                    * (
+                        (_dec38(F.col("n23")) * 4 - 3) * _dec38(F.col("T"))
+                        + _dec38(F.col("nn2")) * 3 * _dec38(F.col("mm"))
+                    ),
+                    "numerator (4c-3)*4*E*T + 3*N1*((4n-3)*T + 3*N2*M)",
+                )
+            ).alias("ln_num1a"),
+        )
+    )
+    d12 = (
+        b12.join(e2, ["w2"])
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            ln_exact_dec(
+                checked_dec38(
+                    _dec38(F.col("bb")) * 16 * _dec38(F.col("ee"))
+                    * _dec38(F.col("T")),
+                    "denominator 16*B*E*T",
+                )
+            ).alias("ln_den3"),
+            ln_exact_dec(
+                checked_dec38(_dec38(F.col("bb")) * 4, "4*B")
+            ).alias("ln_4b"),
+            ln_exact_dec(
+                checked_dec38(_dec38(F.col("n1")) * 3, "3*N1")
+            ).alias("ln_3n1"),
+        )
+    )
+    c23 = (
+        t23.join(n2, ["w2"])
+        .join(m3, ["w3"])
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w2",
+            "w3",
+            ln_exact_dec(
+                checked_dec38(
+                    (_dec38(F.col("n23")) * 4 - 3) * _dec38(F.col("T"))
+                    + _dec38(F.col("nn2")) * 3 * _dec38(F.col("mm")),
+                    "p2 numerator (4n-3)*T + 3*N2*M",
+                )
+            ).alias("ln_2a"),
+        )
+    )
+    w2t = (
+        e2.join(n2, ["w2"])
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w2",
+            ln_exact_dec(
+                checked_dec38(
+                    _dec38(F.col("ee")) * 4 * _dec38(F.col("T")), "4*E*T"
+                )
+            ).alias("ln_d2"),
+            ln_exact_dec(
+                checked_dec38(_dec38(F.col("nn2")) * 3, "3*N2")
+            ).alias("ln_3n2"),
+        )
+    )
+    w3t = m3.select("w3", ln_exact_dec(_dec38(F.col("mm"))).alias("ln_m"))
+    ln_t = tt.select(ln_exact_dec(_dec38(F.col("T"))).alias("ln_t"))
+    inst_s = _trigram_instances(score_df, text_col, id_col)
+    lnm_fl = F.coalesce(F.col("ln_m"), F.lit(0.0))  # max(M,1): ln 1 = 0
+    nll = (
+        F.when(
+            F.col("ln_num1a").isNotNull(),
+            F.col("ln_den3") - F.col("ln_num1a"),
+        )
+        .when(
+            F.col("ln_4b").isNotNull() & F.col("ln_2a").isNotNull(),
+            (F.col("ln_4b") + F.col("ln_d2"))
+            - (F.col("ln_3n1") + F.col("ln_2a")),
+        )
+        .when(
+            F.col("ln_4b").isNotNull(),
+            (F.col("ln_4b") + F.col("ln_d2"))
+            - (F.col("ln_3n1") + F.col("ln_3n2") + lnm_fl),
+        )
+        .when(F.col("ln_2a").isNotNull(), F.col("ln_d2") - F.col("ln_2a"))
+        .when(
+            F.col("ln_d2").isNotNull(),
+            F.col("ln_d2") - (F.col("ln_3n2") + lnm_fl),
+        )
+        .otherwise(F.col("ln_t") - lnm_fl)
+    )
+    entry = F.when(
+        F.col("pos").isNotNull(),
+        F.struct(F.col("pos"), nll.alias("nll")),
+    )
+    per_doc = (
+        inst_s.join(num1a, ["w1", "w2", "w3"], "left")
+        .join(d12, ["w1", "w2"], "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(w2t, ["w2"], "left")
+        .join(w3t, ["w3"], "left")
+        .crossJoin(F.broadcast(ln_t))
+        .groupBy(id_col)
+        .agg(
+            F.count("pos").cast("long").alias("n_trigrams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(entry)), lambda s: s.nll
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("__s"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_trigrams"),
+        F.when(
+            F.col("n_trigrams") > 0,
+            F.col("__s") / F.col("n_trigrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("xent_nats"),
+    )

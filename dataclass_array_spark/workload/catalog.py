@@ -100,6 +100,7 @@ _PRIORITY: Tuple[str, ...] = (
     "blocklist_filter_docs",
     "domain_cap_docs",
     "kneser_ney3_lm_docs",
+    "kneser_ney3_heldout_docs",
     "bpe_fertility_langs",
     # ---- remaining 15 r10-era (stalest leftover) ----
     "rollup_flag_status",

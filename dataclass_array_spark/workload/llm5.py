@@ -260,3 +260,138 @@ ORDER BY lang
 QUERIES["bpe_fertility_langs"] = Query(
     bpe_fertility_langs, _fertility_oracle(), tags=("text", "tokenizer")
 )
+
+
+# ------------------------------------------------ held-out trigram KN
+def kneser_ney3_heldout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT trigram Kneser-Ney — train the trigram KN LM on the
+    English docs, score the WHOLE corpus (the production filter at the
+    production n-gram order).  Non-English docs exercise all the OOV
+    branches (unseen trigram → interpolation mass; unseen prefix →
+    continuation LM; unseen w2 → pure continuation distribution; OOV
+    w3 → one-context floor) that self-scoring structurally cannot
+    reach."""
+    from dataclass_array_spark.operators.text import (
+        kneser_ney3_xent_scores_heldout,
+    )
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return kneser_ney3_xent_scores_heldout(
+        d.filter(F.col("lang") == "en"), d, "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+def _kn3_heldout_oracle() -> str:
+    from dataclass_array_spark.operators.text import sql_ln_exact_dec_ctes
+
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+guard AS (
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('KN3_HELDOUT_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
+tri_t AS (
+  SELECT doc_id, gs.i AS pos,
+         toks[gs.i] AS w1, toks[gs.i + 1] AS w2, toks[gs.i + 2] AS w3
+  FROM toks, generate_series(1, 4094) gs(i)
+  WHERE gs.i <= len(toks) - 2 AND lang = 'en'
+),
+tri_s AS (
+  SELECT doc_id, gs.i AS pos,
+         toks[gs.i] AS w1, toks[gs.i + 1] AS w2, toks[gs.i + 2] AS w3
+  FROM toks, generate_series(1, 4094) gs(i)
+  WHERE gs.i <= len(toks) - 2
+),
+t3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS HUGEINT) AS c FROM tri_t GROUP BY 1, 2, 3),
+b12 AS (
+  SELECT w1, w2, CAST(SUM(c) AS HUGEINT) AS bb, CAST(COUNT(*) AS HUGEINT) AS n1
+  FROM t3 GROUP BY 1, 2
+),
+t23 AS (SELECT w2, w3, CAST(COUNT(*) AS HUGEINT) AS n23 FROM t3 GROUP BY 1, 2),
+e2 AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS ee FROM t3 GROUP BY 1),
+n2t AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS nn2 FROM t23 GROUP BY 1),
+m3 AS (SELECT w3, CAST(COUNT(*) AS HUGEINT) AS mm FROM t23 GROUP BY 1),
+tt AS (
+  SELECT CASE WHEN COUNT(*) = 0
+              THEN error('KN3_HELDOUT_SQL: empty training corpus (T = 0)')
+              ELSE CAST(COUNT(*) AS HUGEINT) END AS t
+  FROM t23
+),
+num1a_t AS (
+  SELECT t3.w1, t3.w2, t3.w3,
+         (4*t3.c - 3) * 4 * e2.ee * (SELECT t FROM tt)
+         + 3*b12.n1 * ((4*t23.n23 - 3) * (SELECT t FROM tt) + 3*n2t.nn2*m3.mm) AS nn
+  FROM t3
+  JOIN t23 USING (w2, w3)
+  JOIN b12 USING (w1, w2)
+  JOIN e2 USING (w2)
+  JOIN n2t USING (w2)
+  JOIN m3 USING (w3)
+),
+d3_t AS (
+  SELECT b12.w1, b12.w2, 16 * b12.bb * e2.ee * (SELECT t FROM tt) AS nn
+  FROM b12 JOIN e2 USING (w2)
+),
+b4_t AS (SELECT w1, w2, 4 * bb AS nn FROM b12),
+n31_t AS (SELECT w1, w2, 3 * n1 AS nn FROM b12),
+c2a_t AS (
+  SELECT t23.w2, t23.w3,
+         (4*t23.n23 - 3) * (SELECT t FROM tt) + 3*n2t.nn2*m3.mm AS nn
+  FROM t23 JOIN n2t USING (w2) JOIN m3 USING (w3)
+),
+d2_t AS (
+  SELECT e2.w2, 4 * e2.ee * (SELECT t FROM tt) AS nn FROM e2
+),
+n32_t AS (SELECT w2, 3 * nn2 AS nn FROM n2t),
+m_t AS (SELECT w3, mm AS nn FROM m3),
+{sql_ln_exact_dec_ctes("num1a_t", "w1, w2, w3", "nn", "ln_num1a")},
+{sql_ln_exact_dec_ctes("d3_t", "w1, w2", "nn", "ln_d3")},
+{sql_ln_exact_dec_ctes("b4_t", "w1, w2", "nn", "ln_4b")},
+{sql_ln_exact_dec_ctes("n31_t", "w1, w2", "nn", "ln_3n1")},
+{sql_ln_exact_dec_ctes("c2a_t", "w2, w3", "nn", "ln_2a")},
+{sql_ln_exact_dec_ctes("d2_t", "w2", "nn", "ln_d2")},
+{sql_ln_exact_dec_ctes("n32_t", "w2", "nn", "ln_3n2")},
+{sql_ln_exact_dec_ctes("m_t", "w3", "nn", "ln_m")},
+{sql_ln_exact_dec_ctes("tt", "t", "t", "ln_t")},
+perdoc AS (
+  SELECT s.doc_id, COUNT(*) AS m,
+         list_reduce(list_prepend(0.0, list(
+           (CASE
+              WHEN n1a.ln IS NOT NULL THEN d3.ln - n1a.ln
+              WHEN b4.ln IS NOT NULL AND c2a.ln IS NOT NULL
+                THEN (b4.ln + d2.ln) - (n31.ln + c2a.ln)
+              WHEN b4.ln IS NOT NULL
+                THEN (b4.ln + d2.ln) - (n31.ln + n32.ln + COALESCE(lm.ln, 0.0))
+              WHEN c2a.ln IS NOT NULL THEN d2.ln - c2a.ln
+              WHEN d2.ln IS NOT NULL
+                THEN d2.ln - (n32.ln + COALESCE(lm.ln, 0.0))
+              ELSE g.lnt - COALESCE(lm.ln, 0.0)
+            END) ORDER BY s.pos)),
+                     (a, x) -> a + x) AS s
+  FROM tri_s s
+  LEFT JOIN ln_num1a n1a ON n1a.w1 = s.w1 AND n1a.w2 = s.w2 AND n1a.w3 = s.w3
+  LEFT JOIN ln_d3 d3 ON d3.w1 = s.w1 AND d3.w2 = s.w2
+  LEFT JOIN ln_4b b4 ON b4.w1 = s.w1 AND b4.w2 = s.w2
+  LEFT JOIN ln_3n1 n31 ON n31.w1 = s.w1 AND n31.w2 = s.w2
+  LEFT JOIN ln_2a c2a ON c2a.w2 = s.w2 AND c2a.w3 = s.w3
+  LEFT JOIN ln_d2 d2 ON d2.w2 = s.w2
+  LEFT JOIN ln_3n2 n32 ON n32.w2 = s.w2
+  LEFT JOIN ln_m lm ON lm.w3 = s.w3
+  CROSS JOIN (SELECT ln AS lnt FROM ln_t) g
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id, COALESCE(pd.m, 0) AS n_trigrams,
+       COALESCE(pd.s / CAST(pd.m AS DOUBLE), 0.0) AS xent_nats
+FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+CROSS JOIN guard
+WHERE guard.ok = 1
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["kneser_ney3_heldout_docs"] = Query(
+    kneser_ney3_heldout_docs, _kn3_heldout_oracle(),
+    tags=("text", "quality", "lm", "heldout"),
+)

@@ -167,3 +167,132 @@ def test_kn3_lm_joins_unhinted(spark):
     assert "BroadcastHashJoin" not in p, p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
         assert marker not in p, marker
+
+
+def _p_kn3_heldout(tri, c3, b12, n1, n23, ee, nn2, mm, T):
+    """Exact-Fraction held-out trigram KN probability + branch tag."""
+    w1, w2, w3 = tri
+
+    def p2():
+        if (w2, w3) in n23:
+            return (
+                (Fraction(n23[(w2, w3)]) - _D) / ee[w2]
+                + (_D * nn2[w2] / ee[w2]) * Fraction(mm[w3], T),
+                "a",
+            )
+        if w2 in ee:
+            return (
+                (_D * nn2[w2] / ee[w2]) * Fraction(max(mm.get(w3, 0), 1), T),
+                "b",
+            )
+        return Fraction(max(mm.get(w3, 0), 1), T), "c"
+
+    p2v, sub = p2()
+    if tri in c3:
+        pref = (w1, w2)
+        return (
+            (Fraction(c3[tri]) - _D) / b12[pref]
+            + (_D * n1[pref] / b12[pref]) * p2v,
+            "1a",
+        )
+    if (w1, w2) in b12:
+        pref = (w1, w2)
+        return (_D * n1[pref] / b12[pref]) * p2v, "1b" + sub
+    return p2v, "2" + sub
+
+
+def test_kn3_heldout_matches_fraction_reference_all_branches(spark):
+    """Held-out trigram KN must match the exact-Fraction reference on
+    a fixture that exercises EVERY branch of the backoff recursion."""
+    from dataclass_array_spark.operators.text import (
+        kneser_ney3_xent_scores_heldout,
+    )
+
+    train = [
+        ("t1", "a b c"),
+        ("t2", "x b d x b d"),
+        ("t3", "e f c"),
+    ]
+    score = [
+        ("s1", "a b c"),          # 1a seen trigram
+        ("s2", "a b d"),          # 1b-a: seen prefix, seen (w2,w3)
+        ("s3", "a b zzz"),        # 1b-b OOV w3 (floor fires)
+        ("s4", "x b c"),          # 1b-a via the x-prefix
+        ("s5", "q b c"),          # 2a: unseen prefix, seen (w2,w3)
+        ("s6", "q b qq"),         # 2b: unseen prefix, seen w2, OOV w3
+        ("s7", "q zz c"),         # 2c: unseen w2, seen w3
+        ("s8", "q zz qq"),        # 2c: unseen w2, OOV w3
+        ("s9", "a b"),            # no trigrams
+    ]
+    tdf = spark.createDataFrame(train, "doc_id string, text string")
+    sdf = spark.createDataFrame(score, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["xent_nats"])
+        for r in kneser_ney3_xent_scores_heldout(
+            tdf, sdf, "text", "doc_id"
+        ).collect()
+    }
+    tabs = _kn3_tables(train)[1:]
+    seen_branches = set()
+    for did, t in score:
+        toks = t.split()
+        tl = list(zip(toks, toks[1:], toks[2:]))
+        assert got[did][0] == len(tl), did
+        if not tl:
+            assert got[did][1] == 0.0
+            continue
+        s = 0.0
+        for tr in tl:
+            p, br = _p_kn3_heldout(tr, *tabs)
+            seen_branches.add(br)
+            s += -math.log(p)
+        assert got[did][1] == pytest.approx(s / len(tl), rel=1e-9), did
+    # 1b-b with a SEEN w3 needs a w3 that continues some other w2 but
+    # not this one; covered by s3/s6's OOV cousins plus the set below
+    assert {"1a", "1ba", "1bb", "2a", "2b", "2c"} <= seen_branches, (
+        seen_branches
+    )
+
+
+def test_kn3_heldout_self_scoring_equivalence(spark):
+    """train == score must reproduce the self-scoring operator
+    BIT-FOR-BIT (branch 1a is the identical fused formulation)."""
+    from dataclass_array_spark.operators.text import (
+        kneser_ney3_xent_scores,
+        kneser_ney3_xent_scores_heldout,
+    )
+
+    docs = [
+        ("d1", "a b a b c a b"),
+        ("d2", "a b c c b a"),
+        ("d3", "b a c"),
+        ("d4", "x y"),
+        ("d5", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    self_rows = {
+        r["doc_id"]: (r["n_trigrams"], r["xent_nats"])
+        for r in kneser_ney3_xent_scores(df, "text", "doc_id").collect()
+    }
+    held_rows = {
+        r["doc_id"]: (r["n_trigrams"], r["xent_nats"])
+        for r in kneser_ney3_xent_scores_heldout(
+            df, df, "text", "doc_id"
+        ).collect()
+    }
+    for did in self_rows:
+        assert self_rows[did][0] == held_rows[did][0]
+        assert struct.pack("<d", self_rows[did][1]) == struct.pack(
+            "<d", held_rows[did][1]
+        ), did
+
+
+def test_kn3_heldout_empty_train_raises(spark):
+    from dataclass_array_spark.operators.text import (
+        kneser_ney3_xent_scores_heldout,
+    )
+
+    tdf = spark.createDataFrame([("t1", "a b")], "doc_id string, text string")
+    sdf = spark.createDataFrame([("s1", "a b c")], "doc_id string, text string")
+    with pytest.raises(Exception, match="empty training corpus"):
+        kneser_ney3_xent_scores_heldout(tdf, sdf, "text", "doc_id").collect()
