@@ -497,13 +497,15 @@ _I64_MAX = (1 << 63) - 1
 def checked_i64(n: Column, what: str) -> Column:
     """A ``decimal(38,0)``-computed non-negative integer expression →
     BIGINT, failing LOUDLY (``assert_true``) instead of wrapping when
-    the value exceeds ``2^63 - 1``.  Used by the Kneser-Ney exact-integer
-    rewrite, whose numerator/denominator products (``4·c·T``,
-    ``3·N1+·N1+``) are documented to fit BIGINT only through ~10^9
-    bigram types — past that, silent wraparound would corrupt scores.
+    the value exceeds ``2^63 - 1``.  Used by the PMI exact-integer
+    products (``c·N``, ``c1·c2``), which fit BIGINT through ~10^9
+    tokens — past that, silent wraparound would corrupt scores.
     Computing the products in decimal(38,0) and gating the cast makes
     the documented bound ENFORCED behavior: DuckDB raises natively on
-    BIGINT overflow, so the two engines now fail the same way.
+    BIGINT overflow, so the two engines fail the same way.  (The
+    Kneser-Ney family outgrew this guard in round 13: it now computes
+    entirely in decimal(38,0) via :func:`checked_dec38` +
+    :func:`ln_exact_dec`, with no BIGINT cast at all.)
 
     A decimal(38,0) product that itself overflows (≥10^38, i.e. far
     past BIGINT) evaluates to NULL under Spark's non-ANSI decimal
@@ -514,7 +516,7 @@ def checked_i64(n: Column, what: str) -> Column:
     ok = n <= lim
     return F.when(ok, n.cast("long")).otherwise(
         F.assert_true(
-            ok, F.lit(f"kneser_ney: {what} exceeds BIGINT (2^63-1)")
+            ok, F.lit(f"{what} exceeds BIGINT (2^63-1)")
         ).cast("long")
     )
 
@@ -534,7 +536,7 @@ def checked_dec38(n: Column, what: str) -> Column:
     ok = n.isNotNull()
     return F.when(ok, n).otherwise(
         F.assert_true(
-            ok, F.lit(f"kneser_ney3: {what} exceeds decimal(38,0)")
+            ok, F.lit(f"{what} exceeds decimal(38,0)")
         ).cast("decimal(38,0)")
     )
 
@@ -863,18 +865,19 @@ def kneser_ney_xent_scores(df, text_col: str, id_col: str):
 
         p = [(4c − 3)·T + 3·N1+(w1·)·N1+(·w2)] / [4·c(w1·)·T]
 
-    so ln p = :func:`ln_exact`(num) − ln_exact(den) and the whole
-    score replays bit-for-bit in DuckDB.  Self-scoring (this function
-    trains on the corpus it scores), so every bigram is observed and
-    c ≥ 1 keeps the numerator positive without the max(·,0) branch.
+    so ln p = ln(num) − ln(den) and the whole score replays
+    bit-for-bit in DuckDB.  Self-scoring (this function trains on the
+    corpus it scores), so every bigram is observed and c ≥ 1 keeps the
+    numerator positive without the max(·,0) branch.
 
-    Integer-width bound: num needs 4·c·T and 3·N1+(w1·)·N1+(·w2) to
-    fit BIGINT — holds through ~10^9 bigram types / 10^9 max counts.
-    ENFORCED (round 13): both products are computed in decimal(38,0)
-    and gated through :func:`checked_i64`, so an over-scale corpus
-    raises ``kneser_ney: … exceeds BIGINT`` instead of silently
-    wrapping — matching DuckDB, which raises natively on BIGINT
-    overflow.  Past the bound, split T into a scaled pair (future).
+    Integer width (round 13, second pass): both products compute in
+    decimal(38,0) and take :func:`ln_exact_dec` — the decimal-wide
+    exact ln — so the old ~10^9-bigram-type BIGINT ceiling is GONE;
+    the bound is now 4·c·T < 10^38 (≈10^18 tokens × 10^18 types),
+    unreachable by any real corpus, with :func:`checked_dec38` still
+    failing loudly at the theoretical edge (DuckDB's HUGEINT raises
+    natively).  For in-BIGINT values ln_exact_dec's op sequence
+    degenerates to ln_exact's, so gate values are unchanged.
 
     Plan shape: one bigram aggregation (LM-sized), two derived
     aggregations (prefix table, predecessor table), a 1-row type
@@ -898,21 +901,21 @@ def kneser_ney_xent_scores(df, text_col: str, id_col: str):
         .select(
             "w1",
             "w2",
-            ln_exact(
-                checked_i64(
+            ln_exact_dec(
+                checked_dec38(
                     (_dec38(F.col("cb")) * 4 - 3) * _dec38(F.col("T"))
                     + _dec38(F.col("n1w1")) * _dec38(F.col("ncw2")) * 3,
-                    "numerator (4c-3)T + 3*N1+*N1+",
+                    "kneser_ney numerator (4c-3)T + 3*N1+*N1+",
                 )
             ).alias("ln_num"),
         )
     )
     den = cu.crossJoin(F.broadcast(tt)).select(
         "w1",
-        ln_exact(
-            checked_i64(
+        ln_exact_dec(
+            checked_dec38(
                 _dec38(F.col("cu")) * 4 * _dec38(F.col("T")),
-                "denominator 4*c(w1.)*T",
+                "kneser_ney denominator 4*c(w1.)*T",
             )
         ).alias("ln_den"),
     )
@@ -976,16 +979,17 @@ def kneser_ney_xent_scores_heldout(train_df, score_df, text_col: str, id_col: st
     bigram is then observed, so branches 2-3 never fire.  ``train_df``
     must contain ≥ 1 bigram (else loud ``assert_true``, mirroring the
     Laplace held-out V>0 guard).  All numerator/denominator products
-    run through :func:`checked_i64` (decimal(38,0) → BIGINT, loud
-    overflow).
+    compute in decimal(38,0) and take :func:`ln_exact_dec` (round-13
+    second pass — the BIGINT width ceiling is gone; see
+    :func:`kneser_ney_xent_scores`), guarded by :func:`checked_dec38`.
 
     Plan shape: LM-sized tables exactly as the self-scoring form
     (bigram agg, prefix agg, predecessor agg, 1-row T) with the
     join-backs UNHINTED (corpus-derived); only the 1-row T / ln T is
     broadcast.  Branch-2 lns run per scored INSTANCE (a narrow in-scan
     expression — linear tax, no extra shuffle); the DuckDB mirror
-    computes them per DISTINCT pair, bit-identical because ln_exact is
-    a pure function of the integer."""
+    computes them per DISTINCT pair, bit-identical because
+    ln_exact_dec is a pure function of the integer."""
     inst_t = _bigram_instances(train_df, text_col, id_col).filter(
         F.col("pos").isNotNull()
     )
@@ -1014,11 +1018,11 @@ def kneser_ney_xent_scores_heldout(train_df, score_df, text_col: str, id_col: st
         .select(
             "w1",
             "w2",
-            ln_exact(
-                checked_i64(
+            ln_exact_dec(
+                checked_dec38(
                     (_dec38(F.col("cb")) * 4 - 3) * _dec38(F.col("T"))
                     + _dec38(F.col("n1w1")) * _dec38(F.col("ncw2")) * 3,
-                    "numerator (4c-3)T + 3*N1+*N1+",
+                    "kneser_ney numerator (4c-3)T + 3*N1+*N1+",
                 )
             ).alias("ln_num"),
         )
@@ -1027,14 +1031,14 @@ def kneser_ney_xent_scores_heldout(train_df, score_df, text_col: str, id_col: st
     den = cu.crossJoin(F.broadcast(tt)).select(
         "w1",
         F.col("n1w1"),
-        ln_exact(
-            checked_i64(
+        ln_exact_dec(
+            checked_dec38(
                 _dec38(F.col("cu")) * 4 * _dec38(F.col("T")),
-                "denominator 4*c(w1.)*T",
+                "kneser_ney denominator 4*c(w1.)*T",
             )
         ).alias("ln_den"),
     )
-    ln_t = tt.select(ln_exact(F.col("T")).alias("ln_t"))
+    ln_t = tt.select(ln_exact_dec(_dec38(F.col("T"))).alias("ln_t"))
     inst_s = _bigram_instances(score_df, text_col, id_col)
     ncf = F.coalesce(F.col("ncw2"), F.lit(1).cast("long"))
     nll = (
@@ -1042,14 +1046,14 @@ def kneser_ney_xent_scores_heldout(train_df, score_df, text_col: str, id_col: st
         .when(
             F.col("ln_den").isNotNull(),
             F.col("ln_den")
-            - ln_exact(
-                checked_i64(
+            - ln_exact_dec(
+                checked_dec38(
                     _dec38(F.col("n1w1")) * _dec38(ncf) * 3,
-                    "backoff numerator 3*N1+*N1+",
+                    "kneser_ney backoff numerator 3*N1+*N1+",
                 )
             ),
         )
-        .otherwise(F.col("ln_t") - ln_exact(ncf))
+        .otherwise(F.col("ln_t") - ln_exact_dec(_dec38(ncf)))
     )
     entry = F.when(
         F.col("pos").isNotNull(),

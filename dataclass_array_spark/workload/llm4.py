@@ -357,7 +357,7 @@ def kneser_ney_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kn_lm_oracle() -> str:
-    from dataclass_array_spark.operators.text import sql_ln_exact_ctes
+    from dataclass_array_spark.operators.text import sql_ln_exact_dec_ctes
 
     return f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
@@ -372,21 +372,21 @@ big AS (
   FROM toks, generate_series(1, 4095) gs(i)
   WHERE gs.i <= len(toks) - 1
 ),
-cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY w1, w2),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS HUGEINT) AS c FROM big GROUP BY w1, w2),
 cu AS (
-  SELECT w1, CAST(SUM(c) AS BIGINT) AS cu, CAST(COUNT(*) AS BIGINT) AS n1w1
+  SELECT w1, CAST(SUM(c) AS HUGEINT) AS cu, CAST(COUNT(*) AS HUGEINT) AS n1w1
   FROM cb GROUP BY w1
 ),
-ncw2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncw2 FROM cb GROUP BY w2),
-tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cb),
+ncw2 AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS ncw2 FROM cb GROUP BY w2),
+tt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM cb),
 numt AS (
   SELECT cb.w1, cb.w2,
          (4*cb.c - 3)*(SELECT t FROM tt) + 3*cu.n1w1*ncw2.ncw2 AS c
   FROM cb JOIN cu USING (w1) JOIN ncw2 USING (w2)
 ),
 dent AS (SELECT w1, 4*cu*(SELECT t FROM tt) AS c FROM cu),
-{sql_ln_exact_ctes("numt", "w1, w2", "c", "lnnum_t")},
-{sql_ln_exact_ctes("dent", "w1", "c", "lnden_t")},
+{sql_ln_exact_dec_ctes("numt", "w1, w2", "c", "lnnum_t")},
+{sql_ln_exact_dec_ctes("dent", "w1", "c", "lnden_t")},
 perdoc AS (
   SELECT b.doc_id, COUNT(*) AS m,
          list_reduce(list_prepend(0.0, list((d.ln - n.ln) ORDER BY b.pos)),
@@ -538,7 +538,7 @@ def kneser_ney_heldout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kn_heldout_oracle() -> str:
-    from dataclass_array_spark.operators.text import sql_ln_exact_ctes
+    from dataclass_array_spark.operators.text import sql_ln_exact_dec_ctes
 
     return f"""
 WITH toks AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
@@ -558,16 +558,16 @@ bigs AS (
   FROM toks, generate_series(1, 4095) gs(i)
   WHERE gs.i <= len(toks) - 1
 ),
-cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bigt GROUP BY w1, w2),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS HUGEINT) AS c FROM bigt GROUP BY w1, w2),
 cu AS (
-  SELECT w1, CAST(SUM(c) AS BIGINT) AS cu, CAST(COUNT(*) AS BIGINT) AS n1w1
+  SELECT w1, CAST(SUM(c) AS HUGEINT) AS cu, CAST(COUNT(*) AS HUGEINT) AS n1w1
   FROM cb GROUP BY w1
 ),
-ncw2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncw2 FROM cb GROUP BY w2),
+ncw2 AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS ncw2 FROM cb GROUP BY w2),
 tt AS (
   SELECT CASE WHEN COUNT(*) = 0
               THEN error('KN_HELDOUT_SQL: empty training corpus (T = 0)')
-              ELSE CAST(COUNT(*) AS BIGINT) END AS t
+              ELSE CAST(COUNT(*) AS HUGEINT) END AS t
   FROM cb
 ),
 numt AS (
@@ -591,11 +591,11 @@ b4w AS (
   LEFT JOIN ncw2 nc ON nc.w2 = b.w2
   WHERE cu.w1 IS NULL
 ),
-{sql_ln_exact_ctes("numt", "w1, w2", "c", "lnnum_t")},
-{sql_ln_exact_ctes("dent", "w1", "c", "lnden_t")},
-{sql_ln_exact_ctes("b2p", "w1, w2", "c", "lnb2_t")},
-{sql_ln_exact_ctes("b4w", "w2", "c", "lnb4_t")},
-{sql_ln_exact_ctes("tt", "t", "t", "lnt_t")},
+{sql_ln_exact_dec_ctes("numt", "w1, w2", "c", "lnnum_t")},
+{sql_ln_exact_dec_ctes("dent", "w1", "c", "lnden_t")},
+{sql_ln_exact_dec_ctes("b2p", "w1, w2", "c", "lnb2_t")},
+{sql_ln_exact_dec_ctes("b4w", "w2", "c", "lnb4_t")},
+{sql_ln_exact_dec_ctes("tt", "t", "t", "lnt_t")},
 perdoc AS (
   SELECT b.doc_id, COUNT(*) AS m,
          list_reduce(list_prepend(0.0, list(

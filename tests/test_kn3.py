@@ -157,16 +157,27 @@ def test_kn3_lm_joins_unhinted(spark):
 
     from tests.test_plans import _no_broadcast_conf
 
+    from dataclass_array_spark.operators.text import (
+        kneser_ney3_xent_scores_heldout,
+    )
+
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     with _no_broadcast_conf(spark):
-        out = kneser_ney3_xent_scores(d, "text", "doc_id")
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            out.explain("formatted")
-        p = buf.getvalue()
-    assert "BroadcastHashJoin" not in p, p
-    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
-        assert marker not in p, marker
+        for out in (
+            kneser_ney3_xent_scores(d, "text", "doc_id"),
+            kneser_ney3_xent_scores_heldout(
+                d.filter(F.col("lang") == "en"), d, "text", "doc_id"
+            ),
+        ):
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                out.explain("formatted")
+            p = buf.getvalue()
+            assert "BroadcastHashJoin" not in p, p
+            for marker in (
+                "BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"
+            ):
+                assert marker not in p, marker
 
 
 def _p_kn3_heldout(tri, c3, b12, n1, n23, ee, nn2, mm, T):
