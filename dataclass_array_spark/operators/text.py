@@ -491,6 +491,96 @@ def sql_ln_exact_dec_ctes(src: str, key: str, n: str, out: str) -> str:
 )"""
 
 
+# ---- deterministic exp --------------------------------------------
+# The mirror image of ln_exact: libm exp is not bit-portable, which is
+# why every LM gate so far emitted nats and left exp to the caller.
+# exp_exact computes exp(x) with ONLY IEEE +,-,*,/ in a fixed order —
+# both engines round identically, so perplexities / odds become
+# hash-exact outputs instead of a caveat:
+#     k = floor(x/ln2 + 1/2)           (nearest-integer power of two)
+#     r = x − k·ln2,  |r| ≤ ln2/2 + eps
+#     exp(x) = 2^k · Σ_{i≤N} r^i/i!    (tail < |r|^18/18! ≈ 1e-24)
+# 2^k is exact via shiftleft (k ≥ 0) or its reciprocal (k < 0), so the
+# domain is |k| ≤ 62, i.e. |x| ≤ 42.9 — covering every cross-entropy /
+# log-odds this package produces; out-of-domain fails LOUDLY.
+_EXP_SERIES_N = 17
+_EXP_MAX_K = 62
+
+
+def exp_exact(x: Column) -> Column:
+    """exp of a DOUBLE column via the fixed-order reduction above;
+    bit-identical to :func:`sql_exp_exact_ctes` in DuckDB (op
+    sequences textually parallel — edits must mirror).  Domain
+    |x| ≤ 62·ln2 ≈ 42.9 (loud ``assert_true`` outside)."""
+
+    def p2d(e: Column) -> Column:
+        return F.call_function(
+            "shiftleft", F.lit(1).cast("long"), e
+        ).cast("double")
+
+    def fin(kk: Column) -> Column:
+        ok = F.abs(kk) <= F.lit(_EXP_MAX_K)
+        guarded = F.when(ok, kk).otherwise(
+            F.assert_true(
+                ok, F.lit("exp_exact: |x| exceeds 62*ln2")
+            ).cast("long")
+        )
+        scale = F.when(kk >= 0, p2d(kk)).otherwise(F.lit(1.0) / p2d(-kk))
+
+        def series(r: Column) -> Column:
+            term = r
+            acc = F.lit(1.0) + r
+            for i in range(2, _EXP_SERIES_N + 1):
+                term = term * r / F.lit(float(i))
+                acc = acc + term
+            return acc
+
+        return let(
+            x - guarded.cast("double") * F.lit(LN2_DOUBLE),
+            lambda r: series(r) * scale,
+        )
+
+    return let(F.floor(x / F.lit(LN2_DOUBLE) + F.lit(0.5)), fin)
+
+
+def sql_exp_series() -> str:
+    """The Taylor series in terms of a bound identifier ``r`` — SQL's
+    left-associative + / * / div reproduce exp_exact's fold order."""
+    parts = ["1.0", "r"]
+    term = "r"
+    for i in range(2, _EXP_SERIES_N + 1):
+        term = term + f"*r/{i}.0"
+        parts.append(term)
+    return " + ".join(parts)
+
+
+def sql_exp_exact_ctes(src: str, key: str, x: str, out: str) -> str:
+    """CTE chain computing ``{out}({key}, ex double)`` = exp({x}) for
+    every row of ``{src}`` — the DuckDB mirror of :func:`exp_exact`
+    (same k/r reduction, same series, same loud domain error)."""
+    return f"""{out}_k AS (
+  SELECT {key}, {x} AS __x,
+         CAST(floor({x} / {LN2_DOUBLE!r} + 0.5) AS BIGINT) AS k
+  FROM {src}
+),
+{out}_g AS (
+  SELECT *, CASE WHEN abs(k) <= {_EXP_MAX_K} THEN k
+                 ELSE error('exp_exact: |x| exceeds 62*ln2') END AS kg
+  FROM {out}_k
+),
+{out}_r AS (
+  SELECT {key}, __x - CAST(kg AS DOUBLE) * {LN2_DOUBLE!r} AS r,
+         CASE WHEN kg >= 0
+              THEN CAST((CAST(1 AS BIGINT) << kg) AS DOUBLE)
+              ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-kg)) AS DOUBLE)
+         END AS scale
+  FROM {out}_g
+),
+{out} AS (
+  SELECT {key}, ({sql_exp_series()}) * scale AS ex FROM {out}_r
+)"""
+
+
 _I64_MAX = (1 << 63) - 1
 
 

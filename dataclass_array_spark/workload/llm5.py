@@ -395,3 +395,43 @@ QUERIES["kneser_ney3_heldout_docs"] = Query(
     kneser_ney3_heldout_docs, _kn3_heldout_oracle(),
     tags=("text", "quality", "lm", "heldout"),
 )
+
+
+# ------------------------------------------------ exact perplexity
+def kn_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PERPLEXITY (not just nats) under the corpus's own KN
+    bigram LM — the first gate to emit exp() as a hash-exact VALUE:
+    ``text.exp_exact`` reduces x = k·ln2 + r and evaluates a
+    fixed-order Taylor series, so both engines round identically and
+    the 'exp is not bit-portable, left to caller' caveat is gone."""
+    from dataclass_array_spark.operators.text import (
+        exp_exact,
+        kneser_ney_xent_scores,
+    )
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    kn = kneser_ney_xent_scores(d, "text", "doc_id")
+    return kn.select(
+        "doc_id",
+        "n_bigrams",
+        "xent_nats",
+        exp_exact(F.col("xent_nats")).alias("ppl"),
+    ).orderBy("doc_id")
+
+
+def _kn_ppl_oracle() -> str:
+    from dataclass_array_spark.operators.text import sql_exp_exact_ctes
+    from dataclass_array_spark.workload.llm4 import _kn_lm_oracle
+
+    return f"""
+WITH base AS ({_kn_lm_oracle()}),
+{sql_exp_exact_ctes("base", "doc_id", "xent_nats", "expd")}
+SELECT b.doc_id, b.n_bigrams, b.xent_nats, e.ex AS ppl
+FROM base b JOIN expd e USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+QUERIES["kn_perplexity_docs"] = Query(
+    kn_perplexity_docs, _kn_ppl_oracle(), tags=("text", "quality", "lm")
+)

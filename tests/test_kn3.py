@@ -307,3 +307,70 @@ def test_kn3_heldout_empty_train_raises(spark):
     sdf = spark.createDataFrame([("s1", "a b c")], "doc_id string, text string")
     with pytest.raises(Exception, match="empty training corpus"):
         kneser_ney3_xent_scores_heldout(tdf, sdf, "text", "doc_id").collect()
+
+
+def test_exp_exact_bitwise_matches_duckdb(spark):
+    """Spark exp_exact and its DuckDB CTE mirror must agree
+    BIT-FOR-BIT across the domain (|x| <= 62*ln2), and stay within
+    1e-13 of libm exp."""
+    import random
+
+    from dataclass_array_spark.operators.text import (
+        exp_exact,
+        sql_exp_exact_ctes,
+    )
+
+    random.seed(29)
+    vals = [0.0, 1.0, -1.0, 0.5, -0.5, 0.34657359027997264,
+            -0.34657359027997264, 42.9, -42.9, 2.302585092994046,
+            15.3, -15.3]
+    vals += [random.uniform(-42.9, 42.9) for _ in range(60)]
+    vals += [random.uniform(-1.0, 1.0) for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    )
+    got = {
+        r["i"]: r["ex"]
+        for r in df.select("i", exp_exact(F.col("x")).alias("ex")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, x DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vals)]
+    )
+    q = (
+        "WITH "
+        + sql_exp_exact_ctes("t", "i", "x", "expd")
+        + "\nSELECT i, ex FROM expd"
+    )
+    want = {r[0]: r[1] for r in con.sql(q).fetchall()}
+    for i, v in enumerate(vals):
+        a, b = got[i], want[i]
+        assert struct.pack("<d", a) == struct.pack("<d", b), (v, a, b)
+        ev = math.exp(v)
+        assert abs(a - ev) <= 1e-13 * ev, (v, a, ev)
+
+
+def test_exp_exact_domain_guard_fires(spark):
+    from dataclass_array_spark.operators.text import exp_exact
+
+    df = spark.createDataFrame([(50.0,)], "x double")
+    with pytest.raises(Exception, match="exceeds 62"):
+        df.select(exp_exact(F.col("x"))).collect()
+
+
+def test_exp_exact_inverts_ln_exact(spark):
+    """exp_exact(ln_exact(n)) recovers n to ~1 ulp relative for
+    integer n across the BIGINT range."""
+    from dataclass_array_spark.operators.text import exp_exact, ln_exact
+
+    ns = [1, 2, 3, 1000, 12345678, 10**12, (1 << 62) - 1]
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    out = {
+        r["n"]: r["e"]
+        for r in df.select(
+            "n", exp_exact(ln_exact(F.col("n"))).alias("e")
+        ).collect()
+    }
+    for n in ns:
+        assert abs(out[n] - n) <= 1e-12 * n, (n, out[n])
