@@ -103,6 +103,7 @@ _PRIORITY: Tuple[str, ...] = (
     "kneser_ney3_heldout_docs",
     "bpe_fertility_langs",
     "kn_perplexity_docs",
+    "classifier_sigmoid_docs",
     # ---- remaining 15 r10-era (stalest leftover) ----
     "rollup_flag_status",
     "salted_revenue_by_flag",

@@ -435,3 +435,50 @@ ORDER BY b.doc_id
 QUERIES["kn_perplexity_docs"] = Query(
     kn_perplexity_docs, _kn_ppl_oracle(), tags=("text", "quality", "lm")
 )
+
+
+# ------------------------------------------------ exact logistic
+def classifier_sigmoid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed-n-gram classifier with its LOGISTIC PROBABILITY
+    materialized: p = 1/(1 + exp(−margin)) via ``text.exp_exact`` —
+    the inference output a production quality filter thresholds on,
+    now a hash-exact value instead of a caller-side step."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+    from dataclass_array_spark.operators.text import exp_exact
+    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    scored = classifier_score(
+        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
+    )
+    return scored.select(
+        "doc_id",
+        "n_features",
+        "margin",
+        (F.lit(1.0) / (F.lit(1.0) + exp_exact(-F.col("margin")))).alias(
+            "prob"
+        ),
+    ).orderBy("doc_id")
+
+
+def _clf_sigmoid_oracle() -> str:
+    from dataclass_array_spark.operators.text import sql_exp_exact_ctes
+    from dataclass_array_spark.workload.llm4 import _clf_oracle
+
+    return f"""
+WITH base AS ({_clf_oracle()}),
+{sql_exp_exact_ctes("base", "doc_id", "-margin", "expd")}
+SELECT b.doc_id, b.n_features, b.margin,
+       1.0 / (1.0 + e.ex) AS prob
+FROM base b JOIN expd e USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+QUERIES["classifier_sigmoid_docs"] = Query(
+    classifier_sigmoid_docs, _clf_sigmoid_oracle(),
+    tags=("text", "quality", "classifier"),
+)
