@@ -89,7 +89,8 @@ _PRIORITY: Tuple[str, ...] = (
     "rank_functions",
     # ==== window boundary (50) ====
     # ---- NEW in round 13 (oracle-verified sf0.01 + sf1 in-session;
-    # next round's never-verified cohort) ----
+    # next round's never-verified cohort; the second-wave continued
+    # session appended 8 more, same verification discipline) ----
     "kneser_ney_heldout_docs",
     "bpe_train_batched_docs",
     "classifier_quality_docs",

@@ -106,3 +106,41 @@ def test_cap_per_key_matches_duckdb(spark):
         map(tuple, con.sql(f"SELECT k, id FROM t QUALIFY {pred}").fetchall())
     )
     assert got == want
+
+
+def test_blocklist_matches_python_reference_fuzz(spark):
+    """Randomized differential: occurrence and distinct-phrase counts
+    must equal a straightforward Python sliding-window reference on
+    random token docs with random multi-length phrase lists."""
+    import random
+
+    random.seed(41)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [
+        (i, " ".join(random.choice(vocab) for _ in range(random.randrange(0, 30))))
+        for i in range(40)
+    ]
+    phrases = list({
+        " ".join(random.choice(vocab) for _ in range(random.randrange(1, 4)))
+        for _ in range(8)
+    })
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        r["id"]: (r["n_tokens"], r["n_matches"], r["n_phrases"])
+        for r in blocklist_matches(df, "text", "id", phrases).collect()
+    }
+    norm = sorted({tuple(p.split()) for p in phrases})
+    for i, t in docs:
+        toks = t.split()
+        n_match = 0
+        hit = set()
+        for p in norm:
+            occ = sum(
+                1
+                for j in range(len(toks) - len(p) + 1)
+                if tuple(toks[j : j + len(p)]) == p
+            )
+            n_match += occ
+            if occ:
+                hit.add(p)
+        assert got[i] == (len(toks), n_match, len(hit)), (i, t)
