@@ -25,12 +25,21 @@ extension surface (SURVEY.md §2.B) alongside ``operators/quality.py``.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataclass_array_spark.operators.text import tokens
+from dataclass_array_spark.operators.quality import _grams
+from dataclass_array_spark.operators.text import let, tokens
+
+# The engines' \s is ASCII-only (Java regex and RE2 both): a phrase
+# containing e.g. U+00A0 must normalize to the SAME single token the
+# tokenizer produces, so the Python-side split is pinned to ASCII
+# whitespace too (str.split() would split on Unicode whitespace and
+# produce token sequences the tokenizer never emits).
+_ASCII_WS = re.compile(r"\s+", re.ASCII)
 
 __all__ = [
     "normalize_phrases",
@@ -43,13 +52,15 @@ __all__ = [
 
 def normalize_phrases(phrases: Sequence[str]) -> list[tuple[str, int]]:
     """Normalize a raw phrase list through the house tokenizer
-    discipline (lowercase, whitespace-split, blanks dropped) →
+    discipline (lowercase, ASCII-whitespace split, blanks dropped) →
     deduplicated ``(phrase, n_words)`` rows, sorted for determinism.
-    Raises on an effectively-empty phrase — a blocklist entry that
-    matches nothing is a silent configuration bug."""
+    Raises on an empty list or an effectively-empty phrase — a
+    blocklist that matches nothing is a silent configuration bug."""
+    if not phrases:
+        raise ValueError("blocklist: empty phrase list")
     out = set()
     for p in phrases:
-        toks = [t for t in p.lower().split() if t]
+        toks = [t for t in _ASCII_WS.split(p.lower()) if t]
         if not toks:
             raise ValueError(f"blocklist: phrase {p!r} has no tokens")
         out.add((" ".join(toks), len(toks)))
@@ -62,21 +73,6 @@ def phrase_table(spark: SparkSession, phrases: Sequence[str]) -> DataFrame:
     joins may broadcast it."""
     rows = normalize_phrases(phrases)
     return spark.createDataFrame(rows, "phrase string, n_words int")
-
-
-def _grams(toks: Column, n: int) -> Column:
-    """All contiguous ``n``-grams of ``toks`` re-joined with single
-    spaces (``sequence(1, k)`` DESCENDS for k < 1 — guard like
-    ``quality._grams``)."""
-    mk = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + k) for k in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, mk).otherwise(
-        F.array().cast("array<string>")
-    )
 
 
 def blocklist_matches(
@@ -93,18 +89,22 @@ def blocklist_matches(
     counts — occurrence counting, not span partitioning."""
     norm = normalize_phrases(phrases)
     lengths = sorted({n for _, n in norm})
-    spark = df.sparkSession
-    ptab = spark.createDataFrame(norm, "phrase string, n_words int").select(
+    ptab = phrase_table(df.sparkSession, phrases).select(
         F.col("phrase").alias("__g")
     )
-    toks = tokens(F.col(text_col))
-    gram_arr = F.flatten(F.array(*[_grams(toks, n) for n in lengths]))
+    # let-bind the token array so the regex split runs once per row,
+    # not once per gram element (the text.let() discipline)
+    gram_arr = let(
+        tokens(F.col(text_col)),
+        lambda t: F.flatten(F.array(*[_grams(t, n) for n in lengths])),
+    )
     grams = df.select(F.col(id_col), F.explode(gram_arr).alias("__g"))
     # phrase table bounded by construction -> hint legal (BPE-vocab rule)
     hits = grams.join(F.broadcast(ptab), "__g").groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_matches"),
         F.countDistinct("__g").cast("long").alias("n_phrases"),
     )
+    toks = tokens(F.col(text_col))
     base = df.select(
         F.col(id_col),
         F.when(toks.isNull(), F.lit(0))

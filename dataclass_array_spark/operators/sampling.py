@@ -439,7 +439,13 @@ def cap_per_key(
     rows are the ``cap`` smallest under ``md5(salt | id)`` — an
     unbiased, re-run-stable uniform choice per key (the
     :func:`hash_bucket` discipline), with ``id_cols`` (a unique key)
-    as the final tie-break so the order is total.
+    as the final tie-break so the order is total.  ``id_cols`` values
+    must be NON-NULL (Spark's concat_ws skips NULLs while the SQL
+    mirror's ``||`` propagates them — the engines would rank different
+    survivors); composite ids containing ``'|'`` alias identically in
+    both engines (('a|b','c') hashes like ('a','b|c')) — harmless for
+    determinism, but use a delimiter-free unique key for strict
+    uniformity.
 
     Plan shape (100 TB): one hash-partition-by-key window.  The key is
     high-cardinality by use case (domains, hosts), so per-group state

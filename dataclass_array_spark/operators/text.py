@@ -348,30 +348,35 @@ def ln_exact(n: Column) -> Column:
     )
 
 
-def sql_ln_series() -> str:
+def sql_ln_series(z: str = "z", z2: str = "z2") -> str:
     """The artanh series in terms of bound identifiers ``z``/``z2`` —
-    SQL's left-associative + and * reproduce ln_exact's fold order."""
-    parts = ["z"]
+    SQL's left-associative + and * reproduce ln_exact's fold order.
+    The identifiers are parameters so CTE builders can bind
+    collision-proof ``__``-prefixed names while in-expression callers
+    (``sketch.py``) keep their own."""
+    parts = [z]
     for k in range(1, _LN_SERIES_K):
-        parts.append("z" + "*z2" * k + f"/{2 * k + 1}.0")
+        parts.append(z + f"*{z2}" * k + f"/{2 * k + 1}.0")
     return " + ".join(parts)
 
 
 def sql_ln_exact_ctes(src: str, key: str, n: str, out: str) -> str:
     """CTE chain computing ``{out}(… , ln double)`` = ln({n}) for every
     row of ``{src}({key}, {n})`` — the DuckDB mirror of :func:`ln_exact`
-    (z and z2 are CTE-bound so the series stays linear-sized)."""
+    (the series variables are CTE-bound so the series stays
+    linear-sized; internal aliases are ``__``-prefixed so a caller's
+    key column can never shadow them)."""
     return f"""{out}_e AS (
-  SELECT {key}, {n} AS __n, length(bin({n})) - 1 AS e FROM {src}
+  SELECT {key}, {n} AS __n, length(bin({n})) - 1 AS __e FROM {src}
 ),
 {out}_m AS (
-  SELECT *, CAST(__n AS DOUBLE) / CAST((CAST(1 AS BIGINT) << e) AS DOUBLE) AS m
+  SELECT *, CAST(__n AS DOUBLE) / CAST((CAST(1 AS BIGINT) << __e) AS DOUBLE) AS __m
   FROM {out}_e
 ),
-{out}_z AS (SELECT *, (m - 1.0) / (m + 1.0) AS z FROM {out}_m),
-{out}_z2 AS (SELECT *, z*z AS z2 FROM {out}_z),
+{out}_z AS (SELECT *, (__m - 1.0) / (__m + 1.0) AS __z FROM {out}_m),
+{out}_z2 AS (SELECT *, __z*__z AS __z2 FROM {out}_z),
 {out} AS (
-  SELECT {key}, CAST(e AS DOUBLE) * {LN2_DOUBLE!r} + 2.0 * ({sql_ln_series()}) AS ln
+  SELECT {key}, CAST(__e AS DOUBLE) * {LN2_DOUBLE!r} + 2.0 * ({sql_ln_series("__z", "__z2")}) AS ln
   FROM {out}_z2
 )"""
 
@@ -460,33 +465,33 @@ def sql_ln_exact_dec_ctes(src: str, key: str, n: str, out: str) -> str:
     h124 = str(_POW2_124)
     return f"""{out}_p AS (
   SELECT {key},
-         CAST(CAST({n} AS HUGEINT) // CAST('{h124}' AS HUGEINT) AS BIGINT) AS a,
+         CAST(CAST({n} AS HUGEINT) // CAST('{h124}' AS HUGEINT) AS BIGINT) AS __a,
          CAST((CAST({n} AS HUGEINT) % CAST('{h124}' AS HUGEINT))
-              // CAST('{h62}' AS HUGEINT) AS BIGINT) AS b,
-         CAST(CAST({n} AS HUGEINT) % CAST('{h62}' AS HUGEINT) AS BIGINT) AS c
+              // CAST('{h62}' AS HUGEINT) AS BIGINT) AS __b,
+         CAST(CAST({n} AS HUGEINT) % CAST('{h62}' AS HUGEINT) AS BIGINT) AS __c
   FROM {src}
 ),
 {out}_em AS (
   SELECT {key},
-    CASE WHEN a > 0 THEN 124 + length(bin(a)) - 1
-         WHEN b > 0 THEN 62 + length(bin(b)) - 1
-         ELSE length(bin(c)) - 1 END AS e,
-    CASE WHEN a > 0 THEN
-           (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)/{_D62_LIT!r}
-            + CAST(c AS DOUBLE)/{_D124_LIT!r})
-           / CAST((CAST(1 AS BIGINT) << (length(bin(a)) - 1)) AS DOUBLE)
-         WHEN b > 0 THEN
-           (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)/{_D62_LIT!r})
-           / CAST((CAST(1 AS BIGINT) << (length(bin(b)) - 1)) AS DOUBLE)
-         ELSE CAST(c AS DOUBLE)
-           / CAST((CAST(1 AS BIGINT) << (length(bin(c)) - 1)) AS DOUBLE)
-    END AS m
+    CASE WHEN __a > 0 THEN 124 + length(bin(__a)) - 1
+         WHEN __b > 0 THEN 62 + length(bin(__b)) - 1
+         ELSE length(bin(__c)) - 1 END AS __e,
+    CASE WHEN __a > 0 THEN
+           (CAST(__a AS DOUBLE) + CAST(__b AS DOUBLE)/{_D62_LIT!r}
+            + CAST(__c AS DOUBLE)/{_D124_LIT!r})
+           / CAST((CAST(1 AS BIGINT) << (length(bin(__a)) - 1)) AS DOUBLE)
+         WHEN __b > 0 THEN
+           (CAST(__b AS DOUBLE) + CAST(__c AS DOUBLE)/{_D62_LIT!r})
+           / CAST((CAST(1 AS BIGINT) << (length(bin(__b)) - 1)) AS DOUBLE)
+         ELSE CAST(__c AS DOUBLE)
+           / CAST((CAST(1 AS BIGINT) << (length(bin(__c)) - 1)) AS DOUBLE)
+    END AS __m
   FROM {out}_p
 ),
-{out}_z AS (SELECT *, (m - 1.0) / (m + 1.0) AS z FROM {out}_em),
-{out}_z2 AS (SELECT *, z*z AS z2 FROM {out}_z),
+{out}_z AS (SELECT *, (__m - 1.0) / (__m + 1.0) AS __z FROM {out}_em),
+{out}_z2 AS (SELECT *, __z*__z AS __z2 FROM {out}_z),
 {out} AS (
-  SELECT {key}, CAST(e AS DOUBLE) * {LN2_DOUBLE!r} + 2.0 * ({sql_ln_series()}) AS ln
+  SELECT {key}, CAST(__e AS DOUBLE) * {LN2_DOUBLE!r} + 2.0 * ({sql_ln_series("__z", "__z2")}) AS ln
   FROM {out}_z2
 )"""
 
@@ -543,13 +548,13 @@ def exp_exact(x: Column) -> Column:
     return let(F.floor(x / F.lit(LN2_DOUBLE) + F.lit(0.5)), fin)
 
 
-def sql_exp_series() -> str:
-    """The Taylor series in terms of a bound identifier ``r`` — SQL's
+def sql_exp_series(r: str = "__r") -> str:
+    """The Taylor series in terms of a bound identifier — SQL's
     left-associative + / * / div reproduce exp_exact's fold order."""
-    parts = ["1.0", "r"]
-    term = "r"
+    parts = ["1.0", r]
+    term = r
     for i in range(2, _EXP_SERIES_N + 1):
-        term = term + f"*r/{i}.0"
+        term = term + f"*{r}/{i}.0"
         parts.append(term)
     return " + ".join(parts)
 
@@ -557,27 +562,30 @@ def sql_exp_series() -> str:
 def sql_exp_exact_ctes(src: str, key: str, x: str, out: str) -> str:
     """CTE chain computing ``{out}({key}, ex double)`` = exp({x}) for
     every row of ``{src}`` — the DuckDB mirror of :func:`exp_exact`
-    (same k/r reduction, same series, same loud domain error)."""
+    (same k/r reduction, same series, same loud domain error;
+    internal aliases ``__``-prefixed so a caller's key column can
+    never shadow them — an unprefixed ``k`` key would otherwise
+    silently corrupt values AND bypass the domain guard)."""
     return f"""{out}_k AS (
   SELECT {key}, {x} AS __x,
-         CAST(floor({x} / {LN2_DOUBLE!r} + 0.5) AS BIGINT) AS k
+         CAST(floor({x} / {LN2_DOUBLE!r} + 0.5) AS BIGINT) AS __k
   FROM {src}
 ),
 {out}_g AS (
-  SELECT *, CASE WHEN abs(k) <= {_EXP_MAX_K} THEN k
-                 ELSE error('exp_exact: |x| exceeds 62*ln2') END AS kg
+  SELECT *, CASE WHEN abs(__k) <= {_EXP_MAX_K} THEN __k
+                 ELSE error('exp_exact: |x| exceeds 62*ln2') END AS __kg
   FROM {out}_k
 ),
 {out}_r AS (
-  SELECT {key}, __x - CAST(kg AS DOUBLE) * {LN2_DOUBLE!r} AS r,
-         CASE WHEN kg >= 0
-              THEN CAST((CAST(1 AS BIGINT) << kg) AS DOUBLE)
-              ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-kg)) AS DOUBLE)
-         END AS scale
+  SELECT {key}, __x - CAST(__kg AS DOUBLE) * {LN2_DOUBLE!r} AS __r,
+         CASE WHEN __kg >= 0
+              THEN CAST((CAST(1 AS BIGINT) << __kg) AS DOUBLE)
+              ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-__kg)) AS DOUBLE)
+         END AS __scale
   FROM {out}_g
 ),
 {out} AS (
-  SELECT {key}, ({sql_exp_series()}) * scale AS ex FROM {out}_r
+  SELECT {key}, ({sql_exp_series()}) * __scale AS ex FROM {out}_r
 )"""
 
 
@@ -691,19 +699,24 @@ def unigram_xent_scores(df, text_col: str, id_col: str):
 def _bigram_instances(df, text_col: str, id_col: str):
     """(id, pos, w1, w2) bigram instances of each doc, with a single
     (pos NULL) row for docs that have < 2 tokens (so downstream
-    per-doc aggregation still sees every doc)."""
-    toks = tokens(F.col(text_col))
-    mk = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-        ),
-    )
-    # sequence(1, n-1) DESCENDS for n < 2 — guard like quality._grams
-    big_arr = F.when(F.size(toks) >= 2, mk).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>")
-    )
+    per-doc aggregation still sees every doc).  The token array is
+    let-bound so the regex split runs once per row, not once per
+    element of the per-element lambdas."""
+
+    def build(toks: Column) -> Column:
+        mk = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+        # sequence(1, n-1) DESCENDS for n < 2 — guard like quality._grams
+        return F.when(F.size(toks) >= 2, mk).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+
+    big_arr = let(tokens(F.col(text_col)), build)
     return df.select(
         F.col(id_col), F.posexplode_outer(big_arr).alias("pos", "bg")
     ).select(
@@ -1240,20 +1253,23 @@ def _trigram_instances(df, text_col: str, id_col: str):
     """(id, pos, w1, w2, w3) trigram instances of each doc, with a
     single (pos NULL) row for docs that have < 3 tokens (downstream
     per-doc aggregation still sees every doc) — the order-3 analog of
-    :func:`_bigram_instances`."""
-    toks = tokens(F.col(text_col))
-    mk = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-            F.element_at(toks, i + 2).alias("w3"),
-        ),
-    )
-    # sequence(1, n-2) DESCENDS for n < 3 — guard like _bigram_instances
-    tri_arr = F.when(F.size(toks) >= 3, mk).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
-    )
+    :func:`_bigram_instances` (same let-bound token array)."""
+
+    def build(toks: Column) -> Column:
+        mk = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+                F.element_at(toks, i + 2).alias("w3"),
+            ),
+        )
+        # sequence(1, n-2) DESCENDS for n < 3 — guard like _bigram_instances
+        return F.when(F.size(toks) >= 3, mk).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+        )
+
+    tri_arr = let(tokens(F.col(text_col)), build)
     return df.select(
         F.col(id_col), F.posexplode_outer(tri_arr).alias("pos", "tg")
     ).select(

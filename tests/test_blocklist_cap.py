@@ -144,3 +144,15 @@ def test_blocklist_matches_python_reference_fuzz(spark):
             if occ:
                 hit.add(p)
         assert got[i] == (len(toks), n_match, len(hit)), (i, t)
+
+
+def test_normalize_phrases_rejects_empty_list():
+    with pytest.raises(ValueError, match="empty phrase list"):
+        normalize_phrases([])
+
+
+def test_normalize_phrases_ascii_whitespace_only():
+    """U+00A0 is NOT a separator for the engines' \\s+ (ASCII-only in
+    Java regex and RE2), so the Python-side normalization must keep
+    'foo\\xa0bar' as ONE token — str.split() would break the contract."""
+    assert normalize_phrases(["foo\xa0bar"]) == [("foo\xa0bar", 1)]

@@ -374,3 +374,44 @@ def test_exp_exact_inverts_ln_exact(spark):
     }
     for n in ns:
         assert abs(out[n] - n) <= 1e-12 * n, (n, out[n])
+
+
+def test_exp_ln_cte_aliases_survive_hostile_key_names():
+    """Regression (review finding): a caller key column named 'k' (or
+    'm'/'z'/'e') must not shadow the CTE builders' internals — that
+    silently corrupted values AND bypassed the exp domain guard before
+    the __-prefix fix."""
+    from dataclass_array_spark.operators.text import (
+        sql_exp_exact_ctes,
+        sql_ln_exact_ctes,
+        sql_ln_exact_dec_ctes,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, m BIGINT, x DOUBLE)")
+    con.execute("INSERT INTO t VALUES (1000000, 7, -10.5)")
+    q = (
+        "WITH " + sql_exp_exact_ctes("t", "k, m", "x", "expd")
+        + "\nSELECT ex FROM expd"
+    )
+    got = con.sql(q).fetchone()[0]
+    assert got == pytest.approx(math.exp(-10.5), rel=1e-13), got
+    # out-of-domain x must still raise even with a hostile key
+    con.execute("CREATE TABLE t2 (k BIGINT, x DOUBLE)")
+    con.execute("INSERT INTO t2 VALUES (0, 60.0)")
+    q2 = (
+        "WITH " + sql_exp_exact_ctes("t2", "k", "x", "expd")
+        + "\nSELECT ex FROM expd"
+    )
+    with pytest.raises(Exception, match="exceeds 62"):
+        con.sql(q2).fetchall()
+    # ln chains: key columns named e/m/z/z2/a/b/c
+    con.execute("CREATE TABLE t3 (e BIGINT, m BIGINT, z BIGINT, n BIGINT)")
+    con.execute("INSERT INTO t3 VALUES (9, 9, 9, 1000)")
+    for builder in (sql_ln_exact_ctes, sql_ln_exact_dec_ctes):
+        q3 = (
+            "WITH " + builder("t3", "e, m, z", "n", "lnd")
+            + "\nSELECT ln FROM lnd"
+        )
+        got = con.sql(q3).fetchone()[0]
+        assert got == pytest.approx(math.log(1000), rel=1e-13), (builder, got)
