@@ -11,10 +11,11 @@ feature-instance multiset with a bucket→weight table:
     score(d)  = Σ_{f ∈ features(d)} w[bucket(f)]      (with multiplicity)
     margin(d) = score(d) / n_features(d)              (fastText's mean)
 
-The logistic squash ``1/(1+e^-margin)`` is LEFT TO THE CALLER: ``exp``
-is not bit-portable across engines, and it is monotone — thresholding
-the margin is equivalent (the same discipline as the xent scorers,
-which return nats and leave perplexity's ``exp`` to the caller).
+The logistic squash ``1/(1+e^-margin)`` is not computed here —
+thresholding the margin is equivalent (monotone).  For the actual
+probability, compose with ``text.exp_exact`` (the fixed-order exp;
+libm exp is not bit-portable, exp_exact is — see the
+``classifier_sigmoid_docs`` gate).
 
 Exactness: bucket = md5-derived (the house ``sampling.py`` hash —
 the only hash portable bit-for-bit across Spark and DuckDB); weights

@@ -643,8 +643,9 @@ def unigram_xent_scores(df, text_col: str, id_col: str):
     """Perplexity-style LM quality score: per-document cross-entropy in
     nats/token under the corpus's own unigram LM —
     ``xent = -(1/n) Σ_i ln p(t_i)``, ``p(t) = count(t)/total_tokens``.
-    Perplexity is ``exp(xent)`` (monotone; exp is left to callers
-    because libm exp is not bit-portable).  Low = repetitive/boilerplate
+    Perplexity is ``exp(xent)`` (monotone; for a HASH-EXACT perplexity
+    value compose with :func:`exp_exact` — libm exp is not
+    bit-portable, the fixed-order reduction is).  Low = repetitive/boilerplate
     (high-frequency tokens), high = rare-vocabulary gibberish — the
     log-frequency refinement of :func:`token_rarity_scores`' integer
     buckets, now with a real natural log (ROADMAP #13).
