@@ -735,3 +735,62 @@ def hist_stream(
         .groupBy(*group_cols, "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def ngram_counts_stream(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+) -> DataFrame:
+    """Streaming n-gram LM COUNT accumulation (n ∈ {2, 3}) — the
+    ingest-side half of the Kneser-Ney pipeline: every micro-batch of
+    freshly crawled documents aggregates its OWN n-gram counts
+    (LM-sized, not corpus-sized) and writes them to
+    ``output_dir/batch=<id>`` with OVERWRITE; the returned frame is
+    the SUM-merge, which equals the one-shot batch counts EXACTLY for
+    any micro-batch boundaries (counts are additive).  foreachBatch is
+    at-least-once and SUM is not replay-idempotent, so the
+    batch-partition OVERWRITE is what makes a crash-replayed
+    micro-batch replace its earlier partial instead of double-counting
+    (the ``countmin_stream`` discipline).  Feed the merged counts to
+    the KN estimators' count tables to refresh a quality-filter LM as
+    the crawl lands — O(new data) per run under ``availableNow`` with
+    a persistent checkpoint."""
+    from dataclass_array_spark.operators.text import (
+        _bigram_instances,
+        _trigram_instances,
+    )
+
+    if n == 2:
+        inst_fn, keys = _bigram_instances, ["w1", "w2"]
+    elif n == 3:
+        inst_fn, keys = _trigram_instances, ["w1", "w2", "w3"]
+    else:
+        raise ValueError(f"ngram_counts_stream: n must be 2 or 3, got {n}")
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        inst = inst_fn(batch_df, text_col, id_col)
+        counts = (
+            inst.filter(F.col("pos").isNotNull())
+            .groupBy(*keys)
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        counts.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={_batch_id}"
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        docs.sparkSession.read.parquet(output_dir)
+        .groupBy(*keys)
+        .agg(F.sum("c").cast("long").alias("c"))
+    )

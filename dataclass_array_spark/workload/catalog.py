@@ -105,6 +105,7 @@ _PRIORITY: Tuple[str, ...] = (
     "bpe_fertility_langs",
     "kn_perplexity_docs",
     "classifier_sigmoid_docs",
+    "streaming_trigram_counts_docs",
     # ---- remaining 15 r10-era (stalest leftover) ----
     "rollup_flag_status",
     "salted_revenue_by_flag",

@@ -482,3 +482,70 @@ QUERIES["classifier_sigmoid_docs"] = Query(
     classifier_sigmoid_docs, _clf_sigmoid_oracle(),
     tags=("text", "quality", "classifier"),
 )
+
+
+# ------------------------------------------------ streaming LM counts
+def streaming_trigram_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trigram-count accumulation over the documents stream —
+    the ingest half of the KN pipeline: per-batch LM-sized partials
+    through the replay-safe batch-partitioned sink, SUM-merged on read;
+    equals the one-shot batch counts exactly for any micro-batch
+    boundaries.  Oracle = the plain batch trigram aggregation."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from dataclass_array_spark.streaming import ngram_counts_stream
+    from dataclass_array_spark.streaming.core import documents_stream
+
+    s = documents_stream(spark, f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"dca-stream-ngram-{tag}-{os.getpid()}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"dca-stream-ngram-{tag}-*")
+    ):
+        try:
+            pid = int(stale.rsplit("-", 1)[-1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    merged = ngram_counts_stream(
+        s, "text", "doc_id",
+        output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt", n=3,
+    )
+    return merged.orderBy("w1", "w2", "w3")
+
+
+def _streaming_trigram_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+guard AS (
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('STREAM_TRI_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
+tri AS (
+  SELECT toks[gs.i] AS w1, toks[gs.i + 1] AS w2, toks[gs.i + 2] AS w3
+  FROM toks, generate_series(1, 4094) gs(i)
+  WHERE gs.i <= len(toks) - 2
+)
+SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c
+FROM tri CROSS JOIN guard
+WHERE guard.ok = 1
+GROUP BY w1, w2, w3
+ORDER BY w1, w2, w3
+"""
+
+
+QUERIES["streaming_trigram_counts_docs"] = Query(
+    streaming_trigram_counts_docs, _streaming_trigram_oracle(),
+    tags=("streaming", "text", "lm"),
+)

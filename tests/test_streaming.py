@@ -524,3 +524,72 @@ def test_countmin_stream_replay_idempotent(spark, sf_dir, tmp_path):
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     assert remerged == merged0
+
+
+def test_ngram_counts_stream_equals_batch_and_replay_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Streaming n-gram counts: (a) the SUM-merged stream result must
+    equal the one-shot batch aggregation exactly across multiple
+    micro-batches; (b) a crash-replayed micro-batch (re-overwriting its
+    batch=<id> partition) must not double-count (the countmin_stream
+    replay discipline)."""
+    from dataclass_array_spark.operators.text import _trigram_instances
+    from dataclass_array_spark.streaming import ngram_counts_stream
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "docs"
+    d.repartition(3).write.parquet(str(src))
+    s = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "out"
+    got = ngram_counts_stream(
+        s, "text", "doc_id",
+        output_dir=str(out), checkpoint_dir=str(tmp_path / "ckpt"), n=3,
+    )
+    want = (
+        _trigram_instances(d, "text", "doc_id")
+        .filter(F.col("pos").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    as_map = lambda df: {
+        (r["w1"], r["w2"], r["w3"]): r["c"] for r in df.collect()
+    }
+    merged0 = as_map(got)
+    assert merged0 == as_map(want)
+
+    batch_dirs = sorted(p for p in out.iterdir() if p.is_dir())
+    assert batch_dirs and all(p.name.startswith("batch=") for p in batch_dirs)
+    assert len(batch_dirs) >= 2
+
+    # crash replay: re-overwrite the first batch partition the way
+    # _process does on an at-least-once redelivery (materialize the
+    # partial first — Spark cannot overwrite a path it is lazily
+    # reading from)
+    replay = batch_dirs[0]
+    partial = spark.read.parquet(str(replay)).collect()
+    spark.createDataFrame(
+        partial, "w1 string, w2 string, w3 string, c long"
+    ).write.mode("overwrite").parquet(str(replay))
+    merged1 = as_map(
+        spark.read.parquet(str(out))
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    assert merged1 == merged0
+
+
+def test_ngram_counts_stream_rejects_bad_n(spark, tmp_path):
+    from dataclass_array_spark.streaming import ngram_counts_stream
+
+    s = spark.readStream.schema("doc_id long, text string").parquet(
+        str(tmp_path)
+    )
+    with pytest.raises(ValueError, match="n must be 2 or 3"):
+        ngram_counts_stream(s, "text", "doc_id", "o", "c", n=4)
