@@ -148,17 +148,24 @@ def temperature_mixture_rates(
     Returns ``(domain, n_docs, rate)`` — one row per domain (driver-tiny;
     broadcast it into :func:`temperature_sample`).  alpha=0.5 uses
     ``sqrt`` (IEEE correctly-rounded, so the DuckDB oracle reproduces it
-    bit-for-bit); other alphas go through ``pow``, whose last-ulp
-    behavior is libm-specific — fine for production, not for the exact
-    cross-engine gate.  The weight total is an exact decimal sum, so the
+    bit-for-bit) and alpha=1.0 is the identity; EVERY OTHER alpha now
+    computes ``n^alpha = exp_exact(alpha * ln_exact(n))`` — the
+    fixed-order series pair, bit-portable across engines (round 13;
+    previously these went through libm ``pow``, whose last-ulp behavior
+    is implementation-specific, and were documented gate-unsafe).
+    Domain: ``alpha * ln(n) <= 62*ln2`` — n^alpha < 2^62, any real
+    mixture weight.  The weight total is an exact decimal sum, so the
     20-way addition is order-independent.
     """
+    from dataclass_array_spark.operators.text import exp_exact, ln_exact
+
     cnt = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
-    wt = (
-        F.sqrt(F.col("n_docs").cast("double"))
-        if alpha == 0.5
-        else F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
-    )
+    if alpha == 0.5:
+        wt = F.sqrt(F.col("n_docs").cast("double"))
+    elif alpha == 1.0:
+        wt = F.col("n_docs").cast("double")
+    else:
+        wt = exp_exact(F.lit(float(alpha)) * ln_exact(F.col("n_docs")))
     w = cnt.withColumn("wt", wt)
     tot = w.agg(
         F.sum(F.col("wt").cast("decimal(25,6)")).cast("double").alias("tot")
@@ -204,6 +211,42 @@ def sql_temperature_sample(
     return f"""
 WITH cnt AS (SELECT {domain_col}, COUNT(*) AS n_docs FROM {table} GROUP BY {domain_col}),
 w AS (SELECT {domain_col}, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt FROM cnt),
+tot AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(25,6))) AS DOUBLE) AS tot FROM w),
+r AS (SELECT {domain_col}, n_docs,
+        least(1.0, {float(target_rows)} * (wt / tot) / n_docs) AS rate FROM w, tot)
+SELECT d.{key_col}, d.{domain_col},
+       CAST(FLOOR(rate * {PPM}) AS BIGINT) AS rate_ppm
+FROM {table} d JOIN r USING ({domain_col})
+WHERE ({b}) < CAST(FLOOR(rate * {PPM}) AS BIGINT)
+ORDER BY d.{key_col}
+"""
+
+
+def sql_temperature_sample_alpha(
+    table: str,
+    domain_col: str,
+    key_col: str,
+    target_rows: float,
+    alpha: float,
+    salt: str = "mix",
+) -> str:
+    """DuckDB mirror of :func:`temperature_mixture_rates` +
+    :func:`temperature_sample` for an ARBITRARY alpha — weights via the
+    fixed-order ``exp_exact(alpha * ln_exact(n))`` CTE chains, so any
+    temperature is gate-exact (pass an alpha whose repr round-trips,
+    e.g. 0.25; the literal is embedded textually in both engines)."""
+    from dataclass_array_spark.operators.text import (
+        sql_exp_exact_ctes,
+        sql_ln_exact_ctes,
+    )
+
+    b = sql_hash_bucket(f"d.{key_col}", salt)
+    return f"""
+WITH cnt AS (SELECT {domain_col}, COUNT(*) AS n_docs FROM {table} GROUP BY {domain_col}),
+{sql_ln_exact_ctes("cnt", f"{domain_col}, n_docs", "n_docs", "lnc")},
+wx AS (SELECT {domain_col}, n_docs, {float(alpha)!r} * ln AS x FROM lnc),
+{sql_exp_exact_ctes("wx", f"{domain_col}, n_docs", "x", "expw")},
+w AS (SELECT {domain_col}, n_docs, ex AS wt FROM expw),
 tot AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(25,6))) AS DOUBLE) AS tot FROM w),
 r AS (SELECT {domain_col}, n_docs,
         least(1.0, {float(target_rows)} * (wt / tot) / n_docs) AS rate FROM w, tot)

@@ -106,6 +106,7 @@ _PRIORITY: Tuple[str, ...] = (
     "kn_perplexity_docs",
     "classifier_sigmoid_docs",
     "streaming_trigram_counts_docs",
+    "temperature_mixture_alpha_docs",
     # ---- remaining 15 r10-era (stalest leftover) ----
     "rollup_flag_status",
     "salted_revenue_by_flag",

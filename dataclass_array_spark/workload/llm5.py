@@ -549,3 +549,47 @@ QUERIES["streaming_trigram_counts_docs"] = Query(
     streaming_trigram_counts_docs, _streaming_trigram_oracle(),
     tags=("streaming", "text", "lm"),
 )
+
+
+# ------------------------------------------------ arbitrary-alpha mixing
+_ALPHA_TARGET = 300.0
+_ALPHA = 0.25
+
+
+def temperature_mixture_alpha_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing at an ARBITRARY temperature
+    (alpha=0.25): weights are ``exp_exact(alpha * ln_exact(n))`` — the
+    fixed-order series pair — so any temperature is now gate-exact
+    (previously only alpha=0.5's IEEE sqrt was; libm pow is not
+    bit-portable).  Same broadcast-rates / map-side-filter shape as
+    ``domain_mixture_sample``."""
+    from dataclass_array_spark.operators.sampling import (
+        temperature_mixture_rates,
+        temperature_sample,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    rates = temperature_mixture_rates(
+        d, "source", target_rows=_ALPHA_TARGET, alpha=_ALPHA
+    )
+    return (
+        temperature_sample(d, rates, "source", "doc_id")
+        .select("doc_id", "source", "rate_ppm")
+        .orderBy("doc_id")
+    )
+
+
+def _mixture_alpha_oracle() -> str:
+    from dataclass_array_spark.operators.sampling import (
+        sql_temperature_sample_alpha,
+    )
+
+    return sql_temperature_sample_alpha(
+        "documents", "source", "doc_id", _ALPHA_TARGET, _ALPHA
+    )
+
+
+QUERIES["temperature_mixture_alpha_docs"] = Query(
+    temperature_mixture_alpha_docs, _mixture_alpha_oracle(),
+    tags=("sampling", "mixture"),
+)

@@ -46,13 +46,13 @@ def test_new_round13_gates_sit_after_the_window():
         "blocklist_filter_docs", "domain_cap_docs", "kneser_ney3_lm_docs",
         "kneser_ney3_heldout_docs", "bpe_fertility_langs",
         "kn_perplexity_docs", "classifier_sigmoid_docs",
-        "streaming_trigram_counts_docs",
+        "streaming_trigram_counts_docs", "temperature_mixture_alpha_docs",
     ):
-        assert 50 <= names.index(g) < 50 + 15, g
+        assert 50 <= names.index(g) < 50 + 16, g
 
 
 def test_every_query_has_full_oracle():
-    """180/180 full-oracle discipline: no rows-only checks anywhere."""
-    assert len(QUERIES) == 180
+    """181/181 full-oracle discipline: no rows-only checks anywhere."""
+    assert len(QUERIES) == 181
     missing = [k for k, q in QUERIES.items() if not q.oracle]
     assert missing == [], missing
