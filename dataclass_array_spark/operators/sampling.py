@@ -153,9 +153,11 @@ def temperature_mixture_rates(
     fixed-order series pair, bit-portable across engines (round 13;
     previously these went through libm ``pow``, whose last-ulp behavior
     is implementation-specific, and were documented gate-unsafe).
-    Domain: ``alpha * ln(n) <= 62*ln2`` — n^alpha < 2^62, any real
-    mixture weight.  The weight total is an exact decimal sum, so the
-    20-way addition is order-independent.
+    Domain: ``alpha * ln(n) <= 124*ln2`` — n^alpha < 2^124, any real
+    mixture weight (alpha=2 up to ~4e18 rows per domain; out-of-domain
+    fails loudly rather than returning a wrong weight).  The weight
+    total is an exact decimal sum, so the 20-way addition is
+    order-independent.
     """
     from dataclass_array_spark.operators.text import exp_exact, ln_exact
 
@@ -233,8 +235,18 @@ def sql_temperature_sample_alpha(
     """DuckDB mirror of :func:`temperature_mixture_rates` +
     :func:`temperature_sample` for an ARBITRARY alpha — weights via the
     fixed-order ``exp_exact(alpha * ln_exact(n))`` CTE chains, so any
-    temperature is gate-exact (pass an alpha whose repr round-trips,
-    e.g. 0.25; the literal is embedded textually in both engines)."""
+    temperature is gate-exact.  alpha 0.5 / 1.0 are REJECTED here: the
+    Spark side computes those via IEEE sqrt / identity (different op
+    sequence than the series pair) — use :func:`sql_temperature_sample`
+    for alpha=0.5.  The alpha literal is emitted as
+    ``CAST('<repr>' AS DOUBLE)`` so DuckDB routes it through strtod's
+    correct rounding (a bare 17-digit decimal literal would parse as
+    DECIMAL and double-round)."""
+    if alpha in (0.5, 1.0):
+        raise ValueError(
+            "sql_temperature_sample_alpha: alpha=0.5/1.0 use sqrt/identity "
+            "on the Spark side — mirror with sql_temperature_sample instead"
+        )
     from dataclass_array_spark.operators.text import (
         sql_exp_exact_ctes,
         sql_ln_exact_ctes,
@@ -244,7 +256,7 @@ def sql_temperature_sample_alpha(
     return f"""
 WITH cnt AS (SELECT {domain_col}, COUNT(*) AS n_docs FROM {table} GROUP BY {domain_col}),
 {sql_ln_exact_ctes("cnt", f"{domain_col}, n_docs", "n_docs", "lnc")},
-wx AS (SELECT {domain_col}, n_docs, {float(alpha)!r} * ln AS x FROM lnc),
+wx AS (SELECT {domain_col}, n_docs, CAST('{float(alpha)!r}' AS DOUBLE) * ln AS x FROM lnc),
 {sql_exp_exact_ctes("wx", f"{domain_col}, n_docs", "x", "expw")},
 w AS (SELECT {domain_col}, n_docs, ex AS wt FROM expw),
 tot AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(25,6))) AS DOUBLE) AS tot FROM w),

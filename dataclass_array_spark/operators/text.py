@@ -505,32 +505,40 @@ def sql_ln_exact_dec_ctes(src: str, key: str, n: str, out: str) -> str:
 #     k = floor(x/ln2 + 1/2)           (nearest-integer power of two)
 #     r = x − k·ln2,  |r| ≤ ln2/2 + eps
 #     exp(x) = 2^k · Σ_{i≤N} r^i/i!    (tail < |r|^18/18! ≈ 1e-24)
-# 2^k is exact via shiftleft (k ≥ 0) or its reciprocal (k < 0), so the
-# domain is |k| ≤ 62, i.e. |x| ≤ 42.9 — covering every cross-entropy /
-# log-odds this package produces; out-of-domain fails LOUDLY.
+# 2^k is exact as the product of TWO shiftlefts (k = k//2 + (k−k//2),
+# both halves ≤ 62; a product of exact powers of two is itself exact —
+# no rounding), so the domain is |k| ≤ 124, i.e. |x| ≤ 85.9 — covering
+# every cross-entropy / log-odds / n^alpha this package produces;
+# out-of-domain fails LOUDLY.
 _EXP_SERIES_N = 17
-_EXP_MAX_K = 62
+_EXP_MAX_K = 124
 
 
 def exp_exact(x: Column) -> Column:
     """exp of a DOUBLE column via the fixed-order reduction above;
     bit-identical to :func:`sql_exp_exact_ctes` in DuckDB (op
     sequences textually parallel — edits must mirror).  Domain
-    |x| ≤ 62·ln2 ≈ 42.9 (loud ``assert_true`` outside)."""
+    |x| ≤ 124·ln2 ≈ 85.9 (loud ``assert_true`` outside)."""
 
     def p2d(e: Column) -> Column:
         return F.call_function(
             "shiftleft", F.lit(1).cast("long"), e
         ).cast("double")
 
+    def p2d_wide(e: Column) -> Column:  # 2^e for e in [0, 124], exact
+        h = F.floor(e / F.lit(2)).cast("int")
+        return p2d(h) * p2d(e - h)
+
     def fin(kk: Column) -> Column:
         ok = F.abs(kk) <= F.lit(_EXP_MAX_K)
         guarded = F.when(ok, kk).otherwise(
             F.assert_true(
-                ok, F.lit("exp_exact: |x| exceeds 62*ln2")
+                ok, F.lit("exp_exact: |x| exceeds 124*ln2")
             ).cast("long")
         )
-        scale = F.when(kk >= 0, p2d(kk)).otherwise(F.lit(1.0) / p2d(-kk))
+        scale = F.when(kk >= 0, p2d_wide(kk)).otherwise(
+            F.lit(1.0) / p2d_wide(-kk)
+        )
 
         def series(r: Column) -> Column:
             term = r
@@ -573,14 +581,16 @@ def sql_exp_exact_ctes(src: str, key: str, x: str, out: str) -> str:
 ),
 {out}_g AS (
   SELECT *, CASE WHEN abs(__k) <= {_EXP_MAX_K} THEN __k
-                 ELSE error('exp_exact: |x| exceeds 62*ln2') END AS __kg
+                 ELSE error('exp_exact: |x| exceeds 124*ln2') END AS __kg
   FROM {out}_k
 ),
 {out}_r AS (
   SELECT {key}, __x - CAST(__kg AS DOUBLE) * {LN2_DOUBLE!r} AS __r,
          CASE WHEN __kg >= 0
-              THEN CAST((CAST(1 AS BIGINT) << __kg) AS DOUBLE)
-              ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (-__kg)) AS DOUBLE)
+              THEN CAST((CAST(1 AS BIGINT) << (__kg // 2)) AS DOUBLE)
+                   * CAST((CAST(1 AS BIGINT) << (__kg - __kg // 2)) AS DOUBLE)
+              ELSE 1.0 / (CAST((CAST(1 AS BIGINT) << ((-__kg) // 2)) AS DOUBLE)
+                   * CAST((CAST(1 AS BIGINT) << ((-__kg) - (-__kg) // 2)) AS DOUBLE))
          END AS __scale
   FROM {out}_g
 ),

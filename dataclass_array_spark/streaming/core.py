@@ -770,6 +770,25 @@ def ngram_counts_stream(
         inst_fn, keys = _trigram_instances, ["w1", "w2", "w3"]
     else:
         raise ValueError(f"ngram_counts_stream: n must be 2 or 3, got {n}")
+    # Stale-output guard: batch ids restart at 0 under a FRESH
+    # checkpoint, so leftover batch=1..N partitions from a prior run
+    # would survive the per-batch OVERWRITE and silently inflate the
+    # SUM-merge.  Fail loudly on that combination (local paths — the
+    # same scope the gates/tests use; on object stores pair the two
+    # dirs by convention).
+    import os as _os
+
+    if (
+        _os.path.isdir(output_dir)
+        and _os.listdir(output_dir)
+        and not _os.path.isdir(checkpoint_dir)
+    ):
+        raise ValueError(
+            "ngram_counts_stream: output_dir already holds batch "
+            "partitions but checkpoint_dir is fresh — stale partials "
+            "would double-count; clear output_dir or reuse the "
+            "original checkpoint"
+        )
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         inst = inst_fn(batch_df, text_col, id_col)

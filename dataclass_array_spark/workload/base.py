@@ -130,3 +130,41 @@ def sql_dsum(expr: str, alias: str) -> str:
 def sql_davg(expr: str, alias: str) -> str:
     s = f"SUM(CAST(({expr}) AS DECIMAL(25,6)))"
     return f"{sql_split(s)} / COUNT({expr}) AS {alias}"
+
+
+def fresh_stream_tmpdir(name: str, sf_dir: str) -> str:
+    """Per-(gate, sf_dir, pid) scratch directory for a streaming gate's
+    sink + checkpoint — ONE implementation of the recycle discipline
+    the eight streaming gates share (was copy-pasted per gate).
+
+    The gate cannot rmtree on return (the driver still reads the
+    returned frame lazily), so cleanup happens at the NEXT invocation —
+    repeated bench runs in one process reuse one directory.  The pid in
+    the tag keeps two CONCURRENT runs over the same sf_dir from
+    rmtree'ing each other's live checkpoint mid-stream (a plain per-sf
+    tag reintroduced the collision mkdtemp was immune to); stale dirs
+    from dead pids are swept opportunistically here (the /proc liveness
+    probe is Linux-only — acceptable for the gate/test environment this
+    helper serves)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"dca-stream-{name}-{tag}-{os.getpid()}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"dca-stream-{name}-{tag}-*")
+    ):
+        try:
+            pid = int(stale.rsplit("-", 1)[-1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    return tmp

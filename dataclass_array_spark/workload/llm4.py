@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataclass_array_spark.operators import text as tx
-from dataclass_array_spark.workload.base import load_tables, spread
+from dataclass_array_spark.workload.base import (
+    fresh_stream_tmpdir,
+    load_tables,
+    spread,
+)
 from dataclass_array_spark.workload.catalog import Query
 
 _SQL_TOKS = tx.SQL_TOKENS.format(t="text")
@@ -289,12 +293,6 @@ def streaming_qdigest_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     stronger than node-level digest merge, which is also valid but
     carries the merged error bound).  Oracle = the batch q-digest
     oracle verbatim."""
-    import glob
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from dataclass_array_spark.operators.qdigest import (
         qdigest_compress,
         qdigest_quantiles,
@@ -311,21 +309,7 @@ def streaming_qdigest_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _parquet_stream(
         spark.readStream.schema(li.schema), f"{sf_dir}/lineitem.parquet"
     ).select("l_returnflag", "l_extendedprice")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"dca-stream-qdigest-{tag}-{os.getpid()}"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"dca-stream-qdigest-{tag}-*")
-    ):
-        try:
-            pid = int(stale.rsplit("-", 1)[-1])
-        except ValueError:
-            continue
-        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
-            shutil.rmtree(stale, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    tmp = fresh_stream_tmpdir("qdigest", sf_dir)
     leaves = hist_stream(
         s, ["l_returnflag"], "l_extendedprice", lo, hi,
         output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",

@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataclass_array_spark.operators import text as tx
-from dataclass_array_spark.workload.base import load_tables, spread
+from dataclass_array_spark.workload.base import (
+    fresh_stream_tmpdir,
+    load_tables,
+    spread,
+)
 from dataclass_array_spark.workload.catalog import Query
 from dataclass_array_spark.workload.llm4 import _URL_EXPR_SQL, _url_expr_spark
 
@@ -491,31 +495,11 @@ def streaming_trigram_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     through the replay-safe batch-partitioned sink, SUM-merged on read;
     equals the one-shot batch counts exactly for any micro-batch
     boundaries.  Oracle = the plain batch trigram aggregation."""
-    import glob
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from dataclass_array_spark.streaming import ngram_counts_stream
     from dataclass_array_spark.streaming.core import documents_stream
 
     s = documents_stream(spark, f"{sf_dir}/documents.parquet")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"dca-stream-ngram-{tag}-{os.getpid()}"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"dca-stream-ngram-{tag}-*")
-    ):
-        try:
-            pid = int(stale.rsplit("-", 1)[-1])
-        except ValueError:
-            continue
-        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
-            shutil.rmtree(stale, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    tmp = fresh_stream_tmpdir("ngram", sf_dir)
     merged = ngram_counts_stream(
         s, "text", "doc_id",
         output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt", n=3,

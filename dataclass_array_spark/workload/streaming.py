@@ -19,7 +19,7 @@ from dataclass_array_spark.streaming import (
     session_window_stats,
     tumbling_counts,
 )
-from dataclass_array_spark.workload.base import sql_dsum
+from dataclass_array_spark.workload.base import fresh_stream_tmpdir, sql_dsum
 from dataclass_array_spark.workload.catalog import Query
 
 _HOUR_US = 3600 * 1_000_000
@@ -154,12 +154,6 @@ def streaming_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap operator against the static broadcast eval set, so the
     accumulated streaming output equals the batch result exactly (the
     oracle is the same SQL as the batch decontam gate)."""
-    import glob
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from dataclass_array_spark.streaming import decontaminate_stream, documents_stream
     from dataclass_array_spark.workload.base import load_tables
     from dataclass_array_spark.workload.llm2 import (
@@ -175,29 +169,9 @@ def streaming_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = documents_stream(spark, f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % _EVAL_MOD != 0
     )
-    # Deterministic per-(sf, pid) tmp root, wiped up front: the returned
-    # frame reads {tmp}/out lazily (the caller collects after we
-    # return), so cleanup happens at the NEXT invocation — repeated
-    # bench runs in one process reuse one directory.  The pid in the
-    # tag keeps two CONCURRENT runs over the same sf_dir from rmtree'ing
-    # each other's live checkpoint mid-stream (a plain per-sf tag
-    # reintroduced the collision mkdtemp was immune to); stale dirs
-    # from dead pids are swept opportunistically below.
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"dca-stream-decontam-{tag}-{os.getpid()}"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"dca-stream-decontam-{tag}-*")
-    ):
-        try:
-            pid = int(stale.rsplit("-", 1)[-1])
-        except ValueError:
-            continue
-        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
-            shutil.rmtree(stale, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    # Deterministic per-(sf, pid) tmp root, wiped up front — the full
+    # recycle/concurrency rationale lives on base.fresh_stream_tmpdir.
+    tmp = fresh_stream_tmpdir("decontam", sf_dir)
     out = decontaminate_stream(
         s, ev, "text", "doc_id",
         output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
@@ -224,12 +198,6 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, store), so the accumulated output equals the one-shot batch
     result regardless of micro-batch boundaries; the oracle is the
     batch incremental SQL without the cap)."""
-    import glob
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from dataclass_array_spark.streaming import (
         documents_stream,
         incremental_dedup_stream,
@@ -244,21 +212,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = documents_stream(spark, f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % _INC_MOD == 0
     )
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"dca-stream-incdedup-{tag}-{os.getpid()}"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"dca-stream-incdedup-{tag}-*")
-    ):
-        try:
-            pid = int(stale.rsplit("-", 1)[-1])
-        except ValueError:
-            continue
-        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
-            shutil.rmtree(stale, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    tmp = fresh_stream_tmpdir("incdedup", sf_dir)
     out = incremental_dedup_stream(
         s, store, "text", "doc_id",
         output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
@@ -364,12 +318,6 @@ def streaming_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-universal hashes deterministic), so the final top-30 estimates
     reuse the BATCH gate's oracle verbatim — a streaming op with a full
     hash-exact oracle, no state store involved."""
-    import glob
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from dataclass_array_spark.operators import text as tx
     from dataclass_array_spark.operators.sketch import countmin_lookup
     from dataclass_array_spark.streaming import countmin_stream, documents_stream
@@ -378,21 +326,7 @@ def streaming_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = documents_stream(spark, f"{sf_dir}/documents.parquet").select(
         F.explode(tx.tokens(F.col("text"))).alias("t")
     )
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"dca-stream-countmin-{tag}-{os.getpid()}"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"dca-stream-countmin-{tag}-*")
-    ):
-        try:
-            pid = int(stale.rsplit("-", 1)[-1])
-        except ValueError:
-            continue
-        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
-            shutil.rmtree(stale, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    tmp = fresh_stream_tmpdir("countmin", sf_dir)
     sk = countmin_stream(
         s, "t", output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
         depth=4, width=2048,
@@ -432,12 +366,6 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     into exactly the batch sketch, so the estimates reuse the batch
     gate's oracle verbatim — like streaming_countmin_tokens, a
     streaming op with a full hash-exact oracle and no state store."""
-    import glob
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from dataclass_array_spark.operators.sketch import hll_estimate
     from dataclass_array_spark.streaming import events_stream, hll_stream
     from dataclass_array_spark.workload.base import load_tables
@@ -445,21 +373,7 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream(spark, f"{sf_dir}/events.parquet").select(
         "event_type", "user_id"
     )
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"dca-stream-hll-{tag}-{os.getpid()}"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"dca-stream-hll-{tag}-*")
-    ):
-        try:
-            pid = int(stale.rsplit("-", 1)[-1])
-        except ValueError:
-            continue
-        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
-            shutil.rmtree(stale, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    tmp = fresh_stream_tmpdir("hll", sf_dir)
     state = hll_stream(
         s, ["event_type"], "user_id",
         output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt", b=8,
@@ -493,12 +407,6 @@ def streaming_bloom_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch filter), probed with every order key — the batch gate's
     oracle verbatim.  Third of the streaming sketch trio (SUM / MAX /
     set-UNION merges), all state-store-free and replay-idempotent."""
-    import glob
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.errors import AnalysisException
     from pyspark.sql import types as T
 
@@ -519,21 +427,7 @@ def streaming_bloom_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > _BLOOM_PRICE)
         .select(F.col("o_orderkey").alias("key"))
     )
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"dca-stream-bloom-{tag}-{os.getpid()}"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"dca-stream-bloom-{tag}-*")
-    ):
-        try:
-            pid = int(stale.rsplit("-", 1)[-1])
-        except ValueError:
-            continue
-        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
-            shutil.rmtree(stale, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    tmp = fresh_stream_tmpdir("bloom", sf_dir)
     bloom = bloom_stream(
         s, "key", output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
         n_bits=_BLOOM_BITS, k=_BLOOM_K,
@@ -578,12 +472,6 @@ def streaming_hist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch, so the p50/p95 estimates reuse the batch gate's oracle
     verbatim — fourth streamable sketch, no state store.  Bounds come
     from a one-time batch pass (the persisted-bounds contract)."""
-    import glob
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from dataclass_array_spark.operators.sketch import hist_quantiles
     from dataclass_array_spark.streaming import hist_stream
     from dataclass_array_spark.streaming.core import _parquet_stream
@@ -599,21 +487,7 @@ def streaming_hist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _parquet_stream(
         spark.readStream.schema(li.schema), f"{sf_dir}/lineitem.parquet"
     ).select("l_returnflag", "l_extendedprice")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"dca-stream-hist-{tag}-{os.getpid()}"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"dca-stream-hist-{tag}-*")
-    ):
-        try:
-            pid = int(stale.rsplit("-", 1)[-1])
-        except ValueError:
-            continue
-        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
-            shutil.rmtree(stale, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    tmp = fresh_stream_tmpdir("hist", sf_dir)
     h = hist_stream(
         s, ["l_returnflag"], "l_extendedprice", lo, hi,
         output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",

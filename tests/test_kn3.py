@@ -323,8 +323,8 @@ def test_exp_exact_bitwise_matches_duckdb(spark):
     random.seed(29)
     vals = [0.0, 1.0, -1.0, 0.5, -0.5, 0.34657359027997264,
             -0.34657359027997264, 42.9, -42.9, 2.302585092994046,
-            15.3, -15.3]
-    vals += [random.uniform(-42.9, 42.9) for _ in range(60)]
+            15.3, -15.3, 85.9, -85.9, 60.0, -60.0]
+    vals += [random.uniform(-85.9, 85.9) for _ in range(60)]
     vals += [random.uniform(-1.0, 1.0) for _ in range(20)]
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(vals)], "i long, x double"
@@ -354,8 +354,8 @@ def test_exp_exact_bitwise_matches_duckdb(spark):
 def test_exp_exact_domain_guard_fires(spark):
     from dataclass_array_spark.operators.text import exp_exact
 
-    df = spark.createDataFrame([(50.0,)], "x double")
-    with pytest.raises(Exception, match="exceeds 62"):
+    df = spark.createDataFrame([(90.0,)], "x double")
+    with pytest.raises(Exception, match="exceeds 124"):
         df.select(exp_exact(F.col("x"))).collect()
 
 
@@ -398,12 +398,12 @@ def test_exp_ln_cte_aliases_survive_hostile_key_names():
     assert got == pytest.approx(math.exp(-10.5), rel=1e-13), got
     # out-of-domain x must still raise even with a hostile key
     con.execute("CREATE TABLE t2 (k BIGINT, x DOUBLE)")
-    con.execute("INSERT INTO t2 VALUES (0, 60.0)")
+    con.execute("INSERT INTO t2 VALUES (0, 90.0)")
     q2 = (
         "WITH " + sql_exp_exact_ctes("t2", "k", "x", "expd")
         + "\nSELECT ex FROM expd"
     )
-    with pytest.raises(Exception, match="exceeds 62"):
+    with pytest.raises(Exception, match="exceeds 124"):
         con.sql(q2).fetchall()
     # ln chains: key columns named e/m/z/z2/a/b/c
     con.execute("CREATE TABLE t3 (e BIGINT, m BIGINT, z BIGINT, n BIGINT)")

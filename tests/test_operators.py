@@ -2432,3 +2432,30 @@ def test_grouped_ntile_matches_window_ntile(spark):
         ).collect()
     }
     assert ranked == want_r
+
+
+def test_temperature_rates_arbitrary_alpha_matches_pow(spark):
+    """exp_exact(alpha*ln_exact(n)) must agree with libm pow for
+    realistic counts (1e-6 relative on the final rate — the weight
+    TOTAL is quantized to decimal(25,6) for order-independent
+    summation, which dominates the tolerance; the exp/ln pair itself
+    is ~1e-15), and rates must be re-run stable."""
+    from dataclass_array_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i % 7}", i) for i in range(300)], "dom string, id long"
+    )
+    rates = temperature_mixture_rates(df, "dom", 100.0, alpha=0.3)
+    rows = {r["dom"]: (r["n_docs"], r["rate"]) for r in rates.collect()}
+    import math
+
+    wts = {d: math.pow(n, 0.3) for d, (n, _) in rows.items()}
+    tot = sum(wts.values())
+    for d, (n, rate) in rows.items():
+        want = min(1.0, 100.0 * (wts[d] / tot) / n)
+        assert rate == pytest.approx(want, rel=1e-6), d
+    again = {r["dom"]: r["rate"] for r in
+             temperature_mixture_rates(df, "dom", 100.0, alpha=0.3).collect()}
+    assert again == {d: r for d, (_, r) in rows.items()}
