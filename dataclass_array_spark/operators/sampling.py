@@ -153,11 +153,17 @@ def temperature_mixture_rates(
     fixed-order series pair, bit-portable across engines (round 13;
     previously these went through libm ``pow``, whose last-ulp behavior
     is implementation-specific, and were documented gate-unsafe).
-    Domain: ``alpha * ln(n) <= 124*ln2`` — n^alpha < 2^124, any real
-    mixture weight (alpha=2 up to ~4e18 rows per domain; out-of-domain
-    fails loudly rather than returning a wrong weight).  The weight
-    total is an exact decimal sum, so the 20-way addition is
-    order-independent.
+    Domain: each weight ``n^alpha`` must fit the exact
+    ``decimal(38,6)`` accumulator, i.e. ``n^alpha < 10^32``
+    (``alpha * ln(n) <= 32*ln10 ~= 73.7`` — alpha=2 up to ~10^16 rows
+    per domain; ``exp_exact``'s own 2^124 ceiling is wider and never
+    binds first).  Out-of-domain fails LOUDLY on BOTH engines: Spark
+    guards the decimal cast with ``assert_true`` (round 14 — Spark's
+    non-ANSI cast would otherwise overflow to NULL and ``F.sum`` would
+    silently skip the weight, inflating every other domain's rate,
+    while DuckDB raised on the same cast — a silent cross-engine
+    divergence), DuckDB raises natively.  The weight total is an exact
+    decimal sum, so the 20-way addition is order-independent.
     """
     from dataclass_array_spark.operators.text import exp_exact, ln_exact
 
@@ -169,9 +175,16 @@ def temperature_mixture_rates(
     else:
         wt = exp_exact(F.lit(float(alpha)) * ln_exact(F.col("n_docs")))
     w = cnt.withColumn("wt", wt)
-    tot = w.agg(
-        F.sum(F.col("wt").cast("decimal(25,6)")).cast("double").alias("tot")
+    # Guarded exact accumulator: decimal(38,6) holds weights < 10^32;
+    # a larger weight must raise, never silently become NULL-and-skipped.
+    wt_ok = F.col("wt") < F.lit(1.0e32)
+    wt_dec = F.when(wt_ok, F.col("wt").cast("decimal(38,6)")).otherwise(
+        F.assert_true(
+            wt_ok,
+            F.lit("temperature_mixture_rates: weight exceeds decimal(38,6)"),
+        ).cast("decimal(38,6)")
     )
+    tot = w.agg(F.sum(wt_dec).cast("double").alias("tot"))
     rate = F.least(
         F.lit(1.0),
         F.lit(float(target_rows)) * (F.col("wt") / F.col("tot")) / F.col("n_docs"),
@@ -213,7 +226,7 @@ def sql_temperature_sample(
     return f"""
 WITH cnt AS (SELECT {domain_col}, COUNT(*) AS n_docs FROM {table} GROUP BY {domain_col}),
 w AS (SELECT {domain_col}, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt FROM cnt),
-tot AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(25,6))) AS DOUBLE) AS tot FROM w),
+tot AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(38,6))) AS DOUBLE) AS tot FROM w),
 r AS (SELECT {domain_col}, n_docs,
         least(1.0, {float(target_rows)} * (wt / tot) / n_docs) AS rate FROM w, tot)
 SELECT d.{key_col}, d.{domain_col},
@@ -259,7 +272,7 @@ WITH cnt AS (SELECT {domain_col}, COUNT(*) AS n_docs FROM {table} GROUP BY {doma
 wx AS (SELECT {domain_col}, n_docs, CAST('{float(alpha)!r}' AS DOUBLE) * ln AS x FROM lnc),
 {sql_exp_exact_ctes("wx", f"{domain_col}, n_docs", "x", "expw")},
 w AS (SELECT {domain_col}, n_docs, ex AS wt FROM expw),
-tot AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(25,6))) AS DOUBLE) AS tot FROM w),
+tot AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(38,6))) AS DOUBLE) AS tot FROM w),
 r AS (SELECT {domain_col}, n_docs,
         least(1.0, {float(target_rows)} * (wt / tot) / n_docs) AS rate FROM w, tot)
 SELECT d.{key_col}, d.{domain_col},
@@ -495,9 +508,12 @@ def cap_per_key(
     unbiased, re-run-stable uniform choice per key (the
     :func:`hash_bucket` discipline), with ``id_cols`` (a unique key)
     as the final tie-break so the order is total.  ``id_cols`` values
-    must be NON-NULL (Spark's concat_ws skips NULLs while the SQL
-    mirror's ``||`` propagates them — the engines would rank different
-    survivors); composite ids containing ``'|'`` alias identically in
+    must be NON-NULL, and the requirement is ENFORCED loudly on both
+    engines (round 14 — Spark ``assert_true`` per id col, DuckDB
+    ``error()`` in the mirror): Spark's concat_ws skips NULLs while
+    the SQL mirror's ``||`` propagates them, so an unguarded NULL id
+    would rank DIFFERENT survivors per engine — a silently
+    non-reproducible sample; composite ids containing ``'|'`` alias identically in
     both engines (('a|b','c') hashes like ('a','b|c')) — harmless for
     determinism, but use a delimiter-free unique key for strict
     uniformity.
@@ -515,9 +531,16 @@ def cap_per_key(
         raise ValueError("cap_per_key: cap must be >= 1")
     from pyspark.sql import Window
 
-    pri = F.md5(
-        F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in id_cols])
-    )
+    def _nn(c: str):  # non-NULL id contract, loudly enforced
+        s = F.col(c).cast("string")
+        ok = s.isNotNull()
+        return F.when(ok, s).otherwise(
+            F.assert_true(
+                ok, F.lit(f"cap_per_key: NULL in id_cols ({c})")
+            ).cast("string")
+        )
+
+    pri = F.md5(F.concat_ws("|", F.lit(salt), *[_nn(c) for c in id_cols]))
     w = Window.partitionBy(*key_cols).orderBy(
         pri, *[F.col(c) for c in id_cols]
     )
@@ -535,8 +558,13 @@ def sql_cap_per_key_pred(
     salt: str = "cap",
 ) -> str:
     """DuckDB QUALIFY predicate mirroring :func:`cap_per_key` (same
-    md5 priority, same tie-break)."""
-    id_cat = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in id_cols)
+    md5 priority, same tie-break, same loud non-NULL id enforcement —
+    ``error()`` here mirrors the Spark side's ``assert_true``)."""
+    id_cat = " || '|' || ".join(
+        f"CASE WHEN {c} IS NULL THEN error('cap_per_key: NULL in id_cols "
+        f"({c})') ELSE CAST({c} AS VARCHAR) END"
+        for c in id_cols
+    )
     order = ", ".join([f"md5('{salt}|' || {id_cat})", *id_cols])
     keys = ", ".join(key_cols)
     return (

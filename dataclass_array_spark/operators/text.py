@@ -573,10 +573,13 @@ def sql_exp_exact_ctes(src: str, key: str, x: str, out: str) -> str:
     (same k/r reduction, same series, same loud domain error;
     internal aliases ``__``-prefixed so a caller's key column can
     never shadow them — an unprefixed ``k`` key would otherwise
-    silently corrupt values AND bypass the domain guard)."""
+    silently corrupt values AND bypass the domain guard).  ``{x}`` is
+    parenthesized at every interpolation site, so a compound caller
+    expression like ``a - b`` keeps its precedence (unparenthesized,
+    ``a - b / ln2`` would silently bind the division first)."""
     return f"""{out}_k AS (
-  SELECT {key}, {x} AS __x,
-         CAST(floor({x} / {LN2_DOUBLE!r} + 0.5) AS BIGINT) AS __k
+  SELECT {key}, ({x}) AS __x,
+         CAST(floor(({x}) / {LN2_DOUBLE!r} + 0.5) AS BIGINT) AS __k
   FROM {src}
 ),
 {out}_g AS (

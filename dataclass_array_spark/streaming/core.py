@@ -789,6 +789,27 @@ def ngram_counts_stream(
             "would double-count; clear output_dir or reuse the "
             "original checkpoint"
         )
+    # ... and the INVERSE: an existing checkpoint with a cleared /
+    # missing output_dir makes availableNow SKIP already-committed
+    # micro-batches, so their counts would never be rewritten and the
+    # SUM-merge silently UNDERcounts.  The two dirs may only move
+    # together (round 14, ADVICE).  The precise signal is the
+    # checkpoint's ``commits/`` dir: a crash BEFORE the first commit
+    # replays everything anyway (no data lost, no error needed), but
+    # any committed batch whose output partition is gone is
+    # unrecoverable through the checkpoint.
+    _commits = _os.path.join(checkpoint_dir, "commits")
+    if (
+        _os.path.isdir(_commits)
+        and any(not f.startswith(".") for f in _os.listdir(_commits))
+        and not (_os.path.isdir(output_dir) and _os.listdir(output_dir))
+    ):
+        raise ValueError(
+            "ngram_counts_stream: checkpoint_dir exists but output_dir "
+            "is missing/empty — already-committed batches would be "
+            "skipped and their counts lost; clear BOTH dirs for a "
+            "fresh run or restore the matching output_dir"
+        )
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         inst = inst_fn(batch_df, text_col, id_col)

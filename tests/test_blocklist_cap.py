@@ -157,3 +157,42 @@ def test_normalize_phrases_ascii_whitespace_only():
     'foo\\xa0bar' as ONE token — str.split() would break the contract."""
     assert normalize_phrases(["foo\xa0bar"]) == [("foo\xa0bar", 1)]
 
+
+
+def test_cap_per_key_null_id_raises_loudly(spark):
+    """Round-14 ADVICE: the documented non-NULL id contract is now
+    ENFORCED — Spark's concat_ws would silently skip a NULL id (while
+    the DuckDB mirror's || propagates it), ranking different survivors
+    per engine.  Both engines must instead fail loudly."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", "x1"), ("a", None), ("b", "x3")], "k string, id string"
+    )
+    with pytest.raises(Exception, match="NULL in id_cols"):
+        cap_per_key(df, ["k"], 2, ["id"]).collect()
+
+
+def test_sql_cap_per_key_pred_null_id_raises_loudly():
+    import duckdb
+    import pytest
+
+    from dataclass_array_spark.operators.sampling import sql_cap_per_key_pred
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, id VARCHAR)")
+    con.execute("INSERT INTO t VALUES ('a', 'x1'), ('a', NULL)")
+    pred = sql_cap_per_key_pred(["k"], 1, ["id"])
+    with pytest.raises(Exception, match="NULL in id_cols"):
+        con.sql(f"SELECT * FROM t QUALIFY {pred}").fetchall()
+
+
+def test_cap_per_key_non_null_ids_unchanged_by_guard(spark):
+    """The guard must be value-transparent for valid inputs (the gate
+    relies on identical survivor sets before/after the fix)."""
+    rows = [("k%d" % (i % 3), i) for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, id long")
+    kept = cap_per_key(df, ["k"], 3, ["id"])
+    assert kept.count() == 9
+    again = sorted(map(tuple, cap_per_key(df, ["k"], 3, ["id"]).collect()))
+    assert sorted(map(tuple, kept.collect())) == again

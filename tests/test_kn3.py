@@ -415,3 +415,44 @@ def test_exp_ln_cte_aliases_survive_hostile_key_names():
         )
         got = con.sql(q3).fetchone()[0]
         assert got == pytest.approx(math.log(1000), rel=1e-13), (builder, got)
+
+
+def test_sql_exp_exact_ctes_compound_x_expression(spark):
+    """Regression (round-14 ADVICE): a COMPOUND caller expression like
+    ``a - b`` must keep its precedence at both interpolation sites —
+    unparenthesized, ``a - b / ln2`` bound the division first, silently
+    corrupting k (and through it the whole result)."""
+    from dataclass_array_spark.operators.text import (
+        exp_exact,
+        sql_exp_exact_ctes,
+    )
+
+    pairs = [(3.5, 1.25), (-2.0, 7.75), (10.0, 0.5), (0.0, 0.0)]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i long, a double, b double",
+    )
+    got = {
+        r["i"]: r["ex"]
+        for r in df.select(
+            "i", exp_exact(F.col("a") - F.col("b")).alias("ex")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, a DOUBLE, b DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+    )
+    q = (
+        "WITH "
+        + sql_exp_exact_ctes("t", "i", "a - b", "expd")
+        + "\nSELECT i, ex FROM expd"
+    )
+    want = {r[0]: r[1] for r in con.sql(q).fetchall()}
+    for i, (a, b) in enumerate(pairs):
+        assert struct.pack("<d", got[i]) == struct.pack("<d", want[i]), (
+            a, b, got[i], want[i],
+        )
+        ev = math.exp(a - b)
+        assert abs(got[i] - ev) <= 1e-13 * max(ev, 1.0), (a, b, got[i], ev)

@@ -2437,7 +2437,7 @@ def test_grouped_ntile_matches_window_ntile(spark):
 def test_temperature_rates_arbitrary_alpha_matches_pow(spark):
     """exp_exact(alpha*ln_exact(n)) must agree with libm pow for
     realistic counts (1e-6 relative on the final rate — the weight
-    TOTAL is quantized to decimal(25,6) for order-independent
+    TOTAL is quantized to decimal(38,6) for order-independent
     summation, which dominates the tolerance; the exp/ln pair itself
     is ~1e-15), and rates must be re-run stable."""
     from dataclass_array_spark.operators.sampling import (
@@ -2459,3 +2459,44 @@ def test_temperature_rates_arbitrary_alpha_matches_pow(spark):
     again = {r["dom"]: r["rate"] for r in
              temperature_mixture_rates(df, "dom", 100.0, alpha=0.3).collect()}
     assert again == {d: r for d, (_, r) in rows.items()}
+
+
+def test_temperature_mixture_weight_overflow_raises(spark):
+    """Round-14 ADVICE (medium): a weight past the decimal(38,6)
+    accumulator (n^alpha >= 1e32) must raise LOUDLY — before the fix,
+    Spark's non-ANSI cast overflowed to NULL and F.sum silently
+    SKIPPED the weight (inflating every other domain's rate) while the
+    DuckDB mirror raised on the identical cast.  alpha=30 with a
+    12-row domain gives 12^30 ~ 2.4e32: inside exp_exact's 2^124
+    domain, outside the accumulator's."""
+    from dataclass_array_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    df = spark.createDataFrame(
+        [("big", i) for i in range(12)] + [("small", 100 + i) for i in range(3)],
+        "dom string, id long",
+    )
+    with pytest.raises(Exception, match="exceeds decimal"):
+        temperature_mixture_rates(df, "dom", 10.0, alpha=30.0).collect()
+
+
+def test_temperature_mixture_in_domain_unaffected_by_guard(spark):
+    """The overflow guard must be value-transparent in-domain (gate
+    values pinned)."""
+    from dataclass_array_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i % 4}", i) for i in range(100)], "dom string, id long"
+    )
+    rows = {r["dom"]: r["rate"] for r in
+            temperature_mixture_rates(df, "dom", 40.0, alpha=0.5).collect()}
+    import math
+
+    wts = {f"d{k}": math.sqrt(25.0) for k in range(4)}
+    tot = sum(wts.values())
+    for d, rate in rows.items():
+        want = min(1.0, 40.0 * (wts[d] / tot) / 25.0)
+        assert rate == pytest.approx(want, rel=1e-9), d

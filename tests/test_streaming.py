@@ -593,3 +593,42 @@ def test_ngram_counts_stream_rejects_bad_n(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="n must be 2 or 3"):
         ngram_counts_stream(s, "text", "doc_id", "o", "c", n=4)
+
+
+def test_ngram_counts_stream_rejects_cleared_output(spark, tmp_path):
+    """Round-14 ADVICE: the INVERSE of the stale-output guard — an
+    existing checkpoint whose committed batches' output partitions are
+    gone means availableNow would SKIP those batches and the SUM-merge
+    silently UNDERcounts.  Must fail loudly instead."""
+    import shutil
+
+    from dataclass_array_spark.streaming import ngram_counts_stream
+
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e"), (3, "c d e f")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs"
+    d.repartition(2).write.parquet(str(src))
+    s = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    got = ngram_counts_stream(
+        s, "text", "doc_id", output_dir=str(out), checkpoint_dir=str(ckpt),
+        n=2,
+    )
+    assert got.count() > 0
+    shutil.rmtree(out)
+    s2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    with pytest.raises(ValueError, match="output_dir is missing/empty"):
+        ngram_counts_stream(
+            s2, "text", "doc_id", output_dir=str(out),
+            checkpoint_dir=str(ckpt), n=2,
+        )
