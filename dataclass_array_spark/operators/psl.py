@@ -188,13 +188,34 @@ def _max_rule_labels(rules: Sequence[Tuple[str, int, int]]) -> int:
     return max(n for _, n, _ in rules)
 
 
+# Session-scoped cache for the DEFAULT snapshot's rules frame: the
+# rules are a static data asset, but building the frame costs a parse
+# + createDataFrame per call, which repeated gates pay over and over
+# (round-14 ADVICE/VERDICT item 6 — this was a measurable constant in
+# url_domain_stats_docs).  Single entry keyed by session identity; a
+# new session naturally evicts the old frame.
+_DEFAULT_RULES_CACHE: list = []  # [(SparkSession, DataFrame)]
+
+
 def psl_rules_df(
     spark: SparkSession, rules: Optional[Iterable[str]] = None
 ) -> DataFrame:
     """Rules as a DataFrame ``(rule_key, rule_labels, is_exc)`` —
     bounded by construction (≤ ~10k rows for the full PSL), the legal
-    broadcast side of the suffix join."""
-    parsed = parse_psl_rules(rules if rules is not None else PSL_SNAPSHOT)
+    broadcast side of the suffix join.  The default-snapshot frame is
+    cached per session (the same DataFrame object is returned on
+    repeat calls, so its broadcast exchange is reusable); explicit
+    ``rules`` always build fresh."""
+    if rules is None:
+        if _DEFAULT_RULES_CACHE and _DEFAULT_RULES_CACHE[0][0] is spark:
+            return _DEFAULT_RULES_CACHE[0][1]
+        parsed = parse_psl_rules(PSL_SNAPSHOT)
+        df = spark.createDataFrame(
+            parsed, "rule_key string, rule_labels int, is_exc int"
+        )
+        _DEFAULT_RULES_CACHE[:] = [(spark, df)]
+        return df
+    parsed = parse_psl_rules(rules)
     return spark.createDataFrame(
         parsed, "rule_key string, rule_labels int, is_exc int"
     )

@@ -434,3 +434,17 @@ def test_psl_custom_rules_derive_max_labels(spark):
     empty = psl_rules_df(spark, [])
     with _pytest.raises(ValueError, match="rules_df is empty"):
         host_registrable_map(hosts, "host", rules_df=empty)
+
+
+def test_psl_rules_df_default_snapshot_cached_per_session(spark):
+    """Round-14: repeated gates must not re-parse/re-create the default
+    rules frame — same object back on the second call; explicit rules
+    stay uncached."""
+    from dataclass_array_spark.operators.psl import PSL_SNAPSHOT, psl_rules_df
+
+    a = psl_rules_df(spark)
+    b = psl_rules_df(spark)
+    assert a is b
+    c = psl_rules_df(spark, list(PSL_SNAPSHOT))
+    assert c is not a
+    assert sorted(map(tuple, c.collect())) == sorted(map(tuple, a.collect()))
