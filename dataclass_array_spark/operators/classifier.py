@@ -51,12 +51,17 @@ __all__ = [
     "ngram_features",
     "feature_bucket",
     "classifier_score",
+    "classifier_fit",
+    "fit_weights_for_scoring",
     "dsir_log_weights",
     "hash_weights",
     "sql_ngram_feats",
     "sql_ngram_feats_pos",
     "sql_feature_bucket",
     "sql_hash_weights",
+    "sql_classifier_fit_ctes",
+    "W_SCALE",
+    "R_SCALE",
 ]
 
 
@@ -358,3 +363,216 @@ def sql_ngram_feats_pos(toks_cte: str, cap: int = 4096) -> str:
          toks[gs.i] || ' ' || toks[gs.i + 1] AS f
   FROM {toks_cte}, generate_series(1, {cap - 1}) gs(i)
   WHERE gs.i <= len(toks) - 1"""
+
+
+# ---- in-engine training (round 14, VERDICT item 3) -----------------
+#
+# Deterministic FULL-BATCH logistic regression over the hashed
+# uni+bigram features — the missing training half of the CCNet /
+# fastText quality-filter story (production filters are trained on
+# in-pipeline labels such as wiki-vs-crawl; inference-only scoring
+# left the pipeline dependent on an external model file).
+#
+# Model (matches classifier_score's margin convention):
+#     margin(d) = (Σ_{f∈d} w[bucket(f)]) / n_d
+#     p(d)      = 1 / (1 + exp(−margin(d)))
+#     ∂L/∂w[b]  = Σ_d (p(d) − y_d) · c_{d,b} / n_d        (log loss)
+#     w ← w − lr · ∂L/∂w
+#
+# Exactness discipline (every step bit-portable Spark ≡ DuckDB):
+#   * weights live as SCALED BIGINTs (w = ws / 10^9) — integer state,
+#     no accumulated float drift across iterations;
+#   * the per-doc dot is an exact integer sum; the margin/logistic is
+#     a FIXED IEEE op sequence with exp via text.exp_exact;
+#   * the per-doc residual (p−y)/n is quantized by
+#     floor(res·10^15) — floor, not round: a double can land exactly
+#     on a decimal HALF (e.g. 1/65536 at scale 15), where the engines'
+#     cast tie-breaks could disagree, but floor is unambiguous;
+#   * the bucket gradient is an exact decimal(38,0) sum of those
+#     quantized integers — order-free, map-side combinable;
+#   * the step  ws ← ws − floor(lr · double(g) · 10^-6)  is one fixed
+#     IEEE triple (int→double conversions are correctly rounded in
+#     Python, Spark and DuckDB alike) + exact integer subtraction.
+#
+# Plan shape / 100 TB story: featurize once (in-scan explode, cached
+# spill-safe for the iteration loop); per iteration = one broadcast
+# join against the MODEL-SIZED weight table + one per-doc aggregation
+# + one per-bucket aggregation capped at nbuckets rows (the
+# dsir_log_weights bucket-table shape).  Driver state is nbuckets
+# scaled ints — bounded by the user's declared model size.  Cost is
+# linear in corpus tokens per iteration, iterations are a fixed
+# hyper-parameter.
+W_SCALE = 1_000_000_000          # weights: ws = w * 10^9
+R_SCALE = 1_000_000_000_000_000  # residual quantization: 10^15
+
+
+def classifier_fit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    nbuckets: int,
+    lr: float = 0.5,
+    n_iters: int = 3,
+    salt: str = "clf",
+    n_max: int = 2,
+) -> DataFrame:
+    """Train the hashed-n-gram logistic model; → ``(bucket, ws, w)``
+    with one row per bucket (``ws`` the scaled-integer weight, ``w``
+    its double value) — feed :func:`fit_weights_for_scoring` into
+    :func:`classifier_score` for inference with the trained model.
+
+    ``label_col`` must be 0/1 (cast to double internally).  Docs with
+    zero features have no instances, hence no gradient contribution —
+    consistent with their fixed margin of 0.  The iteration count is a
+    hyper-parameter, NOT a convergence test (determinism: the gate
+    unrolls exactly ``n_iters`` steps)."""
+    import math
+
+    nb = int(nbuckets)
+    if nb < 1:
+        raise ValueError("classifier_fit: nbuckets must be >= 1")
+    if int(n_iters) < 1:
+        raise ValueError("classifier_fit: n_iters must be >= 1")
+    spark = df.sparkSession
+
+    inst = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("double").alias("__y"),
+        F.explode(ngram_features(F.col(text_col), n_max)).alias("__f"),
+    ).select(
+        "__id",
+        "__y",
+        feature_bucket(F.col("__f"), nb, salt).alias("bucket"),
+    )
+    inst = inst.persist()  # MEMORY_AND_DISK: spill-safe across iterations
+    try:
+        ws = [0] * nb  # driver state: nbuckets scaled ints (bounded)
+        lrd = float(lr)
+        for _ in range(int(n_iters)):
+            wdf = spark.createDataFrame(
+                [(b, ws[b]) for b in range(nb)], "bucket long, __ws long"
+            )
+            per_doc = (
+                inst.join(F.broadcast(wdf), "bucket", "left")
+                .groupBy("__id")
+                .agg(
+                    F.first("__y").alias("__y"),
+                    F.count("*").cast("long").alias("__n"),
+                    F.sum("__ws").cast("long").alias("__dot"),
+                )
+            )
+            from dataclass_array_spark.operators.text import exp_exact
+
+            margin = (
+                F.col("__dot").cast("double") / F.lit(float(W_SCALE))
+            ) / F.col("__n").cast("double")
+            p = F.lit(1.0) / (F.lit(1.0) + exp_exact(-margin))
+            res = (p - F.col("__y")) / F.col("__n").cast("double")
+            rq = per_doc.select(
+                "__id",
+                F.floor(res * F.lit(float(R_SCALE))).cast("long").alias("__rq"),
+            )
+            grad = (
+                inst.join(rq, "__id")
+                .groupBy("bucket")
+                .agg(
+                    F.sum(F.col("__rq").cast("decimal(38,0)")).alias("__g")
+                )
+            )
+            for row in grad.collect():  # ≤ nbuckets rows — bounded
+                g = float(int(row["__g"]))
+                ws[int(row["bucket"])] -= math.floor(lrd * g * 1e-06)
+    finally:
+        inst.unpersist()
+    out = spark.createDataFrame(
+        [(b, ws[b]) for b in range(nb)], "bucket long, ws long"
+    )
+    return out.select(
+        "bucket",
+        "ws",
+        (F.col("ws").cast("double") / F.lit(float(W_SCALE))).alias("w"),
+    )
+
+
+def fit_weights_for_scoring(fitted: DataFrame) -> DataFrame:
+    """``classifier_fit`` output → the exact-decimal ``(bucket, w)``
+    table :func:`classifier_score` expects (ws/10^9 as decimal —
+    EXACT, unlike the double ``w`` column)."""
+    return fitted.select(
+        "bucket",
+        (
+            # decimal(19,0) * decimal(10,9) -> decimal(30,9): inside
+            # Spark's 38-precision cap, so the scale-9 product is EXACT
+            # (a wider operand would trigger the silent scale reduction)
+            F.col("ws").cast("decimal(19,0)")
+            * F.lit("0.000000001").cast("decimal(10,9)")
+        ).cast("decimal(20,9)").alias("w"),
+    )
+
+
+def sql_classifier_fit_ctes(
+    fb_cte: str,
+    lab_cte: str,
+    nbuckets: int,
+    lr: float,
+    n_iters: int,
+    out: str = "wfit",
+) -> str:
+    """Unrolled DuckDB mirror of :func:`classifier_fit` (the k-means /
+    PageRank unroll discipline: one CTE block per iteration, op
+    sequences textually parallel to the Spark side — edits must
+    mirror).  Inputs: ``{fb_cte}(doc_id, bucket)`` feature instances,
+    ``{lab_cte}(doc_id, y)`` labels (0.0/1.0 doubles).  Produces
+    ``{out}(bucket, ws)`` after exactly ``n_iters`` steps."""
+    from dataclass_array_spark.operators.text import sql_exp_exact_ctes
+
+    nb = int(nbuckets)
+    lr_lit = f"CAST('{float(lr)!r}' AS DOUBLE)"
+    blocks = [
+        f"{out}_w0 AS (SELECT gs.i AS bucket, CAST(0 AS BIGINT) AS ws\n"
+        f"  FROM generate_series(0, {nb - 1}) gs(i))"
+    ]
+    for t in range(int(n_iters)):
+        w, nxt = f"{out}_w{t}", f"{out}_w{t + 1}"
+        pd_ = f"{out}_pd{t}"
+        ex = f"{out}_ex{t}"
+        rq = f"{out}_rq{t}"
+        g = f"{out}_g{t}"
+        blocks.append(
+            f"""{pd_} AS (
+  SELECT fb.doc_id, MIN(l.y) AS y, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(w.ws), 0) AS BIGINT) AS dot
+  FROM {fb_cte} fb
+  JOIN {lab_cte} l USING (doc_id)
+  LEFT JOIN {w} w USING (bucket)
+  GROUP BY fb.doc_id
+),
+{pd_}_m AS (
+  SELECT doc_id, y, n,
+         (CAST(dot AS DOUBLE) / {float(W_SCALE)!r}) / CAST(n AS DOUBLE) AS m
+  FROM {pd_}
+),
+{sql_exp_exact_ctes(f"{pd_}_m", "doc_id, y, n", "-m", ex)},
+{rq} AS (
+  SELECT doc_id,
+         CAST(floor(((1.0 / (1.0 + ex) - y) / CAST(n AS DOUBLE))
+                    * {float(R_SCALE)!r}) AS BIGINT) AS rq
+  FROM {ex}
+),
+{g} AS (
+  SELECT fb.bucket, CAST(SUM(r.rq) AS DECIMAL(38,0)) AS g
+  FROM {fb_cte} fb JOIN {rq} r USING (doc_id)
+  GROUP BY fb.bucket
+),
+{nxt} AS (
+  SELECT w.bucket,
+         w.ws - CAST(floor(({lr_lit} * CAST(COALESCE(g.g, 0) AS DOUBLE))
+                           * CAST('1e-06' AS DOUBLE)) AS BIGINT) AS ws
+  FROM {w} w LEFT JOIN {g} g USING (bucket)
+)"""
+        )
+    blocks.append(
+        f"{out} AS (SELECT bucket, ws FROM {out}_w{int(n_iters)})"
+    )
+    return ",\n".join(blocks)

@@ -97,6 +97,7 @@ _PRIORITY: Tuple[str, ...] = (
     "lang_id_docs",
     # ==== window boundary (50) ====
     # ---- NEW in round 14 (next round: never-verified cohort) ----
+    "classifier_train_docs",
     # ---- remaining 31 r11-cohort queries ----
     "linkage_entity_clusters",
     "linkage_part_entities",

@@ -577,3 +577,76 @@ QUERIES["temperature_mixture_alpha_docs"] = Query(
     temperature_mixture_alpha_docs, _mixture_alpha_oracle(),
     tags=("sampling", "mixture"),
 )
+
+
+# ------------------------------------------------ in-engine training
+_FIT_BUCKETS = 256
+_FIT_LR = 0.5
+_FIT_ITERS = 3
+
+
+def classifier_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE classifier training (round-14 VERDICT item 3):
+    deterministic full-batch logistic regression over the hashed
+    uni+bigram features, labels = (lang == 'en') — the wiki-vs-crawl
+    style in-pipeline label a production quality filter trains on.
+    Output = the trained weight table after exactly 3 steps (bucket,
+    ws scaled-integer, w double).  The DuckDB oracle unrolls the
+    identical three iterations (the k-means/PageRank discipline), so
+    the learned weights themselves are hash-exact."""
+    from dataclass_array_spark.operators.classifier import (
+        W_SCALE,
+        classifier_fit,
+    )
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    d = d.withColumn(
+        "__y", (F.col("lang") == "en").cast("long")
+    )
+    fit = classifier_fit(
+        d, "text", "doc_id", "__y", _FIT_BUCKETS,
+        lr=_FIT_LR, n_iters=_FIT_ITERS,
+    )
+    return fit.select("bucket", "ws", "w").orderBy("bucket")
+
+
+def _clf_train_oracle() -> str:
+    from dataclass_array_spark.operators.classifier import (
+        W_SCALE,
+        sql_classifier_fit_ctes,
+        sql_feature_bucket,
+        sql_ngram_feats,
+    )
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+guard AS (
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('CLF_FIT_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
+feats AS (
+  {sql_ngram_feats("toks")}
+),
+fb AS (
+  SELECT doc_id, {sql_feature_bucket("f", _FIT_BUCKETS)} AS bucket FROM feats
+),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+{sql_classifier_fit_ctes("fb", "lab", _FIT_BUCKETS, _FIT_LR, _FIT_ITERS)}
+SELECT bucket, ws, CAST(ws AS DOUBLE) / {float(W_SCALE)!r} AS w
+FROM wfit
+CROSS JOIN guard
+WHERE guard.ok = 1
+ORDER BY bucket
+"""
+
+
+QUERIES["classifier_train_docs"] = Query(
+    classifier_train_docs, _clf_train_oracle(),
+    tags=("text", "quality", "classifier", "training"),
+)
