@@ -117,3 +117,173 @@ def pack_sequences(
             bs,
         ).alias("end_block"),
     ).withColumn("n_blocks", F.col("end_block") - F.col("start_block") + F.lit(1))
+
+
+# ---- first-fit-decreasing packing (round 14, VERDICT item 4) -------
+#
+# pack_sequences above is concat-and-chop: every token kept, documents
+# SPLIT across window boundaries.  Production context-window packing
+# also wants the no-split layout: each document placed whole into some
+# B-token bin, waste bounded (first-fit-decreasing is the classic
+# 11/9·OPT + 6/9 guarantee).  Global FFD is a sequential fold, so the
+# distributed shape is per-BUCKET FFD: documents hash into nbuckets
+# independent groups (md5 of the id — each bucket sees a REPRESENTATIVE
+# random mix of lengths, which is what FFD quality needs; bucketing by
+# length would starve bins of short filler docs), and each group runs
+# the exact sequential algorithm inside one applyInPandas task whose
+# state (open-bin remainders) is bounded by the group's document count.
+# Parallelism = nbuckets; per-task memory = docs/nbuckets rows.  At
+# 100 TB scale raise nbuckets (2^10..2^14): waste stays within a
+# fraction of a percent of global FFD because every bucket's length
+# distribution is an iid sample of the corpus's.
+#
+# Determinism / oracle: ALL-INTEGER state + a total order (size DESC,
+# id ASC; ids unique) makes the fold exactly replayable — the DuckDB
+# mirror is a recursive CTE carrying the same remainder list and
+# placing each doc at list_position(rem >= size) — so the gate is
+# hash-exact without any float discipline at all.
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    block_size: int,
+    nbuckets: int = 64,
+    salt: str = "ffd",
+) -> DataFrame:
+    """No-split context-window packing: first-fit-decreasing per hash
+    bucket.  → ``(id, size, bucket, bin, bin_off)`` — ``bin`` is the
+    1-based bin index WITHIN the bucket (global window id =
+    ``(bucket, bin)``), ``bin_off`` the document's token offset inside
+    its bin.  Sizes must satisfy ``0 <= size <= block_size`` (a doc
+    longer than the window can never be placed whole — loud error, both
+    engines)."""
+    import pandas as pd
+
+    from dataclass_array_spark.operators.classifier import feature_bucket
+
+    B = int(block_size)
+    if B < 1:
+        raise ValueError("pack_sequences_ffd: block_size must be >= 1")
+    nb = int(nbuckets)
+    if nb < 1:
+        raise ValueError("pack_sequences_ffd: nbuckets must be >= 1")
+
+    size_ok = (F.col(size_col) >= 0) & (F.col(size_col) <= B)
+    guarded_size = F.when(size_ok, F.col(size_col).cast("long")).otherwise(
+        F.assert_true(
+            size_ok,
+            F.lit(
+                f"pack_sequences_ffd: {size_col} outside [0, {B}] "
+                "(documents longer than the window cannot pack whole)"
+            ),
+        ).cast("long")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        guarded_size.alias("size"),
+        feature_bucket(F.col(id_col).cast("string"), nb, salt).alias(
+            "bucket"
+        ),
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["size", "id"], ascending=[False, True], kind="mergesort"
+        )
+        rem: list = []  # remaining capacity per open bin (1-based out)
+        bins, offs = [], []
+        for s in pdf["size"].tolist():
+            s = int(s)
+            placed = -1
+            for i, r in enumerate(rem):
+                if r >= s:
+                    placed = i
+                    break
+            if placed < 0:
+                rem.append(B - s)
+                bins.append(len(rem))
+                offs.append(0)
+            else:
+                offs.append(B - rem[placed])
+                rem[placed] -= s
+                bins.append(placed + 1)
+        out = pdf.copy()
+        out["bin"] = pd.Series(bins, index=pdf.index, dtype="int64")
+        out["bin_off"] = pd.Series(offs, index=pdf.index, dtype="int64")
+        return out
+
+    id_type = dict(df.dtypes)[id_col]
+    return base.groupBy("bucket").applyInPandas(
+        _pack,
+        schema=(
+            f"id {id_type}, size long, bucket long, bin long, bin_off long"
+        ),
+    ).withColumnsRenamed({"id": id_col, "size": size_col})
+
+
+def sql_pack_ffd(
+    src: str,
+    id_expr: str,
+    size_expr: str,
+    block_size: int,
+    nbuckets: int = 64,
+    salt: str = "ffd",
+) -> str:
+    """DuckDB mirror of :func:`pack_sequences_ffd`: a recursive CTE per
+    bucket carrying the open-bin remainder list; each step places the
+    next (size DESC, id) document at the FIRST index whose remainder
+    fits (``list_position`` over a ``>=`` mask), appending a new bin
+    when none does.  All-integer — hash-exact by construction.  Emits
+    the full query (ORDER BY bucket, bin, bin_off, id)."""
+    B = int(block_size)
+    from dataclass_array_spark.operators.classifier import sql_feature_bucket
+
+    bucket = sql_feature_bucket(f"CAST({id_expr} AS VARCHAR)", nbuckets, salt)
+    return f"""
+WITH RECURSIVE pin AS (
+  SELECT {id_expr} AS id,
+         CASE WHEN ({size_expr}) BETWEEN 0 AND {B} THEN CAST({size_expr} AS BIGINT)
+              ELSE error('pack_sequences_ffd: size outside [0, {B}]') END AS size,
+         {bucket} AS bucket
+  FROM {src}
+),
+pdocs AS (
+  SELECT bucket, id, size,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY size DESC, id) AS pos,
+         COUNT(*) OVER (PARTITION BY bucket) AS n
+  FROM pin
+),
+pffd AS (
+  SELECT bucket, CAST(0 AS BIGINT) AS pos, MAX(n) AS n,
+         CAST([] AS BIGINT[]) AS rem, CAST([] AS BIGINT[]) AS binof
+  FROM pdocs GROUP BY bucket
+  UNION ALL
+  SELECT f.bucket, f.pos + 1, f.n,
+         CASE WHEN x.idx IS NULL OR x.idx = 0
+              THEN list_append(f.rem, {B} - d.size)
+              ELSE f.rem[:x.idx-1] || [f.rem[x.idx] - d.size] || f.rem[x.idx+1:]
+         END AS rem,
+         list_append(f.binof,
+                     CASE WHEN x.idx IS NULL OR x.idx = 0
+                          THEN len(f.rem) + 1 ELSE x.idx END) AS binof
+  FROM pffd f
+  JOIN pdocs d ON d.bucket = f.bucket AND d.pos = f.pos + 1,
+  LATERAL (SELECT list_position(
+             list_transform(f.rem, r -> r >= d.size), true) AS idx) x
+  WHERE f.pos < f.n
+),
+pfin AS (SELECT bucket, binof FROM pffd WHERE pos = n),
+pasg AS (
+  SELECT bucket,
+         CAST(unnest(generate_series(1, len(binof))) AS BIGINT) AS pos,
+         CAST(unnest(binof) AS BIGINT) AS bin
+  FROM pfin
+)
+SELECT d.id, d.size, d.bucket, a.bin,
+       CAST(SUM(d.size) OVER (PARTITION BY d.bucket, a.bin ORDER BY d.pos)
+            - d.size AS BIGINT) AS bin_off
+FROM pdocs d JOIN pasg a ON a.bucket = d.bucket AND a.pos = d.pos
+ORDER BY d.bucket, a.bin, bin_off, d.id
+"""

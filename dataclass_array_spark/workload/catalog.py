@@ -98,6 +98,7 @@ _PRIORITY: Tuple[str, ...] = (
     # ==== window boundary (50) ====
     # ---- NEW in round 14 (next round: never-verified cohort) ----
     "classifier_train_docs",
+    "pack_ffd_docs",
     # ---- remaining 31 r11-cohort queries ----
     "linkage_entity_clusters",
     "linkage_part_entities",

@@ -650,3 +650,54 @@ QUERIES["classifier_train_docs"] = Query(
     classifier_train_docs, _clf_train_oracle(),
     tags=("text", "quality", "classifier", "training"),
 )
+
+
+# ------------------------------------------------ FFD context packing
+_FFD_BLOCK = 256
+_FFD_BUCKETS = 32
+
+
+def pack_ffd_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT context-window packing (round-14 VERDICT item 4):
+    first-fit-decreasing per hash bucket — each document placed WHOLE
+    into a 256-token bin (vs ``pack_context_windows``' concat-and-chop,
+    which splits documents across windows).  All-integer fold, so the
+    recursive-CTE oracle replays every placement exactly."""
+    from dataclass_array_spark.operators.packing import pack_sequences_ffd
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    sized = d.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        pack_sequences_ffd(
+            sized, "doc_id", "n_tokens", _FFD_BLOCK, nbuckets=_FFD_BUCKETS
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pack_ffd_oracle() -> str:
+    from dataclass_array_spark.operators.packing import sql_pack_ffd
+
+    inner = sql_pack_ffd(
+        "(SELECT doc_id, len({toks}) AS n_tokens FROM documents)".format(
+            toks=_SQL_TOKS
+        ),
+        "doc_id",
+        "n_tokens",
+        _FFD_BLOCK,
+        nbuckets=_FFD_BUCKETS,
+    )
+    # re-wrap: the driver compare sorts rows itself, but column names
+    # must match the Spark side (id col stays doc_id, size n_tokens)
+    return f"""
+SELECT id AS doc_id, size AS n_tokens, bucket, bin, bin_off
+FROM ({inner})
+ORDER BY doc_id
+"""
+
+
+QUERIES["pack_ffd_docs"] = Query(
+    pack_ffd_docs, _pack_ffd_oracle(), tags=("packing", "layout")
+)
