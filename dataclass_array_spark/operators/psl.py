@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "PSL_SNAPSHOT",
     "parse_psl_rules",
+    "load_psl_file",
     "psl_rules_df",
     "host_registrable_map",
     "psl_rules_values_sql",
@@ -181,6 +182,40 @@ def parse_psl_rules(
         is_exc = 1 if line.startswith("!") else 0
         key = line[1:] if is_exc else line
         out.append((key, len(key.split(".")), is_exc))
+    return out
+
+
+def load_psl_file(path: str, section: Optional[str] = "ICANN") -> List[str]:
+    """Load rule LINES from a published public_suffix_list.dat file —
+    the production path for the full ~15k-rule list (this container
+    has no network, so the repo bundles only :data:`PSL_SNAPSHOT`; a
+    deployment drops the published file next to its job and passes
+    these lines to :func:`psl_rules_df`).  ``section="ICANN"`` keeps
+    only the ICANN-managed block (the registrable-domain semantics
+    crawl pipelines want); ``section=None`` keeps everything including
+    PRIVATE-section entries like ``*.github.io``.  Comment/blank
+    filtering itself is :func:`parse_psl_rules`'s job — this returns
+    raw lines so the two compose like ``parse_psl_rules(
+    load_psl_file(p))``."""
+    out: List[str] = []
+    keep = section is None
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            s = line.strip()
+            if section is not None:
+                if s.startswith(f"// ===BEGIN {section}"):
+                    keep = True
+                    continue
+                if s.startswith(f"// ===END {section}"):
+                    keep = False
+                    continue
+            if keep:
+                out.append(line)
+    if not out:
+        raise ValueError(
+            f"load_psl_file: no rules found in {path!r}"
+            + (f" section {section!r}" if section else "")
+        )
     return out
 
 

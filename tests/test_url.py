@@ -142,6 +142,11 @@ PSL_CASES = [
     ("", ""),                           # non-URL rows carry '' hosts
     ("localhost", ""),
     ("pref.hokkaido.jp", "pref.hokkaido.jp"),
+    # the ccSLD wildcard family VERDICT r13 item 5 names explicitly
+    ("a.b.nagoya.jp", "a.b.nagoya.jp"),  # *.nagoya.jp: b.nagoya.jp is a suffix
+    ("b.nagoya.jp", ""),
+    ("www.city.nagoya.jp", "city.nagoya.jp"),  # exception !city.nagoya.jp
+    ("city.nagoya.jp", "city.nagoya.jp"),
 ]
 
 
@@ -448,3 +453,38 @@ def test_psl_rules_df_default_snapshot_cached_per_session(spark):
     c = psl_rules_df(spark, list(PSL_SNAPSHOT))
     assert c is not a
     assert sorted(map(tuple, c.collect())) == sorted(map(tuple, a.collect()))
+
+
+def test_load_psl_file_sections(tmp_path):
+    """load_psl_file must honor the published file's section markers
+    (ICANN vs PRIVATE) and compose with parse_psl_rules."""
+    from dataclass_array_spark.operators.psl import (
+        load_psl_file,
+        parse_psl_rules,
+    )
+
+    p = tmp_path / "public_suffix_list.dat"
+    p.write_text(
+        "// comment preamble\n"
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "co.uk\n"
+        "*.nagoya.jp\n"
+        "!city.nagoya.jp\n"
+        "// ===END ICANN DOMAINS===\n"
+        "// ===BEGIN PRIVATE DOMAINS===\n"
+        "*.github.io\n"
+        "// ===END PRIVATE DOMAINS===\n",
+        encoding="utf-8",
+    )
+    icann = parse_psl_rules(load_psl_file(str(p)))
+    assert ("co.uk", 2, 0) in icann
+    assert ("city.nagoya.jp", 3, 1) in icann
+    assert all(k != "*.github.io" for k, _, _ in icann)
+    both = parse_psl_rules(load_psl_file(str(p), section=None))
+    assert ("*.github.io", 3, 0) in both
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no rules"):
+        load_psl_file(str(p), section="NOPE")
