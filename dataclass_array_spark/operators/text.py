@@ -1478,6 +1478,22 @@ def kneser_ney3_xent_scores_heldout(
         F.col("pos").isNotNull()
     )
     t3 = inst_t.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c"))
+    return kn3_score_from_counts(t3, score_df, text_col, id_col)
+
+
+def kn3_score_from_counts(t3, score_df, text_col: str, id_col: str):
+    """The scoring half of :func:`kneser_ney3_xent_scores_heldout`,
+    taking the trigram COUNT TABLE ``t3(w1, w2, w3, c)`` directly
+    instead of a training corpus — every KN statistic (prefix,
+    continuation, type totals) derives from that one table, so a
+    count table is a complete LM.  This is what makes the model
+    STREAM-REFRESHABLE: feed it the SUM-merged output of
+    ``streaming.ngram_counts_stream`` (n=3) and the crawl's LM stays
+    current without re-scanning history (round-14 VERDICT item 8);
+    batch == stream is exact because counts are additive.  Same six
+    backoff branches, same decimal(38)/``ln_exact_dec`` exactness,
+    same plan shape as the held-out scorer (which now delegates
+    here)."""
     b12 = t3.groupBy("w1", "w2").agg(
         F.sum("c").cast("long").alias("bb"),
         F.count("*").cast("long").alias("n1"),

@@ -10,6 +10,7 @@ two oracle-checked streaming workload queries (``workload.streaming``).
 
 from dataclass_array_spark.streaming.core import (
     dedup_within_watermark,
+    kn3_stream_score,
     ngram_counts_stream,
     events_stream,
     events_from_kafka_json,
@@ -25,6 +26,7 @@ from dataclass_array_spark.streaming.core import (
 
 __all__ = [
     "dedup_within_watermark",
+    "kn3_stream_score",
     "ngram_counts_stream",
     "events_stream",
     "events_from_kafka_json",

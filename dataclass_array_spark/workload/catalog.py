@@ -99,6 +99,7 @@ _PRIORITY: Tuple[str, ...] = (
     # ---- NEW in round 14 (next round: never-verified cohort) ----
     "classifier_train_docs",
     "pack_ffd_docs",
+    "streaming_kn_score_docs",
     # ---- remaining 31 r11-cohort queries ----
     "linkage_entity_clusters",
     "linkage_part_entities",

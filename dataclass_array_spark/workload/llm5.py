@@ -701,3 +701,30 @@ ORDER BY doc_id
 QUERIES["pack_ffd_docs"] = Query(
     pack_ffd_docs, _pack_ffd_oracle(), tags=("packing", "layout")
 )
+
+
+# ------------------------------------------------ streaming KN scoring
+def streaming_kn_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Kneser-Ney END-TO-END (round-14 VERDICT item 8): the
+    documents corpus streams through the replay-safe trigram-count
+    sink (micro-batched ingest), and the SUM-merged counts drive the
+    batch KN scorer over the same corpus.  Counts are additive and
+    every KN statistic derives from the one count table, so the result
+    EQUALS the one-shot batch self-scoring gate — the oracle is
+    ``kneser_ney3_lm_docs``'s batch oracle VERBATIM."""
+    from dataclass_array_spark.streaming import kn3_stream_score
+    from dataclass_array_spark.streaming.core import documents_stream
+
+    s = documents_stream(spark, f"{sf_dir}/documents.parquet")
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    tmp = fresh_stream_tmpdir("knstream", sf_dir)
+    return kn3_stream_score(
+        s, d, "text", "doc_id",
+        output_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
+    ).orderBy("doc_id")
+
+
+QUERIES["streaming_kn_score_docs"] = Query(
+    streaming_kn_score_docs, _kn3_oracle(),
+    tags=("streaming", "text", "lm"),
+)

@@ -632,3 +632,35 @@ def test_ngram_counts_stream_rejects_cleared_output(spark, tmp_path):
             s2, "text", "doc_id", output_dir=str(out),
             checkpoint_dir=str(ckpt), n=2,
         )
+
+
+def test_kn3_stream_score_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming-refreshed KN LM == one-shot batch self-scoring,
+    BIT-FOR-BIT, across multiple micro-batches (counts are additive;
+    every KN statistic derives from the count table)."""
+    from dataclass_array_spark.operators.text import kneser_ney3_xent_scores
+    from dataclass_array_spark.streaming import kn3_stream_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "docs"
+    d.repartition(3).write.parquet(str(src))
+    s = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["xent_nats"])
+        for r in kn3_stream_score(
+            s, d, "text", "doc_id",
+            output_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_trigrams"], r["xent_nats"])
+        for r in kneser_ney3_xent_scores(d, "text", "doc_id").collect()
+    }
+    assert got == want
