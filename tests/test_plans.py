@@ -6,6 +6,7 @@ import io
 from contextlib import redirect_stdout
 
 import pytest
+from pyspark.sql import functions as F
 
 from dataclass_array_spark.workload import QUERIES
 
@@ -803,3 +804,88 @@ def test_cap_per_key_window_group_limit(spark):
     map-side top-k pushdown the 100 TB per-domain quota depends on."""
     p = plan(spark, "domain_cap_docs")
     assert "WindowGroupLimit" in p, p
+
+
+def test_classifier_fit_gradient_plan_shapes(spark):
+    """One training iteration's gradient job: the weight lookup joins
+    BROADCAST (model-sized, hint must survive a disabled auto
+    threshold), the bucket gradient is a partial_sum-combined
+    hash aggregation (map-side combine before the nbuckets-row
+    exchange), and the whole iteration stays JVM-side."""
+    from dataclass_array_spark.operators.classifier import (
+        feature_bucket,
+        ngram_features,
+    )
+    from dataclass_array_spark.operators.text import exp_exact
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    inst = d.select(
+        F.col("doc_id").alias("__id"),
+        (F.col("lang") == "en").cast("double").alias("__y"),
+        F.explode(ngram_features(F.col("text"))).alias("__f"),
+    ).select(
+        "__id", "__y", feature_bucket(F.col("__f"), 256).alias("bucket")
+    )
+    wdf = spark.createDataFrame(
+        [(b, 0) for b in range(256)], "bucket long, __ws long"
+    )
+    with _no_broadcast_conf(spark):
+        per_doc = (
+            inst.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("__id")
+            .agg(
+                F.first("__y").alias("__y"),
+                F.count("*").cast("long").alias("__n"),
+                F.sum("__ws").cast("long").alias("__dot"),
+            )
+        )
+        margin = (
+            F.col("__dot").cast("double") / F.lit(1.0e9)
+        ) / F.col("__n").cast("double")
+        p_ = F.lit(1.0) / (F.lit(1.0) + exp_exact(-margin))
+        rq = per_doc.select(
+            "__id",
+            F.floor(
+                ((p_ - F.col("__y")) / F.col("__n").cast("double"))
+                * F.lit(1.0e15)
+            ).cast("long").alias("__rq"),
+        )
+        grad = (
+            inst.join(rq, "__id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("__rq").cast("decimal(38,0)")).alias("__g"))
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            grad.explain("formatted")
+        p = buf.getvalue()
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_sum" in p, p  # map-side-combined bucket gradient
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert marker not in p, marker
+
+
+def test_pack_ffd_single_exchange_per_bucket_fold(spark):
+    """FFD packing's plan: exactly ONE exchange (hash by bucket) feeds
+    the per-bucket applyInPandas fold — the sequential algorithm runs
+    inside FlatMapGroupsInPandas tasks, never through extra shuffles
+    or a global sort."""
+    from dataclass_array_spark.operators.packing import pack_sequences_ffd
+    from dataclass_array_spark.operators.text import token_count
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", token_count(F.col("text")).alias("n")
+    )
+    out = pack_sequences_ffd(d, "doc_id", "n", 256, nbuckets=8)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    import re
+
+    assert "FlatMapGroupsInPandas" in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    # the only Sort is the grouping's WITHIN-partition sort (global
+    # flag false) — never a global sort
+    for args in re.findall(r"\(\d+\) Sort[^\n]*\nInput[^\n]*\nArguments: (.*)", p):
+        assert ", false, " in args, args
