@@ -1,0 +1,124 @@
+"""Exact binary-classification metrics — the EVALUATE step of the
+quality-filter loop (train ``classifier.classifier_fit`` → score
+``classifier.classifier_score`` → evaluate here).
+
+AUC is the Mann-Whitney rank statistic: AUC = P(score⁺ > score⁻) +
+½·P(score⁺ = score⁻).  That is a RATIO OF INTEGERS —
+``2U = Σ_g p_g·(2·cumneg_before(g) + n_g)`` over the distinct-score
+groups g in ascending score order, AUC = 2U / (2·P·N) — so the house
+exact-integer discipline applies with no ranking of individual rows
+at all:
+
+* one hash aggregation to per-DISTINCT-SCORE (p_g, n_g) counts — the
+  value dimension, not the corpus;
+* one two-phase global running sum over those groups
+  (:func:`packing.global_cumsum` — range-partitioned, never a
+  single-task global sort);
+* one 1-row aggregation of decimal(38,0) products
+  (:func:`text.checked_dec38` — loud on overflow, DuckDB's HUGEINT
+  raises natively).
+
+Ties group EXACTLY because scores from this package's scorers are
+bit-identical doubles on both engines (the exactness recipes in
+``text.py``); equal bits → equal group → identical half-credit.
+
+Reference parity: the reference repo is an array library with no
+classifier metrics; this extends SURVEY.md §2.B's training-data-
+pipeline rows (round 14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["auc_exact", "sql_auc_ctes"]
+
+
+def auc_exact(
+    df: DataFrame, label_col: str, score_col: str
+) -> DataFrame:
+    """Exact ROC AUC of ``score_col`` against 0/1 ``label_col`` —
+    ONE row ``(n_pos, n_neg, u2, auc)`` where ``u2`` is the integer
+    ``2U`` Mann-Whitney numerator (decimal(38,0) — cast it yourself if
+    you know it fits BIGINT) and ``auc = u2 / (2·P·N)`` as one double
+    division of two correctly-rounded casts.  Both classes must be
+    non-empty (AUC is undefined otherwise — loud ``assert_true``)."""
+    from dataclass_array_spark.operators.packing import global_cumsum
+    from dataclass_array_spark.operators.text import checked_dec38
+
+    def _dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    y = F.col(label_col).cast("long")
+    g = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(y).cast("long").alias("__pg"),
+        F.sum(F.lit(1) - y).cast("long").alias("__ng"),
+    )
+    gc = global_cumsum(g, "__s", "__ng", out_col="__cumneg")
+    row = gc.agg(
+        F.sum("__pg").cast("long").alias("n_pos"),
+        F.sum("__ng").cast("long").alias("n_neg"),
+        F.sum(
+            checked_dec38(
+                _dec(F.col("__pg"))
+                * (
+                    _dec(F.col("__cumneg") - F.col("__ng")) * 2
+                    + _dec(F.col("__ng"))
+                ),
+                "AUC numerator term p_g*(2*cumneg_before + n_g)",
+            )
+        ).cast("decimal(38,0)").alias("u2"),
+    )
+    both = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    denom = checked_dec38(
+        _dec(F.col("n_pos")) * _dec(F.col("n_neg")) * 2,
+        "AUC denominator 2*P*N",
+    )
+    auc = F.when(
+        both,
+        F.col("u2").cast("double") / denom.cast("double"),
+    ).otherwise(
+        F.assert_true(
+            both, F.lit("auc_exact: both classes must be non-empty")
+        ).cast("double")
+    )
+    return row.select("n_pos", "n_neg", "u2", auc.alias("auc"))
+
+
+def sql_auc_ctes(src: str, y_expr: str, s_expr: str, out: str = "auc") -> str:
+    """DuckDB mirror of :func:`auc_exact`: CTE chain ending in
+    ``{out}(n_pos, n_neg, u2, auc)`` — same distinct-score grouping,
+    same running negative count, same decimal products (DuckDB HUGEINT
+    raises natively where checked_dec38 is loud), same two casts + one
+    division for ``auc``.  ``{src}`` rows provide ``{y_expr}`` (0/1)
+    and ``{s_expr}`` (the score)."""
+    return f"""{out}_g AS (
+  SELECT ({s_expr}) AS __s,
+         CAST(SUM({y_expr}) AS BIGINT) AS __pg,
+         CAST(SUM(1 - ({y_expr})) AS BIGINT) AS __ng
+  FROM {src}
+  GROUP BY 1
+),
+{out}_c AS (
+  SELECT *, CAST(SUM(__ng) OVER (ORDER BY __s) AS BIGINT) AS __cumneg
+  FROM {out}_g
+),
+{out}_r AS (
+  SELECT CAST(SUM(__pg) AS BIGINT) AS n_pos,
+         CAST(SUM(__ng) AS BIGINT) AS n_neg,
+         CAST(SUM(CAST(__pg AS HUGEINT)
+                  * (CAST(__cumneg - __ng AS HUGEINT) * 2
+                     + CAST(__ng AS HUGEINT))) AS HUGEINT) AS u2
+  FROM {out}_c
+),
+{out} AS (
+  SELECT n_pos, n_neg, u2,
+         CASE WHEN n_pos > 0 AND n_neg > 0
+              THEN CAST(u2 AS DOUBLE)
+                   / CAST(CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT) * 2
+                          AS DOUBLE)
+              ELSE error('auc_exact: both classes must be non-empty')
+         END AS auc
+  FROM {out}_r
+)"""

@@ -100,6 +100,7 @@ _PRIORITY: Tuple[str, ...] = (
     "classifier_train_docs",
     "pack_ffd_docs",
     "streaming_kn_score_docs",
+    "classifier_auc_docs",
     # ---- remaining 31 r11-cohort queries ----
     "linkage_entity_clusters",
     "linkage_part_entities",

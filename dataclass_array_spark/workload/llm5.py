@@ -728,3 +728,101 @@ QUERIES["streaming_kn_score_docs"] = Query(
     streaming_kn_score_docs, _kn3_oracle(),
     tags=("streaming", "text", "lm"),
 )
+
+
+# ------------------------------------------------ train -> score -> AUC
+def classifier_auc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier loop CLOSED end-to-end in one gate: train
+    (``classifier_fit``, 3 deterministic steps) → score every doc with
+    the trained weights (``classifier_score`` via the exact-decimal
+    handoff) → evaluate with the exact Mann-Whitney AUC
+    (``metrics.auc_exact`` — a ratio of integers, ties half-credited
+    exactly).  One row: (n_pos, n_neg, u2, auc), all hash-exact
+    including the learned-model-dependent AUC itself."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_fit,
+        classifier_score,
+        fit_weights_for_scoring,
+    )
+    from dataclass_array_spark.operators.metrics import auc_exact
+    from dataclass_array_spark.operators.text import checked_i64
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    d = d.withColumn("__y", (F.col("lang") == "en").cast("long"))
+    fit = classifier_fit(
+        d, "text", "doc_id", "__y", _FIT_BUCKETS,
+        lr=_FIT_LR, n_iters=_FIT_ITERS,
+    )
+    scored = classifier_score(
+        d, fit_weights_for_scoring(fit), "text", "doc_id", _FIT_BUCKETS
+    )
+    labeled = scored.join(d.select("doc_id", "__y"), "doc_id")
+    out = auc_exact(labeled, "__y", "margin")
+    return out.select(
+        "n_pos",
+        "n_neg",
+        checked_i64(F.col("u2"), "classifier_auc u2").alias("u2"),
+        "auc",
+    )
+
+
+def _clf_auc_oracle() -> str:
+    from dataclass_array_spark.operators.classifier import (
+        sql_classifier_fit_ctes,
+        sql_feature_bucket,
+        sql_ngram_feats,
+    )
+    from dataclass_array_spark.operators.metrics import sql_auc_ctes
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+guard AS (
+  SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
+              THEN error('CLF_AUC_SQL: document exceeds 4096-token oracle cap')
+              ELSE 1 END AS ok
+  FROM toks
+),
+feats AS (
+  {sql_ngram_feats("toks")}
+),
+fb AS (
+  SELECT doc_id, {sql_feature_bucket("f", _FIT_BUCKETS)} AS bucket FROM feats
+),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+{sql_classifier_fit_ctes("fb", "lab", _FIT_BUCKETS, _FIT_LR, _FIT_ITERS)},
+wdec AS (
+  SELECT bucket,
+         CAST(CAST(ws AS DECIMAL(19,0))
+              * CAST('0.000000001' AS DECIMAL(10,9)) AS DECIMAL(20,9)) AS w
+  FROM wfit
+),
+spd AS (
+  SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         CAST(SUM(CAST(COALESCE(w.w, 0) AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS s
+  FROM fb LEFT JOIN wdec w USING (bucket)
+  GROUP BY fb.doc_id
+),
+marg AS (
+  SELECT d.doc_id,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         CASE WHEN COALESCE(pd.n_features, 0) > 0
+              THEN CAST(pd.s AS DOUBLE) / CAST(pd.n_features AS DOUBLE)
+              ELSE 0.0 END AS margin
+  FROM documents d LEFT JOIN spd pd USING (doc_id)
+),
+{sql_auc_ctes("marg", "y", "margin")}
+SELECT n_pos, n_neg, CAST(u2 AS BIGINT) AS u2, auc
+FROM auc
+CROSS JOIN guard
+WHERE guard.ok = 1
+"""
+
+
+QUERIES["classifier_auc_docs"] = Query(
+    classifier_auc_docs, _clf_auc_oracle(),
+    tags=("text", "quality", "classifier", "metrics"),
+)

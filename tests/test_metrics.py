@@ -1,0 +1,84 @@
+"""Exact Mann-Whitney AUC (round 14): three-way differential (Spark ≡
+DuckDB CTE mirror ≡ explicit pairwise counting) plus the boundary
+values and the undefined-AUC loud failure."""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dataclass_array_spark.operators.metrics import auc_exact, sql_auc_ctes
+
+
+def _pairwise_u2(rows):
+    pos = [s for _, y, s in rows if y == 1]
+    neg = [s for _, y, s in rows if y == 0]
+    u2 = sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+    return len(pos), len(neg), u2
+
+
+def test_auc_three_way_with_ties(spark):
+    random.seed(11)
+    rows = [
+        (i, random.randint(0, 1),
+         float(random.choice([0.1, 0.2, 0.2, 0.3, 0.5, 0.5, 0.9])))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "i long, y long, s double")
+    got = auc_exact(df, "y", "s").collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = con.sql(
+        "WITH " + sql_auc_ctes("t", "y", "s") + " SELECT * FROM auc"
+    ).fetchone()
+    assert (got["n_pos"], got["n_neg"], int(got["u2"]), got["auc"]) == (
+        want[0], want[1], int(want[2]), want[3],
+    )
+    p, n, u2 = _pairwise_u2(rows)
+    assert (got["n_pos"], got["n_neg"], int(got["u2"])) == (p, n, u2)
+    assert got["auc"] == u2 / (2 * p * n)
+
+
+def test_auc_boundary_values(spark):
+    # perfect separation -> 1.0; inverted -> 0.0; all-tied -> 0.5
+    perfect = [(1, 1, 0.9), (2, 1, 0.8), (3, 0, 0.2), (4, 0, 0.1)]
+    inverted = [(1, 1, 0.1), (2, 0, 0.9)]
+    tied = [(1, 1, 0.5), (2, 0, 0.5), (3, 1, 0.5), (4, 0, 0.5)]
+    for rows, want in ((perfect, 1.0), (inverted, 0.0), (tied, 0.5)):
+        df = spark.createDataFrame(rows, "i long, y long, s double")
+        assert auc_exact(df, "y", "s").collect()[0]["auc"] == want
+
+
+def test_auc_single_class_raises_both_engines(spark):
+    df = spark.createDataFrame([(1, 1, 0.5), (2, 1, 0.7)], "i long, y long, s double")
+    with pytest.raises(Exception, match="both classes"):
+        auc_exact(df, "y", "s").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    con.execute("INSERT INTO t VALUES (1, 1, 0.5), (2, 1, 0.7)")
+    with pytest.raises(Exception, match="both classes"):
+        con.sql("WITH " + sql_auc_ctes("t", "y", "s") + " SELECT * FROM auc").fetchall()
+
+
+def test_auc_no_single_task_global_sort(spark):
+    """The distinct-score running sum must go through the two-phase
+    global_cumsum (range partition + within-partition window), never a
+    single-partition global window."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    rows = [(i, i % 2, float(i % 17)) for i in range(100)]
+    df = spark.createDataFrame(rows, "i long, y long, s double")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        auc_exact(df, "y", "s").explain("formatted")
+    p = buf.getvalue()
+    # every window spec must partition by the cumsum's partition-id
+    # column, never be partition-less (SinglePartition window)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "__pid" in spec, spec
