@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["auc_exact", "sql_auc_ctes"]
+__all__ = ["auc_exact", "sql_auc_ctes", "pr_curve_exact", "sql_pr_curve_ctes"]
 
 
 def auc_exact(
@@ -121,4 +121,86 @@ def sql_auc_ctes(src: str, y_expr: str, s_expr: str, out: str = "auc") -> str:
               ELSE error('auc_exact: both classes must be non-empty')
          END AS auc
   FROM {out}_r
+)"""
+
+
+def pr_curve_exact(
+    df: DataFrame, label_col: str, score_col: str
+) -> DataFrame:
+    """Exact precision/recall/F1 at EVERY distinct-score threshold
+    (predict positive when ``score >= t``) — one row per distinct
+    score ``(threshold, tp, fp, fn, precision, recall, f1)``, counts
+    exact integers, each ratio ONE division of two correctly-rounded
+    casts.  The classic PR curve for picking a quality-filter
+    operating point; same scale shape as :func:`auc_exact` (score-
+    value-dimension aggregation + the two-phase running sum — no
+    single-task global sort, no per-row ranking)."""
+    from dataclass_array_spark.operators.packing import global_cumsum
+
+    y = F.col(label_col).cast("long")
+    g = df.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(y).cast("long").alias("__pg"),
+        F.sum(F.lit(1) - y).cast("long").alias("__ng"),
+    )
+    gc = global_cumsum(g, "threshold", "__pg", out_col="__cumpos")
+    gc = global_cumsum(gc, "threshold", "__ng", out_col="__cumneg")
+    tot = gc.agg(
+        F.sum("__pg").cast("long").alias("__P"),
+        F.sum("__ng").cast("long").alias("__N"),
+    )
+    tp = (F.col("__P") - (F.col("__cumpos") - F.col("__pg"))).alias("tp")
+    fp = (F.col("__N") - (F.col("__cumneg") - F.col("__ng"))).alias("fp")
+    out = gc.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        tp,
+        fp,
+        (F.col("__cumpos") - F.col("__pg")).alias("fn"),  # positives below t
+    )
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
+    rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")
+    f1 = (F.col("tp") * 2).cast("double") / (
+        F.col("tp") * 2 + F.col("fp") + F.col("fn")
+    ).cast("double")
+    return out.select(
+        "threshold", "tp", "fp", "fn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )
+
+
+def sql_pr_curve_ctes(
+    src: str, y_expr: str, s_expr: str, out: str = "pr"
+) -> str:
+    """DuckDB mirror of :func:`pr_curve_exact` — same grouped counts,
+    same ascending running sums, same integer tp/fp/fn and single-
+    division ratios."""
+    return f"""{out}_g AS (
+  SELECT ({s_expr}) AS threshold,
+         CAST(SUM({y_expr}) AS BIGINT) AS __pg,
+         CAST(SUM(1 - ({y_expr})) AS BIGINT) AS __ng
+  FROM {src}
+  GROUP BY 1
+),
+{out}_c AS (
+  SELECT *,
+         CAST(SUM(__pg) OVER (ORDER BY threshold) AS BIGINT) AS __cumpos,
+         CAST(SUM(__ng) OVER (ORDER BY threshold) AS BIGINT) AS __cumneg,
+         CAST(SUM(__pg) OVER () AS BIGINT) AS __P,
+         CAST(SUM(__ng) OVER () AS BIGINT) AS __N
+  FROM {out}_g
+),
+{out} AS (
+  SELECT threshold,
+         __P - (__cumpos - __pg) AS tp,
+         __N - (__cumneg - __ng) AS fp,
+         __cumpos - __pg AS fn,
+         CAST(__P - (__cumpos - __pg) AS DOUBLE)
+           / CAST((__P - (__cumpos - __pg)) + (__N - (__cumneg - __ng)) AS DOUBLE)
+           AS precision,
+         CAST(__P - (__cumpos - __pg) AS DOUBLE)
+           / CAST((__P - (__cumpos - __pg)) + (__cumpos - __pg) AS DOUBLE)
+           AS recall,
+         CAST((__P - (__cumpos - __pg)) * 2 AS DOUBLE)
+           / CAST((__P - (__cumpos - __pg)) * 2 + (__N - (__cumneg - __ng))
+                  + (__cumpos - __pg) AS DOUBLE) AS f1
+  FROM {out}_c
 )"""

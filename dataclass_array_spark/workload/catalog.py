@@ -101,6 +101,7 @@ _PRIORITY: Tuple[str, ...] = (
     "pack_ffd_docs",
     "streaming_kn_score_docs",
     "classifier_auc_docs",
+    "classifier_pr_docs",
     # ---- remaining 31 r11-cohort queries ----
     "linkage_entity_clusters",
     "linkage_part_entities",

@@ -826,3 +826,53 @@ QUERIES["classifier_auc_docs"] = Query(
     classifier_auc_docs, _clf_auc_oracle(),
     tags=("text", "quality", "classifier", "metrics"),
 )
+
+
+# ------------------------------------------------ PR curve
+def classifier_pr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision/recall/F1 at every distinct classifier-margin
+    threshold (labels = lang == 'en', fixture-weight model — the
+    operating-point table a production filter reads to pick its
+    cutoff).  Counts are exact integers; every ratio is one division;
+    same two-phase no-global-sort shape as the AUC gate."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+    from dataclass_array_spark.operators.metrics import pr_curve_exact
+    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    scored = classifier_score(
+        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
+    )
+    labeled = scored.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("__y")),
+        "doc_id",
+    )
+    return pr_curve_exact(labeled, "__y", "margin").orderBy("threshold")
+
+
+def _clf_pr_oracle() -> str:
+    from dataclass_array_spark.operators.metrics import sql_pr_curve_ctes
+    from dataclass_array_spark.workload.llm4 import _clf_oracle
+
+    return f"""
+WITH base AS ({_clf_oracle()}),
+lab AS (
+  SELECT b.doc_id,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         b.margin
+  FROM base b JOIN documents d USING (doc_id)
+),
+{sql_pr_curve_ctes("lab", "y", "margin")}
+SELECT threshold, tp, fp, fn, precision, recall, f1
+FROM pr
+ORDER BY threshold
+"""
+
+
+QUERIES["classifier_pr_docs"] = Query(
+    classifier_pr_docs, _clf_pr_oracle(),
+    tags=("text", "quality", "classifier", "metrics"),
+)

@@ -82,3 +82,69 @@ def test_auc_no_single_task_global_sort(spark):
     # column, never be partition-less (SinglePartition window)
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert "__pid" in spec, spec
+
+
+def _py_pr(rows):
+    """Explicit per-threshold counting reference."""
+    out = {}
+    thresholds = sorted({s for _, _, s in rows})
+    for t in thresholds:
+        tp = sum(1 for _, y, s in rows if y == 1 and s >= t)
+        fp = sum(1 for _, y, s in rows if y == 0 and s >= t)
+        fn = sum(1 for _, y, s in rows if y == 1 and s < t)
+        out[t] = (tp, fp, fn)
+    return out
+
+
+def test_pr_curve_three_way(spark):
+    from dataclass_array_spark.operators.metrics import (
+        pr_curve_exact,
+        sql_pr_curve_ctes,
+    )
+
+    random.seed(19)
+    rows = [
+        (i, random.randint(0, 1),
+         float(random.choice([0.1, 0.3, 0.3, 0.6, 0.8])))
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "i long, y long, s double")
+    got = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"], r["precision"],
+                         r["recall"], r["f1"])
+        for r in pr_curve_exact(df, "y", "s").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(
+            "WITH " + sql_pr_curve_ctes("t", "y", "s") + " SELECT * FROM pr"
+        ).fetchall()
+    }
+    assert got == want
+    ref = _py_pr(rows)
+    for t, (tp, fp, fn, prec, rec, f1) in got.items():
+        assert (tp, fp, fn) == ref[t], t
+        assert prec == tp / (tp + fp)
+        assert rec == tp / (tp + fn)
+        assert f1 == 2 * tp / (2 * tp + fp + fn)
+
+
+def test_pr_curve_monotone_recall(spark):
+    """Recall must be non-increasing in the threshold; the lowest
+    threshold must have recall 1.0 and fn 0."""
+    from dataclass_array_spark.operators.metrics import pr_curve_exact
+
+    random.seed(23)
+    rows = [(i, random.randint(0, 1), float(random.random()))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "i long, y long, s double")
+    curve = sorted(
+        (r["threshold"], r["recall"], r["fn"])
+        for r in pr_curve_exact(df, "y", "s").collect()
+    )
+    assert curve[0][1] == 1.0 and curve[0][2] == 0
+    recalls = [r for _, r, _ in curve]
+    assert recalls == sorted(recalls, reverse=True)
