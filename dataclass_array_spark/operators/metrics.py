@@ -125,7 +125,10 @@ def sql_auc_ctes(src: str, y_expr: str, s_expr: str, out: str = "auc") -> str:
 
 
 def pr_curve_exact(
-    df: DataFrame, label_col: str, score_col: str
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    floor_digits: "int | None" = None,
 ) -> DataFrame:
     """Exact precision/recall/F1 at EVERY distinct-score threshold
     (predict positive when ``score >= t``) — one row per distinct
@@ -134,11 +137,26 @@ def pr_curve_exact(
     casts.  The classic PR curve for picking a quality-filter
     operating point; same scale shape as :func:`auc_exact` (score-
     value-dimension aggregation + the two-phase running sum — no
-    single-task global sort, no per-row ranking)."""
+    single-task global sort, no per-row ranking).
+
+    CONTINUOUS scores make "the value dimension" corpus-sized (every
+    margin distinct) — at 100 TB pass ``floor_digits=k`` to quantize
+    thresholds to ``floor(score·10^k)/10^k`` first (floor, not round:
+    a double can land exactly on a decimal HALF, where the engines'
+    tie-breaks could disagree; floor is unambiguous — the
+    classifier_fit residual discipline).  Counts then bound the output
+    at the bucket dimension; each row's counts remain exact for its
+    quantized threshold ("score >= t" with t on the quantized grid is
+    identical before/after quantization, since floor never moves a
+    score across a grid line)."""
     from dataclass_array_spark.operators.packing import global_cumsum
 
     y = F.col(label_col).cast("long")
-    g = df.groupBy(F.col(score_col).alias("threshold")).agg(
+    s = F.col(score_col)
+    if floor_digits is not None:
+        scale = float(10 ** int(floor_digits))
+        s = F.floor(s * F.lit(scale)).cast("double") / F.lit(scale)
+    g = df.groupBy(s.alias("threshold")).agg(
         F.sum(y).cast("long").alias("__pg"),
         F.sum(F.lit(1) - y).cast("long").alias("__ng"),
     )
@@ -168,11 +186,21 @@ def pr_curve_exact(
 
 
 def sql_pr_curve_ctes(
-    src: str, y_expr: str, s_expr: str, out: str = "pr"
+    src: str,
+    y_expr: str,
+    s_expr: str,
+    out: str = "pr",
+    floor_digits: "int | None" = None,
 ) -> str:
     """DuckDB mirror of :func:`pr_curve_exact` — same grouped counts,
     same ascending running sums, same integer tp/fp/fn and single-
-    division ratios."""
+    division ratios (and the same floor-grid quantization when
+    ``floor_digits`` is set)."""
+    if floor_digits is not None:
+        scale = float(10 ** int(floor_digits))
+        s_expr = (
+            f"CAST(floor(({s_expr}) * {scale!r}) AS DOUBLE) / {scale!r}"
+        )
     return f"""{out}_g AS (
   SELECT ({s_expr}) AS threshold,
          CAST(SUM({y_expr}) AS BIGINT) AS __pg,

@@ -148,3 +148,36 @@ def test_pr_curve_monotone_recall(spark):
     assert curve[0][1] == 1.0 and curve[0][2] == 0
     recalls = [r for _, r, _ in curve]
     assert recalls == sorted(recalls, reverse=True)
+
+
+def test_pr_curve_floor_quantization_parity_and_bound(spark):
+    """floor_digits must bound the threshold set to the grid dimension
+    and stay engine-exact (floor grid, no cast-tie ambiguity)."""
+    from dataclass_array_spark.operators.metrics import (
+        pr_curve_exact,
+        sql_pr_curve_ctes,
+    )
+
+    random.seed(29)
+    rows = [(i, random.randint(0, 1), random.random()) for i in range(500)]
+    df = spark.createDataFrame(rows, "i long, y long, s double")
+    got = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"])
+        for r in pr_curve_exact(df, "y", "s", floor_digits=2).collect()
+    }
+    assert len(got) <= 100  # grid-bounded, not corpus-sized
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = {
+        r[0]: tuple(r[1:4])
+        for r in con.sql(
+            "WITH " + sql_pr_curve_ctes("t", "y", "s", floor_digits=2)
+            + " SELECT * FROM pr"
+        ).fetchall()
+    }
+    assert got == want
+    # totals conserved at every threshold
+    P = sum(1 for _, y, _ in rows if y == 1)
+    for t, (tp, fp, fn) in got.items():
+        assert tp + fn == P, t
