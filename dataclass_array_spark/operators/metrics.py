@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["auc_exact", "sql_auc_ctes", "pr_curve_exact", "sql_pr_curve_ctes"]
+__all__ = ["auc_exact", "sql_auc_ctes", "pr_curve_exact", "sql_pr_curve_ctes", "ann_recall"]
 
 
 def auc_exact(
@@ -232,3 +232,43 @@ def sql_pr_curve_ctes(
                   + (__cumpos - __pg) AS DOUBLE) AS f1
   FROM {out}_c
 )"""
+
+
+def ann_recall(
+    approx_df: DataFrame,
+    truth_df: DataFrame,
+    qid_col: str = "qid",
+    nid_col: str = "nid",
+) -> DataFrame:
+    """Recall@k of an ANN result against the exact top-k ground truth —
+    per query ``(qid, hits, k, recall)`` where ``k`` is the TRUTH list
+    size for that query (queries with no approximate hits keep recall
+    0.0; a query missing from the truth side is dropped — it has no
+    ground truth to recall).  The "measure, don't guess" closer for
+    the similarity-search family: IVF/LSH/PQ trade recall for scan
+    fraction, and this makes the trade a NUMBER on real data.
+
+    Exact by construction: hits are integer set-intersection counts
+    (both result sets are deterministic in this package), recall is
+    one division.  Scale shape: one hash join on (qid, nid) — both
+    sides k-bounded per query, so the join and the per-query counts
+    are results-sized, never corpus-sized."""
+    t = truth_df.select(
+        F.col(qid_col).alias("__q"), F.col(nid_col).alias("__n")
+    )
+    a = approx_df.select(
+        F.col(qid_col).alias("__q"), F.col(nid_col).alias("__n")
+    )
+    hits = a.join(t, ["__q", "__n"]).groupBy("__q").agg(
+        F.count("*").cast("long").alias("hits")
+    )
+    base = t.groupBy("__q").agg(F.count("*").cast("long").alias("k"))
+    return base.join(hits, "__q", "left").select(
+        F.col("__q").alias(qid_col),
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        "k",
+        (
+            F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+            / F.col("k").cast("double")
+        ).alias("recall"),
+    )

@@ -102,6 +102,7 @@ _PRIORITY: Tuple[str, ...] = (
     "streaming_kn_score_docs",
     "classifier_auc_docs",
     "classifier_pr_docs",
+    "ann_recall_ivf_docs",
     # ---- remaining 31 r11-cohort queries ----
     "linkage_entity_clusters",
     "linkage_part_entities",

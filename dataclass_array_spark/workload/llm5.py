@@ -876,3 +876,52 @@ QUERIES["classifier_pr_docs"] = Query(
     classifier_pr_docs, _clf_pr_oracle(),
     tags=("text", "quality", "classifier", "metrics"),
 )
+
+
+# ------------------------------------------------ ANN recall eval
+def ann_recall_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF ANN index against the exact brute-force
+    top-5, per query — the similarity-search family's "measure, don't
+    guess" closer: IVF trades recall for scan fraction (nprobe=4 of 16
+    cells ≈ 25% of the corpus scanned), and this gate pins the
+    resulting recall as an exact, reproducible number.  Both result
+    sets are deterministic, so hits are exact set intersections and
+    the oracle composes the two existing ANN oracles verbatim."""
+    from dataclass_array_spark.operators.metrics import ann_recall
+    from dataclass_array_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    from dataclass_array_spark.workload.llm import _N_QUERIES
+
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    approx = ivf_topk(
+        q, e, "vec_id", "vec_id", "embedding",
+        n_centroids=16, nprobe=4, k=5,
+    )
+    truth = brute_force_topk(q, e, "vec_id", "vec_id", "embedding", k=5)
+    return ann_recall(approx, truth).orderBy("qid")
+
+
+def _ann_recall_oracle() -> str:
+    from dataclass_array_spark.workload.llm import COSINE_SQL, IVF_SQL
+
+    return f"""
+WITH a AS (SELECT qid, nid FROM ({IVF_SQL})),
+t AS (SELECT qid, nid FROM ({COSINE_SQL})),
+h AS (SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM a JOIN t USING (qid, nid) GROUP BY a.qid),
+b AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS k FROM t GROUP BY qid)
+SELECT b.qid, COALESCE(h.hits, 0) AS hits, b.k,
+       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(b.k AS DOUBLE) AS recall
+FROM b LEFT JOIN h ON h.qid = b.qid
+ORDER BY b.qid
+"""
+
+
+QUERIES["ann_recall_ivf_docs"] = Query(
+    ann_recall_ivf_docs, _ann_recall_oracle(),
+    tags=("embedding", "ann", "metrics"),
+)

@@ -181,3 +181,48 @@ def test_pr_curve_floor_quantization_parity_and_bound(spark):
     P = sum(1 for _, y, _ in rows if y == 1)
     for t, (tp, fp, fn) in got.items():
         assert tp + fn == P, t
+
+
+def test_ann_recall_counts_and_edges(spark):
+    from dataclass_array_spark.operators.metrics import ann_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "qid long, nid long",
+    )
+    approx = spark.createDataFrame(
+        # q1: 2/3 hit; q2: 0 hits; q3 missing entirely; q4 not in truth
+        [(1, 10), (1, 12), (1, 99), (2, 98), (2, 97), (4, 40)],
+        "qid long, nid long",
+    )
+    got = {
+        r["qid"]: (r["hits"], r["k"], r["recall"])
+        for r in ann_recall(approx, truth).collect()
+    }
+    assert got == {
+        1: (2, 3, 2 / 3),
+        2: (0, 2, 0.0),
+        3: (0, 1, 0.0),
+    }
+    assert 4 not in got  # no ground truth -> dropped
+
+
+def test_ann_recall_ivf_gate_is_meaningful(spark):
+    """The gate must report non-trivial recall (IVF with nprobe=4/16
+    finds most but typically not all of the exact top-5) and exact
+    self-consistency: truth vs truth is recall 1.0 everywhere."""
+    from dataclass_array_spark.operators.metrics import ann_recall
+    from dataclass_array_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    truth = brute_force_topk(q, e, "vec_id", "vec_id", "embedding", k=5)
+    self_r = ann_recall(truth, truth).collect()
+    assert all(r["recall"] == 1.0 for r in self_r)
+    from dataclass_array_spark.workload import QUERIES
+
+    rows = QUERIES["ann_recall_ivf_docs"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    assert 0.2 <= mean <= 1.0, mean
