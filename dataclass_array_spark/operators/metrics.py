@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["auc_exact", "sql_auc_ctes", "pr_curve_exact", "sql_pr_curve_ctes", "ann_recall"]
+__all__ = ["auc_exact", "sql_auc_ctes", "pr_curve_exact", "sql_pr_curve_ctes", "ann_recall", "calibration_bins", "sql_calibration_ctes"]
 
 
 def auc_exact(
@@ -272,3 +272,86 @@ def ann_recall(
             / F.col("k").cast("double")
         ).alias("recall"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    nbins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier — per
+    bin ``(bin, n, n_pos, mean_pred, frac_pos)`` with
+    ``bin = min(floor(prob·nbins), nbins−1)`` (the floor grid; the
+    top edge prob=1.0 folds into the last bin).  ``frac_pos`` is an
+    integer ratio; ``mean_pred`` sums floor-quantized probabilities
+    (``floor(p·10^9)`` — exact integers, order-free decimal sum) and
+    divides once, so the whole table is engine-exact without any
+    ordered float fold.  Bins with no rows are absent (a reliability
+    plot has nothing to draw there).  Compose Expected Calibration
+    Error caller-side: ``Σ (n_b/N)·|frac_pos − mean_pred|`` over the
+    ≤ nbins rows.  Scale: one map-side-combined aggregation to nbins
+    rows — nothing else."""
+    nb = int(nbins)
+    if nb < 1:
+        raise ValueError("calibration_bins: nbins must be >= 1")
+    p = F.col(prob_col)
+    ok = p.isNotNull() & (p >= 0.0) & (p <= 1.0)
+    guarded = F.when(ok, p).otherwise(
+        F.assert_true(
+            ok, F.lit(f"calibration_bins: {prob_col} outside [0, 1]")
+        ).cast("double")
+    )
+    b = F.least(
+        F.floor(guarded * F.lit(float(nb))).cast("long"), F.lit(nb - 1)
+    )
+    y = F.col(label_col).cast("long")
+    pq = F.floor(guarded * F.lit(1.0e9)).cast("long")
+    g = df.groupBy(b.alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(y).cast("long").alias("n_pos"),
+        F.sum(pq.cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sq"),
+    )
+    mean_pred = (
+        F.col("__sq").cast("double") / F.lit(1.0e9)
+    ) / F.col("n").cast("double")
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        mean_pred.alias("mean_pred"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "frac_pos"
+        ),
+    )
+
+
+def sql_calibration_ctes(
+    src: str, y_expr: str, p_expr: str, nbins: int, out: str = "calib"
+) -> str:
+    """DuckDB mirror of :func:`calibration_bins` — same floor-grid
+    binning, same quantized-probability sums, same single divisions;
+    out-of-range probabilities raise (``error()``) like the Spark
+    side's ``assert_true``."""
+    nb = int(nbins)
+    pg = (
+        f"CASE WHEN ({p_expr}) IS NOT NULL AND ({p_expr}) >= 0.0 "
+        f"AND ({p_expr}) <= 1.0 THEN ({p_expr}) "
+        f"ELSE error('calibration_bins: prob outside [0, 1]') END"
+    )
+    return f"""{out}_g AS (
+  SELECT least(CAST(floor(({pg}) * {float(nb)!r}) AS BIGINT), {nb - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({y_expr}) AS BIGINT) AS n_pos,
+         CAST(SUM(CAST(floor(({pg}) * 1000000000.0) AS HUGEINT))
+              AS HUGEINT) AS __sq
+  FROM {src}
+  GROUP BY 1
+),
+{out} AS (
+  SELECT bin, n, n_pos,
+         (CAST(__sq AS DOUBLE) / 1000000000.0) / CAST(n AS DOUBLE)
+           AS mean_pred,
+         CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+  FROM {out}_g
+)"""

@@ -103,6 +103,7 @@ _PRIORITY: Tuple[str, ...] = (
     "classifier_auc_docs",
     "classifier_pr_docs",
     "ann_recall_ivf_docs",
+    "classifier_calibration_docs",
     # ---- remaining 31 r11-cohort queries ----
     "linkage_entity_clusters",
     "linkage_part_entities",

@@ -925,3 +925,72 @@ QUERIES["ann_recall_ivf_docs"] = Query(
     ann_recall_ivf_docs, _ann_recall_oracle(),
     tags=("embedding", "ann", "metrics"),
 )
+
+
+# ------------------------------------------------ calibration bins
+_CAL_BINS = 10
+
+
+def classifier_calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the classifier's exact logistic
+    probabilities vs the lang=='en' label — the third leg of the
+    evaluation family (AUC ranks, PR picks the cutoff, calibration
+    says whether the probabilities MEAN anything).  Floor-grid bins +
+    quantized-probability sums keep the whole table engine-exact."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+    from dataclass_array_spark.operators.metrics import calibration_bins
+    from dataclass_array_spark.operators.text import exp_exact
+    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    # temperature 40: fixture margins cluster near 0, which would put
+    # every probability in the two middle bins; the scaled logistic
+    # spreads the reliability diagram across the grid (same fixed-IEEE
+    # op sequence, mirrored in the oracle)
+    scored = classifier_score(
+        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
+    ).select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + exp_exact(F.lit(-40.0) * F.col("margin")))
+        ).alias("prob"),
+    )
+    labeled = scored.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("__y")),
+        "doc_id",
+    )
+    return calibration_bins(labeled, "__y", "prob", _CAL_BINS).orderBy("bin")
+
+
+def _clf_cal_oracle() -> str:
+    from dataclass_array_spark.operators.metrics import sql_calibration_ctes
+    from dataclass_array_spark.operators.text import sql_exp_exact_ctes
+    from dataclass_array_spark.workload.llm4 import _clf_oracle
+
+    return f"""
+WITH mbase AS ({_clf_oracle()}),
+{sql_exp_exact_ctes("mbase", "doc_id", "CAST('-40.0' AS DOUBLE) * margin", "expd")},
+base AS (
+  SELECT doc_id, 1.0 / (1.0 + ex) AS prob FROM expd
+),
+lab AS (
+  SELECT b.doc_id,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         b.prob
+  FROM base b JOIN documents d USING (doc_id)
+),
+{sql_calibration_ctes("lab", "y", "prob", _CAL_BINS)}
+SELECT bin, n, n_pos, mean_pred, frac_pos
+FROM calib
+ORDER BY bin
+"""
+
+
+QUERIES["classifier_calibration_docs"] = Query(
+    classifier_calibration_docs, _clf_cal_oracle(),
+    tags=("text", "quality", "classifier", "metrics"),
+)

@@ -226,3 +226,66 @@ def test_ann_recall_ivf_gate_is_meaningful(spark):
     ).collect()
     mean = sum(r["recall"] for r in rows) / len(rows)
     assert 0.2 <= mean <= 1.0, mean
+
+
+def test_calibration_bins_three_way(spark):
+    from dataclass_array_spark.operators.metrics import (
+        calibration_bins,
+        sql_calibration_ctes,
+    )
+
+    random.seed(31)
+    rows = [(i, random.randint(0, 1), random.random()) for i in range(400)]
+    rows += [(1000, 1, 0.0), (1001, 0, 1.0)]  # both edges
+    df = spark.createDataFrame(rows, "i long, y long, p double")
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["mean_pred"], r["frac_pos"])
+        for r in calibration_bins(df, "y", "p", 10).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, p DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(
+            "WITH " + sql_calibration_ctes("t", "y", "p", 10)
+            + " SELECT * FROM calib"
+        ).fetchall()
+    }
+    assert got == want
+    # python reference on the integer parts
+    import collections
+    import math
+
+    ref = collections.defaultdict(lambda: [0, 0, 0])
+    for _, y, p in rows:
+        b = min(int(math.floor(p * 10)), 9)
+        ref[b][0] += 1
+        ref[b][1] += y
+        ref[b][2] += math.floor(p * 1e9)
+    for b, (n, npos, mp, fp) in got.items():
+        rn, rp, rsq = ref[b]
+        assert (n, npos) == (rn, rp), b
+        assert fp == rp / rn
+        assert mp == (float(rsq) / 1e9) / float(rn)
+    # prob=1.0 must fold into the TOP bin, not an 11th
+    assert set(got) <= set(range(10))
+
+
+def test_calibration_bins_out_of_range_raises_both(spark):
+    from dataclass_array_spark.operators.metrics import (
+        calibration_bins,
+        sql_calibration_ctes,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1.5)], "i long, y long, p double")
+    with pytest.raises(Exception, match="outside"):
+        calibration_bins(df, "y", "p").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, p DOUBLE)")
+    con.execute("INSERT INTO t VALUES (1, 1, 1.5)")
+    with pytest.raises(Exception, match="outside"):
+        con.sql(
+            "WITH " + sql_calibration_ctes("t", "y", "p", 10)
+            + " SELECT * FROM calib"
+        ).fetchall()
