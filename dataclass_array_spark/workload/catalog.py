@@ -36,11 +36,14 @@ class Query:
 # the driver.
 #
 # r15 rotation plan (VERDICT r13 item 7 -- keep registry growth within
-# what the window can absorb): r15 window = the r14-new gates first,
-# then the remaining 31 r11-cohort entries, padded to 50 from the
-# head of the r12 cohort.  At <=~5 new gates/round the window fully
-# covers every gate within 3 rounds; adding >19-31 gates in r14 would
-# break that -- do not.
+# what the window can absorb): r15 window = the 7 r14-new gates first
+# (classifier_train_docs pack_ffd_docs streaming_kn_score_docs
+# classifier_auc_docs classifier_pr_docs ann_recall_ivf_docs
+# classifier_calibration_docs), then the remaining 31 r11-cohort
+# entries (linkage_entity_clusters onward), then the first 12
+# r12-cohort entries = 50 exactly.  After r15 nothing is older than
+# r12.  At <=~7 new gates/round the window fully covers every gate
+# within 3 rounds.
 _PRIORITY: Tuple[str, ...] = (
     # ---- 16 never-driver-verified round-13 gates: verify FIRST ----
     "kneser_ney_heldout_docs",
