@@ -453,16 +453,35 @@ def classifier_fit(
             wdf = spark.createDataFrame(
                 [(b, ws[b]) for b in range(nb)], "bucket long, __ws long"
             )
+            from dataclass_array_spark.operators.text import exp_exact
+
+            # decimal-summed + symmetrically guarded: an unguarded
+            # BIGINT sum would silently WRAP on Spark while the DuckDB
+            # mirror's CAST(SUM(...) AS BIGINT) raises (round-14
+            # review).  The dot is SIGNED, so checked_i64's one-sided
+            # bound is not enough — both |dot| > 2^63-1 directions and
+            # a NULLed decimal(38,0) overflow must fail loudly.
+            lim = F.lit(str((1 << 63) - 1)).cast("decimal(38,0)")
+            dsum = F.sum(F.col("__ws").cast("decimal(38,0)"))
+            dok = dsum.isNotNull() & (dsum <= lim) & (dsum >= -lim)
             per_doc = (
                 inst.join(F.broadcast(wdf), "bucket", "left")
                 .groupBy("__id")
                 .agg(
                     F.first("__y").alias("__y"),
                     F.count("*").cast("long").alias("__n"),
-                    F.sum("__ws").cast("long").alias("__dot"),
+                    F.when(dok, dsum.cast("long"))
+                    .otherwise(
+                        F.assert_true(
+                            dok,
+                            F.lit(
+                                "classifier_fit: per-doc dot exceeds BIGINT"
+                            ),
+                        ).cast("long")
+                    )
+                    .alias("__dot"),
                 )
             )
-            from dataclass_array_spark.operators.text import exp_exact
 
             margin = (
                 F.col("__dot").cast("double") / F.lit(float(W_SCALE))

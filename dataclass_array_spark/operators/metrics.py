@@ -160,10 +160,23 @@ def pr_curve_exact(
         F.sum(y).cast("long").alias("__pg"),
         F.sum(F.lit(1) - y).cast("long").alias("__ng"),
     )
-    gc = global_cumsum(g, "threshold", "__pg", out_col="__cumpos")
-    gc = global_cumsum(gc, "threshold", "__ng", out_col="__cumneg")
+    gc = global_cumsum(
+        g, "threshold", ["__pg", "__ng"], out_col=["__cumpos", "__cumneg"]
+    )
+    ptot = F.sum("__pg").cast("long")
+    pok = ptot > 0
     tot = gc.agg(
-        F.sum("__pg").cast("long").alias("__P"),
+        # recall/F1 are 0/0 with no positives — fail loudly instead of
+        # silently emitting NULL recall rows (the auc_exact discipline;
+        # round-14 review).  Zero NEGATIVES is fine: tp+fp >= n_g >= 1
+        # at every emitted threshold, so precision stays defined.
+        F.when(pok, ptot)
+        .otherwise(
+            F.assert_true(
+                pok, F.lit("pr_curve_exact: positives must be non-empty")
+            ).cast("long")
+        )
+        .alias("__P"),
         F.sum("__ng").cast("long").alias("__N"),
     )
     tp = (F.col("__P") - (F.col("__cumpos") - F.col("__pg"))).alias("tp")
@@ -212,7 +225,9 @@ def sql_pr_curve_ctes(
   SELECT *,
          CAST(SUM(__pg) OVER (ORDER BY threshold) AS BIGINT) AS __cumpos,
          CAST(SUM(__ng) OVER (ORDER BY threshold) AS BIGINT) AS __cumneg,
-         CAST(SUM(__pg) OVER () AS BIGINT) AS __P,
+         CAST(CASE WHEN SUM(__pg) OVER () > 0 THEN SUM(__pg) OVER ()
+                   ELSE error('pr_curve_exact: positives must be non-empty')
+              END AS BIGINT) AS __P,
          CAST(SUM(__ng) OVER () AS BIGINT) AS __N
   FROM {out}_g
 ),

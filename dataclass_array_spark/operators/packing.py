@@ -30,12 +30,16 @@ from pyspark.sql import functions as F
 def global_cumsum(
     df: DataFrame,
     order_col: str,
-    value_col: str,
-    out_col: str = "cum",
+    value_col: "str | list[str]",
+    out_col: "str | list[str]" = "cum",
     pin: str = "local",
 ) -> DataFrame:
     """Running sum of ``value_col`` over the global ``order_col`` order
     (inclusive of the current row), without a single-partition sort.
+    ``value_col``/``out_col`` may be LISTS of equal length to compute
+    several running sums in ONE range-partition + pin + offsets pass
+    (round-14 review: pr_curve_exact previously paid the shuffle
+    twice).
 
     The repartitioned+sorted frame is checkpoint-pinned before the
     per-partition sums are collected: RangePartitioner samples its
@@ -49,36 +53,49 @@ def global_cumsum(
     .pin_materialization` for the failure-domain tradeoff."""
     from dataclass_array_spark.core.table import pin_materialization
 
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError(
+            "global_cumsum: value_col and out_col lengths differ"
+        )
+
     df = pin_materialization(
         df.repartitionByRange(order_col).sortWithinPartitions(order_col), pin
     )
     with_pid = df.withColumn("__pid", F.spark_partition_id())
     parts = (
         with_pid.groupBy("__pid")
-        .agg(F.sum(F.col(value_col)).alias("s"))
+        .agg(*[F.sum(F.col(v)).alias(f"s{i}") for i, v in enumerate(value_cols)])
         .collect()
     )
-    sums = {r["__pid"]: r["s"] for r in parts}
+    sums = {r["__pid"]: [r[f"s{i}"] for i in range(len(value_cols))] for r in parts}
     offsets = {}
-    acc = 0
+    acc = [0] * len(value_cols)
     for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid]
+        offsets[pid] = list(acc)
+        for i, s in enumerate(sums[pid]):
+            acc[i] += s
     spark = df.sparkSession
+    off_schema = "__pid int, " + ", ".join(
+        f"__off{i} long" for i in range(len(value_cols))
+    )
     offs = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
-        "__pid int, __off long",
+        [(int(p), *[int(o) for o in os_]) for p, os_ in offsets.items()]
+        or [(0, *([0] * len(value_cols)))],
+        off_schema,
     )
     w = (
         Window.partitionBy("__pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        with_pid.join(F.broadcast(offs), on="__pid")
-        .withColumn(out_col, (F.sum(F.col(value_col)).over(w) + F.col("__off")).cast("long"))
-        .drop("__pid", "__off")
-    )
+    out = with_pid.join(F.broadcast(offs), on="__pid")
+    for i, (v, o) in enumerate(zip(value_cols, out_cols)):
+        out = out.withColumn(
+            o, (F.sum(F.col(v)).over(w) + F.col(f"__off{i}")).cast("long")
+        )
+    return out.drop("__pid", *[f"__off{i}" for i in range(len(value_cols))])
 
 
 def pack_sequences(

@@ -184,7 +184,25 @@ def temperature_mixture_rates(
             F.lit("temperature_mixture_rates: weight exceeds decimal(38,6)"),
         ).cast("decimal(38,6)")
     )
-    tot = w.agg(F.sum(wt_dec).cast("double").alias("tot"))
+    # ... and guard the SUM itself: individually-legal weights can
+    # still overflow the decimal(38,6) TOTAL, which Spark's non-ANSI
+    # Sum silently NULLs (every rate would go NULL) while DuckDB
+    # raises (round-14 review).  An empty input legitimately sums to
+    # NULL — only a non-empty NULL total is an overflow.
+    ssum = F.sum(wt_dec)
+    sok = (F.count("*") == 0) | ssum.isNotNull()
+    tot = w.agg(
+        F.when(sok, ssum)
+        .otherwise(
+            F.assert_true(
+                sok,
+                F.lit("temperature_mixture_rates: weight TOTAL exceeds "
+                      "decimal(38,6)"),
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("tot")
+    )
     rate = F.least(
         F.lit(1.0),
         F.lit(float(target_rows)) * (F.col("wt") / F.col("tot")) / F.col("n_docs"),

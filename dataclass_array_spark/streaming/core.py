@@ -799,17 +799,28 @@ def ngram_counts_stream(
     # any committed batch whose output partition is gone is
     # unrecoverable through the checkpoint.
     _commits = _os.path.join(checkpoint_dir, "commits")
-    if (
-        _os.path.isdir(_commits)
-        and any(not f.startswith(".") for f in _os.listdir(_commits))
-        and not (_os.path.isdir(output_dir) and _os.listdir(output_dir))
-    ):
-        raise ValueError(
-            "ngram_counts_stream: checkpoint_dir exists but output_dir "
-            "is missing/empty — already-committed batches would be "
-            "skipped and their counts lost; clear BOTH dirs for a "
-            "fresh run or restore the matching output_dir"
-        )
+    if _os.path.isdir(_commits):
+        # Exact invariant (round-14 review): EVERY committed batch id
+        # must still have its batch=<id> output partition — a
+        # partially-deleted output (one partition gone among several)
+        # undercounts just as silently as a fully-cleared one.
+        committed = [
+            f for f in _os.listdir(_commits)
+            if not f.startswith(".") and f.isdigit()
+        ]
+        missing = [
+            b for b in committed
+            if not _os.path.isdir(_os.path.join(output_dir, f"batch={int(b)}"))
+        ]
+        if missing:
+            raise ValueError(
+                "ngram_counts_stream: checkpoint has committed batches "
+                f"{sorted(int(b) for b in missing)} whose output "
+                "partitions are missing — availableNow would skip them "
+                "and the SUM-merge would silently undercount; clear "
+                "BOTH dirs for a fresh run or restore the matching "
+                "output partitions"
+            )
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         inst = inst_fn(batch_df, text_col, id_col)

@@ -594,10 +594,7 @@ def classifier_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws scaled-integer, w double).  The DuckDB oracle unrolls the
     identical three iterations (the k-means/PageRank discipline), so
     the learned weights themselves are hash-exact."""
-    from dataclass_array_spark.operators.classifier import (
-        W_SCALE,
-        classifier_fit,
-    )
+    from dataclass_array_spark.operators.classifier import classifier_fit
 
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     d = d.withColumn(

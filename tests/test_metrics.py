@@ -289,3 +289,46 @@ def test_calibration_bins_out_of_range_raises_both(spark):
             "WITH " + sql_calibration_ctes("t", "y", "p", 10)
             + " SELECT * FROM calib"
         ).fetchall()
+
+
+def test_pr_curve_no_positives_raises_both(spark):
+    """Round-14 review: zero positives makes recall 0/0 — loud on both
+    engines instead of NULL rows (the auc_exact discipline)."""
+    from dataclass_array_spark.operators.metrics import (
+        pr_curve_exact,
+        sql_pr_curve_ctes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 0.2), (2, 0, 0.7)], "i long, y long, s double"
+    )
+    with pytest.raises(Exception, match="positives"):
+        pr_curve_exact(df, "y", "s").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    con.execute("INSERT INTO t VALUES (1, 0, 0.2), (2, 0, 0.7)")
+    with pytest.raises(Exception, match="positives"):
+        con.sql(
+            "WITH " + sql_pr_curve_ctes("t", "y", "s") + " SELECT * FROM pr"
+        ).fetchall()
+
+
+def test_global_cumsum_multi_column_matches_two_passes(spark):
+    """The multi-value global_cumsum must equal two single-value
+    passes (round-14 review efficiency fix)."""
+    import random as _r
+
+    from dataclass_array_spark.operators.packing import global_cumsum
+
+    _r.seed(5)
+    rows = [(float(i), _r.randint(0, 9), _r.randint(0, 9)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k double, a long, b long")
+    one = global_cumsum(
+        df, "k", ["a", "b"], out_col=["ca", "cb"]
+    )
+    got = {r["k"]: (r["ca"], r["cb"]) for r in one.collect()}
+    two = global_cumsum(global_cumsum(df, "k", "a", "ca"), "k", "b", "cb")
+    want = {r["k"]: (r["ca"], r["cb"]) for r in two.collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="lengths differ"):
+        global_cumsum(df, "k", ["a", "b"], out_col="ca")

@@ -627,7 +627,7 @@ def test_ngram_counts_stream_rejects_cleared_output(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
-    with pytest.raises(ValueError, match="output_dir is missing/empty"):
+    with pytest.raises(ValueError, match="output partitions are missing"):
         ngram_counts_stream(
             s2, "text", "doc_id", output_dir=str(out),
             checkpoint_dir=str(ckpt), n=2,
@@ -664,3 +664,42 @@ def test_kn3_stream_score_equals_batch(spark, sf_dir, tmp_path):
         for r in kneser_ney3_xent_scores(d, "text", "doc_id").collect()
     }
     assert got == want
+
+
+def test_ngram_counts_stream_rejects_partial_output_deletion(spark, tmp_path):
+    """Round-14 review: the guard must be exact — ONE deleted committed
+    batch partition among several must fail loudly, not just a fully
+    cleared output_dir."""
+    import shutil
+
+    from dataclass_array_spark.streaming import ngram_counts_stream
+
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "c d e"), (4, "d e f")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs"
+    d.repartition(3).write.parquet(str(src))
+    s = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    ngram_counts_stream(
+        s, "text", "doc_id", output_dir=str(out), checkpoint_dir=str(ckpt),
+        n=2,
+    ).count()
+    batch_dirs = sorted(p for p in out.iterdir() if p.name.startswith("batch="))
+    assert len(batch_dirs) >= 2
+    shutil.rmtree(batch_dirs[0])  # delete ONE committed partition
+    s2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    with pytest.raises(ValueError, match="output partitions are missing"):
+        ngram_counts_stream(
+            s2, "text", "doc_id", output_dir=str(out),
+            checkpoint_dir=str(ckpt), n=2,
+        )
