@@ -22,84 +22,27 @@ class Query:
 
 # The driver's per-round correctness gate checks roughly the first 50
 # registry entries, so the window is ROTATED each round to keep every
-# query under recurring driver verification.  Round 14 ordering
-# (VERDICT r13 item 1, followed exactly): the 16 never-driver-verified
-# round-13 gates FIRST (judge-replayed OK in r13, but driver
-# verification is the record), then the 15 r10-era leftovers (the
-# stalest block), then the first 19 r11-cohort queries in catalog
-# order -- exactly 50.  Nothing older than r11 remains after this
-# window runs.  Just past the window: the new round-14 gates (next
-# round's never-verified cohort), then the remaining 31 r11-cohort
-# queries, then the r12 cohort, then the 50 queries the r13 driver
-# window verified, freshest-last.  Python dicts preserve insertion
-# order, so this ordering is exactly what ``queries()`` exposes to
-# the driver.
+# query under recurring driver verification.  Round 15 ordering
+# (VERDICT r14 item 2, followed exactly): the 7 never-driver-verified
+# round-14 gates FIRST (judge-replayed OK in r14, but driver
+# verification is the record), then the remaining 31 r11-cohort
+# entries (linkage_entity_clusters onward — the stalest block), then
+# the first 12 r12-cohort entries — exactly 50.  Nothing older than
+# r12 remains after this window runs.  Just past the window: the new
+# round-15 gates (next round's never-verified cohort), then the
+# remaining 38 r12-cohort entries, then the r13 cohort, then the 50
+# queries the r14 driver window verified, freshest-last.  Python dicts
+# preserve insertion order, so this ordering is exactly what
+# ``queries()`` exposes to the driver.
 #
-# r15 rotation plan (VERDICT r13 item 7 -- keep registry growth within
-# what the window can absorb): r15 window = the 7 r14-new gates first
-# (classifier_train_docs pack_ffd_docs streaming_kn_score_docs
-# classifier_auc_docs classifier_pr_docs ann_recall_ivf_docs
-# classifier_calibration_docs), then the remaining 31 r11-cohort
-# entries (linkage_entity_clusters onward), then the first 12
-# r12-cohort entries = 50 exactly.  After r15 nothing is older than
-# r12.  At <=~7 new gates/round the window fully covers every gate
-# within 3 rounds.
+# r16 rotation plan (keep registry growth within what the window can
+# absorb): r16 window = the round-15-new gates first, then the
+# remaining 38 r12-cohort entries, then the first (50 - n_new - 38)
+# r13-cohort entries.  r17 then takes the rest of the r13 cohort plus
+# the head of the r14-verified block — at <=~7 new gates/round every
+# gate is driver-re-verified within ~4 rounds.
 _PRIORITY: Tuple[str, ...] = (
-    # ---- 16 never-driver-verified round-13 gates: verify FIRST ----
-    "kneser_ney_heldout_docs",
-    "bpe_train_batched_docs",
-    "classifier_quality_docs",
-    "pmi_collocations_docs",
-    "dsir_weights_docs",
-    "ccnet_buckets_docs",
-    "grouped_rank_prices",
-    "blocklist_filter_docs",
-    "domain_cap_docs",
-    "kneser_ney3_lm_docs",
-    "kneser_ney3_heldout_docs",
-    "bpe_fertility_langs",
-    "kn_perplexity_docs",
-    "classifier_sigmoid_docs",
-    "streaming_trigram_counts_docs",
-    "temperature_mixture_alpha_docs",
-    # ---- 15 r10-era leftovers (stalest block) ----
-    "rollup_flag_status",
-    "salted_revenue_by_flag",
-    "scalar_functions",
-    "semi_anti_customers",
-    "sessionize_events",
-    "setops_repeat_customers",
-    "sliding_hourly_stats",
-    "string_functions2",
-    "topk_orders_per_segment",
-    "tumbling_hourly_stats",
-    "udtf_bigram_counts",
-    "unpivot_part_metrics",
-    "window_moving_avg",
-    "window_range_frame",
-    "window_running_total",
-    # ---- first 19 r11-cohort queries, catalog order ----
-    "order_quantity_arrays",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_waiting_supplier",
-    "bm25_doc_ranking",
-    "chunk_documents",
-    "community_user_states",
-    "decontam_ngram_overlap",
-    "dedup_chunks_exact",
-    "doc_fingerprints",
-    "duplicate_spans_docs",
-    "embedding_ann_ivf",
-    "embedding_ann_ivf_pq",
-    "embedding_ann_pq",
-    "embedding_ann_srp",
-    "embedding_topk_cosine",
-    "fuzzy_join_part_names",
-    "kcore_user_states",
-    "lang_id_docs",
-    # ==== window boundary (50) ====
-    # ---- NEW in round 14 (next round: never-verified cohort) ----
+    # ---- 7 never-driver-verified round-14 gates: verify FIRST ----
     "classifier_train_docs",
     "pack_ffd_docs",
     "streaming_kn_score_docs",
@@ -139,7 +82,7 @@ _PRIORITY: Tuple[str, ...] = (
     "bloom_filter_orders",
     "ols2_price_model",
     "streaming_hll_users",
-    # ---- driver-verified in round 12 ----
+    # ---- first 12 r12-cohort entries ----
     "dedup_keep_best_docs",
     "embedding_ann_sq8",
     "hist_quantiles_prices",
@@ -152,6 +95,9 @@ _PRIORITY: Tuple[str, ...] = (
     "semantic_dedup_auto",
     "semantic_dedup_embeddings",
     "text_cluster_topics",
+    # ==== window boundary (50) ====
+    # ---- NEW in round 15 (next round: never-verified cohort) ----
+    # ---- remaining 38 r12-cohort entries ----
     "embedding_ann_ivf_kmeans",
     "embedding_knn_join_kmeans",
     "dedup_ngram_jaccard",
@@ -190,7 +136,7 @@ _PRIORITY: Tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q22_in_subquery",
     "q7_nation_volume",
-    # ---- driver-verified in round 13 (freshest) ----
+    # ---- driver-verified in round 13 ----
     "bpe_train_docs",
     "bpe_encode_docs",
     "bpe_heldout_encode_docs",
@@ -241,6 +187,58 @@ _PRIORITY: Tuple[str, ...] = (
     "q9_product_profit",
     "range_join_price_buckets",
     "rank_functions",
+    # ---- driver-verified in round 14 (freshest):
+    #      16 r13-new + 15 r10-era + first 19 r11 ----
+    "kneser_ney_heldout_docs",
+    "bpe_train_batched_docs",
+    "classifier_quality_docs",
+    "pmi_collocations_docs",
+    "dsir_weights_docs",
+    "ccnet_buckets_docs",
+    "grouped_rank_prices",
+    "blocklist_filter_docs",
+    "domain_cap_docs",
+    "kneser_ney3_lm_docs",
+    "kneser_ney3_heldout_docs",
+    "bpe_fertility_langs",
+    "kn_perplexity_docs",
+    "classifier_sigmoid_docs",
+    "streaming_trigram_counts_docs",
+    "temperature_mixture_alpha_docs",
+    "rollup_flag_status",
+    "salted_revenue_by_flag",
+    "scalar_functions",
+    "semi_anti_customers",
+    "sessionize_events",
+    "setops_repeat_customers",
+    "sliding_hourly_stats",
+    "string_functions2",
+    "topk_orders_per_segment",
+    "tumbling_hourly_stats",
+    "udtf_bigram_counts",
+    "unpivot_part_metrics",
+    "window_moving_avg",
+    "window_range_frame",
+    "window_running_total",
+    "order_quantity_arrays",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_waiting_supplier",
+    "bm25_doc_ranking",
+    "chunk_documents",
+    "community_user_states",
+    "decontam_ngram_overlap",
+    "dedup_chunks_exact",
+    "doc_fingerprints",
+    "duplicate_spans_docs",
+    "embedding_ann_ivf",
+    "embedding_ann_ivf_pq",
+    "embedding_ann_pq",
+    "embedding_ann_srp",
+    "embedding_topk_cosine",
+    "fuzzy_join_part_names",
+    "kcore_user_states",
+    "lang_id_docs",
 )
 
 
