@@ -13,7 +13,8 @@ at all:
   value dimension, not the corpus;
 * one two-phase global running sum over those groups
   (:func:`packing.global_cumsum` — range-partitioned, never a
-  single-task global sort);
+  single-task global sort; the grouped variant uses
+  :func:`packing.grouped_cumsum`, same shape partitioned by slice);
 * one 1-row aggregation of decimal(38,0) products
   (:func:`text.checked_dec38` — loud on overflow, DuckDB's HUGEINT
   raises natively).
@@ -22,41 +23,111 @@ Ties group EXACTLY because scores from this package's scorers are
 bit-identical doubles on both engines (the exactness recipes in
 ``text.py``); equal bits → equal group → identical half-credit.
 
+NULL DISCIPLINE (round 15, ADVICE): labels and scores must be
+non-NULL and the requirement is ENFORCED loudly on both engines — a
+NULL score would form its own group that Spark's range sort orders
+NULLS FIRST while DuckDB's ``SUM() OVER (ORDER BY)`` orders NULLS
+LAST, silently shifting every group's running count; NULL labels
+would silently drop rows from both classes.
+
 Reference parity: the reference repo is an array library with no
 classifier metrics; this extends SURVEY.md §2.B's training-data-
-pipeline rows (round 14).
+pipeline rows (rounds 14–15).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["auc_exact", "sql_auc_ctes", "pr_curve_exact", "sql_pr_curve_ctes", "ann_recall", "calibration_bins", "sql_calibration_ctes"]
+__all__ = [
+    "auc_exact", "sql_auc_ctes", "pr_curve_exact", "sql_pr_curve_ctes",
+    "ann_recall", "calibration_bins", "sql_calibration_ctes",
+    "ece_exact", "sql_ece_ctes",
+]
+
+# 2^63 as an exact double — the floor-grid overflow bound (Spark's
+# floor() returns BIGINT and silently CLAMPS past it under non-ANSI
+# semantics while DuckDB's floor stays DOUBLE; round 15, ADVICE)
+_I64_EDGE = 9223372036854775808.0
+
+
+def _nn_label(label_col: str, what: str) -> Column:
+    """0/1 label as long, loudly non-NULL (cap_per_key discipline)."""
+    y = F.col(label_col).cast("long")
+    ok = y.isNotNull()
+    return F.when(ok, y).otherwise(
+        F.assert_true(
+            ok, F.lit(f"{what}: NULL in label column {label_col}")
+        ).cast("long")
+    )
+
+
+def _nn_score(score_col: str, what: str) -> Column:
+    """Score column, loudly non-NULL; the otherwise-branch is NullType
+    so ``when`` keeps the score's own type (no silent double cast)."""
+    s = F.col(score_col)
+    ok = s.isNotNull()
+    return F.when(ok, s).otherwise(
+        F.assert_true(ok, F.lit(f"{what}: NULL in score column {score_col}"))
+    )
+
+
+def _sql_nn(expr: str, what: str) -> str:
+    return (
+        f"CASE WHEN ({expr}) IS NULL "
+        f"THEN error('{what}: NULL input') ELSE ({expr}) END"
+    )
 
 
 def auc_exact(
-    df: DataFrame, label_col: str, score_col: str
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    group_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Exact ROC AUC of ``score_col`` against 0/1 ``label_col`` —
     ONE row ``(n_pos, n_neg, u2, auc)`` where ``u2`` is the integer
     ``2U`` Mann-Whitney numerator (decimal(38,0) — cast it yourself if
     you know it fits BIGINT) and ``auc = u2 / (2·P·N)`` as one double
-    division of two correctly-rounded casts.  Both classes must be
-    non-empty (AUC is undefined otherwise — loud ``assert_true``)."""
-    from dataclass_array_spark.operators.packing import global_cumsum
+    division of two correctly-rounded casts.  Labels and scores must
+    be non-NULL (loud ``assert_true`` — see the module NULL
+    discipline).  Both classes must be non-empty (AUC is undefined
+    otherwise — loud ``assert_true``).
+
+    GROUPED MODE (round 15 — the production fairness table): pass
+    ``group_cols`` to get one row PER GROUP ``(group…, n_pos, n_neg,
+    u2, auc)``.  Two deliberate semantic differences from the global
+    path: a single-class group yields ``auc = NULL`` instead of
+    raising (degenerate slices are an expected fairness-table outcome
+    — n_pos/n_neg say why), and the running negative count is
+    partitioned by group via :func:`packing.grouped_cumsum` (same
+    two-phase no-single-task-sort shape; the per-group offset frame
+    is |partitions × groups| rows — groups are slice dimensions,
+    never corpus-scale ids)."""
+    from dataclass_array_spark.operators.packing import (
+        global_cumsum,
+        grouped_cumsum,
+    )
     from dataclass_array_spark.operators.text import checked_dec38
 
     def _dec(c: Column) -> Column:
         return c.cast("decimal(38,0)")
 
-    y = F.col(label_col).cast("long")
-    g = df.groupBy(F.col(score_col).alias("__s")).agg(
+    gcols = list(group_cols) if group_cols else []
+    y = _nn_label(label_col, "auc_exact")
+    s = _nn_score(score_col, "auc_exact")
+    g = df.groupBy(*gcols, s.alias("__s")).agg(
         F.sum(y).cast("long").alias("__pg"),
         F.sum(F.lit(1) - y).cast("long").alias("__ng"),
     )
-    gc = global_cumsum(g, "__s", "__ng", out_col="__cumneg")
-    row = gc.agg(
+    if gcols:
+        gc = grouped_cumsum(g, gcols, "__s", "__ng", out_col="__cumneg")
+    else:
+        gc = global_cumsum(g, "__s", "__ng", out_col="__cumneg")
+    row = gc.groupBy(*gcols).agg(
         F.sum("__pg").cast("long").alias("n_pos"),
         F.sum("__ng").cast("long").alias("n_neg"),
         F.sum(
@@ -75,51 +146,82 @@ def auc_exact(
         _dec(F.col("n_pos")) * _dec(F.col("n_neg")) * 2,
         "AUC denominator 2*P*N",
     )
-    auc = F.when(
-        both,
-        F.col("u2").cast("double") / denom.cast("double"),
-    ).otherwise(
-        F.assert_true(
-            both, F.lit("auc_exact: both classes must be non-empty")
-        ).cast("double")
-    )
-    return row.select("n_pos", "n_neg", "u2", auc.alias("auc"))
+    ratio = F.col("u2").cast("double") / denom.cast("double")
+    if gcols:
+        auc = F.when(both, ratio).otherwise(F.lit(None).cast("double"))
+    else:
+        auc = F.when(both, ratio).otherwise(
+            F.assert_true(
+                both, F.lit("auc_exact: both classes must be non-empty")
+            ).cast("double")
+        )
+    return row.select(*gcols, "n_pos", "n_neg", "u2", auc.alias("auc"))
 
 
-def sql_auc_ctes(src: str, y_expr: str, s_expr: str, out: str = "auc") -> str:
+def sql_auc_ctes(
+    src: str,
+    y_expr: str,
+    s_expr: str,
+    out: str = "auc",
+    group_exprs: Optional[Sequence[str]] = None,
+) -> str:
     """DuckDB mirror of :func:`auc_exact`: CTE chain ending in
-    ``{out}(n_pos, n_neg, u2, auc)`` — same distinct-score grouping,
-    same running negative count, same decimal products (DuckDB HUGEINT
-    raises natively where checked_dec38 is loud), same two casts + one
-    division for ``auc``.  ``{src}`` rows provide ``{y_expr}`` (0/1)
-    and ``{s_expr}`` (the score)."""
+    ``{out}(…group…, n_pos, n_neg, u2, auc)`` — same distinct-score
+    grouping, same running negative count (``PARTITION BY`` the
+    groups when ``group_exprs`` is set), same decimal products
+    (DuckDB HUGEINT raises natively where checked_dec38 is loud),
+    same loud non-NULL label/score enforcement (``error()`` mirrors
+    the Spark side's ``assert_true``), same two casts + one division
+    for ``auc`` — and in grouped mode the same NULL-for-single-class
+    semantics.  ``{src}`` rows provide ``{y_expr}`` (0/1) and
+    ``{s_expr}`` (the score)."""
+    y_expr = _sql_nn(y_expr, "auc_exact label")
+    s_expr = _sql_nn(s_expr, "auc_exact score")
+    gx = list(group_exprs) if group_exprs else []
+    gsel = "".join(f"{g}, " for g in gx)
+    gby = ", ".join(str(i + 2) for i in range(len(gx)))
+    part = f"PARTITION BY {', '.join(gx)} " if gx else ""
+    if gx:
+        auc_case = (
+            "CASE WHEN n_pos > 0 AND n_neg > 0\n"
+            "              THEN CAST(u2 AS DOUBLE)\n"
+            "                   / CAST(CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT) * 2\n"
+            "                          AS DOUBLE)\n"
+            "              ELSE CAST(NULL AS DOUBLE)\n"
+            "         END AS auc"
+        )
+    else:
+        auc_case = (
+            "CASE WHEN n_pos > 0 AND n_neg > 0\n"
+            "              THEN CAST(u2 AS DOUBLE)\n"
+            "                   / CAST(CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT) * 2\n"
+            "                          AS DOUBLE)\n"
+            "              ELSE error('auc_exact: both classes must be non-empty')\n"
+            "         END AS auc"
+        )
     return f"""{out}_g AS (
   SELECT ({s_expr}) AS __s,
-         CAST(SUM({y_expr}) AS BIGINT) AS __pg,
+         {gsel}CAST(SUM({y_expr}) AS BIGINT) AS __pg,
          CAST(SUM(1 - ({y_expr})) AS BIGINT) AS __ng
   FROM {src}
-  GROUP BY 1
+  GROUP BY 1{", " + gby if gby else ""}
 ),
 {out}_c AS (
-  SELECT *, CAST(SUM(__ng) OVER (ORDER BY __s) AS BIGINT) AS __cumneg
+  SELECT *, CAST(SUM(__ng) OVER ({part}ORDER BY __s) AS BIGINT) AS __cumneg
   FROM {out}_g
 ),
 {out}_r AS (
-  SELECT CAST(SUM(__pg) AS BIGINT) AS n_pos,
+  SELECT {gsel}CAST(SUM(__pg) AS BIGINT) AS n_pos,
          CAST(SUM(__ng) AS BIGINT) AS n_neg,
          CAST(SUM(CAST(__pg AS HUGEINT)
                   * (CAST(__cumneg - __ng AS HUGEINT) * 2
                      + CAST(__ng AS HUGEINT))) AS HUGEINT) AS u2
   FROM {out}_c
+  {("GROUP BY " + ", ".join(str(i + 1) for i in range(len(gx)))) if gx else ""}
 ),
 {out} AS (
-  SELECT n_pos, n_neg, u2,
-         CASE WHEN n_pos > 0 AND n_neg > 0
-              THEN CAST(u2 AS DOUBLE)
-                   / CAST(CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT) * 2
-                          AS DOUBLE)
-              ELSE error('auc_exact: both classes must be non-empty')
-         END AS auc
+  SELECT {gsel}n_pos, n_neg, u2,
+         {auc_case}
   FROM {out}_r
 )"""
 
@@ -134,10 +236,12 @@ def pr_curve_exact(
     (predict positive when ``score >= t``) — one row per distinct
     score ``(threshold, tp, fp, fn, precision, recall, f1)``, counts
     exact integers, each ratio ONE division of two correctly-rounded
-    casts.  The classic PR curve for picking a quality-filter
-    operating point; same scale shape as :func:`auc_exact` (score-
-    value-dimension aggregation + the two-phase running sum — no
-    single-task global sort, no per-row ranking).
+    casts.  Labels and scores must be non-NULL (loud ``assert_true``
+    — see the module NULL discipline).  The classic PR curve for
+    picking a quality-filter operating point; same scale shape as
+    :func:`auc_exact` (score-value-dimension aggregation + the
+    two-phase running sum — no single-task global sort, no per-row
+    ranking).
 
     CONTINUOUS scores make "the value dimension" corpus-sized (every
     margin distinct) — at 100 TB pass ``floor_digits=k`` to quantize
@@ -148,14 +252,34 @@ def pr_curve_exact(
     at the bucket dimension; each row's counts remain exact for its
     quantized threshold ("score >= t" with t on the quantized grid is
     identical before/after quantization, since floor never moves a
-    score across a grid line)."""
+    score across a grid line).  ``|score·10^k|`` must stay below 2^63
+    (loud ``assert_true``): Spark's floor returns BIGINT and silently
+    CLAMPS past the edge under non-ANSI semantics while DuckDB's
+    floor stays DOUBLE — the guard turns that silent cross-engine
+    divergence into an error (round 15, ADVICE).
+
+    Degenerate input: an EMPTY frame (or one with zero positives)
+    raises "positives must be non-empty" on BOTH engines — the SQL
+    mirror carries an explicit emptiness guard because a window over
+    zero rows would otherwise return empty silently."""
     from dataclass_array_spark.operators.packing import global_cumsum
 
-    y = F.col(label_col).cast("long")
-    s = F.col(score_col)
+    y = _nn_label(label_col, "pr_curve_exact")
+    s = _nn_score(score_col, "pr_curve_exact")
     if floor_digits is not None:
         scale = float(10 ** int(floor_digits))
-        s = F.floor(s * F.lit(scale)).cast("double") / F.lit(scale)
+        scaled = s * F.lit(scale)
+        in_range = F.abs(scaled) < F.lit(_I64_EDGE)
+        scaled = F.when(in_range, scaled).otherwise(
+            F.assert_true(
+                in_range,
+                F.lit(
+                    "pr_curve_exact: |score * 10^floor_digits| >= 2^63 "
+                    "— the floor grid would clamp"
+                ),
+            ).cast("double")
+        )
+        s = F.floor(scaled).cast("double") / F.lit(scale)
     g = df.groupBy(s.alias("threshold")).agg(
         F.sum(y).cast("long").alias("__pg"),
         F.sum(F.lit(1) - y).cast("long").alias("__ng"),
@@ -207,14 +331,28 @@ def sql_pr_curve_ctes(
 ) -> str:
     """DuckDB mirror of :func:`pr_curve_exact` — same grouped counts,
     same ascending running sums, same integer tp/fp/fn and single-
-    division ratios (and the same floor-grid quantization when
-    ``floor_digits`` is set)."""
+    division ratios, same loud non-NULL / floor-grid-overflow /
+    empty-input enforcement (``error()`` mirrors ``assert_true``; the
+    ``{out}_guard`` CTE raises on an empty ``{src}`` where the Spark
+    side's aggregate-over-empty assert fires), and the same floor-grid
+    quantization when ``floor_digits`` is set."""
+    y_expr = _sql_nn(y_expr, "pr_curve_exact label")
+    s_expr = _sql_nn(s_expr, "pr_curve_exact score")
     if floor_digits is not None:
         scale = float(10 ** int(floor_digits))
-        s_expr = (
-            f"CAST(floor(({s_expr}) * {scale!r}) AS DOUBLE) / {scale!r}"
+        scaled = (
+            f"CASE WHEN abs(({s_expr}) * {scale!r}) < {_I64_EDGE!r} "
+            f"THEN ({s_expr}) * {scale!r} "
+            f"ELSE error('pr_curve_exact: |score * 10^floor_digits| >= 2^63 "
+            f"— the floor grid would clamp') END"
         )
-    return f"""{out}_g AS (
+        s_expr = f"CAST(floor({scaled}) AS DOUBLE) / {scale!r}"
+    return f"""{out}_guard AS (
+  SELECT CASE WHEN EXISTS (SELECT 1 FROM {src}) THEN 1
+              ELSE error('pr_curve_exact: positives must be non-empty')
+         END AS __ok
+),
+{out}_g AS (
   SELECT ({s_expr}) AS threshold,
          CAST(SUM({y_expr}) AS BIGINT) AS __pg,
          CAST(SUM(1 - ({y_expr})) AS BIGINT) AS __ng
@@ -246,6 +384,8 @@ def sql_pr_curve_ctes(
            / CAST((__P - (__cumpos - __pg)) * 2 + (__N - (__cumneg - __ng))
                   + (__cumpos - __pg) AS DOUBLE) AS f1
   FROM {out}_c
+  CROSS JOIN {out}_guard
+  WHERE {out}_guard.__ok = 1
 )"""
 
 
@@ -263,17 +403,20 @@ def ann_recall(
     the similarity-search family: IVF/LSH/PQ trade recall for scan
     fraction, and this makes the trade a NUMBER on real data.
 
-    Exact by construction: hits are integer set-intersection counts
-    (both result sets are deterministic in this package), recall is
-    one division.  Scale shape: one hash join on (qid, nid) — both
-    sides k-bounded per query, so the join and the per-query counts
-    are results-sized, never corpus-sized."""
+    Exact by construction: hits are integer SET-intersection counts —
+    both inputs are deduplicated on (qid, nid) here rather than
+    assumed set-shaped (round 15, ADVICE: a duplicate pair from a
+    multi-probe ANN variant would otherwise inflate the intersection
+    and report recall > 1) — and recall is one division.  Scale
+    shape: one hash join on (qid, nid) — both sides k-bounded per
+    query, so the join and the per-query counts are results-sized,
+    never corpus-sized."""
     t = truth_df.select(
         F.col(qid_col).alias("__q"), F.col(nid_col).alias("__n")
-    )
+    ).dropDuplicates(["__q", "__n"])
     a = approx_df.select(
         F.col(qid_col).alias("__q"), F.col(nid_col).alias("__n")
-    )
+    ).dropDuplicates(["__q", "__n"])
     hits = a.join(t, ["__q", "__n"]).groupBy("__q").agg(
         F.count("*").cast("long").alias("hits")
     )
@@ -303,10 +446,9 @@ def calibration_bins(
     (``floor(p·10^9)`` — exact integers, order-free decimal sum) and
     divides once, so the whole table is engine-exact without any
     ordered float fold.  Bins with no rows are absent (a reliability
-    plot has nothing to draw there).  Compose Expected Calibration
-    Error caller-side: ``Σ (n_b/N)·|frac_pos − mean_pred|`` over the
-    ≤ nbins rows.  Scale: one map-side-combined aggregation to nbins
-    rows — nothing else."""
+    plot has nothing to draw there).  For one Expected Calibration
+    Error number use :func:`ece_exact`.  Scale: one map-side-combined
+    aggregation to nbins rows — nothing else."""
     nb = int(nbins)
     if nb < 1:
         raise ValueError("calibration_bins: nbins must be >= 1")
@@ -369,4 +511,73 @@ def sql_calibration_ctes(
            AS mean_pred,
          CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
   FROM {out}_g
+)"""
+
+
+def ece_exact(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    nbins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error — ONE row ``(n, ece)`` with
+    ``ece = Σ_b (n_b/N)·|frac_pos_b − mean_pred_b|`` over the
+    :func:`calibration_bins` rows (round 15 — the one-number closer
+    the calibration gate's docstring promised).
+
+    Engine-exact despite being a float sum: every per-bin term is a
+    fixed IEEE expression over already-exact bin statistics, and the
+    ≤ nbins terms are folded SEQUENTIALLY in ascending-bin order via
+    ``F.aggregate`` over a sorted array — the house dot-product
+    recipe (Spark ``aggregate`` ≡ DuckDB ``list_reduce``), so both
+    engines run the identical left fold instead of an order-free SUM.
+    Scale: the fold runs on ≤ nbins rows collected into one array —
+    model-diagram-sized, never corpus-sized."""
+    b = calibration_bins(df, label_col, prob_col, nbins)
+    one = b.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("bin"), F.col("n"), F.col("frac_pos"),
+                    F.col("mean_pred"),
+                )
+            )
+        ).alias("__bins"),
+    )
+    ece = F.aggregate(
+        F.col("__bins"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (x["n"].cast("double") / F.col("n").cast("double"))
+        * F.abs(x["frac_pos"] - x["mean_pred"]),
+    )
+    return one.select("n", ece.alias("ece"))
+
+
+def sql_ece_ctes(
+    src: str, y_expr: str, p_expr: str, nbins: int, out: str = "ece"
+) -> str:
+    """DuckDB mirror of :func:`ece_exact` — the same
+    :func:`sql_calibration_ctes` bins, the same ascending-bin term
+    list, and the same sequential left fold (``list_reduce`` seeded
+    with 0.0 ≡ ``F.aggregate``'s zero accumulator)."""
+    calib = sql_calibration_ctes(src, y_expr, p_expr, nbins, out=f"{out}_calib")
+    return f"""{calib},
+{out}_n AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n FROM {out}_calib
+),
+{out}_terms AS (
+  SELECT list(
+           CAST(n AS DOUBLE) / CAST((SELECT n FROM {out}_n) AS DOUBLE)
+             * abs(frac_pos - mean_pred)
+           ORDER BY bin
+         ) AS __ts
+  FROM {out}_calib
+),
+{out} AS (
+  SELECT (SELECT n FROM {out}_n) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), __ts),
+                     (acc, x) -> acc + x) AS ece
+  FROM {out}_terms
 )"""

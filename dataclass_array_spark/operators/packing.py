@@ -98,6 +98,76 @@ def global_cumsum(
     return out.drop("__pid", *[f"__off{i}" for i in range(len(value_cols))])
 
 
+def grouped_cumsum(
+    df: DataFrame,
+    group_cols: "list[str]",
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    pin: str = "local",
+) -> DataFrame:
+    """Per-GROUP running sum of ``value_col`` over ``order_col`` order
+    within each group (inclusive of the current row) — the fairness-
+    table variant of :func:`global_cumsum` (round-15: grouped AUC
+    partitions its running negative count by evaluation slice).
+
+    Same two-phase shape, so no group ever needs a single-task sort of
+    its full extent: range-partition by ``(group…, order)`` (one
+    shuffle; a big group spans MANY contiguous partitions), per-
+    ``(partition, group)`` partial sums, then per-group prefix offsets
+    across partitions via a window over that partial-sum frame — the
+    frame is ``|partitions × groups|`` rows (groups are slice
+    dimensions like language or source, never corpus-scale ids), so
+    the one single-task-per-group window here is over ≤ |partitions|
+    rows, not data rows.  Offsets broadcast-join back null-safely
+    (NULL group values form their own group on both the aggregation
+    and the join, matching SQL GROUP BY).
+
+    The range-partitioned frame is checkpoint-pinned for the same
+    reason as :func:`global_cumsum`: the offsets job and the output
+    job must see ONE partitioning, not two independently-sampled
+    RangePartitioner runs."""
+    from dataclass_array_spark.core.table import pin_materialization
+
+    gcols = list(group_cols)
+    if not gcols:
+        return global_cumsum(df, order_col, value_col, out_col=out_col, pin=pin)
+    df = pin_materialization(
+        df.repartitionByRange(*gcols, order_col).sortWithinPartitions(
+            *gcols, order_col
+        ),
+        pin,
+    )
+    with_pid = df.withColumn("__pid", F.spark_partition_id())
+    part_sums = with_pid.groupBy("__pid", *gcols).agg(
+        F.sum(F.col(value_col)).alias("__ps")
+    )
+    wo = (
+        Window.partitionBy(*gcols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = part_sums.select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(c).alias(f"__og{i}") for i, c in enumerate(gcols)],
+        F.coalesce(F.sum("__ps").over(wo), F.lit(0)).cast("long").alias("__off"),
+    )
+    cond = F.col("__pid") == F.col("__opid")
+    for i, c in enumerate(gcols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__og{i}"))
+    w = (
+        Window.partitionBy("__pid", *gcols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = with_pid.join(F.broadcast(offs), cond).withColumn(
+        out_col, (F.sum(F.col(value_col)).over(w) + F.col("__off")).cast("long")
+    )
+    return out.drop(
+        "__pid", "__opid", "__off", *[f"__og{i}" for i in range(len(gcols))]
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -808,14 +808,23 @@ def ngram_counts_stream(
             f for f in _os.listdir(_commits)
             if not f.startswith(".") and f.isdigit()
         ]
+        # Spark PURGES commit-log entries beyond
+        # spark.sql.streaming.minBatchesToRetain (default 100), so the
+        # listing can MISS old committed batches on long-lived
+        # checkpoints.  Commit ids are contiguous from 0, so the true
+        # committed set is 0..max(listed) — check every id in that
+        # range, not just the retained listing (round 15, ADVICE).
+        check_ids = (
+            range(max(int(b) for b in committed) + 1) if committed else ()
+        )
         missing = [
-            b for b in committed
-            if not _os.path.isdir(_os.path.join(output_dir, f"batch={int(b)}"))
+            b for b in check_ids
+            if not _os.path.isdir(_os.path.join(output_dir, f"batch={b}"))
         ]
         if missing:
             raise ValueError(
                 "ngram_counts_stream: checkpoint has committed batches "
-                f"{sorted(int(b) for b in missing)} whose output "
+                f"{missing} whose output "
                 "partitions are missing — availableNow would skip them "
                 "and the SUM-merge would silently undercount; clear "
                 "BOTH dirs for a fresh run or restore the matching "

@@ -906,8 +906,8 @@ def _ann_recall_oracle() -> str:
     from dataclass_array_spark.workload.llm import COSINE_SQL, IVF_SQL
 
     return f"""
-WITH a AS (SELECT qid, nid FROM ({IVF_SQL})),
-t AS (SELECT qid, nid FROM ({COSINE_SQL})),
+WITH a AS (SELECT DISTINCT qid, nid FROM ({IVF_SQL})),
+t AS (SELECT DISTINCT qid, nid FROM ({COSINE_SQL})),
 h AS (SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS hits
       FROM a JOIN t USING (qid, nid) GROUP BY a.qid),
 b AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS k FROM t GROUP BY qid)

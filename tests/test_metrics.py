@@ -332,3 +332,234 @@ def test_global_cumsum_multi_column_matches_two_passes(spark):
     assert got == want
     with pytest.raises(ValueError, match="lengths differ"):
         global_cumsum(df, "k", ["a", "b"], out_col="ca")
+
+
+def test_auc_grouped_three_way(spark):
+    """Grouped AUC (round 15 — the fairness table): Spark ≡ DuckDB
+    grouped mirror ≡ per-group explicit pairwise counting."""
+    random.seed(37)
+    rows = [
+        (i, f"g{i % 4}", random.randint(0, 1),
+         float(random.choice([0.1, 0.2, 0.2, 0.4, 0.7, 0.7])))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "i long, g string, y long, s double")
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], int(r["u2"]), r["auc"])
+        for r in auc_exact(df, "y", "s", group_cols=["g"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, g VARCHAR, y BIGINT, s DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    want = {
+        r[0]: (r[1], r[2], int(r[3]), r[4])
+        for r in con.sql(
+            "WITH " + sql_auc_ctes("t", "y", "s", group_exprs=["g"])
+            + " SELECT * FROM auc"
+        ).fetchall()
+    }
+    assert got == want
+    for gname in {r[1] for r in rows}:
+        grp = [(i, y, s) for i, g, y, s in rows if g == gname]
+        p, n, u2 = _pairwise_u2(grp)
+        assert got[gname] == (p, n, u2, u2 / (2 * p * n)), gname
+
+
+def test_auc_grouped_single_class_is_null_both_engines(spark):
+    """A degenerate slice (one class only) is an EXPECTED fairness-table
+    outcome: grouped mode emits auc NULL instead of raising, on both
+    engines (the global path keeps raising — tested above)."""
+    rows = [
+        (1, "only_pos", 1, 0.5), (2, "only_pos", 1, 0.7),
+        (3, "mixed", 1, 0.9), (4, "mixed", 0, 0.1),
+    ]
+    df = spark.createDataFrame(rows, "i long, g string, y long, s double")
+    got = {
+        r["g"]: r["auc"]
+        for r in auc_exact(df, "y", "s", group_cols=["g"]).collect()
+    }
+    assert got["only_pos"] is None and got["mixed"] == 1.0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, g VARCHAR, y BIGINT, s DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    want = dict(con.sql(
+        "WITH " + sql_auc_ctes("t", "y", "s", group_exprs=["g"])
+        + " SELECT g, auc FROM auc"
+    ).fetchall())
+    assert want["only_pos"] is None and want["mixed"] == 1.0
+
+
+def test_auc_null_score_and_label_raise_both_engines(spark):
+    """Round-15 ADVICE: a NULL score would sort NULLS FIRST in Spark's
+    range sort but NULLS LAST in DuckDB's window ORDER BY — silently
+    shifting every running count.  Enforced loudly on both engines."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    con.execute("INSERT INTO t VALUES (1, 1, 0.5), (2, 0, NULL)")
+    con.execute("CREATE TABLE t2 (i BIGINT, y BIGINT, s DOUBLE)")
+    con.execute("INSERT INTO t2 VALUES (1, 1, 0.5), (2, NULL, 0.3)")
+    df = spark.createDataFrame(
+        [(1, 1, 0.5), (2, 0, None)], "i long, y long, s double"
+    )
+    with pytest.raises(Exception, match="NULL in score"):
+        auc_exact(df, "y", "s").collect()
+    with pytest.raises(Exception, match="NULL input"):
+        con.sql("WITH " + sql_auc_ctes("t", "y", "s") + " SELECT * FROM auc").fetchall()
+    df2 = spark.createDataFrame(
+        [(1, 1, 0.5), (2, None, 0.3)], "i long, y long, s double"
+    )
+    with pytest.raises(Exception, match="NULL in label"):
+        auc_exact(df2, "y", "s").collect()
+    with pytest.raises(Exception, match="NULL input"):
+        con.sql("WITH " + sql_auc_ctes("t2", "y", "s") + " SELECT * FROM auc").fetchall()
+    from dataclass_array_spark.operators.metrics import pr_curve_exact
+
+    with pytest.raises(Exception, match="NULL in score"):
+        pr_curve_exact(df, "y", "s").collect()
+
+
+def test_pr_curve_floor_grid_overflow_raises_both_engines(spark):
+    """Round-15 ADVICE: Spark's floor() returns BIGINT and CLAMPS past
+    2^63 while DuckDB's floor stays DOUBLE — the guard turns the silent
+    divergence into an error on both engines."""
+    from dataclass_array_spark.operators.metrics import (
+        pr_curve_exact,
+        sql_pr_curve_ctes,
+    )
+
+    rows = [(1, 1, 1.0e19), (2, 0, 0.5)]
+    df = spark.createDataFrame(rows, "i long, y long, s double")
+    with pytest.raises(Exception, match="floor grid would clamp"):
+        pr_curve_exact(df, "y", "s", floor_digits=2).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    with pytest.raises(Exception, match="floor grid would clamp"):
+        con.sql(
+            "WITH " + sql_pr_curve_ctes("t", "y", "s", floor_digits=2)
+            + " SELECT * FROM pr"
+        ).fetchall()
+    # in-range large scores still work on both engines
+    ok = [(1, 1, 1.0e10), (2, 0, 0.5)]
+    df2 = spark.createDataFrame(ok, "i long, y long, s double")
+    got = {r["threshold"]: (r["tp"], r["fp"], r["fn"])
+           for r in pr_curve_exact(df2, "y", "s", floor_digits=2).collect()}
+    con.execute("DELETE FROM t")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", ok)
+    want = {r[0]: tuple(r[1:4]) for r in con.sql(
+        "WITH " + sql_pr_curve_ctes("t", "y", "s", floor_digits=2)
+        + " SELECT * FROM pr").fetchall()}
+    assert got == want
+
+
+def test_pr_curve_empty_input_raises_both_engines(spark):
+    """Round-15 ADVICE: an empty frame raised only on the Spark side;
+    the mirror now carries an explicit emptiness guard."""
+    from dataclass_array_spark.operators.metrics import (
+        pr_curve_exact,
+        sql_pr_curve_ctes,
+    )
+
+    df = spark.createDataFrame([], "i long, y long, s double")
+    with pytest.raises(Exception, match="positives must be non-empty"):
+        pr_curve_exact(df, "y", "s").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    with pytest.raises(Exception, match="positives must be non-empty"):
+        con.sql(
+            "WITH " + sql_pr_curve_ctes("t", "y", "s") + " SELECT * FROM pr"
+        ).fetchall()
+
+
+def test_ann_recall_duplicate_pairs_cannot_inflate(spark):
+    """Round-15 ADVICE: duplicate (qid, nid) rows (e.g. a multi-probe
+    ANN variant emitting a neighbor twice) must not push recall past
+    1.0 — both sides are deduplicated to sets before the join."""
+    from dataclass_array_spark.operators.metrics import ann_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 11)], "qid long, nid long"  # dup in truth
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10), (1, 11)], "qid long, nid long"
+    )
+    got = ann_recall(approx, truth).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["hits"], r["k"], r["recall"]) == (2, 2, 1.0)
+
+
+def test_ece_three_way(spark):
+    """ECE (round 15): Spark ≡ DuckDB mirror (bit-equal — the fold is
+    sequential in bin order on both engines) ≡ python reference."""
+    import math
+
+    from dataclass_array_spark.operators.metrics import ece_exact, sql_ece_ctes
+
+    random.seed(41)
+    rows = [(i, random.randint(0, 1), random.random()) for i in range(600)]
+    df = spark.createDataFrame(rows, "i long, y long, p double")
+    got = ece_exact(df, "y", "p", 10).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, p DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = con.sql(
+        "WITH " + sql_ece_ctes("t", "y", "p", 10) + " SELECT * FROM ece"
+    ).fetchone()
+    assert (got["n"], got["ece"]) == want
+    # python reference: same floor bins, same left fold in bin order
+    import collections
+
+    bins = collections.defaultdict(lambda: [0, 0, 0])
+    for _, y, p in rows:
+        b = min(int(math.floor(p * 10)), 9)
+        bins[b][0] += 1
+        bins[b][1] += y
+        bins[b][2] += math.floor(p * 1e9)
+    N = len(rows)
+    acc = 0.0
+    for b in sorted(bins):
+        n, npos, sq = bins[b]
+        mean_pred = (float(sq) / 1e9) / float(n)
+        frac_pos = npos / n
+        acc = acc + (n / N) * abs(frac_pos - mean_pred)
+    assert got["ece"] == acc
+    assert 0.0 <= got["ece"] <= 1.0
+
+
+def test_grouped_cumsum_matches_python_and_handles_null_groups(spark):
+    """grouped_cumsum (round 15): per-group running sums over a global
+    order, two-phase (no single-task sort of a group's full extent);
+    NULL group values form their own group (SQL GROUP BY semantics)."""
+    import random as _r
+
+    from dataclass_array_spark.operators.packing import grouped_cumsum
+
+    _r.seed(43)
+    rows = [
+        (float(i), _r.choice(["a", "b", "c", None]), _r.randint(0, 9))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "k double, g string, v long")
+    got = {
+        (r["g"], r["k"]): r["cum"]
+        for r in grouped_cumsum(df, ["g"], "k", "v").collect()
+    }
+    assert len(got) == len(rows)  # the null-safe join drops nothing
+    acc = {}
+    for k, g, v in sorted(rows):
+        acc[g] = acc.get(g, 0) + v
+        assert got[(g, k)] == acc[g], (g, k)
+
+
+def test_grouped_cumsum_empty_groups_delegates_to_global(spark):
+    from dataclass_array_spark.operators.packing import (
+        global_cumsum,
+        grouped_cumsum,
+    )
+
+    rows = [(float(i), i % 5) for i in range(100)]
+    df = spark.createDataFrame(rows, "k double, v long")
+    a = {r["k"]: r["cum"] for r in grouped_cumsum(df, [], "k", "v").collect()}
+    b = {r["k"]: r["cum"] for r in global_cumsum(df, "k", "v").collect()}
+    assert a == b

@@ -703,3 +703,29 @@ def test_ngram_counts_stream_rejects_partial_output_deletion(spark, tmp_path):
             s2, "text", "doc_id", output_dir=str(out),
             checkpoint_dir=str(ckpt), n=2,
         )
+
+
+def test_ngram_counts_stream_detects_purged_commit_listing(spark, tmp_path):
+    """Round-15 ADVICE: Spark purges commit-log entries beyond
+    minBatchesToRetain, so an old committed batch can vanish from the
+    commits/ LISTING while its data is still required.  Commit ids are
+    contiguous from 0, so the guard must check batch=<id> partitions
+    for ALL ids 0..max(listed), not just the retained listing."""
+    from dataclass_array_spark.streaming import ngram_counts_stream
+
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    # simulate a long-lived checkpoint whose entries 0..1 were purged:
+    # only commit id 2 is listed, and only ITS output partition exists
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "2").write_text("v1")
+    (out / "batch=2").mkdir(parents=True)
+    (out / "batch=2" / "part-0.parquet").write_text("")
+    (tmp_path / "src").mkdir()
+    s = spark.readStream.schema("doc_id long, text string").parquet(
+        str(tmp_path / "src")
+    )
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        ngram_counts_stream(
+            s, "text", "doc_id", output_dir=str(out),
+            checkpoint_dir=str(ckpt), n=2,
+        )
