@@ -316,10 +316,27 @@ def pr_curve_exact(
     f1 = (F.col("tp") * 2).cast("double") / (
         F.col("tp") * 2 + F.col("fp") + F.col("fn")
     ).cast("double")
-    return out.select(
+    result = out.select(
         "threshold", "tp", "fp", "fn",
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )
+    # Sentinel branch (round 15): on an EMPTY input the cross join's
+    # probe side is empty, and AQE can replace the join with an empty
+    # relation before the totals row's assert ever evaluates — the
+    # loud "positives must be non-empty" failure became a RACE.  The
+    # union forces the totals row through its __P < 0 filter (never
+    # true — __P >= 1 whenever the assert passes), so the assert
+    # evaluates deterministically and the branch contributes zero rows
+    # otherwise.
+    sentinel = tot.filter(F.col("__P") < 0).select(
+        F.lit(None).cast(result.schema["threshold"].dataType).alias("threshold"),
+        *[F.lit(None).cast("long").alias(c) for c in ("tp", "fp", "fn")],
+        *[
+            F.lit(None).cast("double").alias(c)
+            for c in ("precision", "recall", "f1")
+        ],
+    )
+    return result.unionByName(sentinel)
 
 
 def sql_pr_curve_ctes(

@@ -763,16 +763,18 @@ def classifier_auc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clf_auc_oracle() -> str:
+def _clf_trained_marg_ctes() -> str:
+    """Shared oracle prefix for the trained-classifier evaluation
+    gates: the full unrolled training CTE chain ending in
+    ``marg(doc_id, source, y, margin)`` — the global AUC gate and the
+    per-source fairness gate differ only in the AUC CTEs appended."""
     from dataclass_array_spark.operators.classifier import (
         sql_classifier_fit_ctes,
         sql_feature_bucket,
         sql_ngram_feats,
     )
-    from dataclass_array_spark.operators.metrics import sql_auc_ctes
 
-    return f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    return f"""toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 guard AS (
   SELECT CASE WHEN COALESCE(MAX(len(toks)), 0) > 4096
               THEN error('CLF_AUC_SQL: document exceeds 4096-token oracle cap')
@@ -804,13 +806,20 @@ spd AS (
   GROUP BY fb.doc_id
 ),
 marg AS (
-  SELECT d.doc_id,
+  SELECT d.doc_id, d.source,
          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
          CASE WHEN COALESCE(pd.n_features, 0) > 0
               THEN CAST(pd.s AS DOUBLE) / CAST(pd.n_features AS DOUBLE)
               ELSE 0.0 END AS margin
   FROM documents d LEFT JOIN spd pd USING (doc_id)
-),
+)"""
+
+
+def _clf_auc_oracle() -> str:
+    from dataclass_array_spark.operators.metrics import sql_auc_ctes
+
+    return f"""
+WITH {_clf_trained_marg_ctes()},
 {sql_auc_ctes("marg", "y", "margin")}
 SELECT n_pos, n_neg, CAST(u2 AS BIGINT) AS u2, auc
 FROM auc
@@ -989,5 +998,128 @@ ORDER BY bin
 
 QUERIES["classifier_calibration_docs"] = Query(
     classifier_calibration_docs, _clf_cal_oracle(),
+    tags=("text", "quality", "classifier", "metrics"),
+)
+
+
+# ------------------------------------------------ per-source AUC (fairness)
+def classifier_auc_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production FAIRNESS TABLE (round-15 VERDICT item 5): the
+    trained classifier's exact AUC per evaluation slice — train once
+    (``classifier_fit``, the same 3 deterministic steps as
+    ``classifier_auc_docs``), score every doc, then
+    ``auc_exact(group_cols=["source"])`` for one (n_pos, n_neg, u2,
+    auc) row per source.  Slicing by ``source`` rather than ``lang``
+    because the label IS lang=='en' — every lang slice would be
+    single-class by construction; source slices carry both classes at
+    every SF.  The grouped running count goes through
+    ``grouped_cumsum`` (two-phase, partitioned by slice — never a
+    single-task sort of a slice's distinct scores)."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_fit,
+        classifier_score,
+        fit_weights_for_scoring,
+    )
+    from dataclass_array_spark.operators.metrics import auc_exact
+    from dataclass_array_spark.operators.text import checked_i64
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    d = d.withColumn("__y", (F.col("lang") == "en").cast("long"))
+    fit = classifier_fit(
+        d, "text", "doc_id", "__y", _FIT_BUCKETS,
+        lr=_FIT_LR, n_iters=_FIT_ITERS,
+    )
+    scored = classifier_score(
+        d, fit_weights_for_scoring(fit), "text", "doc_id", _FIT_BUCKETS
+    )
+    labeled = scored.join(d.select("doc_id", "source", "__y"), "doc_id")
+    out = auc_exact(labeled, "__y", "margin", group_cols=["source"])
+    return out.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        checked_i64(F.col("u2"), "classifier_auc_by_source u2").alias("u2"),
+        "auc",
+    ).orderBy("source")
+
+
+def _clf_auc_by_source_oracle() -> str:
+    from dataclass_array_spark.operators.metrics import sql_auc_ctes
+
+    return f"""
+WITH {_clf_trained_marg_ctes()},
+{sql_auc_ctes("marg", "y", "margin", group_exprs=["source"])}
+SELECT source, n_pos, n_neg, CAST(u2 AS BIGINT) AS u2, auc
+FROM auc
+CROSS JOIN guard
+WHERE guard.ok = 1
+ORDER BY source
+"""
+
+
+QUERIES["classifier_auc_by_source_docs"] = Query(
+    classifier_auc_by_source_docs, _clf_auc_by_source_oracle(),
+    tags=("text", "quality", "classifier", "metrics", "fairness"),
+)
+
+
+# ------------------------------------------------ expected calibration error
+def classifier_ece_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the classifier's exact logistic
+    probabilities (round-15 VERDICT item 7 — the one-number closer the
+    calibration gate's docstring promised): the same scaled-logistic
+    probabilities as ``classifier_calibration_docs``, folded to one
+    (n, ece) row via ``metrics.ece_exact`` — per-bin terms over exact
+    bin statistics, summed by the SAME sequential bin-order fold on
+    both engines (``F.aggregate`` ≡ ``list_reduce``)."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+    from dataclass_array_spark.operators.metrics import ece_exact
+    from dataclass_array_spark.operators.text import exp_exact
+    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    scored = classifier_score(
+        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
+    ).select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + exp_exact(F.lit(-40.0) * F.col("margin")))
+        ).alias("prob"),
+    )
+    labeled = scored.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("__y")),
+        "doc_id",
+    )
+    return ece_exact(labeled, "__y", "prob", _CAL_BINS)
+
+
+def _clf_ece_oracle() -> str:
+    from dataclass_array_spark.operators.metrics import sql_ece_ctes
+    from dataclass_array_spark.operators.text import sql_exp_exact_ctes
+    from dataclass_array_spark.workload.llm4 import _clf_oracle
+
+    return f"""
+WITH mbase AS ({_clf_oracle()}),
+{sql_exp_exact_ctes("mbase", "doc_id", "CAST('-40.0' AS DOUBLE) * margin", "expd")},
+base AS (
+  SELECT doc_id, 1.0 / (1.0 + ex) AS prob FROM expd
+),
+lab AS (
+  SELECT b.doc_id,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         b.prob
+  FROM base b JOIN documents d USING (doc_id)
+),
+{sql_ece_ctes("lab", "y", "prob", _CAL_BINS)}
+SELECT n, ece FROM ece
+"""
+
+
+QUERIES["classifier_ece_docs"] = Query(
+    classifier_ece_docs, _clf_ece_oracle(),
     tags=("text", "quality", "classifier", "metrics"),
 )

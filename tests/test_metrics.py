@@ -563,3 +563,62 @@ def test_grouped_cumsum_empty_groups_delegates_to_global(spark):
     a = {r["k"]: r["cum"] for r in grouped_cumsum(df, [], "k", "v").collect()}
     b = {r["k"]: r["cum"] for r in global_cumsum(df, "k", "v").collect()}
     assert a == b
+
+
+def test_auc_grouped_no_single_task_global_sort(spark):
+    """Grouped AUC must never need a partition-less (single-task)
+    window: the per-group cumneg windows within (__pid, group) after
+    the range partition, and the tiny offsets window partitions by
+    group.  Every window spec must carry one of the two."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    rows = [(i, f"g{i % 3}", i % 2, float(i % 17)) for i in range(100)]
+    df = spark.createDataFrame(rows, "i long, g string, y long, s double")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        auc_exact(df, "y", "s", group_cols=["g"]).explain("formatted")
+    p = buf.getvalue()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs
+    for spec in specs:
+        assert "__pid" in spec or "g#" in spec, spec
+
+
+def test_classifier_auc_by_source_gate_is_meaningful(spark):
+    """The fairness gate at sf0.001: one row per source, both classes
+    present in every slice, every AUC defined and in [0, 1], and the
+    slice counts re-add to the corpus totals."""
+    from dataclass_array_spark.workload import QUERIES
+
+    rows = QUERIES["classifier_auc_by_source_docs"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20  # src0..src19
+    n_pos = sum(r["n_pos"] for r in rows)
+    n_neg = sum(r["n_neg"] for r in rows)
+    assert n_pos + n_neg == 500  # sf0.001 documents count
+    for r in rows:
+        assert r["n_pos"] > 0 and r["n_neg"] > 0, r
+        assert r["auc"] is not None and 0.0 <= r["auc"] <= 1.0, r
+
+
+def test_classifier_ece_gate_composes_calibration_bins(spark):
+    """The ECE gate must equal the same sequential fold over the
+    calibration gate's own bins — the two gates share one pipeline."""
+    from dataclass_array_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    bins = sorted(
+        (r["bin"], r["n"], r["frac_pos"], r["mean_pred"])
+        for r in QUERIES["classifier_calibration_docs"].fn(spark, sf).collect()
+    )
+    got = QUERIES["classifier_ece_docs"].fn(spark, sf).collect()[0]
+    n_total = sum(n for _, n, _, _ in bins)
+    assert got["n"] == n_total
+    acc = 0.0
+    for _, n, frac_pos, mean_pred in bins:
+        acc = acc + (n / n_total) * abs(frac_pos - mean_pred)
+    assert got["ece"] == acc
+    assert 0.0 <= got["ece"] <= 1.0
