@@ -138,10 +138,16 @@ def main() -> None:
         "n_queries": len(timings),
         "n_repeats": BENCH_N,
         "stat": "median",
-        "median_sec": round(sorted(timings.values())[len(timings) // 2], 3),
-        "max_sec": round(max(timings.values()), 3),
         "sf": sf_val,
     }
+    # guarded: with timings == {} (every query errored) the record must
+    # still print — an IndexError here would reproduce the parsed:null
+    # failure this flow exists to prevent (round-15 review)
+    if timings:
+        headline["median_sec"] = round(
+            sorted(timings.values())[len(timings) // 2], 3
+        )
+        headline["max_sec"] = round(max(timings.values()), 3)
     if errors:
         headline["n_errors"] = len(errors)
     print(json.dumps(headline), flush=True)

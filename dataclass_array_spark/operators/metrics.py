@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -55,12 +55,16 @@ _I64_EDGE = 9223372036854775808.0
 
 
 def _nn_label(label_col: str, what: str) -> Column:
-    """0/1 label as long, loudly non-NULL (cap_per_key discipline)."""
-    y = F.col(label_col).cast("long")
-    ok = y.isNotNull()
-    return F.when(ok, y).otherwise(
+    """0/1 label as long, loudly non-NULL AND loudly in-domain (round-15
+    review: a stray y=2 would under-count n_neg IDENTICALLY on both
+    engines — the one failure class the oracle differential cannot
+    catch, so it must fail at the source)."""
+    raw = F.col(label_col)
+    ok = raw.isNotNull() & raw.isin(0, 1)
+    return F.when(ok, raw.cast("long")).otherwise(
         F.assert_true(
-            ok, F.lit(f"{what}: NULL in label column {label_col}")
+            ok,
+            F.lit(f"{what}: label column {label_col} must be 0/1 non-NULL"),
         ).cast("long")
     )
 
@@ -79,6 +83,15 @@ def _sql_nn(expr: str, what: str) -> str:
     return (
         f"CASE WHEN ({expr}) IS NULL "
         f"THEN error('{what}: NULL input') ELSE ({expr}) END"
+    )
+
+
+def _sql_nn_label(expr: str, what: str) -> str:
+    """Mirror of :func:`_nn_label` — non-NULL and in {0, 1}."""
+    return (
+        f"CASE WHEN ({expr}) IS NOT NULL AND ({expr}) IN (0, 1) "
+        f"THEN ({expr}) "
+        f"ELSE error('{what}: label must be 0/1 non-NULL') END"
     )
 
 
@@ -116,6 +129,8 @@ def auc_exact(
     def _dec(c: Column) -> Column:
         return c.cast("decimal(38,0)")
 
+    if isinstance(group_cols, str):  # 'source' would explode per-char
+        group_cols = [group_cols]
     gcols = list(group_cols) if group_cols else []
     y = _nn_label(label_col, "auc_exact")
     s = _nn_score(score_col, "auc_exact")
@@ -170,14 +185,30 @@ def sql_auc_ctes(
     grouping, same running negative count (``PARTITION BY`` the
     groups when ``group_exprs`` is set), same decimal products
     (DuckDB HUGEINT raises natively where checked_dec38 is loud),
-    same loud non-NULL label/score enforcement (``error()`` mirrors
-    the Spark side's ``assert_true``), same two casts + one division
-    for ``auc`` — and in grouped mode the same NULL-for-single-class
-    semantics.  ``{src}`` rows provide ``{y_expr}`` (0/1) and
-    ``{s_expr}`` (the score)."""
-    y_expr = _sql_nn(y_expr, "auc_exact label")
+    same loud non-NULL/0-1 label and non-NULL score enforcement
+    (``error()`` mirrors the Spark side's ``assert_true``), same two
+    casts + one division for ``auc`` — and in grouped mode the same
+    NULL-for-single-class semantics.  ``{src}`` rows provide
+    ``{y_expr}`` (0/1) and ``{s_expr}`` (the score).
+
+    Each ``group_exprs`` entry is either a bare column name of
+    ``{src}`` or an ``(expr, alias)`` pair: downstream CTEs see only
+    the GROUPED frame, so a computed group expression must be aliased
+    in the first CTE and referenced by alias afterwards (round-15
+    review — a raw expression here used to produce a binder error)."""
+    y_expr = _sql_nn_label(y_expr, "auc_exact")
     s_expr = _sql_nn(s_expr, "auc_exact score")
-    gx = list(group_exprs) if group_exprs else []
+    if isinstance(group_exprs, str):
+        group_exprs = [group_exprs]
+    pairs = [
+        (g, g) if isinstance(g, str) else (g[0], g[1])
+        for g in (group_exprs or [])
+    ]
+    gx = [alias for _, alias in pairs]
+    gdef = "".join(
+        (f"{alias}, " if expr == alias else f"({expr}) AS {alias}, ")
+        for expr, alias in pairs
+    )
     gsel = "".join(f"{g}, " for g in gx)
     gby = ", ".join(str(i + 2) for i in range(len(gx)))
     part = f"PARTITION BY {', '.join(gx)} " if gx else ""
@@ -201,7 +232,7 @@ def sql_auc_ctes(
         )
     return f"""{out}_g AS (
   SELECT ({s_expr}) AS __s,
-         {gsel}CAST(SUM({y_expr}) AS BIGINT) AS __pg,
+         {gdef}CAST(SUM({y_expr}) AS BIGINT) AS __pg,
          CAST(SUM(1 - ({y_expr})) AS BIGINT) AS __ng
   FROM {src}
   GROUP BY 1{", " + gby if gby else ""}
@@ -353,7 +384,7 @@ def sql_pr_curve_ctes(
     ``{out}_guard`` CTE raises on an empty ``{src}`` where the Spark
     side's aggregate-over-empty assert fires), and the same floor-grid
     quantization when ``floor_digits`` is set."""
-    y_expr = _sql_nn(y_expr, "pr_curve_exact label")
+    y_expr = _sql_nn_label(y_expr, "pr_curve_exact")
     s_expr = _sql_nn(s_expr, "pr_curve_exact score")
     if floor_digits is not None:
         scale = float(10 ** int(floor_digits))

@@ -129,6 +129,8 @@ def grouped_cumsum(
     RangePartitioner runs."""
     from dataclass_array_spark.core.table import pin_materialization
 
+    if isinstance(group_cols, str):  # 'g' would explode per-char
+        group_cols = [group_cols]
     gcols = list(group_cols)
     if not gcols:
         return global_cumsum(df, order_col, value_col, out_col=out_col, pin=pin)

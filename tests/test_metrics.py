@@ -408,9 +408,9 @@ def test_auc_null_score_and_label_raise_both_engines(spark):
     df2 = spark.createDataFrame(
         [(1, 1, 0.5), (2, None, 0.3)], "i long, y long, s double"
     )
-    with pytest.raises(Exception, match="NULL in label"):
+    with pytest.raises(Exception, match="must be 0/1"):
         auc_exact(df2, "y", "s").collect()
-    with pytest.raises(Exception, match="NULL input"):
+    with pytest.raises(Exception, match="must be 0/1"):
         con.sql("WITH " + sql_auc_ctes("t2", "y", "s") + " SELECT * FROM auc").fetchall()
     from dataclass_array_spark.operators.metrics import pr_curve_exact
 
@@ -622,3 +622,69 @@ def test_classifier_ece_gate_composes_calibration_bins(spark):
         acc = acc + (n / n_total) * abs(frac_pos - mean_pred)
     assert got["ece"] == acc
     assert 0.0 <= got["ece"] <= 1.0
+
+
+def test_auc_out_of_domain_label_raises_both_engines(spark):
+    """Round-15 review: a stray y=2 would under-count n_neg IDENTICALLY
+    on both engines — the one failure class the oracle differential
+    cannot catch — so the label domain is enforced at the source."""
+    from dataclass_array_spark.operators.metrics import pr_curve_exact
+
+    rows = [(1, 1, 0.5), (2, 2, 0.7), (3, 0, 0.1)]
+    df = spark.createDataFrame(rows, "i long, y long, s double")
+    with pytest.raises(Exception, match="must be 0/1"):
+        auc_exact(df, "y", "s").collect()
+    with pytest.raises(Exception, match="must be 0/1"):
+        pr_curve_exact(df, "y", "s").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    with pytest.raises(Exception, match="must be 0/1"):
+        con.sql("WITH " + sql_auc_ctes("t", "y", "s") + " SELECT * FROM auc").fetchall()
+    # fractional labels fail too (they would cast-truncate silently)
+    df2 = spark.createDataFrame([(1, 0.7, 0.5), (2, 0.0, 0.1)],
+                                "i long, y double, s double")
+    with pytest.raises(Exception, match="must be 0/1"):
+        auc_exact(df2, "y", "s").collect()
+
+
+def test_sql_auc_group_exprs_accepts_expressions(spark):
+    """Round-15 review: a computed group expression must be aliased in
+    the first CTE (downstream CTEs no longer see the base columns)."""
+    rows = [
+        (1, "A", 1, 0.9), (2, "a", 0, 0.1),
+        (3, "b", 1, 0.8), (4, "B", 0, 0.3),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, g VARCHAR, y BIGINT, s DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    want = dict(con.sql(
+        "WITH "
+        + sql_auc_ctes("t", "y", "s", group_exprs=[("lower(g)", "gl")])
+        + " SELECT gl, auc FROM auc"
+    ).fetchall())
+    df = spark.createDataFrame(rows, "i long, g string, y long, s double")
+    got = {
+        r["gl"]: r["auc"]
+        for r in auc_exact(
+            df.withColumn("gl", F.lower("g")), "y", "s", group_cols="gl"
+        ).collect()
+    }
+    assert got == want == {"a": 1.0, "b": 1.0}
+
+
+def test_auc_group_cols_accepts_bare_string(spark):
+    """Round-15 review: group_cols='source' must mean ONE column, not
+    per-character columns (str is a Sequence[str])."""
+    rows = [(1, "x", 1, 0.9), (2, "x", 0, 0.1)]
+    df = spark.createDataFrame(rows, "i long, g string, y long, s double")
+    got = auc_exact(df, "y", "s", group_cols="g").collect()
+    assert len(got) == 1 and got[0]["g"] == "x" and got[0]["auc"] == 1.0
+    from dataclass_array_spark.operators.packing import grouped_cumsum
+
+    c = grouped_cumsum(
+        spark.createDataFrame([(1.0, "x", 2), (2.0, "x", 3)],
+                              "k double, g string, v long"),
+        "g", "k", "v",
+    ).collect()
+    assert {r["k"]: r["cum"] for r in c} == {1.0: 2, 2.0: 5}
