@@ -95,6 +95,19 @@ def _sql_nn_label(expr: str, what: str) -> str:
     )
 
 
+def _group_pairs(group_exprs) -> "list[tuple[str, str]]":
+    """Normalize SQL group entries to (expr, alias) pairs — a bare
+    column name aliases to itself; a computed expression must come as
+    an explicit (expr, alias) pair because downstream CTEs only see
+    the grouped frame (round-15 review)."""
+    if isinstance(group_exprs, str):
+        group_exprs = [group_exprs]
+    return [
+        (g, g) if isinstance(g, str) else (g[0], g[1])
+        for g in (group_exprs or [])
+    ]
+
+
 def auc_exact(
     df: DataFrame,
     label_col: str,
@@ -198,12 +211,7 @@ def sql_auc_ctes(
     review — a raw expression here used to produce a binder error)."""
     y_expr = _sql_nn_label(y_expr, "auc_exact")
     s_expr = _sql_nn(s_expr, "auc_exact score")
-    if isinstance(group_exprs, str):
-        group_exprs = [group_exprs]
-    pairs = [
-        (g, g) if isinstance(g, str) else (g[0], g[1])
-        for g in (group_exprs or [])
-    ]
+    pairs = _group_pairs(group_exprs)
     gx = [alias for _, alias in pairs]
     gdef = "".join(
         (f"{alias}, " if expr == alias else f"({expr}) AS {alias}, ")
@@ -485,6 +493,7 @@ def calibration_bins(
     label_col: str,
     prob_col: str,
     nbins: int = 10,
+    group_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Reliability-diagram bins for a probabilistic classifier — per
     bin ``(bin, n, n_pos, mean_pred, frac_pos)`` with
@@ -495,11 +504,18 @@ def calibration_bins(
     divides once, so the whole table is engine-exact without any
     ordered float fold.  Bins with no rows are absent (a reliability
     plot has nothing to draw there).  For one Expected Calibration
-    Error number use :func:`ece_exact`.  Scale: one map-side-combined
-    aggregation to nbins rows — nothing else."""
+    Error number use :func:`ece_exact`.  Pass ``group_cols`` for one
+    reliability diagram PER SLICE (round 15 — the fairness-table
+    companion of ``auc_exact(group_cols=…)``): output gains the group
+    columns, everything else is per-(group, bin).  Scale: one
+    map-side-combined aggregation to nbins (× groups) rows — nothing
+    else; groups are slice dimensions, never corpus-scale ids."""
     nb = int(nbins)
     if nb < 1:
         raise ValueError("calibration_bins: nbins must be >= 1")
+    if isinstance(group_cols, str):  # 'source' would explode per-char
+        group_cols = [group_cols]
+    gcols = list(group_cols) if group_cols else []
     p = F.col(prob_col)
     ok = p.isNotNull() & (p >= 0.0) & (p <= 1.0)
     guarded = F.when(ok, p).otherwise(
@@ -512,7 +528,7 @@ def calibration_bins(
     )
     y = F.col(label_col).cast("long")
     pq = F.floor(guarded * F.lit(1.0e9)).cast("long")
-    g = df.groupBy(b.alias("bin")).agg(
+    g = df.groupBy(*gcols, b.alias("bin")).agg(
         F.count("*").cast("long").alias("n"),
         F.sum(y).cast("long").alias("n_pos"),
         F.sum(pq.cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sq"),
@@ -521,6 +537,7 @@ def calibration_bins(
         F.col("__sq").cast("double") / F.lit(1.0e9)
     ) / F.col("n").cast("double")
     return g.select(
+        *gcols,
         "bin",
         "n",
         "n_pos",
@@ -532,13 +549,28 @@ def calibration_bins(
 
 
 def sql_calibration_ctes(
-    src: str, y_expr: str, p_expr: str, nbins: int, out: str = "calib"
+    src: str,
+    y_expr: str,
+    p_expr: str,
+    nbins: int,
+    out: str = "calib",
+    group_exprs=None,
 ) -> str:
     """DuckDB mirror of :func:`calibration_bins` — same floor-grid
     binning, same quantized-probability sums, same single divisions;
     out-of-range probabilities raise (``error()``) like the Spark
-    side's ``assert_true``."""
+    side's ``assert_true``.  ``group_exprs`` entries are bare column
+    names or (expr, alias) pairs (the :func:`sql_auc_ctes`
+    convention)."""
     nb = int(nbins)
+    pairs = _group_pairs(group_exprs)
+    gx = [alias for _, alias in pairs]
+    gdef = "".join(
+        (f"{alias}, " if expr == alias else f"({expr}) AS {alias}, ")
+        for expr, alias in pairs
+    )
+    gsel = "".join(f"{g}, " for g in gx)
+    gby = "".join(f", {i + 2}" for i in range(len(gx)))
     pg = (
         f"CASE WHEN ({p_expr}) IS NOT NULL AND ({p_expr}) >= 0.0 "
         f"AND ({p_expr}) <= 1.0 THEN ({p_expr}) "
@@ -546,15 +578,15 @@ def sql_calibration_ctes(
     )
     return f"""{out}_g AS (
   SELECT least(CAST(floor(({pg}) * {float(nb)!r}) AS BIGINT), {nb - 1}) AS bin,
-         CAST(COUNT(*) AS BIGINT) AS n,
+         {gdef}CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM({y_expr}) AS BIGINT) AS n_pos,
          CAST(SUM(CAST(floor(({pg}) * 1000000000.0) AS HUGEINT))
               AS HUGEINT) AS __sq
   FROM {src}
-  GROUP BY 1
+  GROUP BY 1{gby}
 ),
 {out} AS (
-  SELECT bin, n, n_pos,
+  SELECT {gsel}bin, n, n_pos,
          (CAST(__sq AS DOUBLE) / 1000000000.0) / CAST(n AS DOUBLE)
            AS mean_pred,
          CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
@@ -567,6 +599,7 @@ def ece_exact(
     label_col: str,
     prob_col: str,
     nbins: int = 10,
+    group_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Expected Calibration Error — ONE row ``(n, ece)`` with
     ``ece = Σ_b (n_b/N)·|frac_pos_b − mean_pred_b|`` over the
@@ -579,10 +612,16 @@ def ece_exact(
     ``F.aggregate`` over a sorted array — the house dot-product
     recipe (Spark ``aggregate`` ≡ DuckDB ``list_reduce``), so both
     engines run the identical left fold instead of an order-free SUM.
-    Scale: the fold runs on ≤ nbins rows collected into one array —
-    model-diagram-sized, never corpus-sized."""
-    b = calibration_bins(df, label_col, prob_col, nbins)
-    one = b.agg(
+    Pass ``group_cols`` for one (group…, n, ece) row PER SLICE (round
+    15 — the calibration half of the fairness table; N and the fold
+    are then per-group).  Scale: each fold runs on ≤ nbins rows
+    collected into one array — model-diagram-sized, never
+    corpus-sized."""
+    if isinstance(group_cols, str):  # 'source' would explode per-char
+        group_cols = [group_cols]
+    gcols = list(group_cols) if group_cols else []
+    b = calibration_bins(df, label_col, prob_col, nbins, group_cols=gcols)
+    one = b.groupBy(*gcols).agg(
         F.sum("n").cast("long").alias("n"),
         F.sort_array(
             F.collect_list(
@@ -600,18 +639,31 @@ def ece_exact(
         + (x["n"].cast("double") / F.col("n").cast("double"))
         * F.abs(x["frac_pos"] - x["mean_pred"]),
     )
-    return one.select("n", ece.alias("ece"))
+    return one.select(*gcols, "n", ece.alias("ece"))
 
 
 def sql_ece_ctes(
-    src: str, y_expr: str, p_expr: str, nbins: int, out: str = "ece"
+    src: str,
+    y_expr: str,
+    p_expr: str,
+    nbins: int,
+    out: str = "ece",
+    group_exprs=None,
 ) -> str:
     """DuckDB mirror of :func:`ece_exact` — the same
     :func:`sql_calibration_ctes` bins, the same ascending-bin term
     list, and the same sequential left fold (``list_reduce`` seeded
-    with 0.0 ≡ ``F.aggregate``'s zero accumulator)."""
-    calib = sql_calibration_ctes(src, y_expr, p_expr, nbins, out=f"{out}_calib")
-    return f"""{calib},
+    with 0.0 ≡ ``F.aggregate``'s zero accumulator).  Grouped mode
+    joins each slice's bins to its own total null-safely (``IS NOT
+    DISTINCT FROM`` — NULL group values form their own group, matching
+    Spark's groupBy)."""
+    pairs = _group_pairs(group_exprs)
+    gx = [alias for _, alias in pairs]
+    calib = sql_calibration_ctes(
+        src, y_expr, p_expr, nbins, out=f"{out}_calib", group_exprs=group_exprs
+    )
+    if not gx:
+        return f"""{calib},
 {out}_n AS (
   SELECT CAST(SUM(n) AS BIGINT) AS n FROM {out}_calib
 ),
@@ -625,6 +677,32 @@ def sql_ece_ctes(
 ),
 {out} AS (
   SELECT (SELECT n FROM {out}_n) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), __ts),
+                     (acc, x) -> acc + x) AS ece
+  FROM {out}_terms
+)"""
+    gsel_c = "".join(f"c.{g}, " for g in gx)
+    gby = ", ".join(str(i + 1) for i in range(len(gx)))
+    on = " AND ".join(f"c.{g} IS NOT DISTINCT FROM t.{g}" for g in gx)
+    gsel = "".join(f"{g}, " for g in gx)
+    return f"""{calib},
+{out}_n AS (
+  SELECT {gsel}CAST(SUM(n) AS BIGINT) AS n
+  FROM {out}_calib
+  GROUP BY {gby}
+),
+{out}_terms AS (
+  SELECT {gsel_c}MAX(t.n) AS n,
+         list(
+           CAST(c.n AS DOUBLE) / CAST(t.n AS DOUBLE)
+             * abs(c.frac_pos - c.mean_pred)
+           ORDER BY c.bin
+         ) AS __ts
+  FROM {out}_calib c JOIN {out}_n t ON {on}
+  GROUP BY {gby}
+),
+{out} AS (
+  SELECT {gsel}n,
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), __ts),
                      (acc, x) -> acc + x) AS ece
   FROM {out}_terms

@@ -1123,3 +1123,69 @@ QUERIES["classifier_ece_docs"] = Query(
     classifier_ece_docs, _clf_ece_oracle(),
     tags=("text", "quality", "classifier", "metrics"),
 )
+
+
+# ------------------------------------------------ per-source ECE (fairness)
+def classifier_ece_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibration half of the fairness table (round 15, companion
+    to ``classifier_auc_by_source_docs``): Expected Calibration Error
+    of the classifier's exact logistic probabilities PER SOURCE slice —
+    ``ece_exact(group_cols=["source"])``, per-slice N and per-slice
+    sequential bin-order fold, one (source, n, ece) row per source."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+    from dataclass_array_spark.operators.metrics import ece_exact
+    from dataclass_array_spark.operators.text import exp_exact
+    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    scored = classifier_score(
+        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
+    ).select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + exp_exact(F.lit(-40.0) * F.col("margin")))
+        ).alias("prob"),
+    )
+    labeled = scored.join(
+        d.select(
+            "doc_id", "source",
+            (F.col("lang") == "en").cast("long").alias("__y"),
+        ),
+        "doc_id",
+    )
+    return ece_exact(
+        labeled, "__y", "prob", _CAL_BINS, group_cols=["source"]
+    ).orderBy("source")
+
+
+def _clf_ece_by_source_oracle() -> str:
+    from dataclass_array_spark.operators.metrics import sql_ece_ctes
+    from dataclass_array_spark.operators.text import sql_exp_exact_ctes
+    from dataclass_array_spark.workload.llm4 import _clf_oracle
+
+    return f"""
+WITH mbase AS ({_clf_oracle()}),
+{sql_exp_exact_ctes("mbase", "doc_id", "CAST('-40.0' AS DOUBLE) * margin", "expd")},
+base AS (
+  SELECT doc_id, 1.0 / (1.0 + ex) AS prob FROM expd
+),
+lab AS (
+  SELECT b.doc_id, d.source,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         b.prob
+  FROM base b JOIN documents d USING (doc_id)
+),
+{sql_ece_ctes("lab", "y", "prob", _CAL_BINS, group_exprs=["source"])}
+SELECT source, n, ece FROM ece
+ORDER BY source
+"""
+
+
+QUERIES["classifier_ece_by_source_docs"] = Query(
+    classifier_ece_by_source_docs, _clf_ece_by_source_oracle(),
+    tags=("text", "quality", "classifier", "metrics", "fairness"),
+)

@@ -688,3 +688,84 @@ def test_auc_group_cols_accepts_bare_string(spark):
         "g", "k", "v",
     ).collect()
     assert {r["k"]: r["cum"] for r in c} == {1.0: 2, 2.0: 5}
+
+
+def test_calibration_and_ece_grouped_three_way(spark):
+    """Grouped calibration + grouped ECE (round 15, fairness-family
+    completion): Spark ≡ DuckDB grouped mirrors (bit-equal — per-slice
+    N, per-slice sequential fold) ≡ python per-group reference; NULL
+    group values form their own group on both engines."""
+    import collections
+    import math
+
+    from dataclass_array_spark.operators.metrics import (
+        calibration_bins,
+        ece_exact,
+        sql_calibration_ctes,
+        sql_ece_ctes,
+    )
+
+    random.seed(53)
+    rows = [
+        (i, random.choice(["a", "b", None]), random.randint(0, 1),
+         random.random())
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "i long, g string, y long, p double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, g VARCHAR, y BIGINT, p DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    got = {
+        (r["g"], r["bin"]): (r["n"], r["n_pos"], r["mean_pred"], r["frac_pos"])
+        for r in calibration_bins(df, "y", "p", 10, group_cols=["g"]).collect()
+    }
+    want = {
+        (r[0], r[1]): tuple(r[2:])
+        for r in con.sql(
+            "WITH " + sql_calibration_ctes("t", "y", "p", 10, group_exprs=["g"])
+            + " SELECT * FROM calib"
+        ).fetchall()
+    }
+    assert got == want
+    gote = {
+        r["g"]: (r["n"], r["ece"])
+        for r in ece_exact(df, "y", "p", 10, group_cols="g").collect()
+    }
+    wante = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            "WITH " + sql_ece_ctes("t", "y", "p", 10, group_exprs=["g"])
+            + " SELECT * FROM ece"
+        ).fetchall()
+    }
+    assert gote == wante and None in gote
+    # python reference per group
+    bins = collections.defaultdict(lambda: [0, 0, 0])
+    for _, g, y, p in rows:
+        b = min(int(math.floor(p * 10)), 9)
+        bins[(g, b)][0] += 1
+        bins[(g, b)][1] += y
+        bins[(g, b)][2] += math.floor(p * 1e9)
+    for gname in {g for _, g, _, _ in rows}:
+        keys = sorted((b for gg, b in bins if gg == gname),
+                      key=lambda b: b)
+        N = sum(bins[(gname, b)][0] for b in keys)
+        acc = 0.0
+        for b in keys:
+            n, npos, sq = bins[(gname, b)]
+            acc = acc + (n / N) * abs(npos / n - (float(sq) / 1e9) / float(n))
+            assert got[(gname, b)][0] == n and got[(gname, b)][1] == npos
+        assert gote[gname] == (N, acc), gname
+
+
+def test_classifier_ece_by_source_gate_is_meaningful(spark):
+    """One row per source; per-slice N re-adds to the corpus size;
+    every ECE in [0, 1]."""
+    from dataclass_array_spark.workload import QUERIES
+
+    rows = QUERIES["classifier_ece_by_source_docs"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    assert sum(r["n"] for r in rows) == 500
+    assert all(0.0 <= r["ece"] <= 1.0 for r in rows)
