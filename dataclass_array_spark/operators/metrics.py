@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "auc_exact", "sql_auc_ctes", "pr_curve_exact", "sql_pr_curve_ctes",
     "ann_recall", "calibration_bins", "sql_calibration_ctes",
-    "ece_exact", "sql_ece_ctes",
+    "ece_exact", "sql_ece_ctes", "brier_exact", "sql_brier_ctes",
 ]
 
 # 2^63 as an exact double — the floor-grid overflow bound (Spark's
@@ -706,4 +706,104 @@ def sql_ece_ctes(
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), __ts),
                      (acc, x) -> acc + x) AS ece
   FROM {out}_terms
+)"""
+
+
+def brier_exact(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Brier score — ONE row ``(n, brier)`` with
+    ``brier = (1/N)·Σ (p_i − y_i)²`` computed ON THE 10⁻⁹ QUANTIZED
+    probability grid (round 15 — the overall proper-scoring-rule
+    closer of the evaluation trio: AUC ranks, ECE calibrates, Brier
+    scores both at once).
+
+    Exactness: a raw double Σ(p−y)² is an order-dependent float fold,
+    so the metric is DEFINED on the floor grid instead (the
+    ``pr_curve_exact floor_digits`` discipline): with
+    ``q = floor(p·10⁹)`` and the 0/1 label scaled to the same grid,
+    every term ``(q − y·10⁹)²`` is an exact integer ≤ 10¹⁸, the sum is an
+    order-free decimal(38,0) aggregation (loud overflow via
+    ``checked_dec38``; DuckDB HUGEINT raises natively), and the final
+    value is ONE double division by ``N·10¹⁸``.  Quantization bias is
+    ≤ 2·10⁻⁹ absolute — far below any decision threshold the score
+    feeds — and IDENTICAL on both engines, which a raw float fold
+    cannot promise.  Labels enforced 0/1, probabilities enforced
+    [0, 1] (loud, both engines).  Pass ``group_cols`` for one row per
+    fairness slice.  Scale: one map-side-combined aggregation to
+    1 (× groups) rows — nothing else."""
+    from dataclass_array_spark.operators.text import checked_dec38
+
+    if isinstance(group_cols, str):  # 'source' would explode per-char
+        group_cols = [group_cols]
+    gcols = list(group_cols) if group_cols else []
+    y = _nn_label(label_col, "brier_exact")
+    p = F.col(prob_col)
+    ok = p.isNotNull() & (p >= 0.0) & (p <= 1.0)
+    guarded = F.when(ok, p).otherwise(
+        F.assert_true(
+            ok, F.lit(f"brier_exact: {prob_col} outside [0, 1]")
+        ).cast("double")
+    )
+    q = F.floor(guarded * F.lit(1.0e9)).cast("long")
+    d = (q - y * F.lit(1000000000)).cast("decimal(38,0)")
+    g = df.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(checked_dec38(d * d, "brier term (q - y*10^9)^2"))
+        .cast("decimal(38,0)")
+        .alias("__ss"),
+    )
+    brier = F.col("__ss").cast("double") / (
+        F.col("n").cast("double") * F.lit(1.0e18)
+    )
+    return g.select(*gcols, "n", brier.alias("brier"))
+
+
+def sql_brier_ctes(
+    src: str,
+    y_expr: str,
+    p_expr: str,
+    out: str = "brier",
+    group_exprs=None,
+) -> str:
+    """DuckDB mirror of :func:`brier_exact` — same 10⁻⁹ floor grid,
+    same exact-integer squared terms (HUGEINT raises natively where
+    checked_dec38 is loud), same single division, same loud label /
+    probability-range enforcement."""
+    y_expr = _sql_nn_label(y_expr, "brier_exact")
+    pg = (
+        f"CASE WHEN ({p_expr}) IS NOT NULL AND ({p_expr}) >= 0.0 "
+        f"AND ({p_expr}) <= 1.0 THEN ({p_expr}) "
+        f"ELSE error('brier_exact: prob outside [0, 1]') END"
+    )
+    pairs = _group_pairs(group_exprs)
+    gx = [alias for _, alias in pairs]
+    gdef = "".join(
+        (f"{alias}, " if expr == alias else f"({expr}) AS {alias}, ")
+        for expr, alias in pairs
+    )
+    gsel = "".join(f"{g}, " for g in gx)
+    gby = (
+        "GROUP BY " + ", ".join(str(i + 1) for i in range(len(gx)))
+        if gx
+        else ""
+    )
+    return f"""{out}_g AS (
+  SELECT {gdef}CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(
+           (CAST(floor(({pg}) * 1000000000.0) AS HUGEINT)
+            - CAST(({y_expr}) AS HUGEINT) * 1000000000)
+           * (CAST(floor(({pg}) * 1000000000.0) AS HUGEINT)
+              - CAST(({y_expr}) AS HUGEINT) * 1000000000)
+         ) AS HUGEINT) AS __ss
+  FROM {src}
+  {gby}
+),
+{out} AS (
+  SELECT {gsel}n,
+         CAST(__ss AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e18) AS brier
+  FROM {out}_g
 )"""

@@ -100,6 +100,7 @@ _PRIORITY: Tuple[str, ...] = (
     "classifier_auc_by_source_docs",
     "classifier_ece_docs",
     "classifier_ece_by_source_docs",
+    "classifier_brier_docs",
     # ---- remaining 38 r12-cohort entries ----
     "embedding_ann_ivf_kmeans",
     "embedding_knn_join_kmeans",

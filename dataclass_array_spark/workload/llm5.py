@@ -1189,3 +1189,63 @@ QUERIES["classifier_ece_by_source_docs"] = Query(
     classifier_ece_by_source_docs, _clf_ece_by_source_oracle(),
     tags=("text", "quality", "classifier", "metrics", "fairness"),
 )
+
+
+# ------------------------------------------------ Brier score
+def classifier_brier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the classifier's exact logistic probabilities
+    (round 15 — the overall proper-scoring-rule closer: AUC ranks, ECE
+    calibrates, Brier scores both at once), computed on the 10⁻⁹
+    quantized grid so the one squared-error sum is an order-free exact
+    decimal aggregation instead of a float fold.  One (n, brier) row."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+    from dataclass_array_spark.operators.metrics import brier_exact
+    from dataclass_array_spark.operators.text import exp_exact
+    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    scored = classifier_score(
+        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
+    ).select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + exp_exact(F.lit(-40.0) * F.col("margin")))
+        ).alias("prob"),
+    )
+    labeled = scored.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("__y")),
+        "doc_id",
+    )
+    return brier_exact(labeled, "__y", "prob")
+
+
+def _clf_brier_oracle() -> str:
+    from dataclass_array_spark.operators.metrics import sql_brier_ctes
+    from dataclass_array_spark.operators.text import sql_exp_exact_ctes
+    from dataclass_array_spark.workload.llm4 import _clf_oracle
+
+    return f"""
+WITH mbase AS ({_clf_oracle()}),
+{sql_exp_exact_ctes("mbase", "doc_id", "CAST('-40.0' AS DOUBLE) * margin", "expd")},
+base AS (
+  SELECT doc_id, 1.0 / (1.0 + ex) AS prob FROM expd
+),
+lab AS (
+  SELECT b.doc_id,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         b.prob
+  FROM base b JOIN documents d USING (doc_id)
+),
+{sql_brier_ctes("lab", "y", "prob")}
+SELECT n, brier FROM brier
+"""
+
+
+QUERIES["classifier_brier_docs"] = Query(
+    classifier_brier_docs, _clf_brier_oracle(),
+    tags=("text", "quality", "classifier", "metrics"),
+)
