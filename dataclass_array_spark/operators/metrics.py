@@ -46,6 +46,7 @@ __all__ = [
     "auc_exact", "sql_auc_ctes", "pr_curve_exact", "sql_pr_curve_ctes",
     "ann_recall", "calibration_bins", "sql_calibration_ctes",
     "ece_exact", "sql_ece_ctes", "brier_exact", "sql_brier_ctes",
+    "ks_exact", "sql_ks_ctes", "f1_best", "sql_f1_best_ctes",
 ]
 
 # 2^63 as an exact double — the floor-grid overflow bound (Spark's
@@ -806,4 +807,221 @@ def sql_brier_ctes(
   SELECT {gsel}n,
          CAST(__ss AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e18) AS brier
   FROM {out}_g
+)"""
+
+
+def ks_exact(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """Kolmogorov-Smirnov separation of ``score_col`` between the two
+    label classes — ONE row ``(n_pos, n_neg, d_num, ks)`` where
+    ``d_num = max_g |cumpos_g·N − cumneg_g·P|`` over the distinct-score
+    groups g in ascending order (cumulative counts INCLUSIVE of g) and
+    ``ks = d_num / (P·N)`` — the standard two-sample KS statistic
+    ``max_t |F⁺(t) − F⁻(t)|`` (round 15: the separation companion to
+    AUC — AUC integrates the gap, KS reports its worst point, the
+    number credit-risk/quality-filter reviews quote as "KS").
+
+    Exactness: each candidate ``|cumpos·N − cumneg·P|`` is an exact
+    integer (decimal(38,0), loud overflow via ``checked_dec38``; DuckDB
+    HUGEINT raises natively), ``max`` over integers is ORDER-FREE, and
+    the final value is ONE double division by the exact ``P·N`` — no
+    float comparison ever decides the argmax.  Same scale skeleton as
+    :func:`auc_exact`: one hash aggregation to the score-VALUE
+    dimension, one two-phase :func:`packing.global_cumsum` (never a
+    single-task global sort), one 1-row aggregation.  Labels/scores
+    loudly non-NULL, labels loudly 0/1 (module NULL discipline); both
+    classes must be non-empty (KS is undefined otherwise — loud on
+    both engines, empty input included: the AQE sentinel-union keeps
+    the assert from being pruned with the empty probe side)."""
+    from dataclass_array_spark.operators.packing import global_cumsum
+    from dataclass_array_spark.operators.text import checked_dec38
+
+    def _dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    y = _nn_label(label_col, "ks_exact")
+    s = _nn_score(score_col, "ks_exact")
+    g = df.groupBy(s.alias("__s")).agg(
+        F.sum(y).cast("long").alias("__pg"),
+        F.sum(F.lit(1) - y).cast("long").alias("__ng"),
+    )
+    gc = global_cumsum(
+        g, "__s", ["__pg", "__ng"], out_col=["__cumpos", "__cumneg"]
+    )
+    ptot = F.sum("__pg").cast("long")
+    ntot = F.sum("__ng").cast("long")
+    both = (ptot > 0) & (ntot > 0)
+    loud = F.assert_true(
+        both, F.lit("ks_exact: both classes must be non-empty")
+    )
+    tot = gc.agg(
+        F.when(both, ptot).otherwise(loud.cast("long")).alias("__P"),
+        F.when(both, ntot).otherwise(loud.cast("long")).alias("__N"),
+    )
+    d = checked_dec38(
+        F.abs(
+            _dec(F.col("__cumpos")) * _dec(F.col("__N"))
+            - _dec(F.col("__cumneg")) * _dec(F.col("__P"))
+        ),
+        "KS candidate |cumpos*N - cumneg*P|",
+    )
+    row = (
+        gc.crossJoin(F.broadcast(tot))
+        .groupBy("__P", "__N")
+        .agg(F.max(d).cast("decimal(38,0)").alias("d_num"))
+    )
+    ks = F.col("d_num").cast("double") / checked_dec38(
+        _dec(F.col("__P")) * _dec(F.col("__N")), "KS denominator P*N"
+    ).cast("double")
+    result = row.select(
+        F.col("__P").alias("n_pos"),
+        F.col("__N").alias("n_neg"),
+        "d_num",
+        ks.alias("ks"),
+    )
+    # Sentinel branch (the pr_curve_exact discipline): on an EMPTY
+    # input AQE can prune the cross join before the totals row's
+    # assert evaluates — the union forces the totals row through its
+    # never-true __P < 0 filter so the loud failure is deterministic.
+    sentinel = tot.filter(F.col("__P") < 0).select(
+        *[F.lit(None).cast("long").alias(c) for c in ("n_pos", "n_neg")],
+        F.lit(None).cast("decimal(38,0)").alias("d_num"),
+        F.lit(None).cast("double").alias("ks"),
+    )
+    return result.unionByName(sentinel)
+
+
+def sql_ks_ctes(src: str, y_expr: str, s_expr: str, out: str = "ks") -> str:
+    """DuckDB mirror of :func:`ks_exact`: CTE chain ending in
+    ``{out}(n_pos, n_neg, d_num, ks)`` — same distinct-score grouping,
+    same inclusive running counts, same exact-integer candidates
+    (HUGEINT raises natively where checked_dec38 is loud), same
+    order-free MAX and single division, same loud non-NULL/0-1 label,
+    non-NULL score, both-classes-non-empty, and empty-input
+    enforcement (an emptiness guard CTE mirrors the Spark sentinel —
+    a window over zero rows would otherwise return empty silently)."""
+    y_expr = _sql_nn_label(y_expr, "ks_exact")
+    s_expr = _sql_nn(s_expr, "ks_exact score")
+    return f"""{out}_guard AS (
+  SELECT CASE WHEN EXISTS (SELECT 1 FROM {src}) THEN 1
+              ELSE error('ks_exact: both classes must be non-empty')
+         END AS __ok
+),
+{out}_g AS (
+  SELECT ({s_expr}) AS __s,
+         CAST(SUM({y_expr}) AS BIGINT) AS __pg,
+         CAST(SUM(1 - ({y_expr})) AS BIGINT) AS __ng
+  FROM {src}
+  GROUP BY 1
+),
+{out}_c AS (
+  SELECT *,
+         CAST(SUM(__pg) OVER (ORDER BY __s) AS BIGINT) AS __cumpos,
+         CAST(SUM(__ng) OVER (ORDER BY __s) AS BIGINT) AS __cumneg,
+         CAST(CASE WHEN SUM(__pg) OVER () > 0 AND SUM(__ng) OVER () > 0
+                   THEN SUM(__pg) OVER ()
+                   ELSE error('ks_exact: both classes must be non-empty')
+              END AS BIGINT) AS __P,
+         CAST(CASE WHEN SUM(__pg) OVER () > 0 AND SUM(__ng) OVER () > 0
+                   THEN SUM(__ng) OVER ()
+                   ELSE error('ks_exact: both classes must be non-empty')
+              END AS BIGINT) AS __N
+  FROM {out}_g
+),
+{out}_m AS (
+  SELECT MAX(__P) AS __P, MAX(__N) AS __N,
+         CAST(MAX(abs(CAST(__cumpos AS HUGEINT) * CAST(__N AS HUGEINT)
+                      - CAST(__cumneg AS HUGEINT) * CAST(__P AS HUGEINT)))
+              AS HUGEINT) AS d_num
+  FROM {out}_c
+  CROSS JOIN {out}_guard
+  WHERE {out}_guard.__ok = 1
+),
+{out} AS (
+  SELECT __P AS n_pos, __N AS n_neg, d_num,
+         CAST(d_num AS DOUBLE)
+           / CAST(CAST(__P AS HUGEINT) * CAST(__N AS HUGEINT) AS DOUBLE) AS ks
+  FROM {out}_m
+)"""
+
+
+def f1_best(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    floor_digits: "int | None" = None,
+) -> DataFrame:
+    """The operating point a production quality filter actually
+    deploys: the :func:`pr_curve_exact` row with the MAXIMUM F1 — ONE
+    row ``(threshold, tp, fp, fn, precision, recall, f1)`` (round 15:
+    the PR gate publishes the whole table; this gate closes the loop
+    by SELECTING from it the way a filter-tuning job does).
+
+    The argmax is DEFINED on an exact total order so both engines pick
+    the identical row: the sort key is the integer
+    ``⌊2·tp·10¹⁸ / (2·tp + fp + fn)⌋`` (exact integer division of
+    exact integers — cross-engine-identical, never a float compare;
+    two F1 values within 10⁻¹⁸ of each other share a key and fall to
+    the tie-break), ties broken by the HIGHEST threshold (the more
+    selective filter at equal F1).  The quotient is ≤ 10¹⁸ by
+    construction (2·tp ≤ the denominator), so it fits BIGINT exactly
+    on both engines.  Inherits pr_curve_exact's NULL discipline,
+    ``floor_digits`` grid quantization (pass it at 100 TB so the
+    candidate set is grid-bounded, not corpus-sized), and loud
+    empty/no-positive enforcement.  Scale: the final selection is a
+    top-1 over value-dimension rows (TakeOrderedAndProject — no global
+    sort materialization)."""
+    from dataclass_array_spark.operators.text import checked_dec38
+
+    pr = pr_curve_exact(df, label_col, score_col, floor_digits=floor_digits)
+    num = checked_dec38(
+        F.col("tp").cast("decimal(38,0)")
+        * F.lit(2).cast("decimal(38,0)")
+        * F.lit(10**18).cast("decimal(38,0)"),
+        "f1_best numerator 2*tp*10^18",
+    )
+    den = (
+        F.col("tp").cast("decimal(38,0)") * 2
+        + F.col("fp").cast("decimal(38,0)")
+        + F.col("fn").cast("decimal(38,0)")
+    )
+    keyed = pr.select(
+        "*", num.alias("__num"), den.cast("decimal(38,0)").alias("__den")
+    ).select("*", F.expr("__num div __den").alias("__key"))
+    return (
+        keyed.orderBy(
+            F.desc_nulls_last("__key"), F.desc_nulls_last("threshold")
+        )
+        .limit(1)
+        .select(
+            "threshold", "tp", "fp", "fn", "precision", "recall", "f1"
+        )
+    )
+
+
+def sql_f1_best_ctes(
+    src: str,
+    y_expr: str,
+    s_expr: str,
+    out: str = "f1b",
+    floor_digits: "int | None" = None,
+) -> str:
+    """DuckDB mirror of :func:`f1_best` — the :func:`sql_pr_curve_ctes`
+    chain plus the identical integer sort key (HUGEINT ``//`` is floor
+    division; both operands are non-negative so it matches Spark's
+    truncating ``div`` exactly), the identical highest-threshold
+    tie-break, and ``LIMIT 1``."""
+    pr = sql_pr_curve_ctes(
+        src, y_expr, s_expr, out=f"{out}_pr", floor_digits=floor_digits
+    )
+    return f"""{pr},
+{out} AS (
+  SELECT threshold, tp, fp, fn, precision, recall, f1
+  FROM (
+    SELECT *,
+           (CAST(tp AS HUGEINT) * 2 * 1000000000000000000)
+             // (CAST(tp AS HUGEINT) * 2 + fp + fn) AS __key
+    FROM {out}_pr
+  )
+  ORDER BY __key DESC NULLS LAST, threshold DESC NULLS LAST
+  LIMIT 1
 )"""

@@ -38,9 +38,13 @@ class Query:
 # r16 rotation plan (keep registry growth within what the window can
 # absorb): r16 window = the round-15-new gates first, then the
 # remaining 38 r12-cohort entries, then the first (50 - n_new - 38)
-# r13-cohort entries.  r17 then takes the rest of the r13 cohort plus
-# the head of the r14-verified block — at <=~7 new gates/round every
-# gate is driver-re-verified within ~4 rounds.
+# r13-cohort entries.  Round 15 added exactly 7 gates
+# (classifier_auc_by_source classifier_ece classifier_ece_by_source
+# classifier_brier classifier_ks classifier_f1_best
+# classifier_brier_by_source, all on documents), so the r16 window is
+# 7 + 38 + 5.  r17 then takes the rest of the r13 cohort plus the
+# head of the r14-verified block — at <=~7 new gates/round every gate
+# is driver-re-verified within ~4 rounds.
 _PRIORITY: Tuple[str, ...] = (
     # ---- 7 never-driver-verified round-14 gates: verify FIRST ----
     "classifier_train_docs",
@@ -101,6 +105,9 @@ _PRIORITY: Tuple[str, ...] = (
     "classifier_ece_docs",
     "classifier_ece_by_source_docs",
     "classifier_brier_docs",
+    "classifier_ks_docs",
+    "classifier_f1_best_docs",
+    "classifier_brier_by_source_docs",
     # ---- remaining 38 r12-cohort entries ----
     "embedding_ann_ivf_kmeans",
     "embedding_knn_join_kmeans",

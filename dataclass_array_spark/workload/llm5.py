@@ -1249,3 +1249,177 @@ QUERIES["classifier_brier_docs"] = Query(
     classifier_brier_docs, _clf_brier_oracle(),
     tags=("text", "quality", "classifier", "metrics"),
 )
+
+
+# ------------------------------------------------ KS separation
+def classifier_ks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov separation of the classifier margin between
+    en and non-en documents (round 15 — AUC integrates the class-
+    separation gap, KS reports its worst point: the number a filter
+    review quotes as "KS").  ``metrics.ks_exact``: every candidate
+    |cumpos·N − cumneg·P| is an exact integer, the max is order-free,
+    and the statistic is one division — same two-phase no-global-sort
+    skeleton as the AUC gate.  One (n_pos, n_neg, d_num, ks) row."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+    from dataclass_array_spark.operators.metrics import ks_exact
+    from dataclass_array_spark.operators.text import checked_i64
+    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    scored = classifier_score(
+        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
+    )
+    labeled = scored.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("__y")),
+        "doc_id",
+    )
+    out = ks_exact(labeled, "__y", "margin")
+    return out.select(
+        "n_pos",
+        "n_neg",
+        checked_i64(F.col("d_num"), "classifier_ks d_num").alias("d_num"),
+        "ks",
+    )
+
+
+def _clf_ks_oracle() -> str:
+    from dataclass_array_spark.operators.metrics import sql_ks_ctes
+    from dataclass_array_spark.workload.llm4 import _clf_oracle
+
+    return f"""
+WITH base AS ({_clf_oracle()}),
+lab AS (
+  SELECT b.doc_id,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         b.margin
+  FROM base b JOIN documents d USING (doc_id)
+),
+{sql_ks_ctes("lab", "y", "margin")}
+SELECT n_pos, n_neg, CAST(d_num AS BIGINT) AS d_num, ks FROM ks
+"""
+
+
+QUERIES["classifier_ks_docs"] = Query(
+    classifier_ks_docs, _clf_ks_oracle(),
+    tags=("text", "quality", "classifier", "metrics"),
+)
+
+
+# ------------------------------------------------ best-F1 operating point
+def classifier_f1_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operating point a deployed quality filter actually picks
+    (round 15): the max-F1 row of the exact PR curve over classifier-
+    margin thresholds — ``metrics.f1_best``, argmax DEFINED on the
+    10⁻¹⁸ integer F1 key with highest-threshold tie-break so both
+    engines select the identical row.  One (threshold, tp, fp, fn,
+    precision, recall, f1) row — what ``classifier_pr_docs`` publishes
+    as a table, this gate consumes the way a filter-tuning job does."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+    from dataclass_array_spark.operators.metrics import f1_best
+    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    scored = classifier_score(
+        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
+    )
+    labeled = scored.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("__y")),
+        "doc_id",
+    )
+    return f1_best(labeled, "__y", "margin")
+
+
+def _clf_f1_best_oracle() -> str:
+    from dataclass_array_spark.operators.metrics import sql_f1_best_ctes
+    from dataclass_array_spark.workload.llm4 import _clf_oracle
+
+    return f"""
+WITH base AS ({_clf_oracle()}),
+lab AS (
+  SELECT b.doc_id,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         b.margin
+  FROM base b JOIN documents d USING (doc_id)
+),
+{sql_f1_best_ctes("lab", "y", "margin")}
+SELECT threshold, tp, fp, fn, precision, recall, f1 FROM f1b
+"""
+
+
+QUERIES["classifier_f1_best_docs"] = Query(
+    classifier_f1_best_docs, _clf_f1_best_oracle(),
+    tags=("text", "quality", "classifier", "metrics"),
+)
+
+
+# ------------------------------------------------ per-source Brier (fairness)
+def classifier_brier_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The proper-scoring third of the fairness table (round 15 —
+    per-source AUC ranks, per-source ECE calibrates, this scores both
+    at once per slice): Brier on the 10⁻⁹ quantized grid PER SOURCE —
+    ``brier_exact(group_cols=["source"])``, one exact order-free
+    decimal aggregation per slice.  One (source, n, brier) row per
+    source."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+    from dataclass_array_spark.operators.metrics import brier_exact
+    from dataclass_array_spark.operators.text import exp_exact
+    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    scored = classifier_score(
+        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
+    ).select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + exp_exact(F.lit(-40.0) * F.col("margin")))
+        ).alias("prob"),
+    )
+    labeled = scored.join(
+        d.select(
+            "doc_id", "source",
+            (F.col("lang") == "en").cast("long").alias("__y"),
+        ),
+        "doc_id",
+    )
+    return brier_exact(
+        labeled, "__y", "prob", group_cols=["source"]
+    ).orderBy("source")
+
+
+def _clf_brier_by_source_oracle() -> str:
+    from dataclass_array_spark.operators.metrics import sql_brier_ctes
+    from dataclass_array_spark.operators.text import sql_exp_exact_ctes
+    from dataclass_array_spark.workload.llm4 import _clf_oracle
+
+    return f"""
+WITH mbase AS ({_clf_oracle()}),
+{sql_exp_exact_ctes("mbase", "doc_id", "CAST('-40.0' AS DOUBLE) * margin", "expd")},
+base AS (
+  SELECT doc_id, 1.0 / (1.0 + ex) AS prob FROM expd
+),
+lab AS (
+  SELECT b.doc_id, d.source,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         b.prob
+  FROM base b JOIN documents d USING (doc_id)
+),
+{sql_brier_ctes("lab", "y", "prob", group_exprs=["source"])}
+SELECT source, n, brier FROM brier
+ORDER BY source
+"""
+
+
+QUERIES["classifier_brier_by_source_docs"] = Query(
+    classifier_brier_by_source_docs, _clf_brier_by_source_oracle(),
+    tags=("text", "quality", "classifier", "metrics", "fairness"),
+)

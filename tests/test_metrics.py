@@ -845,3 +845,177 @@ def test_classifier_brier_gate_is_meaningful(spark):
         (r["n"] / N) * (r["frac_pos"] - r["mean_pred"]) ** 2 for r in bins
     )
     assert got["brier"] >= cal - 1e-6
+
+
+def _py_ks(rows):
+    """Explicit reference: max_t |F_pos(t) - F_neg(t)| over distinct
+    scores, via exact integer cross-products."""
+    from fractions import Fraction
+
+    pos = sorted(s for _, y, s in rows if y == 1)
+    neg = sorted(s for _, y, s in rows if y == 0)
+    P, N = len(pos), len(neg)
+    best = 0
+    for t in sorted({s for _, _, s in rows}):
+        cp = sum(1 for s in pos if s <= t)
+        cn = sum(1 for s in neg if s <= t)
+        best = max(best, abs(cp * N - cn * P))
+    return P, N, best, float(Fraction(best, P * N))
+
+
+def test_ks_three_way_with_ties(spark):
+    from dataclass_array_spark.operators.metrics import ks_exact, sql_ks_ctes
+
+    random.seed(23)
+    rows = [
+        (i, random.randint(0, 1),
+         float(random.choice([0.1, 0.2, 0.2, 0.3, 0.5, 0.5, 0.9, 1.5])))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "i long, y long, s double")
+    got = ks_exact(df, "y", "s").collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = con.sql(
+        "WITH " + sql_ks_ctes("t", "y", "s") + " SELECT * FROM ks"
+    ).fetchone()
+    assert (got["n_pos"], got["n_neg"], int(got["d_num"]), got["ks"]) == (
+        want[0], want[1], int(want[2]), want[3],
+    )
+    p, n, d, ks = _py_ks(rows)
+    assert (got["n_pos"], got["n_neg"], int(got["d_num"])) == (p, n, d)
+    assert got["ks"] == d / (p * n)
+
+
+def test_ks_boundary_values(spark):
+    from dataclass_array_spark.operators.metrics import ks_exact
+
+    # perfect separation -> 1.0; identical one-point distributions -> 0.0
+    perfect = [(1, 1, 0.9), (2, 1, 0.8), (3, 0, 0.2), (4, 0, 0.1)]
+    same = [(1, 1, 0.5), (2, 0, 0.5), (3, 1, 0.5), (4, 0, 0.5)]
+    for rows, want in ((perfect, 1.0), (same, 0.0)):
+        df = spark.createDataFrame(rows, "i long, y long, s double")
+        assert ks_exact(df, "y", "s").collect()[0]["ks"] == want
+
+
+def test_ks_single_class_and_empty_raise_both_engines(spark):
+    from dataclass_array_spark.operators.metrics import ks_exact, sql_ks_ctes
+
+    single = [(1, 1, 0.5), (2, 1, 0.7)]
+    df = spark.createDataFrame(single, "i long, y long, s double")
+    with pytest.raises(Exception, match="both classes"):
+        ks_exact(df, "y", "s").collect()
+    empty = spark.createDataFrame([], "i long, y long, s double")
+    with pytest.raises(Exception, match="both classes"):
+        ks_exact(empty, "y", "s").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    con.execute("INSERT INTO t VALUES (1, 1, 0.5), (2, 1, 0.7)")
+    with pytest.raises(Exception, match="both classes"):
+        con.sql("WITH " + sql_ks_ctes("t", "y", "s") + " SELECT * FROM ks").fetchall()
+    con.execute("CREATE TABLE e (i BIGINT, y BIGINT, s DOUBLE)")
+    with pytest.raises(Exception, match="both classes"):
+        con.sql("WITH " + sql_ks_ctes("e", "y", "s") + " SELECT * FROM ks").fetchall()
+
+
+def test_ks_no_single_task_global_sort(spark):
+    """The running counts must go through the two-phase global_cumsum —
+    every window spec partitioned by __pid, never partition-less."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from dataclass_array_spark.operators.metrics import ks_exact
+
+    rows = [(i, i % 2, float(i % 17)) for i in range(100)]
+    df = spark.createDataFrame(rows, "i long, y long, s double")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ks_exact(df, "y", "s").explain("formatted")
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", buf.getvalue()):
+        assert "__pid" in spec, spec
+
+
+def _py_f1_best(rows, floor_digits=None):
+    """Explicit reference: the pr row maximizing the 10^-18 integer F1
+    key, highest threshold on ties — the DEFINED total order."""
+    if floor_digits is not None:
+        scale = 10 ** floor_digits
+        import math
+
+        rows = [(i, y, math.floor(s * scale) / scale) for i, y, s in rows]
+    best = None
+    for t, (tp, fp, fn) in _py_pr(rows).items():
+        key = (2 * tp * 10**18) // (2 * tp + fp + fn)
+        if best is None or (key, t) > (best[0], best[1]):
+            best = (key, t, tp, fp, fn)
+    return best[1:]
+
+
+def test_f1_best_three_way(spark):
+    from dataclass_array_spark.operators.metrics import f1_best, sql_f1_best_ctes
+
+    random.seed(31)
+    rows = [
+        (i, random.randint(0, 1),
+         float(random.choice([0.1, 0.2, 0.2, 0.3, 0.5, 0.5, 0.9])))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "i long, y long, s double")
+    got = f1_best(df, "y", "s").collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = con.sql(
+        "WITH " + sql_f1_best_ctes("t", "y", "s") + " SELECT * FROM f1b"
+    ).fetchone()
+    assert (got["threshold"], got["tp"], got["fp"], got["fn"]) == want[:4]
+    assert (got["precision"], got["recall"], got["f1"]) == want[4:]
+    t, tp, fp, fn = _py_f1_best(rows)
+    assert (got["threshold"], got["tp"], got["fp"], got["fn"]) == (t, tp, fp, fn)
+    # the selected row really is the max-F1 row
+    assert got["f1"] == max(
+        2 * tp2 / (2 * tp2 + fp2 + fn2)
+        for tp2, fp2, fn2 in _py_pr(rows).values()
+    )
+
+
+def test_f1_best_tiebreak_highest_threshold(spark):
+    """Two thresholds with IDENTICAL (tp, fp, fn) triples — the defined
+    order picks the higher threshold on both engines."""
+    from dataclass_array_spark.operators.metrics import f1_best, sql_f1_best_ctes
+
+    # y=1 at scores 0.8, 0.9; y=0 at 0.1, 0.2.  Thresholds 0.8 and 0.3
+    # would tie if both existed; construct equal-F1 rows via symmetry:
+    rows = [(1, 0, 0.1), (2, 0, 0.2), (3, 1, 0.8), (4, 1, 0.9)]
+    df = spark.createDataFrame(rows, "i long, y long, s double")
+    got = f1_best(df, "y", "s").collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = con.sql(
+        "WITH " + sql_f1_best_ctes("t", "y", "s") + " SELECT * FROM f1b"
+    ).fetchone()
+    assert got["threshold"] == want[0] == _py_f1_best(rows)[0]
+    # perfect split exists: threshold 0.8, f1 = 1.0
+    assert got["threshold"] == 0.8 and got["f1"] == 1.0
+
+
+def test_f1_best_floor_grid_parity(spark):
+    from dataclass_array_spark.operators.metrics import f1_best, sql_f1_best_ctes
+
+    random.seed(37)
+    rows = [(i, random.randint(0, 1), random.uniform(-3, 3)) for i in range(250)]
+    df = spark.createDataFrame(rows, "i long, y long, s double")
+    got = f1_best(df, "y", "s", floor_digits=2).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, y BIGINT, s DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = con.sql(
+        "WITH " + sql_f1_best_ctes("t", "y", "s", floor_digits=2)
+        + " SELECT * FROM f1b"
+    ).fetchone()
+    assert (got["threshold"], got["tp"], got["fp"], got["fn"]) == want[:4]
+    t, tp, fp, fn = _py_f1_best(rows, floor_digits=2)
+    assert (got["threshold"], got["tp"], got["fp"], got["fn"]) == (t, tp, fp, fn)
