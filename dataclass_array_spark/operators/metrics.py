@@ -96,6 +96,29 @@ def _sql_nn_label(expr: str, what: str) -> str:
     )
 
 
+def _prob_guard(prob_col: str, what: str) -> Column:
+    """Probability column, loudly non-NULL and in [0, 1] — shared by
+    :func:`calibration_bins` and :func:`brier_exact` so the guard (and
+    any future NaN/message fix) lives in ONE place per engine (round-15
+    review: the expression used to be inlined four times)."""
+    p = F.col(prob_col)
+    ok = p.isNotNull() & (p >= 0.0) & (p <= 1.0)
+    return F.when(ok, p).otherwise(
+        F.assert_true(
+            ok, F.lit(f"{what}: {prob_col} outside [0, 1]")
+        ).cast("double")
+    )
+
+
+def _sql_prob_guard(expr: str, what: str) -> str:
+    """Mirror of :func:`_prob_guard`."""
+    return (
+        f"CASE WHEN ({expr}) IS NOT NULL AND ({expr}) >= 0.0 "
+        f"AND ({expr}) <= 1.0 THEN ({expr}) "
+        f"ELSE error('{what}: prob outside [0, 1]') END"
+    )
+
+
 def _group_pairs(group_exprs) -> "list[tuple[str, str]]":
     """Normalize SQL group entries to (expr, alias) pairs — a bare
     column name aliases to itself; a computed expression must come as
@@ -517,13 +540,7 @@ def calibration_bins(
     if isinstance(group_cols, str):  # 'source' would explode per-char
         group_cols = [group_cols]
     gcols = list(group_cols) if group_cols else []
-    p = F.col(prob_col)
-    ok = p.isNotNull() & (p >= 0.0) & (p <= 1.0)
-    guarded = F.when(ok, p).otherwise(
-        F.assert_true(
-            ok, F.lit(f"calibration_bins: {prob_col} outside [0, 1]")
-        ).cast("double")
-    )
+    guarded = _prob_guard(prob_col, "calibration_bins")
     b = F.least(
         F.floor(guarded * F.lit(float(nb))).cast("long"), F.lit(nb - 1)
     )
@@ -572,11 +589,7 @@ def sql_calibration_ctes(
     )
     gsel = "".join(f"{g}, " for g in gx)
     gby = "".join(f", {i + 2}" for i in range(len(gx)))
-    pg = (
-        f"CASE WHEN ({p_expr}) IS NOT NULL AND ({p_expr}) >= 0.0 "
-        f"AND ({p_expr}) <= 1.0 THEN ({p_expr}) "
-        f"ELSE error('calibration_bins: prob outside [0, 1]') END"
-    )
+    pg = _sql_prob_guard(p_expr, "calibration_bins")
     return f"""{out}_g AS (
   SELECT least(CAST(floor(({pg}) * {float(nb)!r}) AS BIGINT), {nb - 1}) AS bin,
          {gdef}CAST(COUNT(*) AS BIGINT) AS n,
@@ -640,6 +653,18 @@ def ece_exact(
         + (x["n"].cast("double") / F.col("n").cast("double"))
         * F.abs(x["frac_pos"] - x["mean_pred"]),
     )
+    if not gcols:
+        # Loud on EMPTY input (round-15 review, the brier_exact fix
+        # applied family-wide): the ungrouped agg over zero bins would
+        # otherwise emit a silent (n=NULL, ece=0.0) row.  Grouped mode
+        # yields zero rows on empty input, consistently, on both
+        # engines.
+        nz = F.col("n").isNotNull() & (F.col("n") > 0)
+        ece = F.when(nz, ece).otherwise(
+            F.assert_true(
+                nz, F.lit("ece_exact: input must be non-empty")
+            ).cast("double")
+        )
     return one.select(*gcols, "n", ece.alias("ece"))
 
 
@@ -678,8 +703,12 @@ def sql_ece_ctes(
 ),
 {out} AS (
   SELECT (SELECT n FROM {out}_n) AS n,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), __ts),
-                     (acc, x) -> acc + x) AS ece
+         CASE WHEN (SELECT n FROM {out}_n) IS NOT NULL
+                   AND (SELECT n FROM {out}_n) > 0
+              THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), __ts),
+                               (acc, x) -> acc + x)
+              ELSE error('ece_exact: input must be non-empty')
+         END AS ece
   FROM {out}_terms
 )"""
     gsel_c = "".join(f"c.{g}, " for g in gx)
@@ -742,13 +771,7 @@ def brier_exact(
         group_cols = [group_cols]
     gcols = list(group_cols) if group_cols else []
     y = _nn_label(label_col, "brier_exact")
-    p = F.col(prob_col)
-    ok = p.isNotNull() & (p >= 0.0) & (p <= 1.0)
-    guarded = F.when(ok, p).otherwise(
-        F.assert_true(
-            ok, F.lit(f"brier_exact: {prob_col} outside [0, 1]")
-        ).cast("double")
-    )
+    guarded = _prob_guard(prob_col, "brier_exact")
     q = F.floor(guarded * F.lit(1.0e9)).cast("long")
     d = (q - y * F.lit(1000000000)).cast("decimal(38,0)")
     g = df.groupBy(*gcols).agg(
@@ -760,6 +783,19 @@ def brier_exact(
     brier = F.col("__ss").cast("double") / (
         F.col("n").cast("double") * F.lit(1.0e18)
     )
+    if not gcols:
+        # Loud on EMPTY input (round-15 review): the ungrouped agg
+        # yields one (n=0, brier=NULL) row IDENTICALLY on both engines
+        # — the one degenerate class the oracle differential can never
+        # catch, so it must fail at the source (the pr_curve/ks
+        # discipline).  Grouped mode is untouched: an empty frame
+        # yields ZERO group rows, consistently, on both engines.
+        nz = F.col("n") > 0
+        brier = F.when(nz, brier).otherwise(
+            F.assert_true(
+                nz, F.lit("brier_exact: input must be non-empty")
+            ).cast("double")
+        )
     return g.select(*gcols, "n", brier.alias("brier"))
 
 
@@ -773,13 +809,9 @@ def sql_brier_ctes(
     """DuckDB mirror of :func:`brier_exact` — same 10⁻⁹ floor grid,
     same exact-integer squared terms (HUGEINT raises natively where
     checked_dec38 is loud), same single division, same loud label /
-    probability-range enforcement."""
+    probability-range / (in global mode) empty-input enforcement."""
     y_expr = _sql_nn_label(y_expr, "brier_exact")
-    pg = (
-        f"CASE WHEN ({p_expr}) IS NOT NULL AND ({p_expr}) >= 0.0 "
-        f"AND ({p_expr}) <= 1.0 THEN ({p_expr}) "
-        f"ELSE error('brier_exact: prob outside [0, 1]') END"
-    )
+    pg = _sql_prob_guard(p_expr, "brier_exact")
     pairs = _group_pairs(group_exprs)
     gx = [alias for _, alias in pairs]
     gdef = "".join(
@@ -792,6 +824,14 @@ def sql_brier_ctes(
         if gx
         else ""
     )
+    if gx:  # empty frame -> zero group rows on both engines, consistently
+        bexpr = "CAST(__ss AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e18)"
+    else:  # mirror the Spark side's loud empty-input assert
+        bexpr = (
+            "CASE WHEN n > 0 "
+            "THEN CAST(__ss AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e18) "
+            "ELSE error('brier_exact: input must be non-empty') END"
+        )
     return f"""{out}_g AS (
   SELECT {gdef}CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(
@@ -805,7 +845,7 @@ def sql_brier_ctes(
 ),
 {out} AS (
   SELECT {gsel}n,
-         CAST(__ss AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e18) AS brier
+         {bexpr} AS brier
   FROM {out}_g
 )"""
 

@@ -841,21 +841,9 @@ def classifier_pr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operating-point table a production filter reads to pick its
     cutoff).  Counts are exact integers; every ratio is one division;
     same two-phase no-global-sort shape as the AUC gate."""
-    from dataclass_array_spark.operators.classifier import (
-        classifier_score,
-        hash_weights,
-    )
     from dataclass_array_spark.operators.metrics import pr_curve_exact
-    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
 
-    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    scored = classifier_score(
-        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
-    )
-    labeled = scored.join(
-        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("__y")),
-        "doc_id",
-    )
+    labeled = _clf_margin_frame(spark, sf_dir)
     return pr_curve_exact(labeled, "__y", "margin").orderBy("threshold")
 
 
@@ -937,38 +925,63 @@ QUERIES["ann_recall_ivf_docs"] = Query(
 _CAL_BINS = 10
 
 
+def _clf_margin_frame(
+    spark: SparkSession, sf_dir: str, with_source: bool = False
+) -> DataFrame:
+    """Shared scaffold for the fixture-weight classifier evaluation
+    gates (PR / KS / best-F1): hash-weight margins joined to the
+    en/non-en label as ``__y`` (plus the ``source`` slice column when
+    asked) — ONE definition so the scoring/label recipe cannot drift
+    between gates (round-15 review: it used to be inlined per gate;
+    the SQL side already had this via ``_clf_oracle()``)."""
+    from dataclass_array_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    scored = classifier_score(
+        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
+    )
+    cols = ["doc_id", "source"] if with_source else ["doc_id"]
+    return scored.join(
+        d.select(*cols, (F.col("lang") == "en").cast("long").alias("__y")),
+        "doc_id",
+    )
+
+
+def _clf_prob_frame(
+    spark: SparkSession, sf_dir: str, with_source: bool = False
+) -> DataFrame:
+    """The probability variant (calibration / ECE / Brier gates):
+    ``prob = 1/(1 + exp_exact(-40·margin))`` — temperature 40 spreads
+    the near-zero fixture margins across the bin grid; the exact-exp
+    fixed-IEEE op sequence is what the oracles mirror via
+    ``sql_exp_exact_ctes``."""
+    from dataclass_array_spark.operators.text import exp_exact
+
+    m = _clf_margin_frame(spark, sf_dir, with_source=with_source)
+    cols = ["doc_id", "source"] if with_source else ["doc_id"]
+    return m.select(
+        *cols,
+        "__y",
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + exp_exact(F.lit(-40.0) * F.col("margin")))
+        ).alias("prob"),
+    )
+
+
 def classifier_calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-diagram bins for the classifier's exact logistic
     probabilities vs the lang=='en' label — the third leg of the
     evaluation family (AUC ranks, PR picks the cutoff, calibration
     says whether the probabilities MEAN anything).  Floor-grid bins +
     quantized-probability sums keep the whole table engine-exact."""
-    from dataclass_array_spark.operators.classifier import (
-        classifier_score,
-        hash_weights,
-    )
     from dataclass_array_spark.operators.metrics import calibration_bins
-    from dataclass_array_spark.operators.text import exp_exact
-    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
 
-    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    # temperature 40: fixture margins cluster near 0, which would put
-    # every probability in the two middle bins; the scaled logistic
-    # spreads the reliability diagram across the grid (same fixed-IEEE
-    # op sequence, mirrored in the oracle)
-    scored = classifier_score(
-        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
-    ).select(
-        "doc_id",
-        (
-            F.lit(1.0)
-            / (F.lit(1.0) + exp_exact(F.lit(-40.0) * F.col("margin")))
-        ).alias("prob"),
-    )
-    labeled = scored.join(
-        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("__y")),
-        "doc_id",
-    )
+    labeled = _clf_prob_frame(spark, sf_dir)
     return calibration_bins(labeled, "__y", "prob", _CAL_BINS).orderBy("bin")
 
 
@@ -1072,28 +1085,9 @@ def classifier_ece_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n, ece) row via ``metrics.ece_exact`` — per-bin terms over exact
     bin statistics, summed by the SAME sequential bin-order fold on
     both engines (``F.aggregate`` ≡ ``list_reduce``)."""
-    from dataclass_array_spark.operators.classifier import (
-        classifier_score,
-        hash_weights,
-    )
     from dataclass_array_spark.operators.metrics import ece_exact
-    from dataclass_array_spark.operators.text import exp_exact
-    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
 
-    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    scored = classifier_score(
-        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
-    ).select(
-        "doc_id",
-        (
-            F.lit(1.0)
-            / (F.lit(1.0) + exp_exact(F.lit(-40.0) * F.col("margin")))
-        ).alias("prob"),
-    )
-    labeled = scored.join(
-        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("__y")),
-        "doc_id",
-    )
+    labeled = _clf_prob_frame(spark, sf_dir)
     return ece_exact(labeled, "__y", "prob", _CAL_BINS)
 
 
@@ -1132,31 +1126,9 @@ def classifier_ece_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     of the classifier's exact logistic probabilities PER SOURCE slice —
     ``ece_exact(group_cols=["source"])``, per-slice N and per-slice
     sequential bin-order fold, one (source, n, ece) row per source."""
-    from dataclass_array_spark.operators.classifier import (
-        classifier_score,
-        hash_weights,
-    )
     from dataclass_array_spark.operators.metrics import ece_exact
-    from dataclass_array_spark.operators.text import exp_exact
-    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
 
-    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    scored = classifier_score(
-        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
-    ).select(
-        "doc_id",
-        (
-            F.lit(1.0)
-            / (F.lit(1.0) + exp_exact(F.lit(-40.0) * F.col("margin")))
-        ).alias("prob"),
-    )
-    labeled = scored.join(
-        d.select(
-            "doc_id", "source",
-            (F.col("lang") == "en").cast("long").alias("__y"),
-        ),
-        "doc_id",
-    )
+    labeled = _clf_prob_frame(spark, sf_dir, with_source=True)
     return ece_exact(
         labeled, "__y", "prob", _CAL_BINS, group_cols=["source"]
     ).orderBy("source")
@@ -1198,28 +1170,9 @@ def classifier_brier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibrates, Brier scores both at once), computed on the 10⁻⁹
     quantized grid so the one squared-error sum is an order-free exact
     decimal aggregation instead of a float fold.  One (n, brier) row."""
-    from dataclass_array_spark.operators.classifier import (
-        classifier_score,
-        hash_weights,
-    )
     from dataclass_array_spark.operators.metrics import brier_exact
-    from dataclass_array_spark.operators.text import exp_exact
-    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
 
-    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    scored = classifier_score(
-        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
-    ).select(
-        "doc_id",
-        (
-            F.lit(1.0)
-            / (F.lit(1.0) + exp_exact(F.lit(-40.0) * F.col("margin")))
-        ).alias("prob"),
-    )
-    labeled = scored.join(
-        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("__y")),
-        "doc_id",
-    )
+    labeled = _clf_prob_frame(spark, sf_dir)
     return brier_exact(labeled, "__y", "prob")
 
 
@@ -1260,22 +1213,10 @@ def classifier_ks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |cumpos·N − cumneg·P| is an exact integer, the max is order-free,
     and the statistic is one division — same two-phase no-global-sort
     skeleton as the AUC gate.  One (n_pos, n_neg, d_num, ks) row."""
-    from dataclass_array_spark.operators.classifier import (
-        classifier_score,
-        hash_weights,
-    )
     from dataclass_array_spark.operators.metrics import ks_exact
     from dataclass_array_spark.operators.text import checked_i64
-    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
 
-    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    scored = classifier_score(
-        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
-    )
-    labeled = scored.join(
-        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("__y")),
-        "doc_id",
-    )
+    labeled = _clf_margin_frame(spark, sf_dir)
     out = ks_exact(labeled, "__y", "margin")
     return out.select(
         "n_pos",
@@ -1317,21 +1258,9 @@ def classifier_f1_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines select the identical row.  One (threshold, tp, fp, fn,
     precision, recall, f1) row — what ``classifier_pr_docs`` publishes
     as a table, this gate consumes the way a filter-tuning job does."""
-    from dataclass_array_spark.operators.classifier import (
-        classifier_score,
-        hash_weights,
-    )
     from dataclass_array_spark.operators.metrics import f1_best
-    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
 
-    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    scored = classifier_score(
-        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
-    )
-    labeled = scored.join(
-        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("__y")),
-        "doc_id",
-    )
+    labeled = _clf_margin_frame(spark, sf_dir)
     return f1_best(labeled, "__y", "margin")
 
 
@@ -1366,31 +1295,9 @@ def classifier_brier_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFra
     ``brier_exact(group_cols=["source"])``, one exact order-free
     decimal aggregation per slice.  One (source, n, brier) row per
     source."""
-    from dataclass_array_spark.operators.classifier import (
-        classifier_score,
-        hash_weights,
-    )
     from dataclass_array_spark.operators.metrics import brier_exact
-    from dataclass_array_spark.operators.text import exp_exact
-    from dataclass_array_spark.workload.llm4 import _CLF_BUCKETS
 
-    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    scored = classifier_score(
-        d, hash_weights(spark, _CLF_BUCKETS), "text", "doc_id", _CLF_BUCKETS
-    ).select(
-        "doc_id",
-        (
-            F.lit(1.0)
-            / (F.lit(1.0) + exp_exact(F.lit(-40.0) * F.col("margin")))
-        ).alias("prob"),
-    )
-    labeled = scored.join(
-        d.select(
-            "doc_id", "source",
-            (F.col("lang") == "en").cast("long").alias("__y"),
-        ),
-        "doc_id",
-    )
+    labeled = _clf_prob_frame(spark, sf_dir, with_source=True)
     return brier_exact(
         labeled, "__y", "prob", group_cols=["source"]
     ).orderBy("source")

@@ -982,13 +982,25 @@ def test_f1_best_three_way(spark):
 
 
 def test_f1_best_tiebreak_highest_threshold(spark):
-    """Two thresholds with IDENTICAL (tp, fp, fn) triples — the defined
-    order picks the higher threshold on both engines."""
+    """Two thresholds whose F1 ratios are EXACTLY equal (so their
+    integer keys collide) — the defined order picks the HIGHER
+    threshold on both engines.  Identical (tp, fp, fn) triples are
+    impossible between distinct thresholds (the counts differ by the
+    group sizes), so the realizable tie class is equal-RATIO triples:
+    threshold 0.4 gives (tp=2, fp=4, fn=0) → F1 = 4/8, threshold 0.8
+    gives (tp=1, fp=1, fn=1) → F1 = 2/4, keys both
+    ⌊10¹⁸/2⌋ = 5·10¹⁷ (round-15 review: the previous construction had
+    a unique max key and never consulted the tie-break)."""
     from dataclass_array_spark.operators.metrics import f1_best, sql_f1_best_ctes
 
-    # y=1 at scores 0.8, 0.9; y=0 at 0.1, 0.2.  Thresholds 0.8 and 0.3
-    # would tie if both existed; construct equal-F1 rows via symmetry:
-    rows = [(1, 0, 0.1), (2, 0, 0.2), (3, 1, 0.8), (4, 1, 0.9)]
+    rows = [(1, 1, 0.4), (2, 1, 0.8), (3, 0, 0.4), (4, 0, 0.4),
+            (5, 0, 0.4), (6, 0, 0.8)]
+    # both thresholds really tie on the key
+    keys = {
+        t: (2 * tp * 10**18) // (2 * tp + fp + fn)
+        for t, (tp, fp, fn) in _py_pr(rows).items()
+    }
+    assert keys[0.4] == keys[0.8] == 5 * 10**17
     df = spark.createDataFrame(rows, "i long, y long, s double")
     got = f1_best(df, "y", "s").collect()[0]
     con = duckdb.connect()
@@ -997,9 +1009,9 @@ def test_f1_best_tiebreak_highest_threshold(spark):
     want = con.sql(
         "WITH " + sql_f1_best_ctes("t", "y", "s") + " SELECT * FROM f1b"
     ).fetchone()
-    assert got["threshold"] == want[0] == _py_f1_best(rows)[0]
-    # perfect split exists: threshold 0.8, f1 = 1.0
-    assert got["threshold"] == 0.8 and got["f1"] == 1.0
+    assert got["threshold"] == want[0] == _py_f1_best(rows)[0] == 0.8
+    assert (got["tp"], got["fp"], got["fn"]) == want[1:4] == (1, 1, 1)
+    assert got["f1"] == 0.5
 
 
 def test_f1_best_floor_grid_parity(spark):
@@ -1019,3 +1031,45 @@ def test_f1_best_floor_grid_parity(spark):
     assert (got["threshold"], got["tp"], got["fp"], got["fn"]) == want[:4]
     t, tp, fp, fn = _py_f1_best(rows, floor_digits=2)
     assert (got["threshold"], got["tp"], got["fp"], got["fn"]) == (t, tp, fp, fn)
+
+
+def test_brier_and_ece_empty_input_raise_both_engines(spark):
+    """Round-15 review: the ungrouped brier/ece aggs over an EMPTY
+    frame used to emit a silent degenerate row (brier: (0, NULL)
+    IDENTICALLY on both engines — the one class the oracle
+    differential can never catch).  Both now raise loudly; grouped
+    mode consistently yields zero rows on both engines."""
+    from dataclass_array_spark.operators.metrics import (
+        brier_exact,
+        ece_exact,
+        sql_brier_ctes,
+        sql_ece_ctes,
+    )
+
+    empty = spark.createDataFrame([], "i long, y long, p double")
+    with pytest.raises(Exception, match="non-empty"):
+        brier_exact(empty, "y", "p").collect()
+    with pytest.raises(Exception, match="non-empty"):
+        ece_exact(empty, "y", "p", 10).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (i BIGINT, y BIGINT, p DOUBLE, g VARCHAR)")
+    with pytest.raises(Exception, match="non-empty"):
+        con.sql(
+            "WITH " + sql_brier_ctes("e", "y", "p") + " SELECT * FROM brier"
+        ).fetchall()
+    with pytest.raises(Exception, match="non-empty"):
+        con.sql(
+            "WITH " + sql_ece_ctes("e", "y", "p", 10) + " SELECT * FROM ece"
+        ).fetchall()
+    # grouped: zero rows, no error, both engines
+    empty_g = spark.createDataFrame([], "i long, y long, p double, g string")
+    assert brier_exact(empty_g, "y", "p", group_cols=["g"]).count() == 0
+    assert ece_exact(empty_g, "y", "p", 10, group_cols=["g"]).count() == 0
+    assert con.sql(
+        "WITH " + sql_brier_ctes("e", "y", "p", group_exprs=["g"])
+        + " SELECT * FROM brier"
+    ).fetchall() == []
+    assert con.sql(
+        "WITH " + sql_ece_ctes("e", "y", "p", 10, group_exprs=["g"])
+        + " SELECT * FROM ece"
+    ).fetchall() == []
