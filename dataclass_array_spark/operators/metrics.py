@@ -850,7 +850,12 @@ def sql_brier_ctes(
 )"""
 
 
-def ks_exact(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+def ks_exact(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
     """Kolmogorov-Smirnov separation of ``score_col`` between the two
     label classes — ONE row ``(n_pos, n_neg, d_num, ks)`` where
     ``d_num = max_g |cumpos_g·N − cumneg_g·P|`` over the distinct-score
@@ -871,19 +876,82 @@ def ks_exact(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     loudly non-NULL, labels loudly 0/1 (module NULL discipline); both
     classes must be non-empty (KS is undefined otherwise — loud on
     both engines, empty input included: the AQE sentinel-union keeps
-    the assert from being pruned with the empty probe side)."""
-    from dataclass_array_spark.operators.packing import global_cumsum
+    the assert from being pruned with the empty probe side).
+
+    GROUPED MODE (round 15 — the fairness-table variant, completing
+    the family: AUC/ECE/Brier already slice): pass ``group_cols`` for
+    one row PER GROUP ``(group…, n_pos, n_neg, d_num, ks)``.  Grouped
+    AUC semantics apply: a single-class slice yields ``ks = NULL``
+    instead of raising (``d_num`` is then 0 — one empirical CDF is
+    identically absent), and the running counts go through the
+    multi-column :func:`packing.grouped_cumsum` (ONE per-group
+    two-phase pass for both class counts).  The per-group totals
+    broadcast-join back null-safely — the totals frame is
+    |groups|-sized, never value-dimension-sized."""
+    from dataclass_array_spark.operators.packing import (
+        global_cumsum,
+        grouped_cumsum,
+    )
     from dataclass_array_spark.operators.text import checked_dec38
 
     def _dec(c: Column) -> Column:
         return c.cast("decimal(38,0)")
 
+    if isinstance(group_cols, str):  # 'source' would explode per-char
+        group_cols = [group_cols]
+    gcols = list(group_cols) if group_cols else []
     y = _nn_label(label_col, "ks_exact")
     s = _nn_score(score_col, "ks_exact")
-    g = df.groupBy(s.alias("__s")).agg(
+    g = df.groupBy(*gcols, s.alias("__s")).agg(
         F.sum(y).cast("long").alias("__pg"),
         F.sum(F.lit(1) - y).cast("long").alias("__ng"),
     )
+    if gcols:
+        gc = grouped_cumsum(
+            g, gcols, "__s", ["__pg", "__ng"],
+            out_col=["__cumpos", "__cumneg"],
+        )
+        tot = gc.groupBy(*gcols).agg(
+            F.sum("__pg").cast("long").alias("__P"),
+            F.sum("__ng").cast("long").alias("__N"),
+        )
+        renamed = tot.select(
+            *[F.col(c).alias(f"__tg{i}") for i, c in enumerate(gcols)],
+            "__P",
+            "__N",
+        )
+        cond = F.lit(True)
+        for i, c in enumerate(gcols):
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__tg{i}"))
+        joined = gc.join(F.broadcast(renamed), cond).drop(
+            *[f"__tg{i}" for i in range(len(gcols))]
+        )
+        d = checked_dec38(
+            F.abs(
+                _dec(F.col("__cumpos")) * _dec(F.col("__N"))
+                - _dec(F.col("__cumneg")) * _dec(F.col("__P"))
+            ),
+            "KS candidate |cumpos*N - cumneg*P|",
+        )
+        row = joined.groupBy(*gcols, "__P", "__N").agg(
+            F.max(d).cast("decimal(38,0)").alias("d_num")
+        )
+        both = (F.col("__P") > 0) & (F.col("__N") > 0)
+        ks = F.when(
+            both,
+            F.col("d_num").cast("double")
+            / checked_dec38(
+                _dec(F.col("__P")) * _dec(F.col("__N")),
+                "KS denominator P*N",
+            ).cast("double"),
+        ).otherwise(F.lit(None).cast("double"))
+        return row.select(
+            *gcols,
+            F.col("__P").alias("n_pos"),
+            F.col("__N").alias("n_neg"),
+            "d_num",
+            ks.alias("ks"),
+        )
     gc = global_cumsum(
         g, "__s", ["__pg", "__ng"], out_col=["__cumpos", "__cumneg"]
     )
@@ -930,17 +998,79 @@ def ks_exact(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     return result.unionByName(sentinel)
 
 
-def sql_ks_ctes(src: str, y_expr: str, s_expr: str, out: str = "ks") -> str:
+def sql_ks_ctes(
+    src: str,
+    y_expr: str,
+    s_expr: str,
+    out: str = "ks",
+    group_exprs: Optional[Sequence[str]] = None,
+) -> str:
     """DuckDB mirror of :func:`ks_exact`: CTE chain ending in
-    ``{out}(n_pos, n_neg, d_num, ks)`` — same distinct-score grouping,
-    same inclusive running counts, same exact-integer candidates
-    (HUGEINT raises natively where checked_dec38 is loud), same
-    order-free MAX and single division, same loud non-NULL/0-1 label,
-    non-NULL score, both-classes-non-empty, and empty-input
+    ``{out}(…group…, n_pos, n_neg, d_num, ks)`` — same distinct-score
+    grouping, same inclusive running counts, same exact-integer
+    candidates (HUGEINT raises natively where checked_dec38 is loud),
+    same order-free MAX and single division, same loud non-NULL/0-1
+    label, non-NULL score, both-classes-non-empty, and empty-input
     enforcement (an emptiness guard CTE mirrors the Spark sentinel —
-    a window over zero rows would otherwise return empty silently)."""
+    a window over zero rows would otherwise return empty silently).
+    In grouped mode the running counts and totals partition by the
+    groups (NULL group values form one partition, matching Spark's
+    groupBy/eqNullSafe) and single-class slices yield ``ks = NULL``
+    with no guard CTE (an empty frame consistently yields zero group
+    rows on both engines).  ``group_exprs`` entries are bare column
+    names or (expr, alias) pairs (the :func:`sql_auc_ctes`
+    convention)."""
     y_expr = _sql_nn_label(y_expr, "ks_exact")
     s_expr = _sql_nn(s_expr, "ks_exact score")
+    pairs = _group_pairs(group_exprs)
+    gx = [alias for _, alias in pairs]
+    if gx:
+        gdef = "".join(
+            (f"{alias}, " if expr == alias else f"({expr}) AS {alias}, ")
+            for expr, alias in pairs
+        )
+        gsel = "".join(f"{g}, " for g in gx)
+        gby = ", ".join(str(i + 2) for i in range(len(gx)))
+        part = ", ".join(gx)
+        mby = ", ".join(
+            [str(i + 1) for i in range(len(gx))]
+            + [str(len(gx) + 1), str(len(gx) + 2)]
+        )
+        return f"""{out}_g AS (
+  SELECT ({s_expr}) AS __s,
+         {gdef}CAST(SUM({y_expr}) AS BIGINT) AS __pg,
+         CAST(SUM(1 - ({y_expr})) AS BIGINT) AS __ng
+  FROM {src}
+  GROUP BY 1, {gby}
+),
+{out}_c AS (
+  SELECT *,
+         CAST(SUM(__pg) OVER (PARTITION BY {part} ORDER BY __s) AS BIGINT)
+           AS __cumpos,
+         CAST(SUM(__ng) OVER (PARTITION BY {part} ORDER BY __s) AS BIGINT)
+           AS __cumneg,
+         CAST(SUM(__pg) OVER (PARTITION BY {part}) AS BIGINT) AS __P,
+         CAST(SUM(__ng) OVER (PARTITION BY {part}) AS BIGINT) AS __N
+  FROM {out}_g
+),
+{out}_m AS (
+  SELECT {gsel}__P, __N,
+         CAST(MAX(abs(CAST(__cumpos AS HUGEINT) * CAST(__N AS HUGEINT)
+                      - CAST(__cumneg AS HUGEINT) * CAST(__P AS HUGEINT)))
+              AS HUGEINT) AS d_num
+  FROM {out}_c
+  GROUP BY {mby}
+),
+{out} AS (
+  SELECT {gsel}__P AS n_pos, __N AS n_neg, d_num,
+         CASE WHEN __P > 0 AND __N > 0
+              THEN CAST(d_num AS DOUBLE)
+                   / CAST(CAST(__P AS HUGEINT) * CAST(__N AS HUGEINT)
+                          AS DOUBLE)
+              ELSE CAST(NULL AS DOUBLE)
+         END AS ks
+  FROM {out}_m
+)"""
     return f"""{out}_guard AS (
   SELECT CASE WHEN EXISTS (SELECT 1 FROM {src}) THEN 1
               ELSE error('ks_exact: both classes must be non-empty')

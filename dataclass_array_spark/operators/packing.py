@@ -102,14 +102,19 @@ def grouped_cumsum(
     df: DataFrame,
     group_cols: "list[str]",
     order_col: str,
-    value_col: str,
-    out_col: str = "cum",
+    value_col: "str | list[str]",
+    out_col: "str | list[str]" = "cum",
     pin: str = "local",
 ) -> DataFrame:
     """Per-GROUP running sum of ``value_col`` over ``order_col`` order
     within each group (inclusive of the current row) — the fairness-
     table variant of :func:`global_cumsum` (round-15: grouped AUC
     partitions its running negative count by evaluation slice).
+    ``value_col``/``out_col`` may be LISTS of equal length to compute
+    several per-group running sums in ONE range-partition + pin +
+    offsets pass (the :func:`global_cumsum` round-14 convention —
+    grouped KS cumulates both class counts and must not pay the
+    shuffle twice).
 
     Same two-phase shape, so no group ever needs a single-task sort of
     its full extent: range-partition by ``(group…, order)`` (one
@@ -132,8 +137,16 @@ def grouped_cumsum(
     if isinstance(group_cols, str):  # 'g' would explode per-char
         group_cols = [group_cols]
     gcols = list(group_cols)
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError(
+            "grouped_cumsum: value_col and out_col lengths differ"
+        )
     if not gcols:
-        return global_cumsum(df, order_col, value_col, out_col=out_col, pin=pin)
+        return global_cumsum(
+            df, order_col, value_cols, out_col=out_cols, pin=pin
+        )
     df = pin_materialization(
         df.repartitionByRange(*gcols, order_col).sortWithinPartitions(
             *gcols, order_col
@@ -142,7 +155,10 @@ def grouped_cumsum(
     )
     with_pid = df.withColumn("__pid", F.spark_partition_id())
     part_sums = with_pid.groupBy("__pid", *gcols).agg(
-        F.sum(F.col(value_col)).alias("__ps")
+        *[
+            F.sum(F.col(v)).alias(f"__ps{i}")
+            for i, v in enumerate(value_cols)
+        ]
     )
     wo = (
         Window.partitionBy(*gcols)
@@ -152,7 +168,12 @@ def grouped_cumsum(
     offs = part_sums.select(
         F.col("__pid").alias("__opid"),
         *[F.col(c).alias(f"__og{i}") for i, c in enumerate(gcols)],
-        F.coalesce(F.sum("__ps").over(wo), F.lit(0)).cast("long").alias("__off"),
+        *[
+            F.coalesce(F.sum(f"__ps{i}").over(wo), F.lit(0))
+            .cast("long")
+            .alias(f"__off{i}")
+            for i in range(len(value_cols))
+        ],
     )
     cond = F.col("__pid") == F.col("__opid")
     for i, c in enumerate(gcols):
@@ -162,11 +183,16 @@ def grouped_cumsum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = with_pid.join(F.broadcast(offs), cond).withColumn(
-        out_col, (F.sum(F.col(value_col)).over(w) + F.col("__off")).cast("long")
-    )
+    out = with_pid.join(F.broadcast(offs), cond)
+    for i, (v, o) in enumerate(zip(value_cols, out_cols)):
+        out = out.withColumn(
+            o, (F.sum(F.col(v)).over(w) + F.col(f"__off{i}")).cast("long")
+        )
     return out.drop(
-        "__pid", "__opid", "__off", *[f"__og{i}" for i in range(len(gcols))]
+        "__pid",
+        "__opid",
+        *[f"__off{i}" for i in range(len(value_cols))],
+        *[f"__og{i}" for i in range(len(gcols))],
     )
 
 

@@ -1073,3 +1073,116 @@ def test_brier_and_ece_empty_input_raise_both_engines(spark):
         "WITH " + sql_ece_ctes("e", "y", "p", 10, group_exprs=["g"])
         + " SELECT * FROM ece"
     ).fetchall() == []
+
+
+def test_grouped_cumsum_multi_column_matches_two_passes(spark):
+    """The multi-column grouped_cumsum (one shuffle) must equal two
+    single-column passes — per group, NULL groups included."""
+    from dataclass_array_spark.operators.packing import grouped_cumsum
+
+    random.seed(41)
+    rows = [
+        (i, random.choice(["a", "b", None]), float(i % 13),
+         random.randint(0, 5), random.randint(0, 5))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "i long, g string, s double, u long, v long")
+    # the order key must be unique per group for a well-defined cumsum
+    df = df.groupBy("g", "s").agg(
+        F.sum("u").alias("u"), F.sum("v").alias("v")
+    )
+    both = grouped_cumsum(
+        df, ["g"], "s", ["u", "v"], out_col=["cu", "cv"]
+    )
+    one_u = grouped_cumsum(df, ["g"], "s", "u", out_col="cu")
+    one_v = grouped_cumsum(df, ["g"], "s", "v", out_col="cv")
+    key = lambda r: (r["g"] or "", r["s"])
+    got = sorted(
+        ((r["g"], r["s"], r["cu"], r["cv"]) for r in both.collect()),
+        key=lambda t: (t[0] or "", t[1]),
+    )
+    want_u = {(r["g"], r["s"]): r["cu"] for r in one_u.collect()}
+    want_v = {(r["g"], r["s"]): r["cv"] for r in one_v.collect()}
+    assert got == sorted(
+        ((g, s, want_u[(g, s)], want_v[(g, s)]) for g, s, _, _ in got),
+        key=lambda t: (t[0] or "", t[1]),
+    )
+
+
+def _py_ks_grouped(rows):
+    """Per-group explicit KS; single-class slices -> (d_num=0, ks=None)."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for _, g, y, s in rows:
+        groups[g].append((None, y, s))
+    out = {}
+    for g, rs in groups.items():
+        P = sum(1 for _, y, _ in rs if y == 1)
+        N = sum(1 for _, y, _ in rs if y == 0)
+        if P == 0 or N == 0:
+            out[g] = (P, N, 0, None)
+        else:
+            out[g] = _py_ks(rs)
+    return out
+
+
+def test_ks_grouped_three_way_with_null_and_single_class(spark):
+    from dataclass_array_spark.operators.metrics import ks_exact, sql_ks_ctes
+
+    random.seed(43)
+    rows = [
+        (i, random.choice(["en", "de", None]), random.randint(0, 1),
+         float(random.choice([0.1, 0.2, 0.2, 0.5, 0.9])))
+        for i in range(300)
+    ]
+    # a deliberately single-class slice (all positives)
+    rows += [(1000 + i, "zz", 1, 0.4 + i / 10) for i in range(4)]
+    df = spark.createDataFrame(rows, "i long, g string, y long, s double")
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], int(r["d_num"]), r["ks"])
+        for r in ks_exact(df, "y", "s", group_cols=["g"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, g VARCHAR, y BIGINT, s DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    want = {
+        r[0]: (r[1], r[2], int(r[3]), r[4])
+        for r in con.sql(
+            "WITH " + sql_ks_ctes("t", "y", "s", group_exprs=["g"])
+            + " SELECT * FROM ks"
+        ).fetchall()
+    }
+    assert got == want
+    ref = _py_ks_grouped(rows)
+    assert set(got) == set(ref)
+    for g, (p, n, d, ks) in ref.items():
+        assert got[g][:3] == (p, n, d), g
+        if ks is None:
+            assert got[g][3] is None
+        else:
+            assert got[g][3] == d / (p * n)
+    assert got["zz"] == (4, 0, 0, None)  # single-class slice -> NULL ks
+
+
+def test_ks_grouped_matches_global_per_slice(spark):
+    """Each grouped slice must equal a global ks_exact run on that
+    slice alone."""
+    from dataclass_array_spark.operators.metrics import ks_exact
+
+    random.seed(47)
+    rows = [
+        (i, ["en", "de"][i % 2], random.randint(0, 1),
+         float(random.choice([0.1, 0.3, 0.7])))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "i long, g string, y long, s double")
+    grouped = {
+        r["g"]: (r["n_pos"], r["n_neg"], int(r["d_num"]), r["ks"])
+        for r in ks_exact(df, "y", "s", group_cols=["g"]).collect()
+    }
+    for g in ("en", "de"):
+        solo = ks_exact(df.filter(F.col("g") == g), "y", "s").collect()[0]
+        assert grouped[g] == (
+            solo["n_pos"], solo["n_neg"], int(solo["d_num"]), solo["ks"]
+        ), g
