@@ -632,6 +632,24 @@ def checked_i64(n: Column, what: str) -> Column:
     )
 
 
+def _pin_lm(df):
+    """Materialize a multiply-referenced LM-sized count table ONCE
+    (``localCheckpoint``) so the derived aggregations and join-backs
+    all read the SAME materialized rows instead of each re-expanding
+    the corpus subtree (round-15 measure-first finding: the trigram-KN
+    held-out plan carried 40 parquet scans / 156 Exchange nodes —
+    every derived table re-tokenized the corpus; with the count tables
+    pinned the plan collapses to the two inherent corpus scans).  At
+    100 TB this is exactly the "materialize the LM once" step: the
+    count table is Heaps-bounded (type-sized, not corpus-sized), and
+    pinning it also truncates the O(branches × corpus-plan) Catalyst
+    analysis cost.  Values are untouched — the pin stores the exact
+    aggregated counts that every branch previously recomputed."""
+    from dataclass_array_spark.core.table import pin_materialization
+
+    return pin_materialization(df, "local")
+
+
 def _dec38(c: Column) -> Column:
     return c.cast("decimal(38,0)")
 
@@ -768,7 +786,7 @@ def bigram_xent_scores(df, text_col: str, id_col: str):
     strictness visible."""
     inst = _bigram_instances(df, text_col, id_col)
     nn = inst.filter(F.col("pos").isNotNull())
-    cb = nn.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cb = _pin_lm(nn.groupBy("w1", "w2").agg(F.count("*").alias("cb")))
     cu = cb.groupBy("w1").agg(F.sum("cb").cast("long").alias("cu"))
     vocab = (
         df.select(F.explode(tokens(F.col(text_col))).alias("t"))
@@ -840,7 +858,7 @@ def bigram_xent_scores_heldout(train_df, score_df, text_col: str, id_col: str):
     inst_t = _bigram_instances(train_df, text_col, id_col).filter(
         F.col("pos").isNotNull()
     )
-    cb = inst_t.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cb = _pin_lm(inst_t.groupBy("w1", "w2").agg(F.count("*").alias("cb")))
     cu = cb.groupBy("w1").agg(F.sum("cb").cast("long").alias("cu"))
     vocab = (
         train_df.select(F.explode(tokens(F.col(text_col))).alias("t"))
@@ -1004,7 +1022,7 @@ def kneser_ney_xent_scores(df, text_col: str, id_col: str):
     fold in position order (the order-dependent IEEE sum recipe)."""
     inst = _bigram_instances(df, text_col, id_col)
     nn = inst.filter(F.col("pos").isNotNull())
-    cb = nn.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cb = _pin_lm(nn.groupBy("w1", "w2").agg(F.count("*").alias("cb")))
     cu = cb.groupBy("w1").agg(
         F.sum("cb").cast("long").alias("cu"),
         F.count("*").cast("long").alias("n1w1"),
@@ -1110,7 +1128,7 @@ def kneser_ney_xent_scores_heldout(train_df, score_df, text_col: str, id_col: st
     inst_t = _bigram_instances(train_df, text_col, id_col).filter(
         F.col("pos").isNotNull()
     )
-    cb = inst_t.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cb = _pin_lm(inst_t.groupBy("w1", "w2").agg(F.count("*").alias("cb")))
     cu = cb.groupBy("w1").agg(
         F.sum("cb").cast("long").alias("cu"),
         F.count("*").cast("long").alias("n1w1"),
@@ -1236,7 +1254,9 @@ def pmi_collocations(
     inst = _bigram_instances(
         df.select(F.lit(1).alias("__one"), F.col(text_col)), text_col, "__one"
     ).filter(F.col("pos").isNotNull())
-    cb = inst.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_pair"))
+    cb = _pin_lm(
+        inst.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_pair"))
+    )
     c1 = cb.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("c1"))
     c2 = cb.groupBy("w2").agg(F.sum("n_pair").cast("long").alias("c2"))
     nn = cb.agg(F.sum("n_pair").cast("long").alias("N"))
@@ -1343,12 +1363,14 @@ def kneser_ney3_xent_scores(df, text_col: str, id_col: str):
     recipe)."""
     inst = _trigram_instances(df, text_col, id_col)
     nn = inst.filter(F.col("pos").isNotNull())
-    t3 = nn.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c"))
+    t3 = _pin_lm(nn.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c")))
     b12 = t3.groupBy("w1", "w2").agg(
         F.sum("c").cast("long").alias("bb"),
         F.count("*").cast("long").alias("n1"),
     )
-    t23 = t3.groupBy("w2", "w3").agg(F.count("*").cast("long").alias("n23"))
+    t23 = _pin_lm(
+        t3.groupBy("w2", "w3").agg(F.count("*").cast("long").alias("n23"))
+    )
     e2 = t3.groupBy("w2").agg(F.count("*").cast("long").alias("ee"))
     n2 = t23.groupBy("w2").agg(F.count("*").cast("long").alias("nn2"))
     m3 = t23.groupBy("w3").agg(F.count("*").cast("long").alias("mm"))
@@ -1494,11 +1516,14 @@ def kn3_score_from_counts(t3, score_df, text_col: str, id_col: str):
     backoff branches, same decimal(38)/``ln_exact_dec`` exactness,
     same plan shape as the held-out scorer (which now delegates
     here)."""
+    t3 = _pin_lm(t3)
     b12 = t3.groupBy("w1", "w2").agg(
         F.sum("c").cast("long").alias("bb"),
         F.count("*").cast("long").alias("n1"),
     )
-    t23 = t3.groupBy("w2", "w3").agg(F.count("*").cast("long").alias("n23"))
+    t23 = _pin_lm(
+        t3.groupBy("w2", "w3").agg(F.count("*").cast("long").alias("n23"))
+    )
     e2 = t3.groupBy("w2").agg(F.count("*").cast("long").alias("ee"))
     n2 = t23.groupBy("w2").agg(F.count("*").cast("long").alias("nn2"))
     m3 = t23.groupBy("w3").agg(F.count("*").cast("long").alias("mm"))
