@@ -404,6 +404,10 @@ def sql_ngram_feats_pos(toks_cte: str, cap: int = 4096) -> str:
 # hyper-parameter.
 W_SCALE = 1_000_000_000          # weights: ws = w * 10^9
 R_SCALE = 1_000_000_000_000_000  # residual quantization: 10^15
+# Up to this many buckets the per-iteration weight vector is attached
+# as an array LITERAL indexed by bucket (zero join, zero broadcast
+# job); above it, the broadcast hash join keeps the plan O(1) size.
+_WS_LITERAL_MAX = 4096
 
 
 def classifier_fit(
@@ -445,15 +449,43 @@ def classifier_fit(
         "__y",
         feature_bucket(F.col("__f"), nb, salt).alias("bucket"),
     )
-    inst = inst.persist()  # MEMORY_AND_DISK: spill-safe across iterations
+    # Persist HASH-PARTITIONED BY DOC ID (round-15 measure-first): every
+    # iteration both aggregates by __id (the per-doc dot) and joins the
+    # residuals back on __id (the gradient) — with the cached frame
+    # already clustered on __id, EnsureRequirements inserts NO exchange
+    # for either, so the only shuffle left per iteration is the
+    # map-side-combined ≤nbuckets gradient aggregation.  One upfront
+    # shuffle of the instance table replaces 2 per iteration (6 at the
+    # gate's 3 steps; same ratio on a cluster).  The partition count
+    # comes from spark.sql.shuffle.partitions (cluster-sized via conf;
+    # AQE may coalesce — partitioning stays keyed on __id either way).
+    inst = inst.repartition("__id").persist()
     try:
         ws = [0] * nb  # driver state: nbuckets scaled ints (bounded)
         lrd = float(lr)
         for _ in range(int(n_iters)):
-            wdf = spark.createDataFrame(
-                [(b, ws[b]) for b in range(nb)], "bucket long, __ws long"
-            )
             from dataclass_array_spark.operators.text import exp_exact
+
+            # Weight lookup: the weight vector is nbuckets scaled ints.
+            # For model sizes that fit a literal (≤ _WS_LITERAL_MAX) it
+            # rides into the scan stage as an array literal indexed by
+            # bucket — zero join, zero per-iteration broadcast job, and
+            # bit-identical to the old broadcast-join lookup (every
+            # bucket 0..nb-1 was present in the joined table, so the
+            # left join never produced NULLs either).  Larger models
+            # keep the broadcast hash join (a literal that size would
+            # bloat the plan; the hint is safe — the weight table is
+            # model-bounded by construction).
+            if nb <= _WS_LITERAL_MAX:
+                warr = F.lit(ws)
+                wexpr = F.element_at(warr, F.col("bucket").cast("int") + 1)
+                winst = inst
+            else:
+                wdf = spark.createDataFrame(
+                    [(b, ws[b]) for b in range(nb)], "bucket long, __ws long"
+                )
+                wexpr = F.col("__ws")
+                winst = inst.join(F.broadcast(wdf), "bucket", "left")
 
             # decimal-summed + symmetrically guarded: an unguarded
             # BIGINT sum would silently WRAP on Spark while the DuckDB
@@ -462,11 +494,10 @@ def classifier_fit(
             # bound is not enough — both |dot| > 2^63-1 directions and
             # a NULLed decimal(38,0) overflow must fail loudly.
             lim = F.lit(str((1 << 63) - 1)).cast("decimal(38,0)")
-            dsum = F.sum(F.col("__ws").cast("decimal(38,0)"))
+            dsum = F.sum(wexpr.cast("decimal(38,0)"))
             dok = dsum.isNotNull() & (dsum <= lim) & (dsum >= -lim)
             per_doc = (
-                inst.join(F.broadcast(wdf), "bucket", "left")
-                .groupBy("__id")
+                winst.groupBy("__id")
                 .agg(
                     F.first("__y").alias("__y"),
                     F.count("*").cast("long").alias("__n"),

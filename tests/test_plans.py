@@ -865,6 +865,71 @@ def test_classifier_fit_gradient_plan_shapes(spark):
         assert marker not in p, marker
 
 
+def test_classifier_fit_copartitioned_iteration(spark):
+    """Round-15 optimization: classifier_fit persists its instance
+    table hash-partitioned by __id and (for small models) attaches the
+    weight vector as an array literal.  One training iteration's plans
+    must then show (a) NO exchange between the cached instance scan
+    and the per-doc dot aggregation (the cached partitioning satisfies
+    the groupBy's clustering), (b) no join for the weight lookup, and
+    (c) the bucket-gradient exchange still map-side combined."""
+    from dataclass_array_spark.operators.classifier import (
+        feature_bucket,
+        ngram_features,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    inst = d.select(
+        F.col("doc_id").alias("__id"),
+        (F.col("lang") == "en").cast("double").alias("__y"),
+        F.explode(ngram_features(F.col("text"))).alias("__f"),
+    ).select(
+        "__id", "__y", feature_bucket(F.col("__f"), 256).alias("bucket")
+    )
+    inst = inst.repartition("__id").persist()
+    try:
+        inst.count()
+        warr = F.lit([0] * 256)
+        wexpr = F.element_at(warr, F.col("bucket").cast("int") + 1)
+        per_doc = inst.groupBy("__id").agg(
+            F.first("__y").alias("__y"),
+            F.count("*").cast("long").alias("__n"),
+            F.sum(wexpr.cast("decimal(38,0)")).cast("long").alias("__dot"),
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            per_doc.explain("formatted")
+        pd_plan = buf.getvalue()
+        # per-doc dot: cached scan feeds the aggregate with no shuffle
+        # and no join (array-literal weight lookup).  Only the tree
+        # ABOVE the InMemoryTableScan counts — the cached relation's
+        # own body legitimately contains the one upfront repartition.
+        assert "InMemoryTableScan" in pd_plan, pd_plan
+        outer = pd_plan.split("InMemoryTableScan")[0]
+        assert "Exchange" not in outer, pd_plan
+        assert "Join" not in outer, pd_plan
+        rq = per_doc.select(
+            "__id",
+            F.floor(
+                (F.col("__dot").cast("double") / 1e9) * 1e15
+            ).cast("long").alias("__rq"),
+        )
+        grad = (
+            inst.join(rq, "__id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("__rq").cast("decimal(38,0)")).alias("__g"))
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            grad.explain("formatted")
+        g_plan = buf.getvalue()
+        assert "partial_sum" in g_plan, g_plan  # map-side-combined gradient
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in g_plan, marker
+    finally:
+        inst.unpersist()
+
+
 def test_pack_ffd_single_exchange_per_bucket_fold(spark):
     """FFD packing's plan: exactly ONE exchange (hash by bucket) feeds
     the per-bucket applyInPandas fold — the sequential algorithm runs
