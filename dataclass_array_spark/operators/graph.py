@@ -40,10 +40,15 @@ def connected_components(
     sym = pin_materialization(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct(),
-        # materialize ONCE: every iteration joins against the edge set,
-        # and without this the (possibly expensive) upstream lineage —
-        # e.g. a whole MinHash pipeline — re-executes per iteration
+        .distinct()
+        # materialize ONCE, HASH-PARTITIONED ON THE JOIN KEY (round-15):
+        # every iteration joins labels on sym.v, and an unkeyed pin made
+        # the (possibly huge) edge table re-shuffle by v EVERY iteration;
+        # pinned on v the edge side never moves again — only label-sized
+        # data shuffles per round.  The pin also keeps the (possibly
+        # expensive) upstream lineage — e.g. a whole MinHash pipeline —
+        # from re-executing per iteration.
+        .repartition("v"),
         pin,
     )
     labels = (
@@ -51,6 +56,7 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    prev_sum = None
     for i in range(max_iter):
         neigh_min = (
             sym.join(labels, sym.v == labels.node)
@@ -66,21 +72,22 @@ def connected_components(
                 ).alias("comp"),
             )
         )
-        # checkpoint BEFORE the convergence count: the count and the
+        # checkpoint BEFORE the convergence check: the check and the
         # next iteration then share one materialization instead of
-        # executing the join/agg pipeline twice per iteration (the
-        # count would otherwise materialize it, and the next
-        # iteration would recompute it from lineage)
+        # executing the join/agg pipeline twice per iteration
         new_labels = pin_materialization(new_labels, pin)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        # Convergence via the MONOTONE label sum (round-15): min-label
+        # propagation only ever DECREASES a label, so the exact decimal
+        # Σcomp is unchanged iff no label changed — a one-job scan of
+        # the just-pinned frame replaces the old join-and-count pass
+        # (one extra shuffle + pass per iteration, gone).
+        cur_sum = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
