@@ -76,6 +76,21 @@ def global_cumsum(
         offsets[pid] = list(acc)
         for i, s in enumerate(sums[pid]):
             acc[i] += s
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    vtypes = dict(df.dtypes)
+    if all(vtypes.get(v) in integral for v in value_cols):
+        # Narrow Arrow pass (round-15): the rows are ALREADY range-
+        # partitioned and sorted by the order key, so the within-
+        # partition running sum needs no window at all — the old
+        # ``sum() OVER (PARTITION BY __pid)`` forced a full exchange of
+        # every row by __pid (Catalyst cannot see that __pid IS the
+        # physical partitioning) plus a re-sort and a broadcast join
+        # for the offsets.  mapInArrow computes the exact int64 running
+        # sum per partition in partition order and seeds it from the
+        # collected offsets via the closure: zero additional shuffles.
+        # Integer-only (the callers cumulate counts/token sizes); any
+        # non-integral value column falls back to the window path.
+        return _arrow_cumsum(with_pid, offsets, value_cols, out_cols)
     spark = df.sparkSession
     off_schema = "__pid int, " + ", ".join(
         f"__off{i} long" for i in range(len(value_cols))
@@ -96,6 +111,58 @@ def global_cumsum(
             o, (F.sum(F.col(v)).over(w) + F.col(f"__off{i}")).cast("long")
         )
     return out.drop("__pid", *[f"__off{i}" for i in range(len(value_cols))])
+
+
+def _arrow_cumsum(with_pid, offsets, value_cols, out_cols):
+    """Within-partition int64 running sums + per-partition offsets as a
+    NARROW ``mapInArrow`` pass over the pinned, range-partitioned frame
+    (see :func:`global_cumsum`).  Bit-exact vs the window form: the
+    addends arrive in the identical (sorted) row order, int64 adds are
+    associative here (counts — no overflow by construction of the
+    callers, matching the window's long sum), and NULL increments are
+    rejected loudly (the callers' aggregates never produce them; the
+    window would have silently carried the previous sum forward)."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [f for f in with_pid.schema.fields]
+        + [T.StructField(o, T.LongType(), True) for o in out_cols]
+    )
+    offs = {int(p): [int(x) for x in v] for p, v in offsets.items()}
+    vcols = list(value_cols)
+    ocols = list(out_cols)
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        run = None
+        for batch in it:
+            if run is None:
+                pid = batch.column("__pid")[0].as_py()
+                run = list(offs.get(pid, [0] * len(vcols)))
+            new_arrays = []
+            for i, v in enumerate(vcols):
+                col = batch.column(v)
+                if col.null_count:
+                    raise ValueError(
+                        f"global_cumsum: NULL in value column {v!r}"
+                    )
+                x = col.to_numpy(zero_copy_only=False).astype(np.int64)
+                c = np.cumsum(x) + np.int64(run[i])
+                if len(c):
+                    run[i] = int(c[-1])
+                new_arrays.append(pa.array(c, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(j) for j in range(batch.num_columns)]
+                + new_arrays,
+                schema=pa.schema(
+                    list(batch.schema)
+                    + [pa.field(o, pa.int64()) for o in ocols]
+                ),
+            )
+
+    return with_pid.mapInArrow(fn, out_schema).drop("__pid")
 
 
 def grouped_cumsum(
