@@ -178,6 +178,71 @@ def _group_nonconflicting(merges) -> List[List[Tuple[str, str]]]:
     return runs
 
 
+# Driver-side training dispatch (round-15): the (wid, cnt) vocab table
+# is Heaps-bounded and the gate corpora's vocabularies are tiny, yet
+# every merge round paid 2+ distributed jobs over it (~0.3 s/round of
+# pure scheduling at sf0.1).  When the vocab fits comfortably on the
+# driver AND the vocab×merges product keeps the pure-Python loop
+# sub-second, collect it once and run the PROVABLY IDENTICAL greedy
+# loop locally (the kmeans _kmeans_fit_driver precedent) — the corpus
+# is still scanned exactly once (the word-count aggregation).  Larger
+# vocabs keep the distributed ladder untouched.
+_DRIVER_VOCAB_MAX = 65536
+_DRIVER_WORK_MAX = 4_194_304  # n_words * num_merges cap
+
+
+def _apply_merge_py(syms: list, left: str, right: str) -> list:
+    """Pure-Python replica of :func:`_apply_merge`'s left fold: merge
+    the incoming symbol into the accumulator tail when tail == left and
+    symbol == right.  A freshly merged tail is the strictly longer
+    left||right, so the pass never re-merges its own output — identical
+    leftmost-greedy/run-parity semantics (differential-tested)."""
+    out: list = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = out[-1] + x
+        else:
+            out.append(x)
+    return out
+
+
+def _bpe_train_driver(
+    words: "list[tuple[list, int]]", num_merges: int, min_count: int
+) -> "list[tuple[int, str, str]]":
+    """Sequential greedy BPE on a collected vocab: per round, count
+    adjacent pairs (overlapping, frequency-weighted — the Sennrich
+    convention), pick argmax by (total DESC, l ASC, r ASC), apply one
+    leftmost-greedy pass.  This IS the sequential spec the distributed
+    batched ladder is proven equal to (:func:`_best_pairs_batch`); the
+    tie-break comparison is byte-order-identical because UTF-8 byte
+    order equals code-point order, which is Python's ``str`` order."""
+    merges: "list[tuple[int, str, str]]" = []
+    while len(merges) < int(num_merges):
+        pc: dict = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + c
+        cands = [(l, r, t) for (l, r), t in pc.items() if t >= int(min_count)]
+        if not cands:
+            break
+        l, r, _t = min(cands, key=lambda x: (-x[2], x[0], x[1]))
+        merges.append((len(merges), l, r))
+        for i, (syms, c) in enumerate(words):
+            words[i] = (_apply_merge_py(syms, l, r), c)
+    return merges
+
+
+def _collect_small_vocab(sym: DataFrame, cap: int):
+    """``take(cap+1)`` on the (wid, cnt, syms) frame; returns the rows
+    when the vocab fits, else None (distributed path).  One extra pass
+    over the vocab-sized aggregate only in the large-vocab case."""
+    rows = sym.take(int(cap) + 1)
+    if len(rows) > cap:
+        return None
+    return rows
+
+
 def _pair_counts(sym: DataFrame, min_count: int) -> DataFrame:
     """Adjacent-pair totals (weighted by word frequency, overlapping
     occurrences counted — the Sennrich convention), filtered to
@@ -297,7 +362,21 @@ def bpe_train(
         raise ValueError("bpe_train: batch_pairs must be >= 1")
     from dataclass_array_spark.core.table import pin_materialization
 
-    sym = pin_materialization(_init_symbols(_word_counts(df, text_col)), pin)
+    sym0 = _init_symbols(_word_counts(df, text_col))
+    cap = min(_DRIVER_VOCAB_MAX, _DRIVER_WORK_MAX // max(1, int(num_merges)))
+    rows = _collect_small_vocab(sym0, cap)
+    if rows is not None:
+        # driver path: one corpus scan, zero per-round jobs — merge
+        # table provably identical to the distributed ladder
+        got = _bpe_train_driver(
+            [(list(r["syms"]), int(r["cnt"])) for r in rows],
+            num_merges,
+            min_count,
+        )
+        return df.sparkSession.createDataFrame(
+            got, "merge_rank long, left_sym string, right_sym string"
+        )
+    sym = pin_materialization(sym0, pin)
     merges: List[Tuple[int, str, str]] = []
     rounds = 0
     while len(merges) < int(num_merges):
@@ -339,7 +418,26 @@ def bpe_word_symbols(
     depth from num_merges to the number of groups."""
     from dataclass_array_spark.core.table import pin_materialization
 
-    sym = pin_materialization(_init_symbols(words), pin)
+    sym0 = _init_symbols(words)
+    cap = min(
+        _DRIVER_VOCAB_MAX, _DRIVER_WORK_MAX // max(1, len(list(merges)) or 1)
+    )
+    rows = _collect_small_vocab(sym0, cap)
+    if rows is not None:
+        # driver path (round-15): segment the collected vocab locally —
+        # the same sequential passes the grouped fold is proven equal
+        # to — and hand back a (wid, toks) frame.  The encode join-back
+        # then broadcasts this small table.
+        segged = []
+        for r in rows:
+            syms = list(r["syms"])
+            for left, right in merges:
+                syms = _apply_merge_py(syms, left, right)
+            segged.append((r["wid"], syms))
+        return words.sparkSession.createDataFrame(
+            segged, "wid string, toks array<string>"
+        )
+    sym = pin_materialization(sym0, pin)
     for i, run in enumerate(_group_nonconflicting(merges)):
         sym = sym.select(
             "wid", "cnt", _apply_merge_batch(F.col("syms"), run).alias("syms")
