@@ -281,8 +281,14 @@ def dsir_log_weights(
             .agg(F.count("*").cast("long").alias(alias))
         )
 
-    ct = corpus_buckets(target_df, "ct")
-    cs = corpus_buckets(source_df, "cs")
+    # Pin the two ≤nbuckets-row count tables (round-15): each was
+    # referenced twice (the per-bucket delta AND the 1-row totals), so
+    # both corpora were featurized + aggregated twice per run.  The pin
+    # is bounded (nbuckets rows) and halves the corpus passes.
+    from dataclass_array_spark.core.table import pin_materialization
+
+    ct = pin_materialization(corpus_buckets(target_df, "ct"), "local")
+    cs = pin_materialization(corpus_buckets(source_df, "cs"), "local")
     delta = (
         spark.range(nb)
         .select(F.col("id").alias("bucket"))

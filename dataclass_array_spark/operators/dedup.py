@@ -672,11 +672,23 @@ def dedup_incremental(
         )
         .repartition(par)
     )
-    base = tagged.select(
-        "side",
-        "doc_id",
-        md5_fingerprint(F.col("__t")).alias("fp"),
-        word_shingles(F.col("__t"), shingle_k).alias("shingles"),
+    from dataclass_array_spark.core.table import pin_materialization
+
+    # Pin ONCE (round-15): base is referenced SIX times (new-id list,
+    # both exact-probe sides, the signature pass, both verify sides) —
+    # unpinned, each reference re-ran the union + md5 + shingling of
+    # both corpora (18 parquet scans in the gate plan).  This differs
+    # from minhash_lsh_pairs' measured keep-recomputing choice (3
+    # references there): at six references the recompute bill crosses
+    # the materialization cost, locally and at scale.
+    base = pin_materialization(
+        tagged.select(
+            "side",
+            "doc_id",
+            md5_fingerprint(F.col("__t")).alias("fp"),
+            word_shingles(F.col("__t"), shingle_k).alias("shingles"),
+        ),
+        "local",
     )
     new_ids = base.filter(F.col("side") == "n").select("doc_id")
     exact = (
