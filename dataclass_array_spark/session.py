@@ -51,6 +51,14 @@ def get_spark(app_name: str = "dataclass_array_spark", cpus: str | None = None) 
         # memory-sink gate queries use implicit temp checkpoints; force
         # cleanup so repeated bench runs leave no /tmp/temporary-* residue
         .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+        # localCheckpoint pins (LM count tables, iterative-loop state)
+        # hold block-manager storage until the ContextCleaner notices the
+        # RDD is unreachable — which needs a JVM GC, and the cleaner's
+        # default periodic GC fires only every 30 min.  A long
+        # multi-query process (the 195-gate bench, any ETL driver) was
+        # measured degrading in its LATE passes as dead pinned blocks
+        # piled up; a 5-min periodic GC keeps reclamation bounded.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
