@@ -22,31 +22,80 @@ class Query:
 
 # The driver's per-round correctness gate checks roughly the first 50
 # registry entries, so the window is ROTATED each round to keep every
-# query under recurring driver verification.  Round 15 ordering
-# (VERDICT r14 item 2, followed exactly): the 7 never-driver-verified
-# round-14 gates FIRST (judge-replayed OK in r14, but driver
-# verification is the record), then the remaining 31 r11-cohort
-# entries (linkage_entity_clusters onward — the stalest block), then
-# the first 12 r12-cohort entries — exactly 50.  Nothing older than
-# r12 remains after this window runs.  Just past the window: the new
-# round-15 gates (next round's never-verified cohort), then the
-# remaining 38 r12-cohort entries, then the r13 cohort, then the 50
-# queries the r14 driver window verified, freshest-last.  Python dicts
-# preserve insertion order, so this ordering is exactly what
-# ``queries()`` exposes to the driver.
+# query under recurring driver verification.  Round 16 ordering
+# (VERDICT r15 item 1, followed exactly): the 15 optimizer-touched
+# gates whose physical plans changed in round 15 (BPE family, KN/KN3
+# scorers, pmi/ccnet/dsir, dedup_components/incremental,
+# classifier_auc_by_source) but which the rotated r15 window did not
+# cover come FIRST — they convert the round-15 wins from
+# builder-attested to driver-attested.  Then the remaining 6
+# never-driver-verified round-15 gates, then the first 29 of the 38
+# r12-cohort entries the original r16 plan targeted — exactly 50.
+# Just past the window: the 50 gates the r15 driver window verified
+# (freshest, lowest re-verification urgency is wrong — they are
+# freshly verified, so they sit behind the stale blocks), then the
+# last 9 r12-cohort entries, the rest of the r13 cohort and the
+# r14-verified block.  Python dicts preserve insertion order, so this
+# ordering is exactly what ``queries()`` exposes to the driver.
 #
-# r16 rotation plan (keep registry growth within what the window can
-# absorb): r16 window = the round-15-new gates first, then the
-# remaining 38 r12-cohort entries, then the first (50 - n_new - 38)
-# r13-cohort entries.  Round 15 added exactly 7 gates
-# (classifier_auc_by_source classifier_ece classifier_ece_by_source
-# classifier_brier classifier_ks classifier_f1_best
-# classifier_brier_by_source, all on documents), so the r16 window is
-# 7 + 38 + 5.  r17 then takes the rest of the r13 cohort plus the
-# head of the r14-verified block — at <=~7 new gates/round every gate
-# is driver-re-verified within ~4 rounds.
+# r17 rotation plan: last 9 r12-cohort entries + the remainder of the
+# r13 cohort, then the head of the r14-verified block.
 _PRIORITY: Tuple[str, ...] = (
-    # ---- 7 never-driver-verified round-14 gates: verify FIRST ----
+    # ---- 15 round-15 optimizer-touched, driver-unverified gates ----
+    "bpe_train_docs",
+    "bpe_train_batched_docs",
+    "bpe_encode_docs",
+    "bpe_heldout_encode_docs",
+    "bpe_fertility_langs",
+    "kneser_ney3_lm_docs",
+    "kneser_ney3_heldout_docs",
+    "kneser_ney_heldout_docs",
+    "kn_perplexity_docs",
+    "pmi_collocations_docs",
+    "ccnet_buckets_docs",
+    "dsir_weights_docs",
+    "dedup_components",
+    "dedup_incremental_docs",
+    "classifier_auc_by_source_docs",
+    # ---- remaining 6 never-driver-verified round-15 gates ----
+    "classifier_ece_docs",
+    "classifier_ece_by_source_docs",
+    "classifier_brier_docs",
+    "classifier_ks_docs",
+    "classifier_f1_best_docs",
+    "classifier_brier_by_source_docs",
+    # ---- first 29 of the remaining 38 r12-cohort entries ----
+    "embedding_ann_ivf_kmeans",
+    "embedding_knn_join_kmeans",
+    "dedup_ngram_jaccard",
+    "shape_vectorize_mat",
+    "streaming_purchase_clicks",
+    "streaming_quality_filter",
+    "streaming_tumbling_hourly",
+    "streaming_session_windows",
+    "streaming_dedup_events",
+    "streaming_user_totals_stateful",
+    "streaming_sliding_hourly",
+    "streaming_decontam_docs",
+    "domain_mixture_sample",
+    "multimodal_frames",
+    "pipeline_pretrain_corpus",
+    "tokenize_docs",
+    "token_rarity_docs",
+    "lm_quality_docs",
+    "shape_mask_filter",
+    "shape_gather",
+    "shape_transpose",
+    "shape_slice",
+    "shape_concat_mapfield",
+    "median_quantity_by_flag",
+    "approx_sketches",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_counts",
+    "q20_promotion_suppliers",
+    # ==== window boundary (50) ====
+    # ---- driver-verified in round 15 ----
     "classifier_train_docs",
     "pack_ffd_docs",
     "streaming_kn_score_docs",
@@ -54,7 +103,6 @@ _PRIORITY: Tuple[str, ...] = (
     "classifier_pr_docs",
     "ann_recall_ivf_docs",
     "classifier_calibration_docs",
-    # ---- remaining 31 r11-cohort queries ----
     "linkage_entity_clusters",
     "linkage_part_entities",
     "multimodal_decode",
@@ -86,7 +134,6 @@ _PRIORITY: Tuple[str, ...] = (
     "bloom_filter_orders",
     "ols2_price_model",
     "streaming_hll_users",
-    # ---- first 12 r12-cohort entries ----
     "dedup_keep_best_docs",
     "embedding_ann_sq8",
     "hist_quantiles_prices",
@@ -99,45 +146,7 @@ _PRIORITY: Tuple[str, ...] = (
     "semantic_dedup_auto",
     "semantic_dedup_embeddings",
     "text_cluster_topics",
-    # ==== window boundary (50) ====
-    # ---- NEW in round 15 (next round: never-verified cohort) ----
-    "classifier_auc_by_source_docs",
-    "classifier_ece_docs",
-    "classifier_ece_by_source_docs",
-    "classifier_brier_docs",
-    "classifier_ks_docs",
-    "classifier_f1_best_docs",
-    "classifier_brier_by_source_docs",
-    # ---- remaining 38 r12-cohort entries ----
-    "embedding_ann_ivf_kmeans",
-    "embedding_knn_join_kmeans",
-    "dedup_ngram_jaccard",
-    "shape_vectorize_mat",
-    "streaming_purchase_clicks",
-    "streaming_quality_filter",
-    "streaming_tumbling_hourly",
-    "streaming_session_windows",
-    "streaming_dedup_events",
-    "streaming_user_totals_stateful",
-    "streaming_sliding_hourly",
-    "streaming_decontam_docs",
-    "domain_mixture_sample",
-    "multimodal_frames",
-    "pipeline_pretrain_corpus",
-    "tokenize_docs",
-    "token_rarity_docs",
-    "lm_quality_docs",
-    "shape_mask_filter",
-    "shape_gather",
-    "shape_transpose",
-    "shape_slice",
-    "shape_concat_mapfield",
-    "median_quantity_by_flag",
-    "approx_sketches",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q16_supplier_counts",
-    "q20_promotion_suppliers",
+    # ---- last 9 r12-cohort entries (head of the r17 window) ----
     "q10_returned_items",
     "q4_order_priority",
     "q12_shipmode_priority",
@@ -147,10 +156,8 @@ _PRIORITY: Tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q22_in_subquery",
     "q7_nation_volume",
-    # ---- driver-verified in round 13 ----
-    "bpe_train_docs",
-    "bpe_encode_docs",
-    "bpe_heldout_encode_docs",
+    # ---- r13/r14-verified blocks, minus gates moved into the
+    #      window above, original order ----
     "url_dedup_docs",
     "url_domain_stats_docs",
     "skew_zipf_salted_agg",
@@ -171,10 +178,8 @@ _PRIORITY: Tuple[str, ...] = (
     "date_functions",
     "dedup_apply_minhash",
     "dedup_apply_simhash",
-    "dedup_components",
     "dedup_embedding_neardup",
     "dedup_exact_docs",
-    "dedup_incremental_docs",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_auto",
     "dedup_simhash_pairs",
@@ -198,21 +203,10 @@ _PRIORITY: Tuple[str, ...] = (
     "q9_product_profit",
     "range_join_price_buckets",
     "rank_functions",
-    # ---- driver-verified in round 14 (freshest):
-    #      16 r13-new + 15 r10-era + first 19 r11 ----
-    "kneser_ney_heldout_docs",
-    "bpe_train_batched_docs",
     "classifier_quality_docs",
-    "pmi_collocations_docs",
-    "dsir_weights_docs",
-    "ccnet_buckets_docs",
     "grouped_rank_prices",
     "blocklist_filter_docs",
     "domain_cap_docs",
-    "kneser_ney3_lm_docs",
-    "kneser_ney3_heldout_docs",
-    "bpe_fertility_langs",
-    "kn_perplexity_docs",
     "classifier_sigmoid_docs",
     "streaming_trigram_counts_docs",
     "temperature_mixture_alpha_docs",
