@@ -47,6 +47,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from dataclass_array_spark.core.table import release_pins
 from dataclass_array_spark.session import get_spark
 from dataclass_array_spark.workload import QUERIES
 
@@ -82,8 +83,17 @@ def _timed_passes(
                 _ = len(rows)
             except Exception as e:
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
+                release_pins()
                 continue
             samples[name].append(time.perf_counter() - t0)
+            # between queries (OUTSIDE the timed region — the timed
+            # action and methodology are unchanged): drop the pinned
+            # localCheckpoint blocks this query created.  Dead pinned
+            # blocks otherwise pile up across the ~600 query invocations
+            # of a full sweep until the periodic-GC ContextCleaner pass,
+            # and were measured spiking alphabetically-late queries'
+            # late passes (round-15 bench; see core/table.release_pins).
+            release_pins()
     med = {k: round(statistics.median(v), 3) for k, v in samples.items() if v}
     mn = {k: round(min(v), 3) for k, v in samples.items() if v}
     raw = {k: [round(x, 3) for x in v] for k, v in samples.items() if v}
@@ -98,6 +108,7 @@ def main() -> None:
     # Arrow serde are spun up before anything is measured
     QUERIES["q6_forecast_revenue"].fn(spark, SF_DIR).collect()
     QUERIES["multimodal_decode"].fn(spark, SF_DIR).collect()
+    release_pins()
 
     # alphabetical: rotation-independent ordering (see module docstring)
     bench_names = sorted(name for name, q in QUERIES.items() if q.bench)

@@ -1085,6 +1085,50 @@ def _map_field_expr(col: Column, spec, fn: Callable[[Column, ArraySpec], Column]
     return rebuild(col, len(spec.extra_inner_shape))
 
 
+# Every pin created by :func:`pin_materialization` is recorded here so a
+# long-lived multi-query driver process (bench sweeps, ETL loops) can
+# release the pinned blocks deterministically via :func:`release_pins`
+# once the consuming query's final action has run.  Without this, dead
+# localCheckpoint blocks sit in the block manager until the
+# ContextCleaner notices the RDD is unreachable — which needs a JVM GC
+# (periodic GC interval: session.py) — and the accumulated blocks were
+# measured degrading LATE queries in a 195-query sweep (round-15 bench:
+# one spiked pass-3 sample on alphabetically-late gates).  Entries are
+# py4j handles to the checkpointed internal RDD (the object that owns
+# the blocks; unpersisting the *DataFrame* would not reach it).
+_LIVE_PIN_RDDS: List[Any] = []
+
+
+def _register_pin(df: DataFrame) -> DataFrame:
+    """Record the checkpointed RDD behind ``df`` for later release."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        _LIVE_PIN_RDDS.append(plan.rdd())  # LogicalRDD.rdd — block owner
+    except Exception:
+        pass  # registry is best-effort; the ContextCleaner remains the backstop
+    return df
+
+
+def release_pins() -> int:
+    """Unpersist every pinned materialization created since the last call.
+
+    Call ONLY between queries — after the consuming query's final action
+    — never while a returned DataFrame may still be evaluated: a
+    localCheckpoint's lineage is truncated, so a released pin cannot be
+    recomputed (Spark fails loudly with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+    Returns the number of pins released.  Non-blocking: block removal
+    proceeds asynchronously in the block manager."""
+    n = 0
+    while _LIVE_PIN_RDDS:
+        rdd = _LIVE_PIN_RDDS.pop()
+        try:
+            rdd.unpersist(False)
+            n += 1
+        except Exception:
+            pass  # context stopped or RDD already cleaned — nothing to release
+    return n
+
+
 def pin_materialization(df: DataFrame, pin: str = "local") -> DataFrame:
     """Pin exactly ONE materialization of ``df`` so every later job sees
     identical partition contents (RangePartitioner boundaries are sampled
@@ -1107,14 +1151,14 @@ def pin_materialization(df: DataFrame, pin: str = "local") -> DataFrame:
       NOT durable across machines).
     """
     if pin == "local":
-        return df.localCheckpoint(eager=True)
+        return _register_pin(df.localCheckpoint(eager=True))
     if pin == "reliable":
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             import tempfile
 
             sc.setCheckpointDir(tempfile.mkdtemp(prefix="dca-checkpoint-"))
-        return df.checkpoint(eager=True)
+        return _register_pin(df.checkpoint(eager=True))
     raise ValueError(f"pin must be 'local' or 'reliable', got {pin!r}")
 
 

@@ -333,7 +333,9 @@ def run_stream_to_memory(
         finally:
             if restore is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", restore)
-    result = spark.table(name).localCheckpoint(eager=True)
+    from dataclass_array_spark.core.table import pin_materialization
+
+    result = pin_materialization(spark.table(name), "local")
     spark.catalog.dropTempView(name)
     return result, name
 

@@ -279,16 +279,18 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("contaminated"))
         .select("doc_id")
     )
+    from dataclass_array_spark.core.table import pin_materialization
+
     surv = reps.join(dec_keep, "doc_id")
     w = Window.partitionBy(tx.md5_fingerprint(F.col("text")))
-    ded = (
+    ded = pin_materialization(
         surv.withColumn("_mn", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("_mn"))
-        .select("doc_id", "text", "source")
+        .select("doc_id", "text", "source"),
         # the survivor corpus is consumed twice (rate derivation + the
-        # final sample join); checkpoint it so the filter/dedup subtree
+        # final sample join); pin it so the filter/dedup subtree
         # executes once instead of once per consumer
-        .localCheckpoint(eager=True)
+        "local",
     )
     rates = temperature_mixture_rates(ded, "source", target_rows=_PL_TARGET)
     return (

@@ -24,6 +24,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from dataclass_array_spark.core.table import release_pins  # noqa: E402
 from dataclass_array_spark.session import get_spark  # noqa: E402
 from dataclass_array_spark.workload.base import TABLES  # noqa: E402
 
@@ -125,8 +126,10 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
+            release_pins()
             continue
         t1 = time.time()
+        release_pins()  # drop this query's pinned blocks before the next
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(sdf)} rows, {t1-t0:.1f}s, no oracle)")
             continue
