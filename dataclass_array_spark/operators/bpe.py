@@ -235,8 +235,12 @@ def _bpe_train_driver(
 
 def _collect_small_vocab(sym: DataFrame, cap: int):
     """``take(cap+1)`` on the (wid, cnt, syms) frame; returns the rows
-    when the vocab fits, else None (distributed path).  One extra pass
-    over the vocab-sized aggregate only in the large-vocab case."""
+    when the vocab fits, else None (distributed path).  Callers pass
+    the PINNED frame so the probe and the distributed ladder share one
+    corpus-sized word-count materialization — probing the raw aggregate
+    executed the full corpus shuffle, discarded it, and the ladder
+    recomputed it: one wasted corpus pass exactly on the
+    production-scale (large-vocab) path."""
     rows = sym.take(int(cap) + 1)
     if len(rows) > cap:
         return None
@@ -362,9 +366,14 @@ def bpe_train(
         raise ValueError("bpe_train: batch_pairs must be >= 1")
     from dataclass_array_spark.core.table import pin_materialization
 
-    sym0 = _init_symbols(_word_counts(df, text_col))
+    # pin BEFORE the small-vocab probe: probe and ladder then share one
+    # word-count materialization (the probe on the raw aggregate ran the
+    # corpus shuffle a second time in the large-vocab case); in the
+    # small-vocab case the pin holds only the tiny vocab table and is
+    # dropped at the next release_pins()
+    sym = pin_materialization(_init_symbols(_word_counts(df, text_col)), pin)
     cap = min(_DRIVER_VOCAB_MAX, _DRIVER_WORK_MAX // max(1, int(num_merges)))
-    rows = _collect_small_vocab(sym0, cap)
+    rows = _collect_small_vocab(sym, cap)
     if rows is not None:
         # driver path: one corpus scan, zero per-round jobs — merge
         # table provably identical to the distributed ladder
@@ -376,7 +385,6 @@ def bpe_train(
         return df.sparkSession.createDataFrame(
             got, "merge_rank long, left_sym string, right_sym string"
         )
-    sym = pin_materialization(sym0, pin)
     merges: List[Tuple[int, str, str]] = []
     rounds = 0
     while len(merges) < int(num_merges):
@@ -418,11 +426,13 @@ def bpe_word_symbols(
     depth from num_merges to the number of groups."""
     from dataclass_array_spark.core.table import pin_materialization
 
-    sym0 = _init_symbols(words)
+    # pin before the probe — same shared-materialization rationale as
+    # bpe_train
+    sym = pin_materialization(_init_symbols(words), pin)
     cap = min(
         _DRIVER_VOCAB_MAX, _DRIVER_WORK_MAX // max(1, len(list(merges)) or 1)
     )
-    rows = _collect_small_vocab(sym0, cap)
+    rows = _collect_small_vocab(sym, cap)
     if rows is not None:
         # driver path (round-15): segment the collected vocab locally —
         # the same sequential passes the grouped fold is proven equal
@@ -434,10 +444,13 @@ def bpe_word_symbols(
             for left, right in merges:
                 syms = _apply_merge_py(syms, left, right)
             segged.append((r["wid"], syms))
+        # wid keeps the INPUT dtype so the driver and distributed paths
+        # accept identical inputs (a non-string wid worked distributed
+        # but made this createDataFrame raise)
+        wid_type = words.schema["wid"].dataType.simpleString()
         return words.sparkSession.createDataFrame(
-            segged, "wid string, toks array<string>"
+            segged, f"wid {wid_type}, toks array<string>"
         )
-    sym = pin_materialization(sym0, pin)
     for i, run in enumerate(_group_nonconflicting(merges)):
         sym = sym.select(
             "wid", "cnt", _apply_merge_batch(F.col("syms"), run).alias("syms")

@@ -635,6 +635,7 @@ def dedup_incremental(
     threshold: float = 0.3,
     shingle_k: int = 3,
     max_bucket_size: Optional[int] = None,
+    pin_base: bool = True,
 ) -> DataFrame:
     """Incremental (batch-vs-store) dedup — the daily-crawl shape: flag
     every NEW document that duplicates the EXISTING corpus, exactly
@@ -647,11 +648,19 @@ def dedup_incremental(
     that a production store would serve from a pre-bucketed,
     incrementally-maintained signature table; batch-internal duplicates
     are deliberately out of scope (that is :func:`minhash_lsh_pairs` /
-    :func:`exact_dedup` on the batch).  Only matched candidates ever
-    carry shingle arrays (join-back verify with shuffle_hash hints, the
-    same design as :func:`minhash_lsh_pairs`).  ``max_bucket_size``
-    caps (band, sig) buckets over the UNION's band rows — a viral doc
-    may live on either side — on the same key the join shuffles on.
+    :func:`exact_dedup` on the batch).  ``max_bucket_size`` caps
+    (band, sig) buckets over the UNION's band rows — a viral doc may
+    live on either side — on the same key the join shuffles on.
+
+    ``pin_base`` is the space-time trade on the six-times-referenced
+    fingerprint+shingle frame.  True (default, measured faster at every
+    bench SF): materialize it ONCE — this stores shingle arrays for
+    every store+batch document in executor memory/disk for the
+    query's duration, roughly one corpus-sized spill.  False restores
+    the recompute shape (each reference re-runs union+md5+shingling,
+    and only matched candidates ever carry shingle arrays through a
+    shuffle — the :func:`minhash_lsh_pairs` design): the right choice
+    when the store is too large to spill a second copy of.
     """
     from dataclass_array_spark.operators.text import md5_fingerprint
 
@@ -680,16 +689,17 @@ def dedup_incremental(
     # both corpora (18 parquet scans in the gate plan).  This differs
     # from minhash_lsh_pairs' measured keep-recomputing choice (3
     # references there): at six references the recompute bill crosses
-    # the materialization cost, locally and at scale.
-    base = pin_materialization(
-        tagged.select(
-            "side",
-            "doc_id",
-            md5_fingerprint(F.col("__t")).alias("fp"),
-            word_shingles(F.col("__t"), shingle_k).alias("shingles"),
-        ),
-        "local",
+    # the materialization cost.  The pin stores per-doc shingle arrays
+    # (corpus-sized spill) — gate with pin_base=False on stores too
+    # large for that (docstring).
+    base = tagged.select(
+        "side",
+        "doc_id",
+        md5_fingerprint(F.col("__t")).alias("fp"),
+        word_shingles(F.col("__t"), shingle_k).alias("shingles"),
     )
+    if pin_base:
+        base = pin_materialization(base, "local")
     new_ids = base.filter(F.col("side") == "n").select("doc_id")
     exact = (
         base.filter(F.col("side") == "n")

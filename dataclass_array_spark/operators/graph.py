@@ -56,6 +56,16 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    # The cheap convergence check below sums comp as decimal(38,0) —
+    # exact ONLY for integral ids.  A string id casts to NULL (sum
+    # always NULL: the early break would never fire and the loop would
+    # silently run all max_iter rounds) and a fractional double could
+    # round two distinct labelings to equal sums (silently WRONG).
+    # Gate on the dtype and fall back to the exact join-and-count
+    # change detection for everything else.
+    integral_ids = dict(labels.dtypes)["comp"] in (
+        "tinyint", "smallint", "int", "bigint"
+    )
     prev_sum = None
     for i in range(max_iter):
         neigh_min = (
@@ -76,18 +86,33 @@ def connected_components(
         # next iteration then share one materialization instead of
         # executing the join/agg pipeline twice per iteration
         new_labels = pin_materialization(new_labels, pin)
-        # Convergence via the MONOTONE label sum (round-15): min-label
-        # propagation only ever DECREASES a label, so the exact decimal
-        # Σcomp is unchanged iff no label changed — a one-job scan of
-        # the just-pinned frame replaces the old join-and-count pass
-        # (one extra shuffle + pass per iteration, gone).
-        cur_sum = new_labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        if integral_ids:
+            # Convergence via the MONOTONE label sum (round-15):
+            # min-label propagation only ever DECREASES a label, so the
+            # exact decimal Σcomp is unchanged iff no label changed — a
+            # one-job scan of the just-pinned frame replaces the old
+            # join-and-count pass (one extra shuffle + pass per
+            # iteration, gone).
+            cur_sum = new_labels.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            converged = prev_sum is not None and cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            # non-integral ids (strings, floats): exact change count —
+            # both frames are pinned, so this joins two materialized
+            # label tables, not the full lineage
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            converged = changed == 0
         labels = new_labels
-        if prev_sum is not None and cur_sum == prev_sum:
+        if converged:
             break
-        prev_sum = cur_sum
     return labels
 
 

@@ -138,6 +138,18 @@ def _arrow_cumsum(with_pid, offsets, value_cols, out_cols):
 
         run = None
         for batch in it:
+            if batch.num_rows == 0:
+                # zero-row Arrow batches are legal (empty partition or
+                # empty trailing batch) — reading __pid[0] would raise
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(j) for j in range(batch.num_columns)]
+                    + [pa.array([], type=pa.int64()) for _ in ocols],
+                    schema=pa.schema(
+                        list(batch.schema)
+                        + [pa.field(o, pa.int64()) for o in ocols]
+                    ),
+                )
+                continue
             if run is None:
                 pid = batch.column("__pid")[0].as_py()
                 run = list(offs.get(pid, [0] * len(vcols)))
@@ -145,8 +157,12 @@ def _arrow_cumsum(with_pid, offsets, value_cols, out_cols):
             for i, v in enumerate(vcols):
                 col = batch.column(v)
                 if col.null_count:
+                    pid = batch.column("__pid")[0].as_py()
                     raise ValueError(
-                        f"global_cumsum: NULL in value column {v!r}"
+                        f"global_cumsum: NULL in value column {v!r} "
+                        f"(partition {pid}; the callers' aggregates "
+                        f"never produce NULL increments — check the "
+                        f"input frame)"
                     )
                 x = col.to_numpy(zero_copy_only=False).astype(np.int64)
                 c = np.cumsum(x) + np.int64(run[i])

@@ -317,3 +317,17 @@ def test_bpe_driver_path_equals_distributed_ladder(spark, sf_dir, monkeypatch):
         for r in B.bpe_encode(docs, "text", "doc_id", m_dst).collect()
     }
     assert enc_drv == enc_dst
+
+
+def test_bpe_word_symbols_nonstring_wid_driver_path(spark):
+    """Round-16 (advice): the driver path used to hardcode 'wid string',
+    so a words table with an integer wid worked on the distributed path
+    (implicit cast in _init_symbols) but raised on the driver path —
+    both paths must accept identical inputs and agree."""
+    import dataclass_array_spark.operators.bpe as B
+
+    words = spark.createDataFrame([(12, 3), (7, 2)], "wid long, cnt long")
+    seg = B.bpe_word_symbols(words, [])
+    got = {r["wid"]: list(r["toks"]) for r in seg.collect()}
+    assert got == {12: ["1", "2"], 7: ["7"]}
+    assert seg.schema["wid"].dataType.simpleString() == "bigint"

@@ -1186,3 +1186,15 @@ def test_ks_grouped_matches_global_per_slice(spark):
         assert grouped[g] == (
             solo["n_pos"], solo["n_neg"], int(solo["d_num"]), solo["ks"]
         ), g
+
+
+def test_global_cumsum_empty_input(spark):
+    """Round-16 (advice): zero-row inputs (and therefore zero-row Arrow
+    batches) must flow through the integer fast path without touching
+    __pid[0]."""
+    from dataclass_array_spark.operators.packing import global_cumsum
+
+    df = spark.createDataFrame([], "k double, v long")
+    out = global_cumsum(df, "k", "v")
+    assert out.collect() == []
+    assert out.schema["cum"].dataType.simpleString() == "bigint"

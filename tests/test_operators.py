@@ -375,6 +375,35 @@ def test_connected_components(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_string_ids_converge_early(spark):
+    """String node ids cannot use the decimal-sum convergence check
+    (they cast to NULL, so the old check never fired and the loop
+    silently ran all max_iter rounds); the join-and-count fallback must
+    break early.  Observable: job count stays near the 2 iterations the
+    graph needs instead of scaling with max_iter=25."""
+    import pandas as pd
+    from dataclass_array_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": ["a", "b", "x"], "id_b": ["b", "c", "y"]})
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("cc-string-test", "convergence probe")
+    try:
+        cc = {
+            r["node"]: r["comp"]
+            for r in connected_components(edges, max_iter=25).collect()
+        }
+    finally:
+        sc.setJobGroup(None, None)
+    assert cc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc-string-test"))
+    # measured ~28 jobs for the 3 iterations this graph needs (AQE
+    # splits each pin/count into several jobs); 25 non-converging
+    # iterations would be 170+.
+    assert n_jobs <= 60, n_jobs
+
+
 def test_asof_no_matches_and_empty_right(spark):
     import pandas as pd
 
