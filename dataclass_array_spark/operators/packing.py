@@ -181,6 +181,119 @@ def _arrow_cumsum(with_pid, offsets, value_cols, out_cols):
     return with_pid.mapInArrow(fn, out_schema).drop("__pid")
 
 
+# Driver-side cap on the |partitions × groups| per-(partition, group)
+# partial-sum table collected to compute grouped-cumsum offsets.  Groups
+# are slice dimensions (language, source, …), so this is normally tiny;
+# past the cap the window+broadcast-join fallback runs instead — the
+# bounded-small-side driver-dispatch rule the BPE/kmeans operators use.
+_GROUPED_OFFSETS_CAP = 1 << 18
+
+# Group-key dtypes the Arrow grouped pass accepts: types whose Python
+# values compare exactly like Spark's grouping semantics.  float/double
+# group keys are excluded (NaN == NaN in Spark grouping but not in
+# Python dict lookup) and fall back to the null-safe join path.
+_GROUP_KEY_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "string", "boolean", "date",
+}
+
+
+def _arrow_grouped_cumsum(with_pid, offsets, gcols, value_cols, out_cols):
+    """Per-group within-partition int64 running sums, seeded from the
+    per-(partition, group) offsets — the grouped twin of
+    :func:`_arrow_cumsum` (round 16).  The pinned frame is sorted by
+    ``(group…, order)`` within each range partition, so every group is
+    a CONTIGUOUS run of rows: one Arrow pass detects the run
+    boundaries and seeds each run from ``offsets[(pid, *group)]``,
+    replacing the old ``sum() OVER (PARTITION BY __pid, group…)``
+    window that re-shuffled every row by (pid, group…) plus the
+    offsets broadcast join.  Bit-exact vs the window form: identical
+    addends in identical (sorted) order, int64 adds, NULL increments
+    rejected loudly (the callers' aggregates never produce them)."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [f for f in with_pid.schema.fields]
+        + [T.StructField(o, T.LongType(), True) for o in out_cols]
+    )
+    offs = {k: [int(x) for x in v] for k, v in offsets.items()}
+    gc = list(gcols)
+    vcols = list(value_cols)
+    ocols = list(out_cols)
+    nv = len(vcols)
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cur = None  # (pid, *group) of the run in progress
+        run = None  # its carried totals (list[int], one per value col)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                # zero-row Arrow batches are legal (empty partition or
+                # empty trailing batch) — reading __pid[0] would raise
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(j) for j in range(batch.num_columns)]
+                    + [pa.array([], type=pa.int64()) for _ in ocols],
+                    schema=pa.schema(
+                        list(batch.schema)
+                        + [pa.field(o, pa.int64()) for o in ocols]
+                    ),
+                )
+                continue
+            pid = batch.column("__pid")[0].as_py()
+            garrs = [batch.column(g) for g in gc]
+            # group-change mask between consecutive rows (null-safe:
+            # NULL group values form their own group, like SQL GROUP BY)
+            change = np.zeros(n, dtype=bool)
+            if n > 1:
+                for a in garrs:
+                    hi, lo = a.slice(1), a.slice(0, n - 1)
+                    eq = pc.fill_null(pc.equal(hi, lo), False)
+                    both_null = pc.and_(pc.is_null(hi), pc.is_null(lo))
+                    same = pc.or_(eq, both_null)
+                    change[1:] |= np.logical_not(
+                        same.to_numpy(zero_copy_only=False)
+                    )
+            starts = np.flatnonzero(
+                np.concatenate(([True], change[1:]))
+            )
+            bounds = np.append(starts, n)
+            vals = []
+            for v in vcols:
+                col = batch.column(v)
+                if col.null_count:
+                    raise ValueError(
+                        f"grouped_cumsum: NULL in value column {v!r} "
+                        f"(partition {pid}; the callers' aggregates "
+                        f"never produce NULL increments — check the "
+                        f"input frame)"
+                    )
+                vals.append(col.to_numpy(zero_copy_only=False).astype(np.int64))
+            outs = [np.empty(n, dtype=np.int64) for _ in range(nv)]
+            for si in range(len(starts)):
+                i0, i1 = int(bounds[si]), int(bounds[si + 1])
+                key = (pid, *[a[i0].as_py() for a in garrs])
+                if key != cur:
+                    cur = key
+                    run = list(offs.get(key, [0] * nv))
+                for i in range(nv):
+                    c = np.cumsum(vals[i][i0:i1]) + np.int64(run[i])
+                    outs[i][i0:i1] = c
+                    run[i] = int(c[-1])
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(j) for j in range(batch.num_columns)]
+                + [pa.array(o, type=pa.int64()) for o in outs],
+                schema=pa.schema(
+                    list(batch.schema)
+                    + [pa.field(o, pa.int64()) for o in ocols]
+                ),
+            )
+
+    return with_pid.mapInArrow(fn, out_schema).drop("__pid")
+
+
 def grouped_cumsum(
     df: DataFrame,
     group_cols: "list[str]",
@@ -243,6 +356,47 @@ def grouped_cumsum(
             for i, v in enumerate(value_cols)
         ]
     )
+    # Narrow Arrow pass (round 16, the grouped twin of global_cumsum's
+    # round-15 change): when the value columns are integral and the
+    # group keys compare exactly in Python (see _GROUP_KEY_TYPES), the
+    # per-(partition, group) partial sums — a slice-dimension-bounded
+    # table — are collected once and the running sums are computed
+    # in-place over the pinned, already-sorted frame.  This deletes the
+    # ``PARTITION BY (__pid, group…)`` window's full re-shuffle of
+    # every row plus the offsets broadcast join.  Oversized offset
+    # tables (> _GROUPED_OFFSETS_CAP rows) and non-conforming dtypes
+    # keep the window+join path.
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    vtypes = dict(df.dtypes)
+    if all(vtypes.get(v) in integral for v in value_cols) and all(
+        vtypes.get(g) in _GROUP_KEY_TYPES for g in gcols
+    ):
+        rows = part_sums.take(_GROUPED_OFFSETS_CAP + 1)
+        if len(rows) <= _GROUPED_OFFSETS_CAP:
+            per_group: dict = {}
+            for r in rows:
+                gkey = tuple(r[c] for c in gcols)
+                for i in range(len(value_cols)):
+                    if r[f"__ps{i}"] is None:
+                        raise ValueError(
+                            "grouped_cumsum: NULL partial sum for "
+                            f"value column {value_cols[i]!r} (group "
+                            f"{gkey!r}) — NULL increments are not "
+                            "supported on the Arrow path"
+                        )
+                per_group.setdefault(gkey, []).append(
+                    (r["__pid"], [r[f"__ps{i}"] for i in range(len(value_cols))])
+                )
+            offsets = {}
+            for gkey, lst in per_group.items():
+                acc = [0] * len(value_cols)
+                for pid, sums in sorted(lst, key=lambda t: t[0]):
+                    offsets[(pid, *gkey)] = list(acc)
+                    for i, s in enumerate(sums):
+                        acc[i] += s
+            return _arrow_grouped_cumsum(
+                with_pid, offsets, gcols, value_cols, out_cols
+            )
     wo = (
         Window.partitionBy(*gcols)
         .orderBy("__pid")

@@ -552,6 +552,41 @@ def test_grouped_cumsum_matches_python_and_handles_null_groups(spark):
         assert got[(g, k)] == acc[g], (g, k)
 
 
+def test_grouped_cumsum_arrow_path_equals_window_fallback(spark):
+    """Round-16 differential: the mapInArrow grouped pass (integral
+    values, exact group keys) must produce bit-identical running sums
+    to the window+broadcast-join fallback it replaces — including NULL
+    groups, multi-column values, and groups spanning partitions."""
+    import random as _r
+
+    from dataclass_array_spark.operators import packing
+
+    _r.seed(461)
+    rows = [
+        (float(i), _r.choice(["a", "b", None]), _r.randint(0, 9),
+         _r.randint(-5, 5))
+        for i in range(1200)
+    ]
+    df = spark.createDataFrame(rows, "k double, g string, v long, w long")
+
+    def run():
+        return {
+            (r["g"], r["k"]): (r["cv"], r["cw"])
+            for r in packing.grouped_cumsum(
+                df, ["g"], "k", ["v", "w"], out_col=["cv", "cw"]
+            ).collect()
+        }
+
+    arrow = run()
+    cap = packing._GROUPED_OFFSETS_CAP
+    packing._GROUPED_OFFSETS_CAP = 0  # force the window fallback
+    try:
+        window = run()
+    finally:
+        packing._GROUPED_OFFSETS_CAP = cap
+    assert arrow == window
+
+
 def test_grouped_cumsum_empty_groups_delegates_to_global(spark):
     from dataclass_array_spark.operators.packing import (
         global_cumsum,
@@ -567,9 +602,11 @@ def test_grouped_cumsum_empty_groups_delegates_to_global(spark):
 
 def test_auc_grouped_no_single_task_global_sort(spark):
     """Grouped AUC must never need a partition-less (single-task)
-    window: the per-group cumneg windows within (__pid, group) after
-    the range partition, and the tiny offsets window partitions by
-    group.  Every window spec must carry one of the two."""
+    window.  Since round 16 the integral/exact-group-key case computes
+    the running count in a mapInArrow pass over the pinned range
+    partitions — ZERO window specs; any window that does appear (the
+    fallback path for non-conforming dtypes) must partition by
+    (__pid, …) or by the group column."""
     import io
     import re
     from contextlib import redirect_stdout
@@ -581,9 +618,10 @@ def test_auc_grouped_no_single_task_global_sort(spark):
         auc_exact(df, "y", "s", group_cols=["g"]).explain("formatted")
     p = buf.getvalue()
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
-    assert specs
     for spec in specs:
         assert "__pid" in spec or "g#" in spec, spec
+    # the integral-count path runs windowless through PythonMapInArrow
+    assert "MapInArrow" in p or specs == []
 
 
 def test_classifier_auc_by_source_gate_is_meaningful(spark):
