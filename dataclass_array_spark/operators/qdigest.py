@@ -100,6 +100,45 @@ def qdigest_build(
     return qdigest_compress(leaves, group_cols, bits, k)
 
 
+# Driver-side dispatch cap for the compress ladder: a leaf table is
+# sketch-sized BY CONSTRUCTION (≤ |groups| · 2^bits rows — a histogram,
+# independent of corpus size), so when it fits comfortably on the
+# driver the 2·bits distributed rounds of joins+pins collapse into one
+# collect + a trivial integer fold (the BPE/k-means bounded-small-side
+# rule).  Larger leaf tables (many groups × deep tries) keep the
+# distributed ladder — pinned by the forced-ladder differential test.
+_DRIVER_LEAVES_CAP = 1 << 16
+
+
+def _compress_ladder_py(rows, group_cols, bits, k):
+    """Exact Python replay of the distributed greedy ladder: per-group
+    threshold t = floor(n/k); per level, parent sums s over id//2;
+    every current row whose parent exceeds t is EMITTED at this level,
+    sub-threshold parents are carried up; survivors land at lvl=bits.
+    All-integer arithmetic — node-for-node identical to the join
+    ladder (floor(id/2) == id // 2 for the non-negative bucket ids,
+    and for negatives both engines floor toward -inf)."""
+    n_by_g: dict = {}
+    for g, _i, c in rows:
+        n_by_g[g] = n_by_g.get(g, 0) + c
+    t_by_g = {g: n // int(k) for g, n in n_by_g.items()}
+    cur = rows
+    out = []
+    for lvl in range(int(bits)):
+        s: dict = {}
+        for g, i, c in cur:
+            key = (g, i // 2)
+            s[key] = s.get(key, 0) + c
+        for g, i, c in cur:
+            if s[(g, i // 2)] > t_by_g[g]:
+                out.append((g, lvl, i, c))
+        cur = [
+            (g, p, sc) for (g, p), sc in s.items() if sc <= t_by_g[g]
+        ]
+    out.extend((g, int(bits), i, c) for g, i, c in cur)
+    return out
+
+
 def qdigest_compress(
     leaves: DataFrame,
     group_cols: "list[str]",
@@ -116,17 +155,48 @@ def qdigest_compress(
     (:func:`~dataclass_array_spark.core.table.pin_materialization`) —
     without this, materializing the digest re-executes an O(bits²)
     cascade of the (bounded, but shuffle-bearing) round plans, and
-    every downstream action repeats it."""
+    every downstream action repeats it.
+
+    Round 16: the leaf table is sketch-sized by construction, so when
+    it fits the driver (≤ ``_DRIVER_LEAVES_CAP`` rows) the whole
+    ladder runs as one collect + integer fold — identical nodes, none
+    of the 2·bits scheduling barriers.  The leaf aggregation feeding
+    this is still fully distributed either way; the probe reads from
+    the pinned frame, so the distributed fallback shares the same
+    single materialization (no extra corpus pass on the big path)."""
     from dataclass_array_spark.core.table import pin_materialization
 
+    cur = pin_materialization(leaves, pin)
+    probe = cur.take(_DRIVER_LEAVES_CAP + 1)
+    if len(probe) <= _DRIVER_LEAVES_CAP:
+        import pyspark.sql.types as T
+
+        gkeyed = [
+            (tuple(r[c] for c in group_cols), int(r["id"]), int(r["cnt"]))
+            for r in probe
+        ]
+        nodes = _compress_ladder_py(gkeyed, group_cols, bits, k)
+        schema = T.StructType(
+            [leaves.schema[c] for c in group_cols]
+            + [
+                T.StructField("lvl", T.LongType(), False),
+                T.StructField("id", T.LongType(), True),
+                T.StructField("cnt", T.LongType(), True),
+            ]
+        )
+        return leaves.sparkSession.createDataFrame(
+            [(*g, lvl, i, c) for (g, lvl, i, c) in nodes], schema
+        )
+    # aggregate totals from the PINNED frame — the old code aggregated
+    # from the raw ``leaves`` plan, re-materializing the corpus-sized
+    # leaf aggregation a second time just for the thresholds
     tot = pin_materialization(
-        leaves.groupBy(*group_cols).agg(
+        cur.groupBy(*group_cols).agg(
             F.sum("cnt").cast("long").alias("__n"),
             F.floor(F.sum("cnt") / F.lit(int(k))).cast("long").alias("__t"),
         ),
         pin,
     )
-    cur = pin_materialization(leaves, pin)
     parts = []
     for lvl in range(int(bits)):
         g = _gjoin(
