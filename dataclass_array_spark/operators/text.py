@@ -798,22 +798,23 @@ def bigram_xent_scores(df, text_col: str, id_col: str):
     ln_den = cu.crossJoin(F.broadcast(vocab)).select(
         "w1", ln_exact(F.col("cu") + F.col("V")).alias("ln_den")
     )
-    entry = F.when(
-        F.col("pos").isNotNull(),
-        F.struct(
-            F.col("pos"),
-            (F.col("ln_den") - F.col("ln_num")).alias("nll"),
-        ),
-    )
     # ln_num is BIGRAM-TYPE-sized and ln_den prefix-VOCAB-sized — both
     # corpus-derived and unbounded (Heaps' law), so neither carries a
     # broadcast hint; AQE broadcasts whichever actually fits at runtime
     # (a forced hint = 8 GB limit / driver OOM at 100 TB).  Only
     # bounded-by-construction sides (the 1-row vocab total, ln_v) keep
     # hints.  Values are hint-independent.
+    # Round 16: pre-join ln_den onto the bigram-type table (LM-level,
+    # total for self-scoring) so the instance frame shuffles once.
+    scored_types = ln_num.join(ln_den, ["w1"]).select(
+        "w1", "w2", (F.col("ln_den") - F.col("ln_num")).alias("__nll")
+    )
+    entry = F.when(
+        F.col("pos").isNotNull(),
+        F.struct(F.col("pos"), F.col("__nll").alias("nll")),
+    )
     per_doc = (
-        inst.join(ln_num, ["w1", "w2"], "left")
-        .join(ln_den, ["w1"], "left")
+        inst.join(scored_types, ["w1", "w2"], "left")
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_bigrams"),
@@ -883,22 +884,36 @@ def bigram_xent_scores_heldout(train_df, score_df, text_col: str, id_col: str):
         ).alias("ln_v")
     )
     inst_s = _bigram_instances(score_df, text_col, id_col)
-    entry = F.when(
-        F.col("pos").isNotNull(),
-        F.struct(
-            F.col("pos"),
+    # ln_num / ln_den: corpus-derived, unhinted (see bigram_xent_scores);
+    # ln_v is one row — hint kept.
+    # Round 16: score the DISTINCT pairs of the scored corpus through
+    # the two LM join-backs and attach with ONE corpus-sized join (the
+    # old shape shuffled the instance frame by w1w2 and again by w1);
+    # per-pair nll values are unchanged.
+    types = (
+        inst_s.filter(F.col("pos").isNotNull())
+        .select("w1", "w2")
+        .distinct()
+    )
+    scored_types = (
+        types.join(ln_num, ["w1", "w2"], "left")
+        .join(ln_den, ["w1"], "left")
+        .crossJoin(F.broadcast(ln_v))
+        .select(
+            "w1",
+            "w2",
             (
                 F.coalesce(F.col("ln_den"), F.col("ln_v"))
                 - F.coalesce(F.col("ln_num"), F.lit(0.0))
-            ).alias("nll"),
-        ),
+            ).alias("__nll"),
+        )
     )
-    # ln_num / ln_den: corpus-derived, unhinted (see bigram_xent_scores);
-    # ln_v is one row — hint kept.
+    entry = F.when(
+        F.col("pos").isNotNull(),
+        F.struct(F.col("pos"), F.col("__nll").alias("nll")),
+    )
     per_doc = (
-        inst_s.join(ln_num, ["w1", "w2"], "left")
-        .join(ln_den, ["w1"], "left")
-        .crossJoin(F.broadcast(ln_v))
+        inst_s.join(scored_types, ["w1", "w2"], "left")
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_bigrams"),
@@ -1054,15 +1069,19 @@ def kneser_ney_xent_scores(df, text_col: str, id_col: str):
             )
         ).alias("ln_den"),
     )
+    # Round 16: pre-join the per-prefix ln_den onto the bigram-type
+    # table (LM-level inner join — total for self-scoring, both sides
+    # aggregate cb) and attach nll to the instance frame with ONE
+    # corpus-sized join instead of two (by w1w2, then again by w1).
+    scored_types = num.join(den, ["w1"]).select(
+        "w1", "w2", (F.col("ln_den") - F.col("ln_num")).alias("__nll")
+    )
     entry = F.when(
         F.col("pos").isNotNull(),
-        F.struct(
-            F.col("pos"), (F.col("ln_den") - F.col("ln_num")).alias("nll")
-        ),
+        F.struct(F.col("pos"), F.col("__nll").alias("nll")),
     )
     per_doc = (
-        inst.join(num, ["w1", "w2"], "left")
-        .join(den, ["w1"], "left")
+        inst.join(scored_types, ["w1", "w2"], "left")
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_bigrams"),
@@ -1190,15 +1209,32 @@ def kneser_ney_xent_scores_heldout(train_df, score_df, text_col: str, id_col: st
         )
         .otherwise(F.col("ln_t") - ln_exact_dec(_dec38(ncf)))
     )
-    entry = F.when(
-        F.col("pos").isNotNull(),
-        F.struct(F.col("pos"), nll.alias("nll")),
+    # Round 16: the per-bigram nll depends only on the bigram TYPE —
+    # score the distinct pairs of the corpus (Heaps-bounded) through
+    # the three LM join-backs and attach with ONE corpus-sized join;
+    # the old shape re-shuffled the full instance frame three times
+    # (by w1w2, by w1, by w2).  The branch-2 backoff ln now runs once
+    # per DISTINCT pair instead of per instance — same pure function
+    # of the same integers, so values are unchanged (and the DuckDB
+    # mirror already computed it per distinct pair).
+    types = (
+        inst_s.filter(F.col("pos").isNotNull())
+        .select("w1", "w2")
+        .distinct()
     )
-    per_doc = (
-        inst_s.join(num1, ["w1", "w2"], "left")
+    scored_types = (
+        types.join(num1, ["w1", "w2"], "left")
         .join(den, ["w1"], "left")
         .join(ncw2, ["w2"], "left")
         .crossJoin(F.broadcast(ln_t))
+        .select("w1", "w2", nll.alias("__nll"))
+    )
+    entry = F.when(
+        F.col("pos").isNotNull(),
+        F.struct(F.col("pos"), F.col("__nll").alias("nll")),
+    )
+    per_doc = (
+        inst_s.join(scored_types, ["w1", "w2"], "left")
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_bigrams"),
@@ -1418,15 +1454,25 @@ def kneser_ney3_xent_scores(df, text_col: str, id_col: str):
             ).alias("ln_den"),
         )
     )
+    # Round 16: attach the per-prefix ln_den to the trigram-type table
+    # with a TYPE-level join, then attach nll to the instance frame
+    # with ONE corpus-sized join — the old shape shuffled the full
+    # instance frame twice (by w1w2w3 for num, again by w1w2 for den).
+    # Self-scoring means every num row's prefix exists in den (both
+    # aggregate the same t3), so the inner pre-join keeps exactly
+    # num's row set and ln_den still runs once per PREFIX type.
+    scored_types = num.join(den, ["w1", "w2"]).select(
+        "w1",
+        "w2",
+        "w3",
+        (F.col("ln_den") - F.col("ln_num")).alias("__nll"),
+    )
     entry = F.when(
         F.col("pos").isNotNull(),
-        F.struct(
-            F.col("pos"), (F.col("ln_den") - F.col("ln_num")).alias("nll")
-        ),
+        F.struct(F.col("pos"), F.col("__nll").alias("nll")),
     )
     per_doc = (
-        inst.join(num, ["w1", "w2", "w3"], "left")
-        .join(den, ["w1", "w2"], "left")
+        inst.join(scored_types, ["w1", "w2", "w3"], "left")
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_trigrams"),
@@ -1539,123 +1585,116 @@ def kn3_score_from_counts(t3, score_df, text_col: str, id_col: str):
         )
         .alias("T")
     )
-    num1a = (
-        t3.join(t23, ["w2", "w3"])
-        .join(b12.select("w1", "w2", "n1"), ["w1", "w2"])
-        .join(e2, ["w2"])
-        .join(n2, ["w2"])
-        .join(m3, ["w3"])
-        .crossJoin(F.broadcast(tt))
-        .select(
-            "w1",
-            "w2",
-            "w3",
-            ln_exact_dec(
-                checked_dec38(
-                    (_dec38(F.col("c")) * 4 - 3)
-                    * 4
-                    * _dec38(F.col("ee"))
-                    * _dec38(F.col("T"))
-                    + _dec38(F.col("n1"))
-                    * 3
-                    * (
-                        (_dec38(F.col("n23")) * 4 - 3) * _dec38(F.col("T"))
-                        + _dec38(F.col("nn2")) * 3 * _dec38(F.col("mm"))
-                    ),
-                    "numerator (4c-3)*4*E*T + 3*N1*((4n-3)*T + 3*N2*M)",
-                )
-            ).alias("ln_num1a"),
-        )
-    )
-    d12 = (
-        b12.join(e2, ["w2"])
-        .crossJoin(F.broadcast(tt))
-        .select(
-            "w1",
-            "w2",
-            ln_exact_dec(
-                checked_dec38(
-                    _dec38(F.col("bb")) * 16 * _dec38(F.col("ee"))
-                    * _dec38(F.col("T")),
-                    "denominator 16*B*E*T",
-                )
-            ).alias("ln_den3"),
-            ln_exact_dec(
-                checked_dec38(_dec38(F.col("bb")) * 4, "4*B")
-            ).alias("ln_4b"),
-            ln_exact_dec(
-                checked_dec38(_dec38(F.col("n1")) * 3, "3*N1")
-            ).alias("ln_3n1"),
-        )
-    )
-    c23 = (
-        t23.join(n2, ["w2"])
-        .join(m3, ["w3"])
-        .crossJoin(F.broadcast(tt))
-        .select(
-            "w2",
-            "w3",
-            ln_exact_dec(
-                checked_dec38(
-                    (_dec38(F.col("n23")) * 4 - 3) * _dec38(F.col("T"))
-                    + _dec38(F.col("nn2")) * 3 * _dec38(F.col("mm")),
-                    "p2 numerator (4n-3)*T + 3*N2*M",
-                )
-            ).alias("ln_2a"),
-        )
-    )
-    w2t = (
-        e2.join(n2, ["w2"])
-        .crossJoin(F.broadcast(tt))
-        .select(
-            "w2",
-            ln_exact_dec(
-                checked_dec38(
-                    _dec38(F.col("ee")) * 4 * _dec38(F.col("T")), "4*E*T"
-                )
-            ).alias("ln_d2"),
-            ln_exact_dec(
-                checked_dec38(_dec38(F.col("nn2")) * 3, "3*N2")
-            ).alias("ln_3n2"),
-        )
-    )
-    w3t = m3.select("w3", ln_exact_dec(_dec38(F.col("mm"))).alias("ln_m"))
-    ln_t = tt.select(ln_exact_dec(_dec38(F.col("T"))).alias("ln_t"))
+    # Round 16 restructure (results bit-identical): the per-trigram
+    # nll depends only on the trigram TYPE, so score the DISTINCT
+    # types of the corpus (a Heaps-bounded table) and attach the
+    # result to the instance frame with ONE corpus-sized join.  The
+    # old shape left-joined the FULL instance frame against five
+    # pre-joined branch tables (num1a/d12/c23/w2t/w3t) — five
+    # corpus-sized shuffles (one per join key), plus ~7 more
+    # LM-sized joins building the branches.  Now: the six raw stat
+    # tables (t3, b12, t23, e2, n2, m3) attach to the type table
+    # with six type-level left joins, and all ln terms are computed
+    # in one projection over the flat row.  The null patterns are
+    # unchanged — every branch table's inner-join chain was total on
+    # its gate column (a trigram in t3 always has its prefix in b12,
+    # its (w2,w3) in t23, its w2 in e2/n2, its w3 in m3, because
+    # those tables aggregate t3 itself), so gating each ln on that
+    # column's presence reproduces the old left-join NULLs exactly.
+    # The ln series are bound through ONE struct let() so each runs
+    # once per type row, as the branch-table projections did.
     inst_s = _trigram_instances(score_df, text_col, id_col)
-    lnm_fl = F.coalesce(F.col("ln_m"), F.lit(0.0))  # max(M,1): ln 1 = 0
-    nll = (
-        F.when(
-            F.col("ln_num1a").isNotNull(),
-            F.col("ln_den3") - F.col("ln_num1a"),
-        )
-        .when(
-            F.col("ln_4b").isNotNull() & F.col("ln_2a").isNotNull(),
-            (F.col("ln_4b") + F.col("ln_d2"))
-            - (F.col("ln_3n1") + F.col("ln_2a")),
-        )
-        .when(
-            F.col("ln_4b").isNotNull(),
-            (F.col("ln_4b") + F.col("ln_d2"))
-            - (F.col("ln_3n1") + F.col("ln_3n2") + lnm_fl),
-        )
-        .when(F.col("ln_2a").isNotNull(), F.col("ln_d2") - F.col("ln_2a"))
-        .when(
-            F.col("ln_d2").isNotNull(),
-            F.col("ln_d2") - (F.col("ln_3n2") + lnm_fl),
-        )
-        .otherwise(F.col("ln_t") - lnm_fl)
+    types = (
+        inst_s.filter(F.col("pos").isNotNull())
+        .select("w1", "w2", "w3")
+        .distinct()
     )
+    stats = (
+        types.join(t3, ["w1", "w2", "w3"], "left")
+        .join(b12, ["w1", "w2"], "left")
+        .join(t23, ["w2", "w3"], "left")
+        .join(e2, ["w2"], "left")
+        .join(n2, ["w2"], "left")
+        .join(m3, ["w3"], "left")
+        .crossJoin(F.broadcast(tt))
+    )
+    # The ln terms, as direct expressions over the flat row.  The old
+    # branch tables' attachment NULLs map 1:1 onto cheap raw-column
+    # null tests: ln_num1a existed iff the trigram was in t3 (c), the
+    # d12 terms iff the prefix was in b12 (bb), ln_2a iff (w2,w3) was
+    # in t23 (n23), the w2t terms iff w2 was in e2/n2 (ee ≡ nn2 key
+    # sets — both aggregate t3's w2), ln_m iff w3 was in m3 (mm); the
+    # remaining stat inputs of each term are total on its gate column
+    # because every stat table aggregates t3 itself.  Gating the
+    # CASE WHEN chain on those raw columns means each type row
+    # lazily evaluates ONLY the ln series of the branch it takes —
+    # strictly fewer series than the old shape's 9-per-matched-row
+    # branch projections.
+    ln_num1a = ln_exact_dec(
+        checked_dec38(
+            (_dec38(F.col("c")) * 4 - 3)
+            * 4
+            * _dec38(F.col("ee"))
+            * _dec38(F.col("T"))
+            + _dec38(F.col("n1"))
+            * 3
+            * (
+                (_dec38(F.col("n23")) * 4 - 3) * _dec38(F.col("T"))
+                + _dec38(F.col("nn2")) * 3 * _dec38(F.col("mm"))
+            ),
+            "numerator (4c-3)*4*E*T + 3*N1*((4n-3)*T + 3*N2*M)",
+        )
+    )
+    ln_den3 = ln_exact_dec(
+        checked_dec38(
+            _dec38(F.col("bb")) * 16 * _dec38(F.col("ee"))
+            * _dec38(F.col("T")),
+            "denominator 16*B*E*T",
+        )
+    )
+    ln_4b = ln_exact_dec(checked_dec38(_dec38(F.col("bb")) * 4, "4*B"))
+    ln_3n1 = ln_exact_dec(checked_dec38(_dec38(F.col("n1")) * 3, "3*N1"))
+    ln_2a = ln_exact_dec(
+        checked_dec38(
+            (_dec38(F.col("n23")) * 4 - 3) * _dec38(F.col("T"))
+            + _dec38(F.col("nn2")) * 3 * _dec38(F.col("mm")),
+            "p2 numerator (4n-3)*T + 3*N2*M",
+        )
+    )
+    ln_d2 = ln_exact_dec(
+        checked_dec38(_dec38(F.col("ee")) * 4 * _dec38(F.col("T")), "4*E*T")
+    )
+    ln_3n2 = ln_exact_dec(checked_dec38(_dec38(F.col("nn2")) * 3, "3*N2"))
+    ln_m = ln_exact_dec(_dec38(F.col("mm")))
+    ln_t = ln_exact_dec(_dec38(F.col("T")))
+    lnm_fl = F.when(F.col("mm").isNotNull(), ln_m).otherwise(
+        F.lit(0.0)
+    )  # max(M,1): ln 1 = 0
+    seen_c = F.col("c").isNotNull()
+    seen_b = F.col("bb").isNotNull()
+    seen_n23 = F.col("n23").isNotNull()
+    seen_e = F.col("ee").isNotNull()
+    nll = (
+        F.when(seen_c, ln_den3 - ln_num1a)
+        .when(
+            seen_b & seen_n23,
+            (ln_4b + ln_d2) - (ln_3n1 + ln_2a),
+        )
+        .when(
+            seen_b,
+            (ln_4b + ln_d2) - (ln_3n1 + ln_3n2 + lnm_fl),
+        )
+        .when(seen_n23, ln_d2 - ln_2a)
+        .when(seen_e, ln_d2 - (ln_3n2 + lnm_fl))
+        .otherwise(ln_t - lnm_fl)
+    )
+    scored_types = stats.select("w1", "w2", "w3", nll.alias("__nll"))
     entry = F.when(
         F.col("pos").isNotNull(),
-        F.struct(F.col("pos"), nll.alias("nll")),
+        F.struct(F.col("pos"), F.col("__nll").alias("nll")),
     )
     per_doc = (
-        inst_s.join(num1a, ["w1", "w2", "w3"], "left")
-        .join(d12, ["w1", "w2"], "left")
-        .join(c23, ["w2", "w3"], "left")
-        .join(w2t, ["w2"], "left")
-        .join(w3t, ["w3"], "left")
-        .crossJoin(F.broadcast(ln_t))
+        inst_s.join(scored_types, ["w1", "w2", "w3"], "left")
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_trigrams"),
