@@ -327,6 +327,15 @@ def bloom_build(
     )
 
 
+# Bitmask-literal cap for bloom_probe: filters up to this many bits
+# (2^20 bits = 16384 packed longs, ~128 KB of plan literal) probe as a
+# pure map-side expression; larger filters keep the join+aggregation
+# path.  The position table is ≤ n_bits rows BY CONSTRUCTION, so the
+# driver collect is bounded — the classifier literal-weights /
+# qdigest-ladder bounded-small-side rule.
+_BLOOM_LITERAL_MAX_BITS = 1 << 20
+
+
 def bloom_probe(
     bloom: DataFrame,
     probes: DataFrame,
@@ -335,13 +344,56 @@ def bloom_probe(
     k: int = 5,
 ) -> DataFrame:
     """Membership probe: ``(key..., in_bloom)`` — true iff ALL k bit
-    positions are set.  The position table joins broadcast; the count
-    of matched positions per key equals k exactly when every bit is
-    set (positions can collide WITHIN a key, so the probe counts
-    DISTINCT matched positions against the key's distinct-position
-    count, not k)."""
+    positions are set.  ``probes`` must be key-distinct (both gate
+    callers probe a ``.distinct()`` key set).
+
+    Round 16: filters within ``_BLOOM_LITERAL_MAX_BITS`` collect the
+    (≤ n_bits-row) position table once and probe via a packed-long
+    BITMASK ARRAY LITERAL — the probe becomes a map-only expression
+    (zero explode, zero join, zero aggregation), which is also the
+    100 TB shape: a shipped bloom filter is applied in-scan, never by
+    joining every probe row against a position table.  Larger filters
+    keep the old explode + broadcast-join + count path (positions can
+    collide WITHIN a key, so that path counts DISTINCT matched
+    positions per key — the bit test is insensitive to the same
+    collision, so both paths agree row-for-row)."""
     A, B = _cm_constants(k)
     h = _hash32(F.col(key_col).cast("string"))
+    if n_bits <= _BLOOM_LITERAL_MAX_BITS:
+        words = [0] * ((int(n_bits) + 63) >> 6)
+        for r in bloom.select("pos").collect():
+            p = int(r["pos"])
+            words[p >> 6] |= 1 << (p & 63)
+        # two's-complement fold into signed int64 array elements; the
+        # packed mask ships as a ONE-ROW broadcast frame, not a plan
+        # literal — pyspark's per-element lit() construction costs
+        # seconds at 2^20 bits (16384 longs), a pickled createDataFrame
+        # row is milliseconds, and the query plan stays small
+        signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        mask_df = probes.sparkSession.createDataFrame(
+            [(signed,)], "__mask array<long>"
+        )
+        mask = F.col("__mask")
+        hb = F.col("__h")
+
+        def bit_set(j: int):
+            p = _bucket(hb, A[j], B[j], n_bits)
+            word = F.element_at(mask, (p / 64).cast("int") + 1)
+            b = F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (p % 64).cast("int"),
+            )
+            return word.bitwiseAND(b) != 0
+
+        test = bit_set(0)
+        for j in range(1, k):
+            test = test & bit_set(j)
+        return (
+            probes.withColumn("__h", h)
+            .crossJoin(F.broadcast(mask_df))
+            .select(F.col(key_col), test.alias("in_bloom"))
+        )
     pos = F.array(*[_bucket(h, A[j], B[j], n_bits) for j in range(k)])
     exploded = probes.select(
         F.col(key_col), F.explode(F.array_distinct(pos)).alias("pos")
