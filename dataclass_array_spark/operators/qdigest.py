@@ -329,6 +329,57 @@ def qdigest_quantiles(
         )
     nb = 1 << int(bits)
     width = (float(hi) - float(lo)) / float(nb)
+    # Round 16: a digest is O(|groups|·k·bits) rows by construction —
+    # when it fits the driver, the quantile scan (window + one join
+    # per p) collapses to a collected sort + Python scan that replays
+    # the distributed ops exactly: integer cum counts, rank =
+    # ceil(p · double(n)) (same IEEE product), first node in
+    # (maxb, lvl) order with cum ≥ rank (Python tuple min ==
+    # min(struct(maxb, lvl))), est = lo + (maxb + 0.5)·width (the
+    # identical double op sequence — width is computed driver-side in
+    # both paths).  Oversized digests keep the distributed scan.
+    probe = digest.take(_DRIVER_LEAVES_CAP + 1)
+    if len(probe) <= _DRIVER_LEAVES_CAP:
+        import math
+
+        import pyspark.sql.types as T
+
+        by_g: dict = {}
+        for r in probe:
+            gkey = tuple(r[c] for c in group_cols)
+            maxb = (int(r["id"]) + 1) * (1 << int(r["lvl"])) - 1
+            by_g.setdefault(gkey, []).append(
+                (maxb, int(r["lvl"]), int(r["cnt"]))
+            )
+        out_rows = []
+        for gkey, nodes in by_g.items():
+            nodes.sort()
+            n = sum(c for _, _, c in nodes)
+            row = [*gkey, n]
+            ok = True
+            for p in ps:
+                rank = int(math.ceil(float(p) * float(n)))
+                cum = 0
+                est = None
+                for maxb, _lvl, c in nodes:
+                    cum += c
+                    if cum >= rank:
+                        est = float(lo) + (float(maxb) + 0.5) * width
+                        break
+                if est is None:
+                    # no qualifying node — the distributed inner join
+                    # drops the group; replicate
+                    ok = False
+                    break
+                row.append(est)
+            if ok:
+                out_rows.append(tuple(row))
+        schema = T.StructType(
+            [digest.schema[c] for c in group_cols]
+            + [T.StructField("n", T.LongType(), True)]
+            + [T.StructField(lb, T.DoubleType(), True) for lb in labels]
+        )
+        return digest.sparkSession.createDataFrame(out_rows, schema)
     # shiftleft needs F.expr for a COLUMN bit count (python API takes a
     # literal only — the sketch.py HLL lesson)
     d = digest.withColumn(
