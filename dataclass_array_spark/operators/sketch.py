@@ -35,6 +35,13 @@ from pyspark.sql import functions as F
 
 _CM_P = (1 << 61) - 1
 
+# Driver-dispatch cap for sketch-sized scans (hist quantiles): sketches
+# are bounded by construction (|groups| × nbuckets cells), so within
+# the cap the quantile scan collects once and replays in Python — the
+# q-digest/BPE/k-means bounded-small-side rule.  Forced-distributed
+# differential tests monkeypatch this to 0.
+_DRIVER_SKETCH_CAP = 1 << 16
+
 
 def _cm_constants(depth: int) -> "tuple[list[int], list[int]]":
     """Fixed LCG (seed 7 — deliberately distinct from the minhash
@@ -474,6 +481,59 @@ def hist_quantiles(
             "granularity (labels are p<int(p*100)>_est)"
         )
     nb = int(nbuckets)
+    width_f = (float(hi) - float(lo)) / float(nb)
+    # Round 16 (the q-digest quantile treatment): the histogram is
+    # ≤ |groups|·nbuckets cells by construction — within the driver
+    # cap, collect once and replay the scan in Python: integer cum
+    # counts per bucket order, rank = ceil(p · double(n)) (same IEEE
+    # product), min qualifying bucket, est = lo + (b + 0.5)·width
+    # (identical double op sequence).  Groups with a NULL key or no
+    # qualifying bucket drop exactly as the distributed inner-join
+    # chain drops them.  Oversized histograms keep the distributed
+    # window+join scan.
+    probe = hist.select(*group_cols, "bucket", "cnt").take(
+        _DRIVER_SKETCH_CAP + 1
+    )
+    if len(probe) <= _DRIVER_SKETCH_CAP:
+        import math
+
+        import pyspark.sql.types as T
+
+        by_g: dict = {}
+        for r in probe:
+            gkey = tuple(r[c] for c in group_cols)
+            by_g.setdefault(gkey, []).append(
+                (int(r["bucket"]), int(r["cnt"]))
+            )
+        out_rows = []
+        for gkey, cells in by_g.items():
+            n = sum(c for _, c in cells)
+            row = [*gkey, n]
+            if group_cols and any(g is None for g in gkey):
+                continue  # the distributed est joins drop NULL groups
+            cells.sort()
+            ok = True
+            for p in ps:
+                rank = int(math.ceil(float(p) * float(n)))
+                cum = 0
+                est = None
+                for b, c in cells:
+                    cum += c
+                    if cum >= rank:
+                        est = float(lo) + (float(b) + 0.5) * width_f
+                        break
+                if est is None:
+                    ok = False
+                    break
+                row.append(est)
+            if ok:
+                out_rows.append(tuple(row))
+        schema = T.StructType(
+            [hist.schema[c] for c in group_cols]
+            + [T.StructField("n", T.LongType(), True)]
+            + [T.StructField(lb, T.DoubleType(), True) for lb in labels]
+        )
+        return hist.sparkSession.createDataFrame(out_rows, schema)
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("bucket")

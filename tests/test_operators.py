@@ -2047,6 +2047,38 @@ def test_hll_set_operations(spark, sf_dir):
     assert abs(est_i - n_both) / max(n_both, 1) < 0.35, (est_i, n_both)
 
 
+def test_hist_quantiles_driver_scan_equals_distributed(spark, sf_dir):
+    """Round-16 differential: the driver-side quantile scan (histogram
+    within _DRIVER_SKETCH_CAP) must match the forced distributed
+    window+join scan row-for-row, bit-for-bit."""
+    from dataclass_array_spark.operators import sketch as sk
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
+    )
+    r = li.agg(F.min("x"), F.max("x")).collect()[0]
+    lo, hi = float(r[0]), float(r[1])
+    nb = 512
+    h = sk.hist_build(li, ["l_returnflag"], "x", lo, hi, nb)
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in sk.hist_quantiles(
+                h, ["l_returnflag"], [0.5, 0.95], lo, hi, nb
+            ).collect()
+        )
+
+    driver = run()
+    cap = sk._DRIVER_SKETCH_CAP
+    sk._DRIVER_SKETCH_CAP = 0
+    try:
+        distributed = run()
+    finally:
+        sk._DRIVER_SKETCH_CAP = cap
+    assert driver == distributed
+
+
 def test_hist_quantiles_rejects_colliding_labels(spark):
     from dataclass_array_spark.operators.sketch import hist_quantiles
 
