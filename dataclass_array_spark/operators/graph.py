@@ -124,6 +124,7 @@ def pagerank(
     damping: float = 0.85,
     fold_buckets: "int | None" = None,
     exact: bool = True,
+    pin: str = "local",
 ) -> DataFrame:
     """Weighted PageRank over an edge list (multi-edges become integer
     weights): fixed ``iters`` power-iteration rounds of
@@ -163,9 +164,23 @@ def pagerank(
 
     Dangling nodes (no out-edges) leak their mass, the simple standard
     variant; both engines implement the same choice.
+
+    Round 16: the loop frames are PINNED like :func:`connected_components`
+    / :func:`label_propagation` — ``nodes`` and the ``(u, v, w, wtot)``
+    edge frame once (the edge frame repartitioned on ``u``, the join key
+    every iteration probes, so each round re-shuffles only the
+    node-sized rank vector), and the rank vector per iteration so the
+    final plan never re-expands earlier rounds (unpinned, iteration i's
+    lineage re-derived ``nodes``/``wn`` — and with them the upstream
+    edge builder — ~2·iters+1 times).  Pure materialization pinning:
+    same addends, same fold order, bit-identical ranks.
     """
+    from dataclass_array_spark.core.table import pin_materialization
+
     u, v = F.col(src).alias("node"), F.col(dst).alias("node")
-    nodes = edges.select(u).union(edges.select(v)).distinct()
+    nodes = pin_materialization(
+        edges.select(u).union(edges.select(v)).distinct(), pin
+    )
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: no edges")
@@ -173,7 +188,7 @@ def pagerank(
         F.count("*").alias("w")
     )
     outw = w.groupBy("u").agg(F.sum("w").alias("wtot"))
-    wn = w.join(outw, on="u")
+    wn = pin_materialization(w.join(outw, on="u").repartition("u"), pin)
     comp = 1.0 - damping
 
     def _ordered_fold(key_col: str, val_col: str):
@@ -186,7 +201,7 @@ def pagerank(
         )
 
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r"))
-    for _ in range(iters):
+    for it in range(iters):
         contribs = wn.join(ranks, wn["u"] == ranks["node"]).select(
             "v", "u", ((F.col("r") * F.col("w")) / F.col("wtot")).alias("c")
         )
@@ -207,6 +222,10 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("r"),
         )
+        if it < iters - 1:
+            # node-sized; the last iteration stays lazy (its lineage is
+            # one join over already-pinned frames)
+            ranks = pin_materialization(ranks, pin)
     return ranks
 
 

@@ -798,23 +798,22 @@ def bigram_xent_scores(df, text_col: str, id_col: str):
     ln_den = cu.crossJoin(F.broadcast(vocab)).select(
         "w1", ln_exact(F.col("cu") + F.col("V")).alias("ln_den")
     )
+    entry = F.when(
+        F.col("pos").isNotNull(),
+        F.struct(
+            F.col("pos"),
+            (F.col("ln_den") - F.col("ln_num")).alias("nll"),
+        ),
+    )
     # ln_num is BIGRAM-TYPE-sized and ln_den prefix-VOCAB-sized — both
     # corpus-derived and unbounded (Heaps' law), so neither carries a
     # broadcast hint; AQE broadcasts whichever actually fits at runtime
     # (a forced hint = 8 GB limit / driver OOM at 100 TB).  Only
     # bounded-by-construction sides (the 1-row vocab total, ln_v) keep
     # hints.  Values are hint-independent.
-    # Round 16: pre-join ln_den onto the bigram-type table (LM-level,
-    # total for self-scoring) so the instance frame shuffles once.
-    scored_types = ln_num.join(ln_den, ["w1"]).select(
-        "w1", "w2", (F.col("ln_den") - F.col("ln_num")).alias("__nll")
-    )
-    entry = F.when(
-        F.col("pos").isNotNull(),
-        F.struct(F.col("pos"), F.col("__nll").alias("nll")),
-    )
     per_doc = (
-        inst.join(scored_types, ["w1", "w2"], "left")
+        inst.join(ln_num, ["w1", "w2"], "left")
+        .join(ln_den, ["w1"], "left")
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_bigrams"),
@@ -884,36 +883,22 @@ def bigram_xent_scores_heldout(train_df, score_df, text_col: str, id_col: str):
         ).alias("ln_v")
     )
     inst_s = _bigram_instances(score_df, text_col, id_col)
-    # ln_num / ln_den: corpus-derived, unhinted (see bigram_xent_scores);
-    # ln_v is one row — hint kept.
-    # Round 16: score the DISTINCT pairs of the scored corpus through
-    # the two LM join-backs and attach with ONE corpus-sized join (the
-    # old shape shuffled the instance frame by w1w2 and again by w1);
-    # per-pair nll values are unchanged.
-    types = (
-        inst_s.filter(F.col("pos").isNotNull())
-        .select("w1", "w2")
-        .distinct()
-    )
-    scored_types = (
-        types.join(ln_num, ["w1", "w2"], "left")
-        .join(ln_den, ["w1"], "left")
-        .crossJoin(F.broadcast(ln_v))
-        .select(
-            "w1",
-            "w2",
+    entry = F.when(
+        F.col("pos").isNotNull(),
+        F.struct(
+            F.col("pos"),
             (
                 F.coalesce(F.col("ln_den"), F.col("ln_v"))
                 - F.coalesce(F.col("ln_num"), F.lit(0.0))
-            ).alias("__nll"),
-        )
+            ).alias("nll"),
+        ),
     )
-    entry = F.when(
-        F.col("pos").isNotNull(),
-        F.struct(F.col("pos"), F.col("__nll").alias("nll")),
-    )
+    # ln_num / ln_den: corpus-derived, unhinted (see bigram_xent_scores);
+    # ln_v is one row — hint kept.
     per_doc = (
-        inst_s.join(scored_types, ["w1", "w2"], "left")
+        inst_s.join(ln_num, ["w1", "w2"], "left")
+        .join(ln_den, ["w1"], "left")
+        .crossJoin(F.broadcast(ln_v))
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_bigrams"),
@@ -1069,19 +1054,15 @@ def kneser_ney_xent_scores(df, text_col: str, id_col: str):
             )
         ).alias("ln_den"),
     )
-    # Round 16: pre-join the per-prefix ln_den onto the bigram-type
-    # table (LM-level inner join — total for self-scoring, both sides
-    # aggregate cb) and attach nll to the instance frame with ONE
-    # corpus-sized join instead of two (by w1w2, then again by w1).
-    scored_types = num.join(den, ["w1"]).select(
-        "w1", "w2", (F.col("ln_den") - F.col("ln_num")).alias("__nll")
-    )
     entry = F.when(
         F.col("pos").isNotNull(),
-        F.struct(F.col("pos"), F.col("__nll").alias("nll")),
+        F.struct(
+            F.col("pos"), (F.col("ln_den") - F.col("ln_num")).alias("nll")
+        ),
     )
     per_doc = (
-        inst.join(scored_types, ["w1", "w2"], "left")
+        inst.join(num, ["w1", "w2"], "left")
+        .join(den, ["w1"], "left")
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_bigrams"),
@@ -1209,32 +1190,15 @@ def kneser_ney_xent_scores_heldout(train_df, score_df, text_col: str, id_col: st
         )
         .otherwise(F.col("ln_t") - ln_exact_dec(_dec38(ncf)))
     )
-    # Round 16: the per-bigram nll depends only on the bigram TYPE —
-    # score the distinct pairs of the corpus (Heaps-bounded) through
-    # the three LM join-backs and attach with ONE corpus-sized join;
-    # the old shape re-shuffled the full instance frame three times
-    # (by w1w2, by w1, by w2).  The branch-2 backoff ln now runs once
-    # per DISTINCT pair instead of per instance — same pure function
-    # of the same integers, so values are unchanged (and the DuckDB
-    # mirror already computed it per distinct pair).
-    types = (
-        inst_s.filter(F.col("pos").isNotNull())
-        .select("w1", "w2")
-        .distinct()
+    entry = F.when(
+        F.col("pos").isNotNull(),
+        F.struct(F.col("pos"), nll.alias("nll")),
     )
-    scored_types = (
-        types.join(num1, ["w1", "w2"], "left")
+    per_doc = (
+        inst_s.join(num1, ["w1", "w2"], "left")
         .join(den, ["w1"], "left")
         .join(ncw2, ["w2"], "left")
         .crossJoin(F.broadcast(ln_t))
-        .select("w1", "w2", nll.alias("__nll"))
-    )
-    entry = F.when(
-        F.col("pos").isNotNull(),
-        F.struct(F.col("pos"), F.col("__nll").alias("nll")),
-    )
-    per_doc = (
-        inst_s.join(scored_types, ["w1", "w2"], "left")
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_bigrams"),
@@ -1454,25 +1418,15 @@ def kneser_ney3_xent_scores(df, text_col: str, id_col: str):
             ).alias("ln_den"),
         )
     )
-    # Round 16: attach the per-prefix ln_den to the trigram-type table
-    # with a TYPE-level join, then attach nll to the instance frame
-    # with ONE corpus-sized join — the old shape shuffled the full
-    # instance frame twice (by w1w2w3 for num, again by w1w2 for den).
-    # Self-scoring means every num row's prefix exists in den (both
-    # aggregate the same t3), so the inner pre-join keeps exactly
-    # num's row set and ln_den still runs once per PREFIX type.
-    scored_types = num.join(den, ["w1", "w2"]).select(
-        "w1",
-        "w2",
-        "w3",
-        (F.col("ln_den") - F.col("ln_num")).alias("__nll"),
-    )
     entry = F.when(
         F.col("pos").isNotNull(),
-        F.struct(F.col("pos"), F.col("__nll").alias("nll")),
+        F.struct(
+            F.col("pos"), (F.col("ln_den") - F.col("ln_num")).alias("nll")
+        ),
     )
     per_doc = (
-        inst.join(scored_types, ["w1", "w2", "w3"], "left")
+        inst.join(num, ["w1", "w2", "w3"], "left")
+        .join(den, ["w1", "w2"], "left")
         .groupBy(id_col)
         .agg(
             F.count("pos").cast("long").alias("n_trigrams"),

@@ -19,6 +19,7 @@ import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dataclass_array_spark.core.table import release_pins
 from dataclass_array_spark.session import get_spark
 from dataclass_array_spark.workload import QUERIES
 
@@ -58,6 +59,10 @@ def main() -> None:
             rows = df.collect()
             t2 = time.perf_counter()
             spark.sparkContext.setJobGroup(None, None)
+            # drop this run's pinned localCheckpoint blocks (bench.py
+            # discipline): without this, repeats accumulate dead blocks
+            # and later runs measure block-manager pressure, not the query
+            release_pins()
             jd, sd = _jobs_in_group(spark, gdef)
             ja, sa = _jobs_in_group(spark, gact)
             rec = {
