@@ -66,15 +66,14 @@ def connected_components(
     integral_ids = dict(labels.dtypes)["comp"] in (
         "tinyint", "smallint", "int", "bigint"
     )
-    prev_sum = None
-    for i in range(max_iter):
+    def _step(lbls):
         neigh_min = (
-            sym.join(labels, sym.v == labels.node)
+            sym.join(lbls, sym.v == lbls.node)
             .groupBy(F.col("u").alias("node2"))
             .agg(F.min("comp").alias("neigh_comp"))
         )
-        new_labels = (
-            labels.join(neigh_min, labels.node == F.col("node2"), "left")
+        return (
+            lbls.join(neigh_min, lbls.node == F.col("node2"), "left")
             .select(
                 "node",
                 F.least(
@@ -82,6 +81,18 @@ def connected_components(
                 ).alias("comp"),
             )
         )
+
+    # NOTE (round 16, measured): batching TWO propagation steps per
+    # pin + convergence check (same fixpoint — labels are monotone
+    # non-increasing) was tried and made the gates WORSE (def jobs
+    # 30→35, stages 98→110 on dedup_components): AQE already splits
+    # the per-round pipeline into one job per exchange, so the driver
+    # round-trips were not the cost, and the up-to-two wasted steps
+    # past an odd-step convergence are full label-sized shuffles —
+    # exactly what would dominate at 100 TB.  One step per check stays.
+    prev_sum = None
+    for i in range(max_iter):
+        new_labels = _step(labels)
         # checkpoint BEFORE the convergence check: the check and the
         # next iteration then share one materialization instead of
         # executing the join/agg pipeline twice per iteration

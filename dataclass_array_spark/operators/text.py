@@ -939,37 +939,40 @@ def token_entropy_scores(df, text_col: str, id_col: str):
 
     Plan: explode → (doc, token) count → per-doc re-aggregation: the
     unigram-LM plan family (two shuffles, both map-side combined); the
-    20-term ln series runs once per (doc, DISTINCT token)."""
+    20-term ln series runs once per (doc, DISTINCT token).  The
+    ``explode_outer`` NULL-token row of a tokenless doc rides THROUGH
+    both aggregations (round 16) — it contributes nothing to either
+    aggregate (conditional sum; ``collect_list`` skips NULL entries)
+    but keeps the doc present, so the old corpus-sized re-join of the
+    id column (one extra scan + exchange) is gone; ``id_col`` must be
+    unique per row (every caller's doc key)."""
     tok = df.select(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("t")
     )
-    cnt = (
-        tok.filter(F.col("t").isNotNull())
-        .groupBy(id_col, "t")
-        .agg(F.count("*").cast("long").alias("c"))
-    )
+    cnt = tok.groupBy(id_col, "t").agg(F.count("*").cast("long").alias("c"))
     term = cnt.select(
         id_col,
         "t",
-        "c",
-        (F.col("c").cast("double") * ln_exact(F.col("c"))).alias("cl"),
+        F.when(F.col("t").isNotNull(), F.col("c")).alias("c"),
+        F.when(
+            F.col("t").isNotNull(),
+            F.col("c").cast("double") * ln_exact(F.col("c")),
+        ).alias("cl"),
+    )
+    entry = F.when(
+        F.col("t").isNotNull(),
+        F.struct(F.col("t"), F.col("cl").alias("cl")),
     )
     per_doc = term.groupBy(id_col).agg(
         F.sum("c").cast("long").alias("__n"),
         F.aggregate(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("t"), F.col("cl").alias("cl")))
-                ),
-                lambda s: s.cl,
-            ),
+            F.transform(F.array_sort(F.collect_list(entry)), lambda s: s.cl),
             F.lit(0.0),
             lambda a, x: a + x,
         ).alias("__s"),
     )
-    out = df.select(F.col(id_col)).join(per_doc, id_col, "left")
     n = F.coalesce(F.col("__n"), F.lit(0).cast("long"))
-    return out.select(
+    return per_doc.select(
         F.col(id_col),
         n.alias("n_tokens"),
         F.when(
