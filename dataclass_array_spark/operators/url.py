@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "canonicalize_url",
+    "with_url_columns",
     "url_host",
     "url_domain",
     "dedup_urls",
@@ -231,6 +232,112 @@ def url_domain(u: Column) -> Column:
     return F.regexp_extract(url_host(u), r"([^.]+\.[^.]+)\z", 1)
 
 
+def with_url_columns(
+    df: DataFrame,
+    url_col: str,
+    canon_col: "str | None" = None,
+    host_col: "str | None" = None,
+) -> DataFrame:
+    """Append the canonical URL and/or host as columns via STAGED
+    projections — value-identical to :func:`canonicalize_url` /
+    :func:`url_host`, but each expensive intermediate (fragment strip,
+    authority split, percent-normalized path/query, the
+    :data:`_DOT_PASSES`-pass dot-segment chain) is NAMED ONCE per
+    stage instead of re-inlined at every reference site.
+
+    Why (round 16, measured): the single-Column form nests every
+    sub-expression at every use — ``path_part`` alone duplicates the
+    24-regexp dot-segment chain, which itself wraps the 3×-referenced
+    percent-normalizer, which wraps the parse chain — an expression
+    tree with dozens of copies of the base regexes.  Catalyst walks
+    that whole tree (``url_domain_stats_docs`` spent ~3.5 s of pure
+    driver time planning it).  Staged projections keep the tree
+    LINEAR; CollapseProject (Spark ≥3.3) will not merge a projection
+    when merging would duplicate a non-cheap alias referenced more
+    than once, so the shape survives optimization.  The per-row values
+    are the same expressions over the same inputs."""
+    if canon_col is None and host_col is None:
+        raise ValueError("with_url_columns: nothing to compute")
+    t = F.trim(F.col(url_col))
+    out = df.withColumns(
+        {"__u_nf": F.trim(F.regexp_replace(t, "#[\\s\\S]*", ""))}
+    )
+    nf = F.col("__u_nf")
+    out = out.withColumns(
+        {
+            "__u_isu": nf.rlike(_SCHEME_RE),
+            "__u_scheme": F.lower(
+                F.regexp_extract(nf, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+            ),
+            "__u_after": F.regexp_replace(nf, _SCHEME_RE, ""),
+        }
+    )
+    after = F.col("__u_after")
+    out = out.withColumns(
+        {
+            "__u_hp": F.regexp_replace(
+                F.regexp_extract(after, "^([^/?]*)", 1), "^[^@]*@", ""
+            ),
+            "__u_pathq": F.regexp_replace(after, "^[^/?]*", ""),
+        }
+    )
+    hp = F.col("__u_hp")
+    out = out.withColumns(
+        {"__u_host": F.lower(F.regexp_replace(hp, ":[0-9]*\\z", ""))}
+    )
+    temps = ["__u_nf", "__u_isu", "__u_scheme", "__u_after", "__u_hp", "__u_pathq", "__u_host"]
+    if host_col is not None:
+        out = out.withColumns(
+            {host_col: F.when(F.col("__u_isu"), F.col("__u_host")).otherwise(F.lit(""))}
+        )
+    if canon_col is not None:
+        pathq = F.col("__u_pathq")
+        out = out.withColumns(
+            {
+                "__u_port": F.regexp_extract(hp, ":([0-9]+)\\z", 1),
+                "__u_ppath": _pct_norm(F.regexp_extract(pathq, "^([^?]*)", 1)),
+                "__u_kept": F.array_join(
+                    F.filter(
+                        F.split(
+                            _pct_norm(F.regexp_extract(pathq, r"\?(.*)\z", 1)),
+                            "&",
+                        ),
+                        lambda x: (x != F.lit("")) & ~x.rlike(TRACKING_RE),
+                    ),
+                    "&",
+                ),
+            }
+        )
+        out = out.withColumns(
+            {"__u_dpath": _remove_dot_segments(F.col("__u_ppath"))}
+        )
+        scheme, port = F.col("__u_scheme"), F.col("__u_port")
+        dpath, kept = F.col("__u_dpath"), F.col("__u_kept")
+        port_part = F.when(
+            (port == F.lit(""))
+            | ((scheme == F.lit("http")) & (port == F.lit("80")))
+            | ((scheme == F.lit("https")) & (port == F.lit("443"))),
+            F.lit(""),
+        ).otherwise(F.concat(F.lit(":"), port))
+        path_part = F.when(dpath == F.lit(""), F.lit("/")).otherwise(dpath)
+        q_part = F.when(kept == F.lit(""), F.lit("")).otherwise(
+            F.concat(F.lit("?"), kept)
+        )
+        out = out.withColumns(
+            {
+                canon_col: F.when(
+                    F.col("__u_isu"),
+                    F.concat(
+                        scheme, F.lit("://"), F.col("__u_host"), port_part,
+                        path_part, q_part,
+                    ),
+                ).otherwise(F.lower(nf))
+            }
+        )
+        temps += ["__u_port", "__u_ppath", "__u_kept", "__u_dpath"]
+    return out.drop(*temps)
+
+
 def dedup_urls(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     """URL-level exact dedup after canonicalization: → (canon_url,
     rep_id, n_dups) with the smallest id as the representative —
@@ -238,11 +345,13 @@ def dedup_urls(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     lexicographic representative; no silent cast).  ONE map-side-
     combined aggregation on the canonical string — the same
     single-shuffle shape as content hash dedup (``dedup.py``), and at
-    100 TB the canonical form is computed in-scan (no UDF, no join)."""
+    100 TB the canonical form is computed in-scan (no UDF, no join).
+    Canonicalization runs through the staged :func:`with_url_columns`
+    form (same values, linear plan)."""
     return (
-        df.select(
-            canonicalize_url(F.col(url_col)).alias("canon_url"),
-            F.col(id_col),
+        with_url_columns(
+            df.select(F.col(url_col), F.col(id_col)), url_col,
+            canon_col="canon_url",
         )
         .groupBy("canon_url")
         .agg(

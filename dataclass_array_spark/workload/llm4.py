@@ -408,15 +408,13 @@ def url_domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``a.shop.<src>.co.uk`` now rolls up to ``<src>.co.uk``, not
     ``co.uk``)."""
     from dataclass_array_spark.operators.psl import host_registrable_map
-    from dataclass_array_spark.operators.url import canonicalize_url, url_host
+    from dataclass_array_spark.operators.url import with_url_columns
 
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     u = d.select(_url_expr_spark().alias("url"))
     per_host = (
-        u.select(
-            url_host(F.col("url")).alias("host"),
-            canonicalize_url(F.col("url")).alias("canon"),
-        )
+        with_url_columns(u, "url", canon_col="canon", host_col="host")
+        .select("host", "canon")
         .groupBy("host")
         .agg(
             F.countDistinct("canon").alias("n_urls"),
