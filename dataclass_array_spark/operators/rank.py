@@ -71,25 +71,6 @@ def grouped_rank(
         g = r[group_col]
         offsets.append((int(r["__pid"]), g, by_group.get(g, 0)))
         by_group[g] = by_group.get(g, 0) + r["c"]
-    # Narrow Arrow pass (round 16, the grouped_cumsum treatment): the
-    # pinned frame is already sorted by (group, order…) within its
-    # range partitions, so the within-(partition, group) row_number is
-    # just each row's position in its contiguous group run — the old
-    # ``ROW_NUMBER() OVER (PARTITION BY __pid, group)`` window forced
-    # a full re-shuffle of every row by (pid, group) plus a re-sort.
-    # Exact-Python-comparable group keys only (float groups keep the
-    # window: NaN == NaN under Spark grouping but not in a dict).
-    from dataclass_array_spark.operators.packing import _GROUP_KEY_TYPES
-
-    if dict(df.dtypes)[group_col] in _GROUP_KEY_TYPES:
-        offs_map = {
-            (p, g): o for (p, g, o) in offsets if g is not None
-        }
-        # None keys deliberately absent: the window path's offsets
-        # broadcast-join misses NULL group keys (non-null-safe join)
-        # and coalesces the offset to 0 — .get(default 0) reproduces
-        # that row-for-row
-        return _arrow_grouped_rank(with_pid, offs_map, group_col, out_col)
     spark = df.sparkSession
     schema_g = dict(df.dtypes)[group_col]
     offs = spark.createDataFrame(
@@ -106,81 +87,6 @@ def grouped_rank(
         )
         .drop("__pid", "__off")
     )
-
-
-def _arrow_grouped_rank(with_pid, offs_map, group_col, out_col):
-    """Within-(partition, group-run) 1-based positions + per-(pid,
-    group) offsets as one ``mapInArrow`` pass over the pinned,
-    range-partitioned frame — see :func:`grouped_rank`.  Output
-    columns mirror the window path's join ordering: group first, then
-    the remaining input columns, then ``out_col``."""
-    import pyspark.sql.types as T
-
-    in_fields = {f.name: f for f in with_pid.schema.fields}
-    rest = [
-        f.name
-        for f in with_pid.schema.fields
-        if f.name not in (group_col, "__pid")
-    ]
-    out_names = [group_col, *rest]
-    out_schema = T.StructType(
-        [in_fields[c] for c in out_names]
-        + [T.StructField(out_col, T.LongType(), True)]
-    )
-    offs = {k: int(v) for k, v in offs_map.items()}
-
-    def fn(it):
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        cur = None  # (pid, group) of the run in progress
-        cnt = 0  # rows of that run already emitted
-        for batch in it:
-            n = batch.num_rows
-            if n == 0:
-                yield pa.RecordBatch.from_arrays(
-                    [batch.column(c) for c in out_names]
-                    + [pa.array([], type=pa.int64())],
-                    schema=pa.schema(
-                        [batch.schema.field(c) for c in out_names]
-                        + [pa.field(out_col, pa.int64())]
-                    ),
-                )
-                continue
-            pid = batch.column("__pid")[0].as_py()
-            g = batch.column(group_col)
-            change = np.zeros(n, dtype=bool)
-            if n > 1:
-                hi, lo = g.slice(1), g.slice(0, n - 1)
-                eq = pc.fill_null(pc.equal(hi, lo), False)
-                both_null = pc.and_(pc.is_null(hi), pc.is_null(lo))
-                same = pc.or_(eq, both_null)
-                change[1:] = np.logical_not(
-                    same.to_numpy(zero_copy_only=False)
-                )
-            starts = np.flatnonzero(np.concatenate(([True], change[1:])))
-            bounds = np.append(starts, n)
-            ranks = np.empty(n, dtype=np.int64)
-            for si in range(len(starts)):
-                i0, i1 = int(bounds[si]), int(bounds[si + 1])
-                key = (pid, g[i0].as_py())
-                if key != cur:
-                    cur = key
-                    cnt = offs.get(key, 0)
-                m = i1 - i0
-                ranks[i0:i1] = np.arange(cnt + 1, cnt + m + 1)
-                cnt += m
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(c) for c in out_names]
-                + [pa.array(ranks, type=pa.int64())],
-                schema=pa.schema(
-                    [batch.schema.field(c) for c in out_names]
-                    + [pa.field(out_col, pa.int64())]
-                ),
-            )
-
-    return with_pid.mapInArrow(fn, out_schema)
 
 
 def grouped_ntile(

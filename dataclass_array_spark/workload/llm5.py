@@ -736,9 +736,7 @@ def classifier_auc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``metrics.auc_exact`` — a ratio of integers, ties half-credited
     exactly).  One row: (n_pos, n_neg, u2, auc), all hash-exact
     including the learned-model-dependent AUC itself."""
-    from dataclass_array_spark.core.table import pin_materialization
     from dataclass_array_spark.operators.classifier import (
-        classifier_featurize,
         classifier_fit,
         classifier_score,
         fit_weights_for_scoring,
@@ -748,23 +746,20 @@ def classifier_auc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     d = d.withColumn("__y", (F.col("lang") == "en").cast("long"))
-    # ONE featurize pass shared by train and score (round 16, VERDICT
-    # r15 item 3): tokenize+hash the corpus once, clustered on doc_id
-    # and pinned — the fit iterations AND the scoring aggregation then
-    # run exchange-free against the same materialization instead of
-    # each re-tokenizing the corpus.
-    shared = pin_materialization(
-        classifier_featurize(
-            d, "text", "doc_id", _FIT_BUCKETS, label_col="__y"
-        ).repartition("doc_id")
-    )
+    # Round 16 tried sharing ONE pinned featurize pass between fit and
+    # score (VERDICT r15 item 3) and REVERTED it on the sf1 sweep:
+    # localCheckpoint keeps ROW-format blocks, so the 3 fit iterations
+    # each deserialize full instance rows where fit's own columnar
+    # persist() prunes to (__id, __y, bucket) — sf1 9.6→13.4 s on this
+    # gate (0.72×) against a ~0.9 s sf0.1 win.  Re-tokenizing for the
+    # score pass is the cheaper trade at scale (the round-7 minhash
+    # keep-recomputing lesson).
     fit = classifier_fit(
         d, "text", "doc_id", "__y", _FIT_BUCKETS,
-        lr=_FIT_LR, n_iters=_FIT_ITERS, feats=shared,
+        lr=_FIT_LR, n_iters=_FIT_ITERS,
     )
     scored = classifier_score(
         d, fit_weights_for_scoring(fit), "text", "doc_id", _FIT_BUCKETS,
-        feats=shared,
     )
     labeled = scored.join(d.select("doc_id", "__y"), "doc_id")
     out = auc_exact(labeled, "__y", "margin")
@@ -1041,9 +1036,7 @@ def classifier_auc_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     every SF.  The grouped running count goes through
     ``grouped_cumsum`` (two-phase, partitioned by slice — never a
     single-task sort of a slice's distinct scores)."""
-    from dataclass_array_spark.core.table import pin_materialization
     from dataclass_array_spark.operators.classifier import (
-        classifier_featurize,
         classifier_fit,
         classifier_score,
         fit_weights_for_scoring,
@@ -1053,19 +1046,14 @@ def classifier_auc_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame
 
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     d = d.withColumn("__y", (F.col("lang") == "en").cast("long"))
-    # Shared featurize (round 16): see classifier_auc_docs.
-    shared = pin_materialization(
-        classifier_featurize(
-            d, "text", "doc_id", _FIT_BUCKETS, label_col="__y"
-        ).repartition("doc_id")
-    )
+    # Shared pinned featurize tried and REVERTED on the sf1 sweep —
+    # see classifier_auc_docs.
     fit = classifier_fit(
         d, "text", "doc_id", "__y", _FIT_BUCKETS,
-        lr=_FIT_LR, n_iters=_FIT_ITERS, feats=shared,
+        lr=_FIT_LR, n_iters=_FIT_ITERS,
     )
     scored = classifier_score(
         d, fit_weights_for_scoring(fit), "text", "doc_id", _FIT_BUCKETS,
-        feats=shared,
     )
     labeled = scored.join(d.select("doc_id", "source", "__y"), "doc_id")
     out = auc_exact(labeled, "__y", "margin", group_cols=["source"])
